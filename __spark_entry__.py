@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (word count with the reference's
+exact semantics, ``/root/reference/src/mr/function.rs:9-20``) over the
+sf0.001 documents table. ``queries()`` / ``oracle_sql()`` expose the full
+operator registry from ``mapreduce_rs_spark.plans.registry`` — every
+implemented operator from SURVEY.md §2 plus the beyond-reference dedup /
+similarity / text-analysis / events surface, each paired with the DuckDB
+oracle SQL the driver hash-compares against at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +15,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_rs_spark.operators.text_analysis import word_count
+from mapreduce_rs_spark.plans import registry
+from mapreduce_rs_spark.sources.catalog import load_table
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return word_count(load_table(spark, SMOKE_SF_DIR, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (SURVEY.md §2 + north-star ops)."""
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every oracle-checkable query."""
+    return registry.oracle_sql()

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after
+a warm-up pass of the session. The headline metric is total wall time of
+the suite — the number BENCH_r{N}.json records and BASELINE.md's 2x gate
+applies to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# Headline queries: one per operator family, weighted toward the
+# shuffle-heavy paths that dominate at scale.
+HEADLINE = (
+    "wordcount",                 # flagship: scan→explode→agg→sort
+    "q1_pricing_summary",        # scan-heavy filter+agg
+    "join_revenue_by_nation",    # multi-join + broadcast dims
+    "window_top_orders_per_customer",  # window top-k
+    "dedup_exact",               # hash fingerprint dedup
+    "minhash_signatures",        # shingle explode + 8-way min agg
+    "knn_bruteforce",            # vector cosine + per-query top-k
+    "sessionize",                # stateful-ish window chains
+    "tumbling_window",           # event-time windows
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from mapreduce_rs_spark.plans.registry import QUERIES
+    from mapreduce_rs_spark.session import get_spark
+
+    spark = get_spark("bench", **{"spark.sql.shuffle.partitions": cpus})
+
+    # Warm up the JVM / codegen / parquet footer cache so per-query times
+    # measure the plans, not first-touch overheads.
+    QUERIES["wordcount"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Text column expressions, matching the reference's word-count semantics.
+
+Reference semantics (``src/mr/function.rs:9-16``): delete chars matching
+``[^\\w\\s]``, split on whitespace, case-sensitive, keep digits and
+underscores, drop empty tokens. Both Spark (Java regex) and DuckDB (RE2)
+treat ``\\w`` as ASCII ``[A-Za-z0-9_]`` by default, so the same pattern is
+oracle-portable.
+
+All helpers are pure column expressions — JVM-side, inside whole-stage
+codegen; no Python UDFs on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Keep these literals in sync with the SQL fragments in plans/registry.py.
+CLEAN_PATTERN = r"[^\w\s]"
+SPLIT_PATTERN = r"\s+"
+# BPE-ish word/punctuation tokenizer: runs of word chars OR single
+# non-word-non-space chars (so "don't" -> ["don", "'", "t"]).
+BPE_ISH_PATTERN = r"[\w]+|[^\w\s]"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Strip punctuation exactly like the reference's ``wc::map``
+    (``src/mr/function.rs:10-11``)."""
+    return F.regexp_replace(col, CLEAN_PATTERN, "")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace-split token array (may contain a leading '' if the text
+    starts with whitespace — callers filter empties after explode, the
+    analog of ``split_whitespace`` never yielding empties,
+    ``src/mr/function.rs:13``)."""
+    return F.split(clean_text(col), SPLIT_PATTERN)
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Tokenizer that keeps punctuation as single-char tokens — the
+    token-counting scheme a BPE-style pipeline pre-tokenizer uses.
+    idx=0 (whole match): the pattern has no capture groups."""
+    return F.regexp_extract_all(
+        col if isinstance(col, Column) else F.col(col), F.lit(BPE_ISH_PATTERN), 0
+    )

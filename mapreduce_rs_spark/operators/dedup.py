@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard. Everything is built
+from engine-portable primitives (md5-derived hashes, functions/hashing.py)
+so the DuckDB oracle can replicate values bit-for-bit.
+
+Scale design:
+* Exact dedup shuffles 16-byte fingerprints, not documents.
+* MinHash: one narrow pass computes shingles + per-seed hashes, one
+  aggregation produces k-value signatures (rows = docs, not shingles);
+  LSH banding turns pair discovery into an equi-join on (band, band_key)
+  — never an all-pairs comparison. At 100 TB the band join is the only
+  shuffle whose size matters, and it carries (doc_id, 16-byte key) rows.
+* SimHash: narrow per-doc bit arithmetic; near-dup = equality on the
+  16-bit signature (or banded halves for Hamming distance 1-2).
+* Jaccard is the exact fallback, blocked by a partition column to bound
+  the candidate space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_rs_spark.functions.hashing import h32, h64, text_fingerprint
+from mapreduce_rs_spark.functions.text import tokens
+
+MINHASH_SEEDS = 8          # k signature values
+MINHASH_BAND_SIZE = 2      # values per LSH band → 4 bands
+SHINGLE_N = 3              # token 3-gram shingles
+SIMHASH_BITS = 16
+
+
+def _shingles(text_col: str = "text", n: int = SHINGLE_N) -> F.Column:
+    """Token n-gram shingles as an array<string> — built with
+    sequence+slice over the token array: narrow, no self-join."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    n_shingles = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.when(n_shingles > 0, F.transform(
+        F.sequence(F.lit(1), n_shingles),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def dedup_exact(df: DataFrame) -> DataFrame:
+    """Exact duplicate groups: md5 fingerprint over normalized text →
+    keep the min doc_id per group, count members. The shuffle carries
+    only (fingerprint, doc_id)."""
+    return (
+        df.select(text_fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
+    """MinHash signature per document: for each seed i, the min h32 over
+    the doc's shingles. One explode + one groupBy; the aggregate emits k
+    columns mh0..mh{k-1} so downstream banding is column arithmetic."""
+    shingled = df.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    aggs = [F.min(h32("shingle", seed=i)).alias(f"mh{i}") for i in range(k)]
+    return shingled.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, k: int = MINHASH_SEEDS, band_size: int = MINHASH_BAND_SIZE
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signature split into k/band_size bands; docs sharing any band's
+    concatenated value become candidates. Implemented as an equi-join of
+    the banded table with itself on (band, band_key) — the classic
+    all-pairs-free LSH join. Dedups (a,b) pairs across bands.
+    """
+    sigs = minhash_signatures(df, k)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]).alias("band_key"),
+        )
+        for b in range(k // band_size)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per document: sign-aggregate each bit of the token hashes.
+
+    Per-token h64 → per-bit ±1 votes → bit b set iff the vote sum is
+    positive → signature = Σ bit<<b. All bit arithmetic uses shift+mask,
+    which DuckDB evaluates identically. One explode + one groupBy."""
+    toks = df.select(
+        "doc_id", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("word")
+    ).withColumn("h", h64("word"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return voted.select("doc_id", sig.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard similarity for document pairs, blocked by
+    ``lang`` so the candidate join is bounded per block.
+
+    Distinct tokens exploded once; pairs sharing a token within a block
+    co-group on that token (equi-join), then |A∩B| is a count and
+    |A∪B| = |A|+|B|-|A∩B|. No cross join anywhere; skew on ubiquitous
+    tokens is the known hot spot (at scale: drop top-df tokens first).
+    """
+    toks = (
+        df.select("doc_id", "lang", F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("word"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    pairs = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_tokens") + F.col("sb.n_tokens") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

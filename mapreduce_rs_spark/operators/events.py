@@ -1,0 +1,121 @@
+"""Event / time-series operators over the ``events`` table.
+
+The reference is strictly batch with a hard map→reduce barrier (reference
+``src/mr/coordinator.rs:342-345``); it has no time semantics at all. This
+module supplies the windowed/time-series surface in batch form (each one
+oracle-checked); streaming/pipeline.py re-expresses the same windows as
+Structured Streaming with watermarks.
+
+Scale notes: window aggregations group on (window, keys) — partial
+aggregation applies, so shuffle volume is windows×keys, not events.
+Sessionization is the only per-entity stateful op; it partitions by
+user_id (one shuffle) and never splits a user across partitions — the
+correctness edge SURVEY.md §7 flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + value stats.
+    ``F.window`` windows are epoch-aligned, so window_start ==
+    date_trunc('hour', ts) — the oracle-portable identity."""
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_window(t: dict[str, DataFrame]) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2
+    windows). Spark's window() emits both assignments; the oracle
+    reproduces them as time_bucket(30min, ts) - {0,1}·30min."""
+    ev = t["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .orderBy("window_start")
+    )
+
+
+def sessionize(t: dict[str, DataFrame], gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization (gap > ``gap_min`` starts a new session):
+    lag → new-session flag → running sum = session index. One shuffle on
+    user_id; both window specs reuse the same partitioning."""
+    ev = t["events"]
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_min * 60),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn(
+        "session_idx",
+        F.sum(is_new).over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def json_props_agg(t: dict[str, DataFrame]) -> DataFrame:
+    """Semi-structured path: extract a JSON field from ``props`` and
+    aggregate on it — JSON parsing stays JVM-side (get_json_object)."""
+    ev = t["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_activity_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-user event-type pivot-style stats + overall rates, showing
+    conditional aggregation (FILTER/CASE) — one pass, one shuffle."""
+    ev = t["events"]
+
+    def count_type(et: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            count_type("click").alias("n_clicks"),
+            count_type("purchase").alias("n_purchases"),
+            count_type("error").alias("n_errors"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("purchase_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,271 @@
+"""Relational operators over the TPC-H-ish star schema.
+
+The reference has NO relational operators beyond map/shuffle/sort/reduce
+(SURVEY.md §2 "categories the reference does NOT implement") — its shuffle
+(``src/mr/worker.rs:133-164``) is the mechanism a join or aggregate would
+use, but neither exists. This module supplies that missing surface the
+Spark-first way: every query is a declarative DataFrame plan, so Catalyst
+applies predicate pushdown, column pruning and join reordering, and AQE
+picks broadcast vs shuffle joins and splits skewed partitions at runtime.
+
+Scale notes per query are inline. The recurring ones:
+* dimension joins (region/nation/supplier/part) are explicitly
+  ``F.broadcast`` — at 100 TB the fact side never shuffles for these;
+* aggregates use built-ins, so map-side partial aggregation halves
+  shuffle volume automatically;
+* every top-k orders by a unique tie-broken key so results are
+  deterministic under any partitioning.
+
+Each function takes the loaded table dict from sources.catalog and
+returns a DataFrame whose column names match its oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filter + wide aggregate.
+
+    The filter reaches the parquet scan as a pushed predicate; the
+    groupBy keys have cardinality ~6, so partial aggregation reduces the
+    shuffle to a handful of rows per task regardless of input size.
+    """
+    li = t["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def filter_project(t: dict[str, DataFrame]) -> DataFrame:
+    """Filter + computed projection. Both the predicate and the 4-column
+    ReadSchema push to the scan — the plan never materializes the other
+    7 lineitem columns."""
+    li = t["lineitem"]
+    return li.where(
+        (F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+def join_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """4-way join: lineitem ⋈ orders (the only big-big shuffle join)
+    ⋈ broadcast customer-side dims. Aggregation keys are nation names,
+    so the final shuffle is tiny."""
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        rev.groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def join_left_order_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Left outer join keeping customers with zero orders (COALESCE'd
+    count). Customer is the smaller side but the LEFT side, so Spark
+    shuffles both — at scale you'd bucket both tables on the key."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def join_semi_recent_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one high-priority
+    order. Semi joins shuffle only the key column of the probe side and
+    stop at first match — cheaper than inner+distinct."""
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def join_anti_customers_without_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def agg_order_priorities(t: dict[str, DataFrame]) -> DataFrame:
+    """Aggregate battery: sum/avg/min/max/count + COUNT DISTINCT.
+    count_distinct expands to a two-phase partial-distinct plan — the
+    dedup happens map-side before the shuffle."""
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("o_totalprice").alias("sum_price"),
+            F.avg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def rollup_returns(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): hierarchical subtotals +
+    grand total in one pass (Expand + single aggregate, not N scans)."""
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def cube_status_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping-set
+    combinations in one shuffle."""
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("sum_price"), F.count("*").alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def window_top_orders_per_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-3 orders per customer by price: row_number window, the
+    canonical top-k-per-group (one shuffle on the partition key; never
+    a self-join). Unique tie-break on o_orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+def window_running_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Running (cumulative) revenue per customer in order-date order.
+    Ordering key extended with o_orderkey so the frame is total —
+    otherwise ties make the running sum nondeterministic across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("o_totalprice").over(w).alias("running_revenue"),
+    )
+
+
+def window_price_delta(t: dict[str, DataFrame]) -> DataFrame:
+    """LAG window: each order's price delta vs the customer's previous
+    order (event-over-event comparison pattern)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        prev.alias("prev_price"),
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    )
+
+
+def topk_expensive_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps k rows, driver merges p·k, no full sort."""
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def set_ops_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets from two market
+    segments vs urgent-order customers, tagged by which set operation
+    produced each row."""
+    c = t["customer"]
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = c.where(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    urgent = (
+        t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        building.union(machinery).distinct().withColumn("op", F.lit("union"))
+        .unionAll(building.intersect(urgent).withColumn("op", F.lit("intersect")))
+        # subtract == SQL EXCEPT (distinct); exceptAll has multiset
+        # semantics that diverge from the oracle's EXCEPT.
+        .unionAll(building.subtract(urgent).withColumn("op", F.lit("except")))
+        .orderBy("op", "c_custkey")
+    )
+
+
+def scalar_functions_showcase(t: dict[str, DataFrame]) -> DataFrame:
+    """String/date/math scalar battery over orders — every expression
+    chosen to have identical ANSI semantics in Spark and DuckDB."""
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_priority"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.round("o_totalprice", 0).alias("price_rounded"),
+        F.abs(F.col("o_totalprice") - 1000).alias("price_abs_dev"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.when(F.col("o_totalprice") > 1000, "big").otherwise("small").alias("size_class"),
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface (BASELINE.json north star). Two tiers:
+
+* ``knn_bruteforce`` — exact top-k cosine for a bounded query set. The
+  query side is broadcast (it is small by construction); each executor
+  scans its corpus partition once computing JVM-side higher-order-function
+  cosines, then a per-query top-k window trims results. Corpus never
+  shuffles. This is the correctness baseline and is DuckDB-oracle-checked.
+
+* ``lsh_buckets`` / ``knn_lsh`` — the scale path: random-hyperplane LSH.
+  Deterministic hyperplanes (seeded, embedded as literals in BOTH the
+  Spark plan and the oracle SQL, so the oracle replicates the algorithm
+  exactly). Bucketing turns candidate generation into an equi-join on the
+  bucket id; at 100 TB each query compares against its bucket instead of
+  the full corpus, trading recall for a ~2^planes reduction in work.
+
+All arithmetic is cast to double before accumulation so Spark and DuckDB
+agree to float tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_rs_spark.functions.vectors import cosine_similarity, dot
+
+N_PLANES = 6
+PLANE_SEED = 42
+PLANE_DECIMALS = 6
+EMBED_DIM = 64
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded so the identical float
+    literals can be embedded in the DuckDB oracle SQL."""
+    rng = np.random.RandomState(PLANE_SEED)
+    return [
+        [round(float(x), PLANE_DECIMALS) for x in rng.normal(size=dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _query_set(df: DataFrame, every: int = 100) -> DataFrame:
+    """Deterministic bounded query subset: every 100th vector."""
+    return df.where(F.col("vec_id") % every == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def knn_bruteforce(df: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for the query subset.
+
+    Broadcast the queries; corpus-side scan computes cosines without a
+    shuffle; the only shuffle is the per-query top-k window over
+    |queries|·|corpus| score rows — prune early with the window."""
+    queries = _query_set(df)
+    scored = (
+        df.alias("c")
+        .join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _bucket_expr(emb: F.Column, planes: list[list[float]]) -> F.Column:
+    """LSH bucket id: Σ (dot(emb, plane_p) > 0) << p."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(emb, plane_col) > 0, F.lit(1 << p)).otherwise(0)
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_buckets(df: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
+    """Assign each vector its hyperplane-LSH bucket (narrow, no shuffle).
+    Returned per-bucket histogram shows the partition balance a bucketed
+    ANN join would see."""
+    planes = planes or hyperplanes()
+    return (
+        df.select(_bucket_expr(F.col("embedding"), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (equi-join on bucket id), exact cosine re-rank within the bucket.
+    Identical algorithm in the oracle → identical (approximate) answer."""
+    planes = planes or hyperplanes()
+    bucketed = df.select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding"), planes).alias("bucket")
+    )
+    queries = bucketed.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def embedding_near_dup(df: DataFrame, threshold: float = 0.97) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``label`` so the
+    pair join is per-block instead of all-pairs (labels act as a coarse
+    pre-cluster; at scale you'd block on an LSH bucket instead)."""
+    a = df.alias("a")
+    b = df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,210 @@
+"""Text analysis operators over a documents corpus.
+
+The flagship, ``word_count``, reproduces the reference's single
+application end-to-end (reference ``src/mr/function.rs:9-20`` semantics,
+SURVEY.md §2 ops 1-12): scan → regex clean → tokenize/flat-map →
+hash-shuffle → group-aggregate COUNT → total-order sort. In Spark that is
+six declarative lines; the shuffle, phase barrier, sort-agg, partial
+(map-side) aggregation and task retry all come from the engine.
+
+Deliberately NOT replicated: the reference's reduce loop drops the final
+key group of every partition (``src/mr/worker.rs:203-222``) — Spark's
+hash aggregate has no such defect, and tests/test_text.py pins golden
+counts computed in pure Python to prove we didn't inherit it.
+
+The rest of the module is the text-analysis surface a training-data
+pipeline needs: token stats, n-grams, per-language top-k terms, heuristic
+language ID, quality scoring, token counting. Everything is built-in
+column expressions (whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_rs_spark.functions.text import bpe_ish_tokens, tokens
+
+# Tiny per-language stopword marker lists for the heuristic language ID.
+# Counting is done on the space-padded text so only whole tokens match.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def explode_tokens(df: DataFrame, text_col: str = "text", *extra_cols: str) -> DataFrame:
+    """Corpus → one row per token (the reference's map phase, ops 2-4).
+
+    A narrow transformation: no shuffle. Each scan partition tokenizes
+    independently, so it scales linearly with input splits.
+    """
+    return (
+        df.select(*extra_cols, F.explode(tokens(text_col)).alias("word"))
+        .where(F.col("word") != "")
+    )
+
+
+def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The flagship: word count with exact reference semantics.
+
+    Plan shape: scan → narrow tokenize → shuffle on word (hash partition,
+    reference op 5) with map-side partial count (the combiner the
+    reference lacks, ``src/mr/worker.rs:149-161``) → final count →
+    range-partitioned total sort (reference op 12's ``cat | sort``).
+    """
+    return (
+        explode_tokens(df, text_col)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("word")
+    )
+
+
+def word_count_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Top-k words. orderBy+limit lets Spark run a distributed
+    TakeOrdered (per-partition top-k, then merge k·p rows on one node)
+    instead of a full sort. Ties broken by word for determinism."""
+    return (
+        explode_tokens(df, text_col)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def doc_stats(df: DataFrame) -> DataFrame:
+    """Per-document token statistics — narrow, no shuffle at all.
+
+    n_tokens / distinct tokens / avg token length via array higher-order
+    functions on the split array; nothing leaves the row.
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    tok_lens = F.transform(toks, lambda t: F.length(t).cast("double"))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.aggregate(tok_lens, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def top_terms_per_lang(df: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per language: window rank over grouped counts.
+
+    Two shuffles (token-count groupBy, then repartition by lang for the
+    window) — at scale the second is cheap because the input is already
+    the aggregated term dictionary, not the corpus.
+    """
+    counts = (
+        explode_tokens(df, "text", "lang")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("lang", "word", "cnt", "rnk")
+    )
+
+
+def ngrams(df: DataFrame, n: int = 2) -> DataFrame:
+    """N-gram counts via self-join-free position arithmetic: posexplode
+    the token array once, then join token streams offset by position
+    within the same doc. Narrow per-doc semantics; the join key
+    (doc_id, pos) is unique so no row explosion."""
+    toks = (
+        df.select("doc_id", F.posexplode(F.filter(tokens("text"), lambda t: t != "")).alias("pos", "word"))
+    )
+    joined = toks.alias("a")
+    for i in range(1, n):
+        joined = joined.join(
+            toks.alias(f"t{i}"),
+            (F.col("a.doc_id") == F.col(f"t{i}.doc_id"))
+            & (F.col(f"t{i}.pos") == F.col("a.pos") + i),
+        )
+    gram = F.concat_ws(" ", F.col("a.word"), *[F.col(f"t{i}.word") for i in range(1, n)])
+    return (
+        joined.select(gram.alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def token_count(df: DataFrame) -> DataFrame:
+    """Token counting per document with both the whitespace and the
+    BPE-ish regex tokenizer — the 'how many tokens will I train on'
+    pipeline primitive. Narrow; no shuffle."""
+    ws = F.filter(tokens("text"), lambda t: t != "")
+    bpe = bpe_ish_tokens("text")
+    return df.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean token length — the standard cheap pre-filter signals for
+    training-data curation. All built-in expressions."""
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_word_chars = F.length(F.regexp_replace("text", r"[^\w]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_word_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_word_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+def language_id(df: DataFrame) -> DataFrame:
+    """Heuristic n-gram/marker-word language ID.
+
+    Scores each language by total occurrences of its marker tokens
+    (substring-count arithmetic on space-padded text — portable to the
+    SQL oracle), picks the argmax with a deterministic tie-break on
+    language code. Narrow transformation, no shuffle."""
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def occurrences(marker: str) -> F.Column:
+        needle = f" {marker} "
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / len(needle)
+        ).cast("long")
+
+    scores = [
+        F.struct(
+            sum(occurrences(m) for m in markers).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # greatest() picks max score; struct comparison breaks ties by the
+    # SECOND field ascending only if scores equal — but greatest over
+    # structs compares lexicographically (score, lang), so equal scores
+    # resolve to the lexicographically LAST lang; invert by sorting desc.
+    best = F.greatest(*scores)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        best.getField("lang").alias("lang_pred"),
+        best.getField("score").alias("marker_hits"),
+    )

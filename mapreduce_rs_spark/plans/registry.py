@@ -1,0 +1,640 @@
+"""Query registry: every implemented operator as (spark_fn, oracle_sql).
+
+This is the engine's public query surface AND its correctness contract:
+the driver runs each Spark query and its DuckDB oracle side-by-side at
+sf0.01 and compares row count + schema + order-insensitive value hash
+(``__spark_entry__.py`` docstring). Rules enforced here:
+
+* every computed column is aliased IDENTICALLY in the Spark plan and in
+  the SQL (the compare sorts columns by name);
+* integer-width mismatches are resolved by explicit casts on the oracle
+  side (DuckDB count/len/year return BIGINT where Spark returns INT, and
+  sum(INTEGER) returns HUGEINT — always cast to the Spark type);
+* float work is done in double on both sides, in the same accumulation
+  shape, relying on the driver's tolerant float hashing only for ULP
+  noise;
+* hash values come from functions/hashing.py and its *_sql twins so both
+  engines compute the same md5-derived integers.
+
+Queries whose kernel is deliberately not SQL-expressible (the Python
+map/reduce UDF surface is oracled via the equivalent relational SQL; the
+multimodal decode stub is rows-only) are marked with oracle=None.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_rs_spark.functions.hashing import h32_sql, h64_sql, text_fingerprint_sql
+from mapreduce_rs_spark.operators import dedup, events, multimodal, relational, similarity
+from mapreduce_rs_spark.operators import text_analysis as ta
+from mapreduce_rs_spark.operators.mapreduce import word_count_mapreduce
+from mapreduce_rs_spark.sources.catalog import load_table, load_tables
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (keep in sync with functions/text.py patterns)
+# ---------------------------------------------------------------------------
+
+# Token array per document, empties removed — the oracle twin of
+# functions.text.tokens + the word<>'' filter.
+TOKENS_SQL = (
+    "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), "
+    "'\\s+'), t -> t <> '')"
+)
+
+WORDS_CTE = f"""
+WITH words AS (
+    SELECT doc_id, lang, unnest({TOKENS_SQL}) AS word
+    FROM documents
+)
+"""
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+def _tables(fn: Callable[[dict[str, DataFrame]], DataFrame]) -> QueryFn:
+    """Adapt an operator taking the loaded-tables dict to (spark, sf_dir)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_tables(spark, sf_dir))
+
+    return run
+
+
+def _docs(fn: Callable[[DataFrame], DataFrame]) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "documents"))
+
+    return run
+
+
+def _emb(fn: Callable[[DataFrame], DataFrame]) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "embeddings"))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders for the hash-heavy queries
+# ---------------------------------------------------------------------------
+
+def _shingles_sql(n: int = dedup.SHINGLE_N) -> str:
+    """Token n-gram shingle stream: (doc_id, shingle)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+), shingles AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1),
+                  i -> array_to_string(tk[i:i + {n - 1}], ' '))) AS shingle
+    FROM toks
+)
+"""
+
+
+def _minhash_sql(k: int = dedup.MINHASH_SEEDS) -> str:
+    mins = ",\n       ".join(
+        f"min({h32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k)
+    )
+    return f"""{_shingles_sql()}
+SELECT doc_id, {mins}
+FROM shingles GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _minhash_pairs_sql(k: int = dedup.MINHASH_SEEDS, band_size: int = dedup.MINHASH_BAND_SIZE) -> str:
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, CAST(mh{i0} AS VARCHAR) || ',' || CAST(mh{i1} AS VARCHAR) AS band_key FROM sigs".format(
+            b=b, i0=b * band_size, i1=b * band_size + 1
+        )
+        for b in range(k // band_size)
+    )
+    mins = ",\n       ".join(f"min({h32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k))
+    return f"""{_shingles_sql()}, sigs AS (
+    SELECT doc_id, {mins}
+    FROM shingles GROUP BY doc_id
+), banded AS (
+    {band_rows}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""{WORDS_CTE}, hashed AS (
+    SELECT doc_id, {h64_sql('word')} AS h FROM words
+), votes AS (
+    SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + "]"
+
+
+def _bucket_sql(emb_expr: str, planes: list[list[float]]) -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product({emb_expr}, {_plane_literal(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _lang_id_sql() -> str:
+    selects = []
+    for lang, markers in sorted(ta.LANG_MARKERS.items()):
+        hits = " + ".join(
+            f"CAST((length(p) - length(replace(p, ' {m} ', ''))) // {len(m) + 2} AS BIGINT)"
+            for m in markers
+        )
+        selects.append(
+            f"SELECT doc_id, lang_actual, '{lang}' AS lang_pred, ({hits}) AS marker_hits FROM padded"
+        )
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+WITH padded AS (
+    SELECT doc_id, lang AS lang_actual, ' ' || text || ' ' AS p FROM documents
+), scores AS (
+    {union}
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY marker_hits DESC, lang_pred DESC) AS rn
+    FROM scores
+)
+SELECT doc_id, lang_actual, lang_pred, marker_hits FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+_PLANES = similarity.hyperplanes()
+
+# ---------------------------------------------------------------------------
+# The registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    # ---- word-count lineage (the reference's entire app surface) ----
+    "wordcount": QuerySpec(
+        _docs(ta.word_count),
+        f"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+            FROM documents
+        ) t WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "flagship: reference wc semantics (src/mr/function.rs:9-20)",
+    ),
+    "wordcount_topk": QuerySpec(
+        _docs(lambda df: ta.word_count_topk(df, 20)),
+        f"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+            FROM documents
+        ) t WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+        """,
+    ),
+    "wordcount_mapreduce_udf": QuerySpec(
+        _docs(word_count_mapreduce),
+        f"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+            FROM documents
+        ) t WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "the op-4/op-10 UDF surface (mapInPandas + applyInPandas), oracled against relational SQL",
+    ),
+    # ---- text analysis ----
+    "doc_stats": QuerySpec(
+        _docs(ta.doc_stats),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS n_chars_actual,
+                   {TOKENS_SQL} AS tk
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars_actual,
+               CAST(len(tk) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct_tokens,
+               list_aggregate(list_transform(tk, t -> CAST(length(t) AS DOUBLE)), 'sum') / len(tk) AS avg_token_len
+        FROM toks
+        """,
+    ),
+    "top_terms_per_lang": QuerySpec(
+        _docs(lambda df: ta.top_terms_per_lang(df, 5)),
+        f"""{WORDS_CTE}, counts AS (
+            SELECT lang, word, count(*) AS cnt FROM words GROUP BY lang, word
+        ), ranked AS (
+            SELECT lang, word, cnt,
+                   CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS INTEGER) AS rnk
+            FROM counts
+        )
+        SELECT lang, word, cnt, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+        """,
+    ),
+    "bigrams": QuerySpec(
+        _docs(lambda df: ta.ngrams(df, 2)),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), grams AS (
+            SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> array_to_string(tk[i:i + 1], ' '))) AS ngram
+            FROM toks
+        )
+        SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
+        """,
+    ),
+    "token_count": QuerySpec(
+        _docs(ta.token_count),
+        f"""
+        SELECT doc_id,
+               CAST(len({TOKENS_SQL}) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS INTEGER) AS n_bpe_tokens
+        FROM documents
+        """,
+    ),
+    "quality_score": QuerySpec(
+        _docs(ta.quality_score),
+        f"""
+        WITH base AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^\\w]', '', 'g')) AS n_word_chars,
+                   length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(tk) AS INTEGER) AS n_tokens,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               CAST(n_word_chars AS DOUBLE) / n_chars AS alpha_ratio,
+               CAST(len(list_filter(tk, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(tk) AS stopword_ratio,
+               CAST(n_word_chars AS DOUBLE) / len(tk) AS avg_token_len
+        FROM base
+        """,
+    ),
+    "language_id": QuerySpec(_docs(ta.language_id), _lang_id_sql()),
+    # ---- relational (TPC-H-ish) ----
+    "q1_pricing_summary": QuerySpec(
+        _tables(relational.q1_pricing_summary),
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    "filter_project": QuerySpec(
+        _tables(relational.filter_project),
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS disc_price,
+               l_quantity AS qty
+        FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+    ),
+    "join_revenue_by_nation": QuerySpec(
+        _tables(relational.join_revenue_by_nation),
+        """
+        SELECT r_name, n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+    ),
+    "join_left_order_counts": QuerySpec(
+        _tables(relational.join_left_order_counts),
+        """
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name ORDER BY c_custkey
+        """,
+    ),
+    "join_semi_recent_customers": QuerySpec(
+        _tables(relational.join_semi_recent_customers),
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+        """,
+    ),
+    "join_anti_customers_without_orders": QuerySpec(
+        _tables(relational.join_anti_customers_without_orders),
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+        """,
+    ),
+    "agg_order_priorities": QuerySpec(
+        _tables(relational.agg_order_priorities),
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers,
+               sum(o_totalprice) AS sum_price,
+               avg(o_totalprice) AS avg_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    "rollup_returns": QuerySpec(
+        _tables(relational.rollup_returns),
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+    ),
+    "cube_status_priority": QuerySpec(
+        _tables(relational.cube_status_priority),
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               sum(o_totalprice) AS sum_price, count(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+    ),
+    "window_top_orders_per_customer": QuerySpec(
+        _tables(relational.window_top_orders_per_customer),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+            FROM orders
+        ) t WHERE rnk <= 3 ORDER BY o_custkey, rnk
+        """,
+    ),
+    "window_running_revenue": QuerySpec(
+        _tables(relational.window_running_revenue),
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+        FROM orders
+        """,
+    ),
+    "window_price_delta": QuerySpec(
+        _tables(relational.window_price_delta),
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice AS price,
+               lag(o_totalprice) OVER w AS prev_price,
+               o_totalprice - lag(o_totalprice) OVER w AS price_delta
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+    ),
+    "topk_expensive_orders": QuerySpec(
+        _tables(relational.topk_expensive_orders),
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+        """,
+    ),
+    "set_ops_segments": QuerySpec(
+        _tables(relational.set_ops_segments),
+        """
+        WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             machinery AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+             urgent AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT c_custkey, 'union' AS op FROM (SELECT * FROM building UNION SELECT * FROM machinery) u
+        UNION ALL
+        SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM urgent) i
+        UNION ALL
+        SELECT c_custkey, 'except' AS op FROM (SELECT * FROM building EXCEPT SELECT * FROM urgent) e
+        ORDER BY op, c_custkey
+        """,
+    ),
+    "scalar_functions_showcase": QuerySpec(
+        _tables(relational.scalar_functions_showcase),
+        """
+        SELECT o_orderkey,
+               upper(o_orderstatus) AS status_upper,
+               substring(o_orderpriority, 1, 1) AS priority_code,
+               CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               round(o_totalprice, 0) AS price_rounded,
+               abs(o_totalprice - 1000) AS price_abs_dev,
+               sqrt(o_totalprice) AS price_sqrt,
+               CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS size_class
+        FROM orders
+        """,
+    ),
+    # ---- dedup ----
+    "dedup_exact": QuerySpec(
+        _docs(dedup.dedup_exact),
+        f"""
+        SELECT {text_fingerprint_sql('text')} AS fingerprint,
+               min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY keep_doc_id
+        """,
+    ),
+    "minhash_signatures": QuerySpec(_docs(dedup.minhash_signatures), _minhash_sql()),
+    "minhash_lsh_pairs": QuerySpec(_docs(dedup.minhash_lsh_pairs), _minhash_pairs_sql()),
+    "simhash_signatures": QuerySpec(_docs(dedup.simhash_signatures), _simhash_sql()),
+    "jaccard_pairs": QuerySpec(
+        _docs(lambda df: dedup.jaccard_pairs(df, 0.5)),
+        f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, lang, unnest({TOKENS_SQL}) AS word FROM documents
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM toks a JOIN toks b
+              ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_tokens + sb.n_tokens - n_common) >= 0.5
+        ORDER BY doc_a, doc_b
+        """,
+    ),
+    # ---- similarity search ----
+    "knn_bruteforce": QuerySpec(
+        _emb(lambda df: similarity.knn_bruteforce(df, 10)),
+        f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+            FROM embeddings WHERE vec_id % 100 = 0
+        ), c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), scored AS (
+            SELECT q_id, vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
+            FROM q, c WHERE q_id <> vec_id
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
+        """,
+    ),
+    "lsh_buckets": QuerySpec(
+        _emb(similarity.lsh_buckets),
+        f"""
+        SELECT {_bucket_sql('CAST(embedding AS DOUBLE[])', _PLANES)} AS bucket,
+               count(*) AS n_vectors
+        FROM embeddings GROUP BY 1 ORDER BY bucket
+        """,
+    ),
+    "knn_lsh": QuerySpec(
+        _emb(lambda df: similarity.knn_lsh(df, 10)),
+        f"""
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])', _PLANES)} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id % 100 = 0
+        ), scored AS (
+            SELECT q_id, b.vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
+            FROM q JOIN b ON q_bucket = bucket AND q_id <> b.vec_id
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
+        """,
+    ),
+    "embedding_near_dup": QuerySpec(
+        _emb(lambda df: similarity.embedding_near_dup(df, 0.97)),
+        f"""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_cosine_sql('a.emb', 'b.emb')} AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.emb', 'b.emb')} >= 0.97
+        ORDER BY vec_a, vec_b
+        """,
+    ),
+    # ---- events / time series ----
+    "tumbling_window": QuerySpec(
+        _tables(events.tumbling_window),
+        """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, sum(value) AS sum_value, avg(value) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+    ),
+    "sliding_window": QuerySpec(
+        _tables(events.sliding_window),
+        """
+        SELECT window_start, count(*) AS n_events, sum(value) AS sum_value FROM (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) - CASE WHEN k = 1 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS window_start,
+                   value
+            FROM events, (VALUES (0), (1)) offs(k)
+        ) t GROUP BY window_start ORDER BY window_start
+        """,
+    ),
+    "sessionize": QuerySpec(
+        _tables(events.sessionize),
+        f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {events.SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec,
+               sum(value) AS sum_value
+        FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+        """,
+    ),
+    "json_props_agg": QuerySpec(
+        _tables(events.json_props_agg),
+        """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "user_activity_stats": QuerySpec(
+        _tables(events.user_activity_stats),
+        """
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_value,
+               min(ts) AS first_seen, max(ts) AS last_seen
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    # ---- multimodal (rows-only: decode kernel not SQL-expressible) ----
+    "multimodal_features": QuerySpec(
+        _docs(multimodal.multimodal_features),
+        None,
+        "binary-column plumbing with a stubbed decode kernel (mapInPandas)",
+    ),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

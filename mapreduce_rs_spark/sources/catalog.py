@@ -1,0 +1,73 @@
+"""Table catalog over the driver-provided parquet test data.
+
+The reference's only "catalog" is a filename convention — one text file per
+map task, ``resource/pg-{map_task_id}.txt`` (reference
+``src/bin/mrcoordinator.rs:13-16``, ``src/mr/worker.rs:88-99``). Here the
+catalog is the TPC-H-ish star schema plus LLM-pipeline tables described in
+TESTDATA.md, loaded as parquet DataFrames with real typed schemas.
+
+Parquet scans go through Spark's DataSource V2 path: column pruning and
+predicate pushdown reach the file scan (check ``ReadSchema`` /
+``PushedFilters`` in ``.explain``), which is the 100 TB-scale reason to
+keep sources declarative rather than whole-file reads like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions that stay broadcast-size at any realistic scale factor.
+# region/nation are fixed-cardinality; supplier/part grow slowly vs fact
+# tables. Used by operators to hint broadcast joins explicitly.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects
+# outright. We read them as raw nanosecond longs (legacy conf below) and
+# rebuild a microsecond timestamp with exact integer division — `div`, not
+# `/`, because 1.7e18 exceeds double's 2^53 exact-integer range.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table from ``{sf_dir}/{name}.parquet``."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    # Defensive: the caller may hand us a vanilla session (the driver
+    # does). Timestamp semantics must be UTC to match the DuckDB oracle,
+    # and these are dynamic confs, safe to set per-session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in nano_cols:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full catalog as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every catalog table as a temp view for ``spark.sql`` use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

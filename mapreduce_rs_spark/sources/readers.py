@@ -1,0 +1,69 @@
+"""Source connectors: text, csv, json, parquet.
+
+The reference supports exactly one source — whole UTF-8 text files read
+into memory (reference ``src/mr/worker.rs:88-99``). ``read_text`` is its
+Spark equivalent (line-per-row, splittable, never whole-file-in-memory);
+the others generalize the surface the way any Spark user expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_text(
+    spark: SparkSession, path: str, *, whole_file: bool = False, with_filename: bool = False
+) -> DataFrame:
+    """Read text file(s) into a DataFrame.
+
+    Default: one row per line (column ``value``) — Spark computes its own
+    splits, so a 100 GB file becomes hundreds of parallel tasks instead of
+    the reference's one-file-one-task rule (``src/bin/mrcoordinator.rs:13-16``).
+
+    ``whole_file=True`` reproduces the reference's exact per-file
+    semantics (column ``value`` holds the entire file) — only safe for
+    bounded file sizes, same caveat as the reference's ``read_to_string``.
+
+    ``with_filename=True`` adds an ``input_file`` column, the analog of
+    the reference's map-task-id ↔ filename identity.
+    """
+    df = spark.read.text(path, wholetext=whole_file)
+    if with_filename:
+        df = df.withColumn("input_file", F.input_file_name())
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source. Prefer an explicit schema: inference scans the data
+    twice, and at 100 TB the inference pass alone is a full job."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines source; same explicit-schema guidance as CSV."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet source — the primary format: columnar, splittable, with
+    predicate pushdown and column pruning reaching the scan."""
+    return spark.read.parquet(path)

@@ -1,0 +1,41 @@
+"""Sinks.
+
+The reference's sink is ``"{key} {value}\\n"`` lines appended to
+``mr-{reduce_id}.txt`` followed by a shell ``cat mr-* | sort`` merge
+(reference ``src/mr/worker.rs:201-215``, ``src/Makefile:8-10``).
+``write_sorted_text`` reproduces that final artifact with a total order
+via Spark's range-partitioned sort instead of a single-process shell sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_sorted_text(
+    df: DataFrame, path: str, *, key: str = "key", value: str = "value", mode: str = "overwrite"
+) -> None:
+    """Write ``"{key} {value}"`` lines, globally ordered by key.
+
+    ``orderBy`` uses range partitioning (sampled split points), so the
+    total order is distributed — each output part file is a contiguous
+    key range, and ``cat part-*`` reproduces the reference's
+    ``final.txt`` without a driver-side sort.
+    """
+    (
+        df.select(F.concat_ws(" ", F.col(key).cast("string"), F.col(value).cast("string")).alias("value"))
+        .orderBy(key)
+        .write.mode(mode)
+        .text(path)
+    )
+
+
+def write_parquet(
+    df: DataFrame, path: str, *, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Parquet sink; ``partition_by`` gives downstream partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
