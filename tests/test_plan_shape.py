@@ -1,0 +1,65 @@
+"""Plan-shape assertions: the 100 TB-scale properties the queries must
+keep — predicate pushdown reaching the parquet scan, column pruning,
+broadcast joins for bounded dims, no Python stages on JVM-only paths,
+distributed top-k. Regressions here don't change results, they change
+whether the plan survives a 1000x scale-up."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_rs_spark.operators import relational
+from mapreduce_rs_spark.operators.text_analysis import word_count
+from mapreduce_rs_spark.sources.catalog import load_table, load_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    plan = _plan(relational.filter_project(tables))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning(tables):
+    # 11-column lineitem, 4-column query: ReadSchema must not list the
+    # untouched columns (e.g. l_shipdate, l_returnflag).
+    plan = _plan(relational.filter_project(tables))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_shipdate" not in read_schema[0]
+    assert "l_returnflag" not in read_schema[0]
+
+
+def test_dim_joins_are_broadcast(tables):
+    plan = _plan(relational.join_revenue_by_nation(tables))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(tables):
+    plan = _plan(relational.topk_expensive_orders(tables))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wordcount_stays_jvm_side(spark, sf_dir):
+    df = word_count(load_table(spark, sf_dir, "documents"))
+    df.count()  # AQE only materializes the final (codegen'd) plan on execution
+    plan = _plan(df)
+    # No Python evaluation anywhere in the flagship: whole-stage codegen
+    # from scan to aggregate.
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan
+
+
+def test_q1_partial_aggregation(tables):
+    # partial_ aggregate functions before the exchange = map-side combine
+    # (the optimization the reference famously lacks, worker.rs:149-161).
+    plan = _plan(relational.q1_pricing_summary(tables))
+    assert "partial_sum" in plan or "partial_count" in plan
