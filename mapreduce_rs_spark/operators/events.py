@@ -98,6 +98,50 @@ def json_props_agg(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def asof_last_click_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
+    """As-of join within the event stream: for every purchase, the most
+    recent preceding click by the same user.
+
+    Expressed as a conditional IGNORE-NULLS last_value window rather
+    than a self-join — one shuffle on user_id, no join at all, which is
+    the as-of formulation that scales (a time-range self-join explodes
+    on active users)."""
+    ev = t["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "last_click_ts",
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")).alias("secs_since_click"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def value_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(v/50)*50)
+    — the one-pass distributed histogram pattern (bucket arithmetic +
+    groupBy), never a collect-and-bin on the driver."""
+    ev = t["events"]
+    bucket = (F.floor(F.col("value") / 50) * 50).cast("double")
+    return (
+        ev.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("bucket_lo")
+    )
+
+
 def user_activity_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Per-user event-type pivot-style stats + overall rates, showing
     conditional aggregation (FILTER/CASE) — one pass, one shuffle."""

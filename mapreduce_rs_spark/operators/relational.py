@@ -251,6 +251,96 @@ def set_ops_segments(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def percentiles_by_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark's
+    ``percentile`` matches ANSI percentile_cont / DuckDB quantile_cont.
+    Exact percentile sorts within groups; at 100 TB you'd switch to
+    ``percentile_approx`` (t-digest sketch, mergeable map-side) — kept
+    exact here because the oracle must agree bit-for-bit."""
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.25).alias("p25"),
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.75).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def grouping_sets_returns(t: dict[str, DataFrame]) -> DataFrame:
+    """Explicit GROUPING SETS — marginals by returnflag, by linestatus,
+    and the grand total, one Expand + one aggregate pass (via Spark SQL,
+    exercising the SQL front-end of the engine)."""
+    li = t["lineitem"]
+    li.createOrReplaceTempView("lineitem_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+def pivot_status_by_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """PIVOT: order totals per priority, one column per order status.
+    Explicit value list — never let pivot scan for distinct values at
+    scale (that's an extra job over the fact table)."""
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRICE_BANDS: tuple[tuple[str, float, float], ...] = (
+    ("low", 0.0, 500.0),
+    ("mid", 500.0, 1500.0),
+    ("high", 1500.0, 5000.0),
+    ("lux", 5000.0, 1e18),
+)
+
+
+def range_join_price_bands(t: dict[str, DataFrame]) -> DataFrame:
+    """Non-equi (range) join: orders banded by price interval. The band
+    table is a handful of rows → broadcast nested-loop join, the right
+    physical strategy for tiny-dim theta joins at any scale."""
+    spark = t["orders"].sparkSession
+    bands = spark.createDataFrame(list(PRICE_BANDS), ["band", "lo", "hi"])
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .orderBy("band")
+    )
+
+
+def customers_above_nation_avg(t: dict[str, DataFrame]) -> DataFrame:
+    """Correlated-subquery pattern (acctbal above the nation's average),
+    decorrelated the way Catalyst would: aggregate-then-join. The per-key
+    aggregate is tiny (one row per nation) and broadcasts."""
+    nation_avg = (
+        t["customer"].groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nation_avg_bal"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg_bal"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation_avg_bal")
+        .orderBy("c_custkey")
+    )
+
+
 def scalar_functions_showcase(t: dict[str, DataFrame]) -> DataFrame:
     """String/date/math scalar battery over orders — every expression
     chosen to have identical ANSI semantics in Spark and DuckDB."""
@@ -268,4 +358,23 @@ def scalar_functions_showcase(t: dict[str, DataFrame]) -> DataFrame:
         F.abs(F.col("o_totalprice") - 1000).alias("price_abs_dev"),
         F.sqrt("o_totalprice").alias("price_sqrt"),
         F.when(F.col("o_totalprice") > 1000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+def date_functions_showcase(t: dict[str, DataFrame]) -> DataFrame:
+    """Date/time scalar battery #2 — every expression pinned to
+    semantics both engines share (weekday+1 == ISO dow, datediff in
+    days, month truncation, quarter, last day of month)."""
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        # date-typed outputs are cast to timestamp: pandas/Arrow render
+        # DATE and midnight TIMESTAMP differently, which breaks value
+        # hashing even when the engines agree.
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )

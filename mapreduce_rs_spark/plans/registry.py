@@ -465,6 +465,71 @@ QUERIES: dict[str, QuerySpec] = {
         FROM orders
         """,
     ),
+    "percentiles_by_priority": QuerySpec(
+        _tables(relational.percentiles_by_priority),
+        """
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    "grouping_sets_returns": QuerySpec(
+        _tables(relational.grouping_sets_returns),
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+    ),
+    "pivot_status_by_priority": QuerySpec(
+        _tables(relational.pivot_status_by_priority),
+        """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS "F",
+               sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS "O",
+               sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    "range_join_price_bands": QuerySpec(
+        _tables(relational.range_join_price_bands),
+        f"""
+        WITH bands(band, lo, hi) AS (VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in relational.PRICE_BANDS)})
+        SELECT band, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band ORDER BY band
+        """,
+    ),
+    "customers_above_nation_avg": QuerySpec(
+        _tables(relational.customers_above_nation_avg),
+        """
+        WITH nation_avg AS (
+            SELECT c_nationkey, avg(c_acctbal) AS nation_avg_bal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_custkey, c_name, c_acctbal, nation_avg_bal
+        FROM customer JOIN nation_avg USING (c_nationkey)
+        WHERE c_acctbal > nation_avg_bal
+        ORDER BY c_custkey
+        """,
+    ),
+    "date_functions_showcase": QuerySpec(
+        _tables(relational.date_functions_showcase),
+        """
+        SELECT o_orderkey,
+               CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+               CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch_start,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+               date_trunc('month', o_orderdate) AS order_month_start,
+               CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        FROM orders
+        """,
+    ),
     # ---- dedup ----
     "dedup_exact": QuerySpec(
         _docs(dedup.dedup_exact),
@@ -609,6 +674,30 @@ QUERIES: dict[str, QuerySpec] = {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "asof_last_click_before_purchase": QuerySpec(
+        _tables(events.asof_last_click_before_purchase),
+        """
+        WITH enriched AS (
+            SELECT user_id, event_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+            FROM events
+        )
+        SELECT user_id, event_id, ts, last_click_ts,
+               CAST(floor(epoch(ts)) - floor(epoch(last_click_ts)) AS BIGINT) AS secs_since_click
+        FROM enriched WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id
+        """,
+    ),
+    "value_histogram": QuerySpec(
+        _tables(events.value_histogram),
+        """
+        SELECT CAST(floor(value / 50) * 50 AS DOUBLE) AS bucket_lo,
+               count(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY bucket_lo
         """,
     ),
     "user_activity_stats": QuerySpec(

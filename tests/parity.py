@@ -8,6 +8,7 @@ unique by construction (deterministic tie-broken keys).
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
@@ -70,11 +71,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
 
 
 def _coerce(v: object) -> object:
-    """Width-insensitive scalar comparison (int32 vs int64 etc.)."""
+    """Width-insensitive scalar comparison (int32 vs int64, date vs
+    midnight timestamp, arrays vs lists)."""
     if isinstance(v, bool):
         return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_coerce(x) for x in v)
     if hasattr(v, "item"):
         v = v.item()
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
     return v
