@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.hashing import h32, h64, text_fingerprint
 from mapreduce_rs_spark.functions.text import tokens
+from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
 MINHASH_SEEDS = 8          # k signature values
 MINHASH_BAND_SIZE = 2      # values per LSH band → 4 bands
@@ -59,7 +60,11 @@ def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
     """MinHash signature per document: for each seed i, the min h32 over
     the doc's shingles. One explode + one groupBy; the aggregate emits k
     columns mh0..mh{k-1} so downstream banding is column arithmetic."""
-    shingled = df.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    # The k·|shingles| md5 evaluations are the cost; spread a
+    # single-split scan across cores before the narrow hash stage
+    # (no-op when the input already has enough splits).
+    spread = ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+    shingled = spread.select("doc_id", F.explode(_shingles()).alias("shingle"))
     aggs = [F.min(h32("shingle", seed=i)).alias(f"mh{i}") for i in range(k)]
     return shingled.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
@@ -106,7 +111,7 @@ def simhash_signatures(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     Per-token h64 → per-bit ±1 votes → bit b set iff the vote sum is
     positive → signature = Σ bit<<b. All bit arithmetic uses shift+mask,
     which DuckDB evaluates identically. One explode + one groupBy."""
-    toks = df.select(
+    toks = ensure_parallelism(df.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.filter(tokens("text"), lambda t: t != "")).alias("word")
     ).withColumn("h", h64("word"))
     votes = [
@@ -132,8 +137,8 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     |A∪B| = |A|+|B|-|A∩B|. No cross join anywhere; skew on ubiquitous
     tokens is the known hot spot (at scale: drop top-df tokens first).
     """
-    toks = (
-        df.select("doc_id", "lang", F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("word"))
+    toks = ensure_parallelism(df.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("word")
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     pairs = (

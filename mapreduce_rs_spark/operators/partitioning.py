@@ -1,0 +1,53 @@
+"""Partitioning utilities: parallelism rescue and skew salting.
+
+The reference fixes parallelism at argv time (map_n == file count,
+``src/bin/mrcoordinator.rs:13-16``) — one small file means one task no
+matter how many workers. Spark inherits a milder version of the same
+trap: a single small parquet file is one input split, so a CPU-heavy
+narrow stage (per-token md5, per-vector cosine) runs on one core while
+31 idle. ``ensure_parallelism`` widens exactly that case and is a
+plan-time no-op whenever the scan already has enough splits — at 100 TB
+inputs arrive in thousands of splits and no extra shuffle is added.
+
+``salted_group_count`` is the standard two-phase aggregation for skewed
+keys: shuffle on (key, salt) first so one hot key spreads over N
+reducers, then merge the partials. AQE's skew handling covers joins;
+this covers the hot-key aggregate case it doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ensure_parallelism(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only if the plan currently has fewer partitions than
+    the cluster has cores — the 'one small file' rescue. ``cols`` keys
+    the redistribution (keeps later groupBys on the same keys local);
+    without cols, round-robin."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
+
+
+def with_salt(df: DataFrame, n_salts: int, *, salt_col: str = "_salt") -> DataFrame:
+    """Add a deterministic salt in [0, n_salts) derived from a stable
+    row hash — NOT rand(), so retried tasks produce identical output
+    (Spark may recompute partitions after failures; nondeterministic
+    salting breaks exactly-once aggregation semantics)."""
+    stable = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(stable, F.lit(n_salts)))
+
+
+def salted_group_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """COUNT(*) per key via two-phase salted aggregation.
+
+    Phase 1 groups on (key, salt): a key holding 10% of all rows spreads
+    across n_salts reducers instead of melting one. Phase 2 merges the
+    ≤ n_salts partials per key — negligible data. Result identical to a
+    plain groupBy().count() (property-tested)."""
+    salted = with_salt(df.select(key), n_salts)
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias("cnt"))

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.vectors import cosine_similarity, dot
+from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
 N_PLANES = 6
 PLANE_SEED = 42
@@ -57,8 +58,11 @@ def knn_bruteforce(df: DataFrame, k: int = 10) -> DataFrame:
     shuffle; the only shuffle is the per-query top-k window over
     |queries|·|corpus| score rows — prune early with the window."""
     queries = _query_set(df)
+    # Per-row cosine work is CPU-bound; spread single-split scans
+    # (no-op on real multi-split inputs).
+    corpus = ensure_parallelism(df, "vec_id")
     scored = (
-        df.alias("c")
+        corpus.alias("c")
         .join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id",
@@ -103,7 +107,7 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
     (equi-join on bucket id), exact cosine re-rank within the bucket.
     Identical algorithm in the oracle → identical (approximate) answer."""
     planes = planes or hyperplanes()
-    bucketed = df.select(
+    bucketed = ensure_parallelism(df, "vec_id").select(
         "vec_id", "embedding", _bucket_expr(F.col("embedding"), planes).alias("bucket")
     )
     queries = bucketed.where(F.col("vec_id") % 100 == 0).select(
@@ -135,7 +139,7 @@ def embedding_near_dup(df: DataFrame, threshold: float = 0.97) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``label`` so the
     pair join is per-block instead of all-pairs (labels act as a coarse
     pre-cluster; at scale you'd block on an LSH bucket instead)."""
-    a = df.alias("a")
+    a = ensure_parallelism(df, "vec_id").alias("a")
     b = df.alias("b")
     return (
         a.join(
