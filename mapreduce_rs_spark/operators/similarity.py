@@ -25,7 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.vectors import cosine_similarity, dot
+from mapreduce_rs_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
 N_PLANES = 6
@@ -132,6 +132,102 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
         .orderBy("q_id", "rnk")
+    )
+
+
+N_CENTROIDS = 8
+CENTROID_SEED = 7
+
+
+def centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic IVF centroids (seeded, literal-embeddable in the
+    oracle SQL). In production these come from a k-means sample pass;
+    the assignment/probe machinery — the part that matters at scale —
+    is identical either way."""
+    rng = np.random.RandomState(CENTROID_SEED)
+    return [
+        [round(float(x), PLANE_DECIMALS) for x in rng.normal(size=dim)]
+        for _ in range(n)
+    ]
+
+
+def _nearest_centroid_expr(emb: F.Column, cents: list[list[float]]) -> F.Column:
+    """Argmax-by-dot-product centroid id via greatest() over
+    (score, id) structs — ties resolve to the higher id, mirrored in
+    the oracle's ORDER BY score DESC, cid DESC."""
+    scored = [
+        F.struct(
+            dot(emb, F.array(*[F.lit(x) for x in c])).alias("score"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return F.greatest(*scored).getField("cid")
+
+
+def ivf_assign(df: DataFrame, cents: list[list[float]] | None = None) -> DataFrame:
+    """Assign each vector to its nearest (max dot product) centroid —
+    the IVF inverted-list build. Narrow; at scale you'd write the
+    result partitioned by centroid_id so probes prune at the scan."""
+    cents = cents or centroids()
+    return ensure_parallelism(df, "vec_id").select(
+        "vec_id",
+        "embedding",
+        _nearest_centroid_expr(F.col("embedding"), cents).alias("centroid_id"),
+    )
+
+
+def ivf_histogram(df: DataFrame) -> DataFrame:
+    """Inverted-list size per centroid (the balance check that decides
+    whether the centroids need re-training)."""
+    return (
+        ivf_assign(df)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+
+
+def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
+    """Approximate top-k with IVF nprobe=1: each query searches only its
+    own centroid's inverted list (equi-join on centroid_id), exact
+    cosine re-rank inside the list."""
+    assigned = ivf_assign(df)
+    queries = assigned.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("q_centroid") == F.col("centroid_id")) & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def array_functions_showcase(df: DataFrame) -> DataFrame:
+    """Array higher-order/scalar battery over the embedding column —
+    all JVM-side, scalar outputs (no array-typed result columns, which
+    hash differently across engines' pandas bridges)."""
+    emb = F.col("embedding")
+    return df.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.array_min(emb).alias("min_val"),
+        F.array_max(emb).alias("max_val"),
+        l2_norm(emb).alias("l2_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )
 
 

@@ -192,6 +192,28 @@ SELECT doc_id, lang_actual, lang_pred, marker_hits FROM ranked WHERE rn = 1 ORDE
 
 
 _PLANES = similarity.hyperplanes()
+_CENTROIDS = similarity.centroids()
+
+
+def _ivf_assigned_cte() -> str:
+    """CTE assigning each vector its argmax-dot centroid (tie → higher
+    cid, mirroring greatest() over (score, cid) structs in Spark)."""
+    score_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, emb, {i} AS cid, list_dot_product(emb, {_plane_literal(c)}) AS score FROM v"
+        for i, c in enumerate(_CENTROIDS)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), cscores AS (
+            {score_rows}
+        ), assigned AS (
+            SELECT vec_id, emb, cid AS centroid_id FROM (
+                SELECT vec_id, emb, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+                FROM cscores
+            ) r WHERE rn = 1
+        )"""
 
 # ---------------------------------------------------------------------------
 # The registry
@@ -610,6 +632,42 @@ QUERIES: dict[str, QuerySpec] = {
             FROM scored
         )
         SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
+        """,
+    ),
+    "ivf_histogram": QuerySpec(
+        _emb(similarity.ivf_histogram),
+        f"""{_ivf_assigned_cte()}
+        SELECT centroid_id, count(*) AS n_vectors
+        FROM assigned GROUP BY centroid_id ORDER BY centroid_id
+        """,
+    ),
+    "knn_ivf": QuerySpec(
+        _emb(lambda df: similarity.knn_ivf(df, 10)),
+        f"""{_ivf_assigned_cte()}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, centroid_id AS q_centroid
+            FROM assigned WHERE vec_id % 100 = 0
+        ), scored AS (
+            SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
+            FROM q JOIN assigned a ON q_centroid = a.centroid_id AND q_id <> a.vec_id
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
+        """,
+    ),
+    "array_functions_showcase": QuerySpec(
+        _emb(similarity.array_functions_showcase),
+        """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               embedding[1] AS first_val,
+               list_aggregate(embedding, 'min') AS min_val,
+               list_aggregate(embedding, 'max') AS max_val,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS l2_norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+        FROM embeddings
         """,
     ),
     "embedding_near_dup": QuerySpec(
