@@ -11,7 +11,15 @@ oracle SQL the driver hash-compares against at sf0.01.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The driver may import this file from any cwd; make the package
+# resolvable relative to this file.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 

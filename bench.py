@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline queries: one per operator family, weighted toward the
 # shuffle-heavy paths that dominate at scale.

@@ -251,6 +251,55 @@ def set_ops_segments(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def set_ops_multiset(t: dict[str, DataFrame]) -> DataFrame:
+    """Multiset (ALL) set operations: INTERSECT ALL / EXCEPT ALL keep
+    duplicate cardinalities — the bag semantics UNION/INTERSECT's
+    distinct forms discard."""
+    building_nations = (
+        t["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    )
+    machinery_nations = (
+        t["customer"].where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    )
+    return (
+        building_nations.intersectAll(machinery_nations).withColumn("op", F.lit("intersect_all"))
+        .unionAll(building_nations.exceptAll(machinery_nations).withColumn("op", F.lit("except_all")))
+        .groupBy("op", "c_nationkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .orderBy("op", "c_nationkey")
+    )
+
+
+def nations_in_region(t: dict[str, DataFrame]) -> DataFrame:
+    """Ordered string aggregation: nation names per region, sorted and
+    comma-joined — collect_list is unordered by contract, so the sort
+    happens on the collected array (deterministic under any
+    partitioning), mirrored by the oracle's string_agg ORDER BY."""
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def having_active_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """GROUP BY ... HAVING: customers with >= 12 orders and their spend.
+    The HAVING predicate evaluates post-aggregation (cannot push below
+    the groupBy), exactly like the SQL form."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend"))
+        .where(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
 def percentiles_by_priority(t: dict[str, DataFrame]) -> DataFrame:
     """Exact percentiles (linear interpolation) per group — Spark's
     ``percentile`` matches ANSI percentile_cont / DuckDB quantile_cont.

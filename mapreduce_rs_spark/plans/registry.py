@@ -32,6 +32,7 @@ from mapreduce_rs_spark.functions.hashing import h32_sql, h64_sql, text_fingerpr
 from mapreduce_rs_spark.operators import dedup, events, multimodal, relational, similarity
 from mapreduce_rs_spark.operators import text_analysis as ta
 from mapreduce_rs_spark.operators.mapreduce import word_count_mapreduce
+from mapreduce_rs_spark.operators.partitioning import salted_group_count
 from mapreduce_rs_spark.sources.catalog import load_table, load_tables
 
 # ---------------------------------------------------------------------------
@@ -230,6 +231,18 @@ QUERIES: dict[str, QuerySpec] = {
         ) t WHERE word <> '' GROUP BY word ORDER BY word
         """,
         "flagship: reference wc semantics (src/mr/function.rs:9-20)",
+    ),
+    "wordcount_salted": QuerySpec(
+        _docs(
+            lambda df: salted_group_count(ta.explode_tokens(df), "word").orderBy("word")
+        ),
+        f"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+            FROM documents
+        ) t WHERE word <> '' GROUP BY word ORDER BY word
+        """,
+        "skew path: two-phase salted aggregation, oracled against the plain word-count SQL (identical result is the correctness claim)",
     ),
     "wordcount_topk": QuerySpec(
         _docs(lambda df: ta.word_count_topk(df, 20)),
@@ -485,6 +498,40 @@ QUERIES: dict[str, QuerySpec] = {
                sqrt(o_totalprice) AS price_sqrt,
                CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS size_class
         FROM orders
+        """,
+    ),
+    "set_ops_multiset": QuerySpec(
+        _tables(relational.set_ops_multiset),
+        """
+        WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+             tagged AS (
+                SELECT c_nationkey, 'intersect_all' AS op
+                FROM (SELECT * FROM building INTERSECT ALL SELECT * FROM machinery) i
+                UNION ALL
+                SELECT c_nationkey, 'except_all' AS op
+                FROM (SELECT * FROM building EXCEPT ALL SELECT * FROM machinery) e
+             )
+        SELECT op, c_nationkey, count(*) AS multiplicity
+        FROM tagged GROUP BY op, c_nationkey ORDER BY op, c_nationkey
+        """,
+    ),
+    "nations_in_region": QuerySpec(
+        _tables(relational.nations_in_region),
+        """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ),
+    "having_active_customers": QuerySpec(
+        _tables(relational.having_active_customers),
+        """
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spend
+        FROM orders GROUP BY o_custkey
+        HAVING count(*) >= 12 ORDER BY o_custkey
         """,
     ),
     "percentiles_by_priority": QuerySpec(
