@@ -1,0 +1,40 @@
+"""Approximate/sketch aggregates: the 100 TB substitutes for exact
+count-distinct and percentiles. Not oracle-checked (sketch internals
+differ across engines by design) — instead accuracy-bound tests against
+the exact answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_rs_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_hll_count_distinct_within_bounds(orders):
+    exact = orders.select(F.countDistinct("o_custkey").alias("d")).collect()[0]["d"]
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_percentile_close_to_exact(orders):
+    row = orders.select(
+        F.percentile("o_totalprice", 0.5).alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_sketches_are_mergeable_across_partitions(orders):
+    # The property that makes sketches scale: value is identical no
+    # matter how the input was partitioned (merge-based combine).
+    a = orders.repartition(1).select(F.approx_count_distinct("o_custkey").alias("d")).collect()[0]["d"]
+    b = orders.repartition(13).select(F.approx_count_distinct("o_custkey").alias("d")).collect()[0]["d"]
+    assert a == b
