@@ -129,6 +129,33 @@ def asof_last_click_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def out_of_order_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Late/out-of-order arrival audit: per user, how many events have
+    event-time earlier than an already-seen event (ordered by arrival =
+    event_id). This is the batch diagnostic that sizes the streaming
+    watermark — the max regression tells you the watermark delay you
+    need."""
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    running_max_ts = F.max("ts").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "late_secs",
+        F.when(
+            running_max_ts.isNotNull() & (F.col("ts") < running_max_ts),
+            F.unix_timestamp(running_max_ts) - F.unix_timestamp("ts"),
+        ),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("late_secs").alias("n_out_of_order"),
+            F.max("late_secs").alias("max_late_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def value_histogram(t: dict[str, DataFrame]) -> DataFrame:
     """Fixed-width histogram of event values (bucket = floor(v/50)*50)
     — the one-pass distributed histogram pattern (bucket arithmetic +

@@ -89,6 +89,23 @@ def join_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact inputs, 3-way
+    join, revenue aggregate, top-10. The segment filter prunes customer
+    BEFORE the join (predicate pushdown), and the date filters reach
+    both scans — the selectivity arrives where it's cheapest."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"].where(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].where(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 def join_left_order_counts(t: dict[str, DataFrame]) -> DataFrame:
     """Left outer join keeping customers with zero orders (COALESCE'd
     count). Customer is the smaller side but the LEFT side, so Spark

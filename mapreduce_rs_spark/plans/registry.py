@@ -375,6 +375,21 @@ QUERIES: dict[str, QuerySpec] = {
         GROUP BY r_name, n_name ORDER BY r_name, n_name
         """,
     ),
+    "q3_shipping_priority": QuerySpec(
+        _tables(relational.q3_shipping_priority),
+        """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+    ),
     "join_left_order_counts": QuerySpec(
         _tables(relational.join_left_order_counts),
         """
@@ -795,6 +810,27 @@ QUERIES: dict[str, QuerySpec] = {
                CAST(floor(epoch(ts)) - floor(epoch(last_click_ts)) AS BIGINT) AS secs_since_click
         FROM enriched WHERE event_type = 'purchase'
         ORDER BY user_id, event_id
+        """,
+    ),
+    "out_of_order_stats": QuerySpec(
+        _tables(events.out_of_order_stats),
+        """
+        WITH flagged AS (
+            SELECT user_id,
+                   CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                        THEN CAST(floor(epoch(prev_max)) - floor(epoch(ts)) AS BIGINT)
+                   END AS late_secs
+            FROM (
+                SELECT user_id, ts,
+                       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM events
+            ) base
+        )
+        SELECT user_id, count(*) AS n_events,
+               count(late_secs) AS n_out_of_order,
+               max(late_secs) AS max_late_secs
+        FROM flagged GROUP BY user_id ORDER BY user_id
         """,
     ),
     "value_histogram": QuerySpec(

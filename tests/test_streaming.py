@@ -42,3 +42,36 @@ def test_stream_restart_is_exactly_once(spark, stream_dirs):
     before = spark.read.parquet(outp).count()
     run_windowed_stream(spark, inp, outp, ckpt)  # same checkpoint: no-op
     assert spark.read.parquet(outp).count() == before
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, sf_dir, tmp_path):
+    """The late-data contract: rows older than max(event_time) -
+    watermark arriving in a later batch must NOT resurrect or duplicate
+    an already-finalized window."""
+    import datetime
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(inp)
+    run_windowed_stream(spark, inp, outp, ckpt)
+    before = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(outp).collect()
+    }
+
+    # A straggler 10 days older than everything already processed —
+    # far beyond the 2h watermark.
+    late_ts = min(r["window_start"] for r in spark.read.parquet(outp).collect())
+    straggler = spark.createDataFrame(
+        [(999999, late_ts - datetime.timedelta(days=10), 1, "click", 1.0, "{}")],
+        schema=events.schema,
+    )
+    straggler.write.mode("append").parquet(inp)
+    run_windowed_stream(spark, inp, outp, ckpt)
+    after = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert all(after.get(k) == v for k, v in before.items())
+    late_window_keys = [k for k in after if k[0] <= late_ts - datetime.timedelta(days=9)]
+    assert not late_window_keys, "window from dropped-late straggler was emitted"
