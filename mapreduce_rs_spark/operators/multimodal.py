@@ -87,6 +87,65 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int, n_channels int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+
+
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
+    """Resize stage over (payload, meta) rows — Arrow-batched, 1:1.
+
+    STUB kernel: a real implementation is PIL's ``Image.resize``; here
+    the output payload is a deterministic byte fold of the input sized
+    to out_w·out_h·channels, so tests can assert exact shapes and
+    deterministic content. The Spark-side contract (binary in/out,
+    bounded batches, schema) is the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            meta = pd.DataFrame(list(batch["meta"]))
+            n_out = out_w * out_h * 3
+            resized = [
+                bytes((p * (n_out // max(len(p), 1) + 1))[:n_out]) if p else b"\x00" * n_out
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "payload": resized,
+                    "width": out_w,
+                    "height": out_h,
+                    "n_channels": meta["n_channels"].astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4, fps: int = 30) -> DataFrame:
+    """Frame-sampling stage: one input 'video' row → n_frames output
+    rows (the 1:N expansion shape). STUB kernel slices the payload into
+    equal chunks standing in for decoded frames; a real one calls
+    ffmpeg/pyav per row. Output stays bounded per Arrow batch because
+    expansion happens inside the generator, never materializing a whole
+    partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                if not payload:
+                    raise NotImplementedError("empty payload: real demuxer would fail here")
+                chunk = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(int(i * 1000 / fps))
+                    out["frame"].append(bytes(payload[i * chunk : (i + 1) * chunk] or payload[:chunk]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python

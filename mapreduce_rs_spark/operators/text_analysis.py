@@ -85,15 +85,16 @@ def doc_stats(df: DataFrame) -> DataFrame:
     """
     toks = F.filter(tokens("text"), lambda t: t != "")
     tok_lens = F.transform(toks, lambda t: F.length(t).cast("double"))
+    # try_divide: ANSI Spark errors on /0 where DuckDB yields NULL — an
+    # all-punctuation document would crash the job; NULL on both instead.
     return df.select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars_actual"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        (
-            F.aggregate(tok_lens, F.lit(0.0), lambda acc, x: acc + x)
-            / F.size(toks)
+        F.try_divide(
+            F.aggregate(tok_lens, F.lit(0.0), lambda acc, x: acc + x), F.size(toks)
         ).alias("avg_token_len"),
     )
 
@@ -164,13 +165,15 @@ def quality_score(df: DataFrame) -> DataFrame:
     n_word_chars = F.length(F.regexp_replace("text", r"[^\w]", ""))
     n_punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+    # try_divide everywhere: empty/punctuation-only docs must yield NULL
+    # ratios (as the DuckDB oracle does), not an ANSI division error.
     return df.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
-        (n_word_chars.cast("double") / n_chars).alias("alpha_ratio"),
-        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
-        (n_word_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        F.try_divide(n_punct.cast("double"), n_chars).alias("punct_ratio"),
+        F.try_divide(n_word_chars.cast("double"), n_chars).alias("alpha_ratio"),
+        F.try_divide(stop_hits.cast("double"), n_tokens).alias("stopword_ratio"),
+        F.try_divide(n_word_chars.cast("double"), n_tokens).alias("avg_token_len"),
     )
 
 

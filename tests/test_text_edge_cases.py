@@ -1,0 +1,50 @@
+"""Edge-case corpus through the text operators: empty strings,
+punctuation-only, whitespace-only documents must produce NULL ratios
+(never an ANSI division error) and never crash a job."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_rs_spark.operators.dedup import minhash_signatures, simhash_signatures
+from mapreduce_rs_spark.operators.text_analysis import doc_stats, quality_score, word_count
+
+EDGE_DOCS = [
+    (1, "normal words here", "en"),
+    (2, "", "en"),                    # empty
+    (3, "!!! ... ;;;", "en"),         # punctuation-only -> zero tokens
+    (4, "   ", "en"),                 # whitespace-only
+    (5, "x", "en"),                   # single char (no 3-gram shingles)
+]
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGE_DOCS, ["doc_id", "text", "lang"])
+
+
+def test_quality_score_survives_empty_docs(edge_df):
+    rows = {r["doc_id"]: r for r in quality_score(edge_df).collect()}
+    assert len(rows) == 5
+    assert rows[2]["punct_ratio"] is None          # 0 chars -> NULL, not error
+    assert rows[3]["stopword_ratio"] is None       # 0 tokens -> NULL
+    assert rows[1]["n_tokens"] == 3
+
+
+def test_doc_stats_survives_empty_docs(edge_df):
+    rows = {r["doc_id"]: r for r in doc_stats(edge_df).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["avg_token_len"] is None
+
+
+def test_word_count_ignores_tokenless_docs(edge_df):
+    counts = {r["word"]: r["cnt"] for r in word_count(edge_df).collect()}
+    assert counts == {"normal": 1, "words": 1, "here": 1, "x": 1}
+
+
+def test_signatures_skip_docs_without_material(edge_df):
+    # MinHash needs >= 3 tokens (shingle width); SimHash needs >= 1 token.
+    mh_docs = {r["doc_id"] for r in minhash_signatures(edge_df).collect()}
+    assert mh_docs == {1}
+    sh_docs = {r["doc_id"] for r in simhash_signatures(edge_df).collect()}
+    assert sh_docs == {1, 5}
