@@ -733,13 +733,13 @@ QUERIES: dict[str, QuerySpec] = {
         """,
     ),
     "embedding_near_dup": QuerySpec(
-        _emb(lambda df: similarity.embedding_near_dup(df, 0.97)),
+        _emb(lambda df: similarity.embedding_near_dup(df, 0.30)),
         f"""
         WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                {_cosine_sql('a.emb', 'b.emb')} AS cos_sim
         FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_cosine_sql('a.emb', 'b.emb')} >= 0.97
+        WHERE {_cosine_sql('a.emb', 'b.emb')} >= 0.30
         ORDER BY vec_a, vec_b
         """,
     ),
