@@ -365,6 +365,23 @@ def pivot_status_by_priority(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def unpivot_status_totals(t: dict[str, DataFrame]) -> DataFrame:
+    """UNPIVOT (melt): the wide per-status totals back to long form —
+    the inverse of pivot, an Expand-based narrow op (no shuffle beyond
+    the underlying aggregate)."""
+    wide = pivot_status_by_priority(t)
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["F", "O", "P"],
+            variableColumnName="status",
+            valueColumnName="total_price",
+        )
+        .where(F.col("total_price").isNotNull())
+        .orderBy("o_orderpriority", "status")
+    )
+
+
 PRICE_BANDS: tuple[tuple[str, float, float], ...] = (
     ("low", 0.0, 500.0),
     ("mid", 500.0, 1500.0),

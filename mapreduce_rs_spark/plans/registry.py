@@ -579,6 +579,25 @@ QUERIES: dict[str, QuerySpec] = {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     ),
+    "unpivot_status_totals": QuerySpec(
+        _tables(relational.unpivot_status_totals),
+        """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_total,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_total,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_total
+            FROM orders GROUP BY o_orderpriority
+        ), long AS (
+            SELECT o_orderpriority, 'F' AS status, f_total AS total_price FROM wide
+            UNION ALL SELECT o_orderpriority, 'O', o_total FROM wide
+            UNION ALL SELECT o_orderpriority, 'P', p_total FROM wide
+        )
+        SELECT o_orderpriority, status, total_price FROM long
+        WHERE total_price IS NOT NULL
+        ORDER BY o_orderpriority, status
+        """,
+    ),
     "range_join_price_bands": QuerySpec(
         _tables(relational.range_join_price_bands),
         f"""

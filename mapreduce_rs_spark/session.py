@@ -20,6 +20,11 @@ from pyspark.sql import SparkSession
 # cluster you would raise shuffle partitions to ~2-3x total cores (or rely
 # on AQE coalescing from a high initial value, as we do here).
 _DEFAULT_CONFS: dict[str, str] = {
+    # Local mode = one JVM: driver memory is the only heap knob that
+    # matters (default 1g would OOM wide aggregations well before the
+    # bench SF). Static conf — applies only when this factory creates
+    # the JVM, ignored on an already-running session.
+    "spark.driver.memory": "16g",
     # Deterministic timestamp comparisons vs the oracle.
     "spark.sql.session.timeZone": "UTC",
     # AQE: runtime shuffle-partition coalescing, skew-join handling,
