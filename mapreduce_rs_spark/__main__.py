@@ -45,14 +45,16 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:40s} [{kind}] {spec.doc}")
         return 0
 
+    # Validate before paying the multi-second JVM launch.
+    if args.cmd == "run" and args.query not in QUERIES:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+
     from mapreduce_rs_spark.session import get_spark
 
     spark = get_spark("cli")
 
     if args.cmd == "run":
-        if args.query not in QUERIES:
-            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
-            return 2
         df = QUERIES[args.query].fn(spark, args.sf_dir)
         if args.explain:
             df.explain("formatted")

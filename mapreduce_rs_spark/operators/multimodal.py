@@ -103,11 +103,14 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             meta = pd.DataFrame(list(batch["meta"]))
-            n_out = out_w * out_h * 3
-            resized = [
-                bytes((p * (n_out // max(len(p), 1) + 1))[:n_out]) if p else b"\x00" * n_out
-                for p in batch["payload"]
-            ]
+            resized = []
+            for p, ch in zip(batch["payload"], meta["n_channels"]):
+                # Output length honors the per-row channel count so the
+                # payload-length == w*h*channels contract holds.
+                n_out = out_w * out_h * int(ch)
+                resized.append(
+                    bytes((p * (n_out // max(len(p), 1) + 1))[:n_out]) if p else b"\x00" * n_out
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
@@ -134,7 +137,10 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4, fps: int = 30) -> Data
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 if not payload:
-                    raise NotImplementedError("empty payload: real demuxer would fail here")
+                    # One bad record must not kill a distributed job:
+                    # skip (emit zero frames), as a real pipeline would
+                    # route undecodable rows to a quarantine sink.
+                    continue
                 chunk = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     out["doc_id"].append(doc_id)

@@ -34,9 +34,13 @@ def ensure_parallelism(df: DataFrame, *cols: str, min_partitions: int | None = N
 
 def with_salt(df: DataFrame, n_salts: int, *, salt_col: str = "_salt") -> DataFrame:
     """Add a deterministic salt in [0, n_salts) derived from a stable
-    row hash — NOT rand(), so retried tasks produce identical output
-    (Spark may recompute partitions after failures; nondeterministic
-    salting breaks exactly-once aggregation semantics)."""
+    hash of the FULL row — NOT rand(), so retried tasks produce
+    identical output (Spark may recompute partitions after failures;
+    nondeterministic salting breaks exactly-once semantics).
+
+    Only spreads a hot KEY if the rows carrying it differ in other
+    columns; for key-only rows use a partition-id salt (see
+    ``salted_group_count``)."""
     stable = F.xxhash64(*[F.col(c) for c in df.columns])
     return df.withColumn(salt_col, F.pmod(stable, F.lit(n_salts)))
 
@@ -44,10 +48,21 @@ def with_salt(df: DataFrame, n_salts: int, *, salt_col: str = "_salt") -> DataFr
 def salted_group_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """COUNT(*) per key via two-phase salted aggregation.
 
-    Phase 1 groups on (key, salt): a key holding 10% of all rows spreads
-    across n_salts reducers instead of melting one. Phase 2 merges the
-    ≤ n_salts partials per key — negligible data. Result identical to a
-    plain groupBy().count() (property-tested)."""
-    salted = with_salt(df.select(key), n_salts)
+    The salt is the input partition id (mod n_salts) — deterministic
+    under task retry, and it spreads a hot key across reducers by
+    construction, because the hot key's rows live in many input
+    partitions (a row-hash or key-hash salt would collapse to one value
+    for identical hot-key rows and provide no relief). Phase 2 merges
+    the ≤ n_salts partials per key. Result identical to a plain
+    groupBy().count() (property-tested).
+
+    Note: for algebraic aggregates Spark's map-side partial aggregation
+    already bounds reducer skew to one row per (partition, key); the
+    two-phase pattern matters for holistic aggregates
+    (collect_list/exact distinct) and is exposed here in its simplest
+    verifiable form."""
+    salted = df.select(key).withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias("cnt"))

@@ -231,15 +231,17 @@ def array_functions_showcase(df: DataFrame) -> DataFrame:
     )
 
 
-def embedding_near_dup(df: DataFrame, threshold: float = 0.30) -> DataFrame:
+def embedding_near_dup(df: DataFrame, threshold: float = 0.97) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``label`` so the
     pair join is per-block instead of all-pairs (labels act as a coarse
     pre-cluster; at scale you'd block on an LSH bucket instead).
 
-    Default threshold is calibrated to the synthetic embeddings (random
-    near-orthogonal vectors: within-label max cosine ≈ 0.47, p99 ≈ 0.30)
-    so the operator exercises real selections; with trained embeddings
-    a near-dup threshold is ~0.95+."""
+    The default threshold is the production-sensible near-dup cut for
+    trained embeddings. The registry calls this with 0.30, calibrated
+    to the synthetic test embeddings (random near-orthogonal vectors:
+    within-label max cosine ≈ 0.47, p99 ≈ 0.30) so the correctness gate
+    exercises real selections — that calibration lives at the call
+    site, not in the API default."""
     a = ensure_parallelism(df, "vec_id").alias("a")
     b = df.alias("b")
     return (

@@ -41,6 +41,21 @@ def test_salt_is_deterministic(spark):
     assert {r[1] for r in s1} <= set(range(8))
 
 
+def test_salt_actually_spreads_hot_key(spark):
+    # The point of salting: a hot key's rows must land in MULTIPLE
+    # (key, salt) groups, not one (a key-derived salt would collapse).
+    from pyspark.sql import functions as F2
+
+    df = (
+        spark.range(10_000)
+        .repartition(16)
+        .select(F2.lit("hot").alias("k"))
+        .withColumn("_salt", F2.pmod(F2.spark_partition_id(), F2.lit(8)))
+    )
+    n_groups = df.groupBy("k", "_salt").count().count()
+    assert n_groups > 1
+
+
 def test_salted_count_equals_plain_count(spark):
     # Heavily skewed: 90% of rows share one key.
     df = spark.range(10_000).select(
