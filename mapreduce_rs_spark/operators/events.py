@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_rs_spark.functions.hashing import h32
+
 SESSION_GAP_MIN = 30
 
 
@@ -127,6 +129,69 @@ def asof_last_click_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def multi_resolution_rollup(t: dict[str, DataFrame]) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly rollup computed
+    from raw events, daily rollup computed FROM THE HOURLY ROLLUP (not
+    from raw) — the cascade that makes continuous aggregates cheap at
+    scale: the day pass reads |hours| rows, not |events|. count/sum
+    re-aggregate losslessly; avg is derived sum/count at each level
+    (never avg-of-avgs). Output is both resolutions tagged."""
+    ev = t["events"]
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    )
+    return (
+        hourly.withColumn("resolution", F.lit("hour"))
+        .unionByName(daily.withColumn("resolution", F.lit("day")))
+        .select(
+            "resolution",
+            "bucket_ts",
+            "event_type",
+            "n_events",
+            "sum_value",
+            F.try_divide(F.col("sum_value"), F.col("n_events")).alias("avg_value"),
+        )
+        .orderBy("resolution", "bucket_ts", "event_type")
+    )
+
+
+def kmv_distinct_users(t: dict[str, DataFrame], k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event_type.
+
+    The estimator: hash every value to [0, 2^32); keep the k smallest
+    distinct hashes; estimate = (k-1) * 2^32 / kth_min. Mergeable
+    (union the hash sets, re-take k smallest) and — unlike HLL —
+    deterministic given the hash, so the DuckDB oracle reproduces the
+    estimate EXACTLY, not within error bounds. Groups with < k distinct
+    values report their exact distinct count."""
+    ev = t["events"]
+    hashed = ev.select("event_type", h32(F.col("user_id").cast("string")).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    kth = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+            F.count("*").alias("n_distinct_exact"),
+        )
+    )
+    return kth.select(
+        "event_type",
+        F.when(
+            F.col("kth_min").isNotNull(),
+            (k - 1) * F.lit(float(2**32)) / F.col("kth_min"),
+        )
+        .otherwise(F.col("n_distinct_exact").cast("double"))
+        .alias("kmv_estimate"),
+        "n_distinct_exact",
+    ).orderBy("event_type")
 
 
 def out_of_order_stats(t: dict[str, DataFrame]) -> DataFrame:

@@ -831,6 +831,51 @@ QUERIES: dict[str, QuerySpec] = {
         ORDER BY user_id, event_id
         """,
     ),
+    "multi_resolution_rollup": QuerySpec(
+        _tables(events.multi_resolution_rollup),
+        """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), daily AS (
+            SELECT date_trunc('day', bucket_ts) AS bucket_ts, event_type,
+                   CAST(sum(n_events) AS BIGINT) AS n_events, sum(sum_value) AS sum_value
+            FROM hourly GROUP BY 1, 2
+        ), unioned AS (
+            SELECT 'hour' AS resolution, bucket_ts, event_type, n_events, sum_value FROM hourly
+            UNION ALL
+            SELECT 'day', bucket_ts, event_type, n_events, sum_value FROM daily
+        )
+        SELECT resolution, bucket_ts, event_type, n_events, sum_value,
+               sum_value / n_events AS avg_value
+        FROM unioned ORDER BY resolution, bucket_ts, event_type
+        """,
+    ),
+    "kmv_distinct_users": QuerySpec(
+        _tables(events.kmv_distinct_users),
+        f"""
+        WITH hashed AS (
+            SELECT DISTINCT event_type,
+                   {h32_sql("CAST(user_id AS VARCHAR)")} AS h
+            FROM events
+        ), ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ), kth AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = 64 THEN h END) AS kth_min,
+                   count(*) AS n_distinct_exact
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type,
+               CASE WHEN kth_min IS NOT NULL THEN 63 * 4294967296.0 / kth_min
+                    ELSE CAST(n_distinct_exact AS DOUBLE) END AS kmv_estimate,
+               n_distinct_exact
+        FROM kth ORDER BY event_type
+        """,
+    ),
     "out_of_order_stats": QuerySpec(
         _tables(events.out_of_order_stats),
         """

@@ -66,6 +66,46 @@ def streaming_tumbling_counts(
     )
 
 
+def run_foreach_batch_upsert(
+    spark: SparkSession, input_dir: str, target_dir: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch sink: per-micro-batch UPSERT of windowed counts into
+    a keyed parquet target — the idempotent-merge pattern for sinks
+    without native streaming support (JDBC, key-value stores).
+
+    Exactly-once here = source offsets in the checkpoint x an
+    idempotent merge keyed on (window_start, event_type): replaying a
+    batch overwrites the same keys with the same values. (Without
+    Delta/Iceberg in this image the merge is read-union-rewrite; the
+    pattern, not the file shuffle, is the point.)"""
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        incoming = batch_df.groupBy("window_start", "event_type").agg(
+            F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
+        )
+        try:
+            current = batch_df.sparkSession.read.parquet(target_dir)
+            merged = (
+                current.join(incoming, ["window_start", "event_type"], "left_anti")
+                .unionByName(incoming)
+            )
+        except Exception:  # first batch: target doesn't exist yet
+            merged = incoming
+        # Materialize before overwriting the directory we just read.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    (
+        streaming_tumbling_counts(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_windowed_stream(
     spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
 ) -> None:

@@ -32,6 +32,19 @@ def test_approx_percentile_close_to_exact(orders):
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
 
 
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    from mapreduce_rs_spark.operators.events import kmv_distinct_users
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    rows = kmv_distinct_users(load_tables(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        # KMV with k=64 has ~1/sqrt(62) ≈ 12.7% relative stderr; allow 3σ.
+        assert abs(r["kmv_estimate"] - r["n_distinct_exact"]) <= max(
+            0.4 * r["n_distinct_exact"], 2
+        ), r
+
+
 def test_sketches_are_mergeable_across_partitions(orders):
     # The property that makes sketches scale: value is identical no
     # matter how the input was partitioned (merge-based combine).

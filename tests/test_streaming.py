@@ -44,6 +44,33 @@ def test_stream_restart_is_exactly_once(spark, stream_dirs):
     assert spark.read.parquet(outp).count() == before
 
 
+def test_foreach_batch_upsert_matches_batch(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.streaming.pipeline import run_foreach_batch_upsert
+
+    inp, tgt, ckpt = str(tmp_path / "in"), str(tmp_path / "tgt"), str(tmp_path / "ck")
+    load_table(spark, sf_dir, "events").write.parquet(inp)
+    run_foreach_batch_upsert(spark, inp, tgt, ckpt)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    expected = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    # update mode emits every window (no append-mode watermark holdback)
+    assert got == expected
+    # Idempotent rerun on the same checkpoint changes nothing.
+    run_foreach_batch_upsert(spark, inp, tgt, ckpt)
+    got2 = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert got2 == expected
+
+
 def test_late_data_beyond_watermark_is_dropped(spark, sf_dir, tmp_path):
     """The late-data contract: rows older than max(event_time) -
     watermark arriving in a later batch must NOT resurrect or duplicate
