@@ -236,6 +236,48 @@ def window_price_delta(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def window_functions_battery(t: dict[str, DataFrame]) -> DataFrame:
+    """Window battery #2: lead, first/last value over a frame, ntile,
+    dense_rank, percent_rank, cume_dist — one shuffle on the partition
+    key serves every function (same window spec, fully deterministic
+    ordering)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w_full).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+def min_cost_part_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q2 shape: for each part, the supplier(s) offering the
+    minimum total cost proxy (acctbal-adjusted). The per-part minimum
+    is a window min over the join — Catalyst's decorrelation of the
+    classic correlated-subquery formulation."""
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    ranked = joined.withColumn("min_unit_price", F.min("unit_price").over(w))
+    return (
+        ranked.where(F.col("unit_price") == F.col("min_unit_price"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
 def topk_expensive_orders(t: dict[str, DataFrame]) -> DataFrame:
     """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
     each partition keeps k rows, driver merges p·k, no full sort."""

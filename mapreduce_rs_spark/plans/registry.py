@@ -476,6 +476,41 @@ QUERIES: dict[str, QuerySpec] = {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
     ),
+    "window_functions_battery": QuerySpec(
+        _tables(relational.window_functions_battery),
+        """
+        SELECT o_custkey, o_orderkey,
+               lead(o_totalprice) OVER w AS next_price,
+               first_value(o_totalprice) OVER wf AS first_price,
+               last_value(o_totalprice) OVER wf AS last_price,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               CAST(dense_rank() OVER w AS INTEGER) AS drank,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+    ),
+    "min_cost_part_supplier": QuerySpec(
+        _tables(relational.min_cost_part_supplier),
+        """
+        WITH joined AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name,
+                   l_extendedprice / l_quantity AS unit_price
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+        ), ranked AS (
+            SELECT *, min(unit_price) OVER (PARTITION BY p_partkey) AS min_unit_price
+            FROM joined
+        )
+        SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, unit_price
+        FROM ranked WHERE unit_price = min_unit_price
+        ORDER BY p_partkey, s_suppkey
+        """,
+    ),
     "topk_expensive_orders": QuerySpec(
         _tables(relational.topk_expensive_orders),
         """
