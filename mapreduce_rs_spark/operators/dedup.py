@@ -105,6 +105,35 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: the k smallest shingle
+    hashes per doc, joined into one string key. A compact content
+    fingerprint robust to local edits (an edit perturbs few shingles,
+    usually not the global minima) — the rolling-hash fingerprint family
+    from the plagiarism-detection literature, expressed as dataflow:
+    explode → rank → filter → ordered string_agg. Docs sharing a
+    fingerprint are near-certain duplicates."""
+    shingled = (
+        ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(_shingles()).alias("shingle"))
+        .select("doc_id", h32("shingle").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        shingled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("h")), lambda x: x.cast("string")),
+                ",",
+            ).alias("fingerprint")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def simhash_signatures(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash per document: sign-aggregate each bit of the token hashes.
 

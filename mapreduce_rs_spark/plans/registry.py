@@ -680,6 +680,18 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_signatures": QuerySpec(_docs(dedup.minhash_signatures), _minhash_sql()),
     "minhash_lsh_pairs": QuerySpec(_docs(dedup.minhash_lsh_pairs), _minhash_pairs_sql()),
     "simhash_signatures": QuerySpec(_docs(dedup.simhash_signatures), _simhash_sql()),
+    "winnow_fingerprints": QuerySpec(
+        _docs(dedup.winnow_fingerprints),
+        f"""{_shingles_sql()}, hashed AS (
+            SELECT DISTINCT doc_id, {h32_sql('shingle')} AS h FROM shingles
+        ), ranked AS (
+            SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+            FROM hashed
+        )
+        SELECT doc_id, string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS fingerprint
+        FROM ranked WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id
+        """,
+    ),
     "jaccard_pairs": QuerySpec(
         _docs(lambda df: dedup.jaccard_pairs(df, 0.5)),
         f"""

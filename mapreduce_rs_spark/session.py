@@ -25,6 +25,9 @@ _DEFAULT_CONFS: dict[str, str] = {
     # bench SF). Static conf — applies only when this factory creates
     # the JVM, ignored on an already-running session.
     "spark.driver.memory": "16g",
+    # Non-interactive engine runs: the web UI costs startup time and a
+    # port per session and serves nothing here.
+    "spark.ui.enabled": "false",
     # Deterministic timestamp comparisons vs the oracle.
     "spark.sql.session.timeZone": "UTC",
     # AQE: runtime shuffle-partition coalescing, skew-join handling,
