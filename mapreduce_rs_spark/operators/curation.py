@@ -1,0 +1,74 @@
+"""End-to-end training-data curation pipeline.
+
+The capstone composition: the individual operators (quality scoring,
+language filtering, exact dedup, token counting) chained the way a real
+pretraining-data pipeline chains them, as ONE declarative plan — so
+Catalyst fuses the narrow stages, the only shuffles are the dedup
+groupBy and the final per-language rollup, and every intermediate
+column is pruned the moment it stops being referenced.
+
+Pipeline: documents
+  → quality gates (token count, alpha ratio)
+  → language allowlist
+  → exact dedup (md5 fingerprint, keep min doc_id)
+  → per-language yield accounting (docs kept, tokens kept, drop rates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_rs_spark.functions.hashing import text_fingerprint
+from mapreduce_rs_spark.functions.text import tokens
+
+MIN_TOKENS = 10
+MIN_ALPHA_RATIO = 0.5
+ALLOWED_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def curated_documents(df: DataFrame) -> DataFrame:
+    """The surviving documents after quality → language → dedup gates,
+    with their token counts. Dedup keeps the smallest doc_id per
+    fingerprint via a window min — no second join against the corpus."""
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    gated = (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "alpha_ratio",
+            F.try_divide(F.length(F.regexp_replace("text", r"[^\w]", "")), F.length("text")),
+        )
+        .where(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("alpha_ratio") >= MIN_ALPHA_RATIO)
+            & F.col("lang").isin(*ALLOWED_LANGS)
+        )
+    )
+    w = Window.partitionBy(text_fingerprint("text"))
+    return (
+        gated.withColumn("keep_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def curation_yield(df: DataFrame) -> DataFrame:
+    """Per-language curation accounting: input docs vs surviving docs
+    and tokens — the yield report every data-curation run ends with."""
+    kept = curated_documents(df)
+    totals = df.groupBy("lang").agg(F.count("*").alias("n_docs_in"))
+    survived = kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+    )
+    return (
+        totals.join(survived, "lang", "left")
+        .select(
+            "lang",
+            "n_docs_in",
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.try_divide(F.coalesce("n_docs_kept", F.lit(0)), F.col("n_docs_in")).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -27,9 +27,10 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.hashing import h32_sql, h64_sql, text_fingerprint_sql
-from mapreduce_rs_spark.operators import dedup, events, multimodal, relational, similarity
+from mapreduce_rs_spark.operators import curation, dedup, events, multimodal, relational, similarity
 from mapreduce_rs_spark.operators import text_analysis as ta
 from mapreduce_rs_spark.operators.mapreduce import word_count_mapreduce
 from mapreduce_rs_spark.operators.partitioning import salted_group_count
@@ -963,6 +964,59 @@ QUERIES: dict[str, QuerySpec] = {
                min(ts) AS first_seen, max(ts) AS last_seen
         FROM events GROUP BY user_id ORDER BY user_id
         """,
+    ),
+    # ---- curation pipeline (capstone composition) ----
+    "curation_yield": QuerySpec(
+        _docs(curation.curation_yield),
+        f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
+                   {text_fingerprint_sql('text')} AS fp
+            FROM documents
+        ), gated AS (
+            SELECT * FROM base
+            WHERE n_tokens >= {curation.MIN_TOKENS}
+              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
+              AND lang IN {tuple(curation.ALLOWED_LANGS)}
+        ), kept AS (
+            SELECT doc_id, lang, n_tokens FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
+            ) g WHERE doc_id = keep_id
+        ), totals AS (
+            SELECT lang, count(*) AS n_docs_in FROM documents GROUP BY lang
+        ), survived AS (
+            SELECT lang, count(*) AS n_docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM kept GROUP BY lang
+        )
+        SELECT t.lang, n_docs_in,
+               COALESCE(n_docs_kept, 0) AS n_docs_kept,
+               COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(n_docs_kept, 0) / n_docs_in AS keep_rate
+        FROM totals t LEFT JOIN survived s ON t.lang = s.lang
+        ORDER BY t.lang
+        """,
+        "capstone: quality -> language -> dedup -> yield accounting in one plan",
+    ),
+    "source_extraction": QuerySpec(
+        _docs(
+            lambda df: df.select(
+                F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+                "n_chars",
+            )
+            .groupBy("src_num")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+            .orderBy("src_num")
+        ),
+        """
+        SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY src_num
+        """,
+        "regexp group extraction over a semi-structured id column",
     ),
     # ---- multimodal (rows-only: decode kernel not SQL-expressible) ----
     "multimodal_features": QuerySpec(
