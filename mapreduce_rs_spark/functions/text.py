@@ -37,6 +37,24 @@ def tokens(col: Column | str) -> Column:
     return F.split(clean_text(col), SPLIT_PATTERN)
 
 
+def token_ngrams(col: Column | str, n: int) -> Column:
+    """Token n-gram array (space-joined) via sequence+slice over the
+    token array — a narrow per-row expression: NO shuffle, NO self-join.
+    This is the scale-correct n-gram shape; a positional self-join over
+    the exploded token stream would shuffle the whole corpus once per
+    extra gram. Empty tokens are filtered before sliding so n-grams
+    never contain the '' artifact of a leading-whitespace split."""
+    toks = F.filter(tokens(col), lambda t: t != "")
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """Tokenizer that keeps punctuation as single-char tokens — the
     token-counting scheme a BPE-style pipeline pre-tokenizer uses.

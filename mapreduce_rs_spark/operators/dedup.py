@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.hashing import h32, h64, text_fingerprint
-from mapreduce_rs_spark.functions.text import tokens
+from mapreduce_rs_spark.functions.text import token_ngrams, tokens
 from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
 MINHASH_SEEDS = 8          # k signature values
@@ -34,14 +34,9 @@ SIMHASH_BITS = 16
 
 
 def _shingles(text_col: str = "text", n: int = SHINGLE_N) -> F.Column:
-    """Token n-gram shingles as an array<string> — built with
-    sequence+slice over the token array: narrow, no self-join."""
-    toks = F.filter(tokens(text_col), lambda t: t != "")
-    n_shingles = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.when(n_shingles > 0, F.transform(
-        F.sequence(F.lit(1), n_shingles),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
+    """Token n-gram shingles as an array<string> — the shared narrow
+    sequence+slice slide (functions.text.token_ngrams): no self-join."""
+    return token_ngrams(text_col, n)
 
 
 def dedup_exact(df: DataFrame) -> DataFrame:
@@ -78,8 +73,17 @@ def minhash_lsh_pairs(
     concatenated value become candidates. Implemented as an equi-join of
     the banded table with itself on (band, band_key) — the classic
     all-pairs-free LSH join. Dedups (a,b) pairs across bands.
+
+    The signature table is materialized ONCE (localCheckpoint) before
+    the self-join: without it Catalyst expands both join sides into the
+    full scan→shingle→k·md5-min pipeline, doubling the most expensive
+    narrow stage (round-1 PLANS.md showed two complete signature
+    subtrees). A production pipeline persists signatures to parquet
+    anyway — they're reused across dedup runs; localCheckpoint is the
+    in-session equivalent (trades lineage-based recovery for the saved
+    recompute, the right trade for a deliberately-reused intermediate).
     """
-    sigs = minhash_signatures(df, k)
+    sigs = minhash_signatures(df, k).localCheckpoint()
     bands = [
         F.struct(
             F.lit(b).alias("band"),
@@ -157,18 +161,40 @@ def simhash_signatures(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return voted.select("doc_id", sig.cast("long").alias("simhash")).orderBy("doc_id")
 
 
-def jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact token-set Jaccard similarity for document pairs, blocked by
-    ``lang`` so the candidate join is bounded per block.
+JACCARD_MAX_DF_FRAC = 0.5  # drop tokens present in > this fraction of a lang's docs
 
-    Distinct tokens exploded once; pairs sharing a token within a block
-    co-group on that token (equi-join), then |A∩B| is a count and
-    |A∪B| = |A|+|B|-|A∩B|. No cross join anywhere; skew on ubiquitous
-    tokens is the known hot spot (at scale: drop top-df tokens first).
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, max_df_frac: float = JACCARD_MAX_DF_FRAC
+) -> DataFrame:
+    """Exact token-set Jaccard similarity for document pairs, blocked by
+    ``lang``, over DISTINCTIVE tokens only: tokens whose document
+    frequency exceeds ``max_df_frac`` of their language's corpus are
+    dropped before the pair join (the classic stopword/df cutoff).
+
+    This is the fix for round 1's scale-killer: joining on raw tokens
+    means the hottest token ("the") co-groups nearly every doc pair in
+    a language — quadratic blowup on one skewed key. High-df tokens
+    carry no similarity signal anyway (they're present in everything),
+    so the cutoff both bounds every join key's co-group at
+    max_df_frac·|lang docs| and sharpens the measure. Jaccard is
+    computed consistently over the filtered sets (intersection AND
+    sizes), mirrored exactly in the oracle SQL.
+
+    The df table is token-dictionary-sized (not corpus-sized), so the
+    extra aggregate + semi-join are cheap at any scale.
     """
-    toks = ensure_parallelism(df.select("doc_id", "lang", "text"), "doc_id").select(
+    toks_all = ensure_parallelism(df.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("word")
     )
+    lang_totals = df.groupBy("lang").agg(F.count("*").alias("n_docs_lang"))
+    word_df = toks_all.groupBy("lang", "word").agg(F.count("*").alias("df"))
+    rare = (
+        word_df.join(F.broadcast(lang_totals), "lang")
+        .where(F.col("df") <= max_df_frac * F.col("n_docs_lang"))
+        .select("lang", "word")
+    )
+    toks = toks_all.join(rare, ["lang", "word"], "left_semi")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     pairs = (
         toks.alias("a")

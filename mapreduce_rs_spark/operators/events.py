@@ -19,8 +19,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.hashing import h32
+from mapreduce_rs_spark.operators.relational import money, stable_avg, stable_sum
 
 SESSION_GAP_MIN = 30
+
+# events.value is an exact 2-decimal double (verified over the test
+# data), so every sum over it accumulates in decimal — exact, hence
+# independent of partition count and accumulation order; see the
+# relational.py module header for the full rationale.
 
 
 def tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
@@ -35,8 +41,8 @@ def tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.avg("value").alias("avg_value"),
+            stable_sum(money("value")).alias("sum_value"),
+            stable_avg(money("value")).alias("avg_value"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -49,7 +55,7 @@ def sliding_window(t: dict[str, DataFrame]) -> DataFrame:
     ev = t["events"]
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), stable_sum(money("value")).alias("sum_value"))
         .orderBy("window_start")
     )
 
@@ -77,7 +83,7 @@ def sessionize(t: dict[str, DataFrame], gap_min: int = SESSION_GAP_MIN) -> DataF
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
-            F.sum("value").alias("sum_value"),
+            stable_sum(money("value")).alias("sum_value"),
         )
         .orderBy("user_id", "session_idx")
     )
@@ -139,13 +145,16 @@ def multi_resolution_rollup(t: dict[str, DataFrame]) -> DataFrame:
     re-aggregate losslessly; avg is derived sum/count at each level
     (never avg-of-avgs). Output is both resolutions tagged."""
     ev = t["events"]
+    # The cascade carries DECIMAL sums between levels so the daily
+    # re-aggregation of hourly partials is still exact; double surfaces
+    # only in the final projection.
     hourly = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), F.sum(money("value")).alias("sum_value_d"))
     )
     daily = (
         hourly.groupBy(F.date_trunc("day", "bucket_ts").alias("bucket_ts"), "event_type")
-        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value_d").alias("sum_value_d"))
     )
     return (
         hourly.withColumn("resolution", F.lit("hour"))
@@ -155,8 +164,8 @@ def multi_resolution_rollup(t: dict[str, DataFrame]) -> DataFrame:
             "bucket_ts",
             "event_type",
             "n_events",
-            "sum_value",
-            F.try_divide(F.col("sum_value"), F.col("n_events")).alias("avg_value"),
+            F.col("sum_value_d").cast("double").alias("sum_value"),
+            F.try_divide(F.col("sum_value_d").cast("double"), F.col("n_events")).alias("avg_value"),
         )
         .orderBy("resolution", "bucket_ts", "event_type")
     )
@@ -249,7 +258,11 @@ def user_activity_stats(t: dict[str, DataFrame]) -> DataFrame:
             count_type("click").alias("n_clicks"),
             count_type("purchase").alias("n_purchases"),
             count_type("error").alias("n_errors"),
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("purchase_value"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", money("value")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).cast("double").alias("purchase_value"),
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
         )

@@ -98,6 +98,29 @@ def wc_reduce(key: str, values: list[str]) -> str:
     return str(len(values))
 
 
+def rdd_word_count(df: DataFrame, input_col: str = "text") -> DataFrame:
+    """The literal RDD lineage of the reference job — ``flatMap(map_fn)
+    → reduceByKey(+) → sortByKey`` — the classic MapReduce word count
+    (reference ``src/mr/function.rs:9-20``) expressed at the RDD level.
+
+    This is a deliberate API-parity demonstration (the reference's
+    stated surface is "RDD/DataFrame map/reduce transformations"), NOT
+    the recommended path: Catalyst cannot see through RDD lambdas, so
+    there's no predicate pushdown, no whole-stage codegen, and the
+    Python lambdas run row-at-a-time. ``reduceByKey`` does combine
+    map-side (the combiner the reference lacks), and ``sortByKey`` is
+    the range-partitioned total sort of reference op 12. Result is
+    oracle-checked identical to the declarative flagship."""
+    counted = (
+        df.select(input_col).rdd
+        .flatMap(lambda row: wc_map(row[0]))
+        .map(lambda kv: (kv[0], 1))
+        .reduceByKey(lambda a, b: a + b)
+        .sortByKey()
+    )
+    return df.sparkSession.createDataFrame(counted, schema="word string, cnt long")
+
+
 def word_count_mapreduce(df: DataFrame, input_col: str = "text") -> DataFrame:
     """Word count through the UDF surface — proves the op-4/op-10 hooks
     produce results identical to the declarative flagship (and to the

@@ -6,20 +6,126 @@ resize / frame-sample as Arrow-batched Python stages (``mapInPandas``) —
 the one place imperative Python is the right tool, because codecs aren't
 column expressions.
 
-The container has no image/audio codecs, so the decode kernel here is a
-clearly-marked deterministic STUB (shape parsing from the payload header
-we synthesize) — the Spark-side contract (schema, batch iteration,
-partitioning, UDF signature) is real and tested, and swapping the stub
-for PIL/ffmpeg is a one-function change.
+Two decode paths:
+
+* ``image/png`` — a REAL codec: a pure-Python PNG decoder (zlib +
+  struct, no PIL needed) handling 8-bit grayscale/RGB/RGBA with all
+  five scanline filters. Dimensions and mean intensity come from the
+  decoded pixels, not the metadata (decode *validates* metadata).
+* anything else — a clearly-marked deterministic STUB (the container
+  has no general codecs); the Spark-side contract (schema, batch
+  iteration, partitioning, UDF signature) is identical on both paths,
+  so swapping the stub for PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit only; no palette support).
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(width: int, height: int, pixels: bytes, n_channels: int = 1) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA, filter 0) — used to
+    synthesize real, spec-valid PNG payloads for the pipeline tests."""
+    if n_channels not in (1, 3, 4):
+        raise ValueError("n_channels must be 1, 3 or 4")
+    color_type = {1: 0, 3: 2, 4: 6}[n_channels]
+    stride = width * n_channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode an 8-bit PNG: (width, height, n_channels, mean_intensity).
+
+    Pure Python: chunk walk → zlib inflate → per-scanline unfilter
+    (None/Sub/Up/Average/Paeth). Raises on anything that isn't a valid
+    8-bit gray/RGB/RGBA PNG — a codec's job is to fail loudly on
+    corrupt input so the pipeline can quarantine the row."""
+    if not payload.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, width, height, channels, idat = len(PNG_MAGIC), 0, 0, 0, b""
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG: depth={bit_depth} color={color_type}")
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if not (width and height and channels):
+        raise ValueError("truncated PNG: missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated PNG: bad IDAT length")
+    prev = bytearray(stride)
+    total = 0
+    for y in range(height):
+        row_start = y * (stride + 1)
+        filt = raw[row_start]
+        line = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        if filt == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up_left = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"unknown PNG filter {filt}")
+        total += sum(line)
+        prev = line
+    return width, height, channels, total / (stride * height)
 
 # Output schema of the decode/feature stage. Keeping it flat and typed
 # means downstream joins/aggs stay JVM-side.
@@ -45,6 +151,42 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid grayscale PNG payloads (pixels derived
+    deterministically from the document text) — the decode path then
+    exercises an actual codec, not a stub. The synthesis itself is an
+    Arrow-batched Python stage, exactly like a real ingest transcoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
+        for batch in batches:
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                data = text.encode("utf-8")
+                w = len(data) % 16 + 1
+                h = len(data) % 12 + 1
+                pixels = (data * (w * h // max(len(data), 1) + 1))[: w * h]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_png(w, h, bytes(pixels), 1))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    encoded = df.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, payload binary, width int, height int"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("content_type"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(1).alias("n_channels"),
+        ).alias("meta"),
+    )
+
+
 def _decode_stub(payload: bytes, width: int, height: int, n_channels: int) -> float:
     """STUB decode kernel. A real implementation would be:
         img = PIL.Image.open(io.BytesIO(payload)); np.asarray(img).mean()
@@ -62,25 +204,36 @@ def extract_features(df: DataFrame) -> DataFrame:
     ``mapInPandas`` streams column batches through Python; each batch is
     one Arrow RecordBatch (sized by arrow.maxRecordsPerBatch), so memory
     is bounded regardless of partition size — the property that matters
-    when payloads are megabytes each. Narrow: no shuffle."""
+    when payloads are megabytes each. Narrow: no shuffle.
+
+    PNG payloads hit the REAL decoder: width/height/channels/intensity
+    come from the decoded pixels (metadata is not trusted). Other
+    modalities fall back to the deterministic stub kernel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             meta = pd.DataFrame(list(batch["meta"]))
+            widths, heights, chans, intensities = [], [], [], []
+            for p, w, h, c in zip(
+                batch["payload"], meta["width"], meta["height"], meta["n_channels"]
+            ):
+                if p[: len(PNG_MAGIC)] == PNG_MAGIC:
+                    dw, dh, dc, mean = decode_png(bytes(p))
+                else:
+                    dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
+                widths.append(dw)
+                heights.append(dh)
+                chans.append(dc)
+                intensities.append(mean)
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "modality": meta["content_type"],
                     "n_bytes": batch["payload"].map(len),
-                    "width": meta["width"].astype("int32"),
-                    "height": meta["height"].astype("int32"),
-                    "n_channels": meta["n_channels"].astype("int32"),
-                    "mean_intensity": [
-                        _decode_stub(p, w, h, c)
-                        for p, w, h, c in zip(
-                            batch["payload"], meta["width"], meta["height"], meta["n_channels"]
-                        )
-                    ],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_channels": pd.Series(chans, dtype="int32"),
+                    "mean_intensity": intensities,
                 }
             )
 
@@ -155,9 +308,13 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4, fps: int = 30) -> Data
 def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python
-    stage). queries() exposes this rows-only (no SQL oracle — the decode
-    kernel is not SQL-expressible by design)."""
-    feats = extract_features(attach_fake_payload(df))
+    stage). Even doc_ids get real PNG payloads (true codec), odd ones
+    the opaque fake (stub fallback) — both paths exercised in one plan.
+    queries() exposes this rows-only (no SQL oracle — the decode kernel
+    is not SQL-expressible by design)."""
+    even = attach_png_payload(df.where(F.col("doc_id") % 2 == 0))
+    odd = attach_fake_payload(df.where(F.col("doc_id") % 2 == 1))
+    feats = extract_features(even.unionByName(odd))
     return (
         feats.groupBy("modality")
         .agg(

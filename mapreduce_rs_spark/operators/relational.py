@@ -22,8 +22,52 @@ returns a DataFrame whose column names match its oracle SQL exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Order-independent money aggregation.
+#
+# Double `sum` accumulates in partition order, so the low bits of the
+# result change with partitioning — at magnitude ~1e9 the noise exceeds
+# the driver's value-hash granularity (observed: sum(o_totalprice) off by
+# ~1e-6 between Spark and DuckDB, round-1 `agg_order_priorities` failure).
+# Money columns in the test data are exact 2-decimal values (verified: 0
+# of 60k lineitem rows deviate from DECIMAL(18,2) round-trip), so we cast
+# to decimal BEFORE aggregating: decimal addition is exact and
+# associative, making the sum independent of partition count and
+# accumulation order, then one final cast to double is deterministic.
+# Averages are derived as sum/count from the exact decimal sum for the
+# same reason. Verified bit-identical between Spark and DuckDB at sf0.01
+# including decimal products (price * (1-disc) * (1+tax)).
+#
+# At 100 TB this is also the *correct* choice, not just a parity trick:
+# financial rollups on doubles give partition-count-dependent answers.
+# ---------------------------------------------------------------------------
+
+# o_totalprice/l_extendedprice < 1e6: 10 integer digits is ample, and
+# Spark widens sum(DECIMAL(12,2)) to DECIMAL(22,2) — room for 1e20.
+MONEY = "decimal(12,2)"
+RATE = "decimal(3,2)"  # discount/tax in [0, 1) with 2 decimals
+
+
+def money(col: str) -> Column:
+    return F.col(col).cast(MONEY)
+
+
+def rate(col: str) -> Column:
+    return F.col(col).cast(RATE)
+
+
+def stable_sum(dec_col: Column) -> Column:
+    """Exact decimal sum, surfaced as double (one deterministic cast)."""
+    return F.sum(dec_col).cast("double")
+
+
+def stable_avg(dec_col: Column) -> Column:
+    """avg derived as exact-sum / count: both engines divide the same
+    two exact numbers, so the double result is bit-identical."""
+    return F.sum(dec_col).cast("double") / F.count(F.lit(1))
 
 
 def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
@@ -32,21 +76,25 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
     The filter reaches the parquet scan as a pushed predicate; the
     groupBy keys have cardinality ~6, so partial aggregation reduces the
     shuffle to a handful of rows per task regardless of input size.
+    Money sums accumulate in decimal (order-independent; see module
+    header); l_quantity is integer-valued so its double sum is already
+    exact in any order.
     """
     li = t["lineitem"]
+    one = F.lit(1).cast(RATE)
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    charge = disc_price * (one + rate("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).alias("sum_charge"),
+            stable_sum(money("l_extendedprice")).alias("sum_base_price"),
+            stable_sum(disc_price).alias("sum_disc_price"),
+            stable_sum(charge).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            stable_avg(money("l_extendedprice")).alias("avg_price"),
+            stable_avg(rate("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -79,10 +127,11 @@ def join_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
     )
+    one = F.lit(1).cast(RATE)
     return (
         rev.groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -95,12 +144,13 @@ def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
     BEFORE the join (predicate pushdown), and the date filters reach
     both scans — the selectivity arrives where it's cheapest."""
     cutoff = F.lit("1998-03-15").cast("timestamp")
+    one = F.lit(1).cast(RATE)
     return (
         t["customer"].where(F.col("c_mktsegment") == "BUILDING")
         .join(t["orders"].where(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"].where(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -152,8 +202,10 @@ def agg_order_priorities(t: dict[str, DataFrame]) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.sum("o_totalprice").alias("sum_price"),
-            F.avg("o_totalprice").alias("avg_price"),
+            # Decimal accumulation: the round-1 hash failure was exactly
+            # this column's partition-order noise at magnitude ~7.6e8.
+            stable_sum(money("o_totalprice")).alias("sum_price"),
+            stable_avg(money("o_totalprice")).alias("avg_price"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
@@ -181,7 +233,7 @@ def cube_status_priority(t: dict[str, DataFrame]) -> DataFrame:
     return (
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.sum("o_totalprice").alias("sum_price"), F.count("*").alias("n_orders"))
+        .agg(stable_sum(money("o_totalprice")).alias("sum_price"), F.count("*").alias("n_orders"))
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -214,11 +266,14 @@ def window_running_revenue(t: dict[str, DataFrame]) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Decimal accumulation even here: engines disagree on windowed-sum
+    # association (running fold vs segment tree), so double prefix sums
+    # are engine-dependent in the low bits.
     return t["orders"].select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum("o_totalprice").over(w).alias("running_revenue"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_revenue"),
     )
 
 
@@ -353,7 +408,7 @@ def having_active_customers(t: dict[str, DataFrame]) -> DataFrame:
     return (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend"))
+        .agg(F.count("*").alias("n_orders"), stable_sum(money("o_totalprice")).alias("total_spend"))
         .where(F.col("n_orders") >= 12)
         .orderBy("o_custkey")
     )
@@ -398,13 +453,18 @@ def pivot_status_by_priority(t: dict[str, DataFrame]) -> DataFrame:
     """PIVOT: order totals per priority, one column per order status.
     Explicit value list — never let pivot scan for distinct values at
     scale (that's an extra job over the fact table)."""
-    return (
+    wide = (
         t["orders"]
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
-        .orderBy("o_orderpriority")
+        .agg(F.sum(money("o_totalprice")))
     )
+    # Cast the pivoted decimal sums to double outside the pivot agg
+    # (pivot requires a bare aggregate expression).
+    return wide.select(
+        "o_orderpriority",
+        *[F.col(c).cast("double").alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
 
 
 def unpivot_status_totals(t: dict[str, DataFrame]) -> DataFrame:
@@ -445,7 +505,7 @@ def range_join_price_bands(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
         .groupBy("band")
-        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), stable_sum(money("o_totalprice")).alias("sum_price"))
         .orderBy("band")
     )
 

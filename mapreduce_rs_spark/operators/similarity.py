@@ -139,16 +139,78 @@ N_CENTROIDS = 8
 CENTROID_SEED = 7
 
 
-def centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
-    """Deterministic IVF centroids (seeded, literal-embeddable in the
-    oracle SQL). In production these come from a k-means sample pass;
-    the assignment/probe machinery — the part that matters at scale —
-    is identical either way."""
+def _init_centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Seeded random centroids — the k-means INIT state (and round 1's
+    shipped centroids, before the fit pass existed)."""
     rng = np.random.RandomState(CENTROID_SEED)
     return [
         [round(float(x), PLANE_DECIMALS) for x in rng.normal(size=dim)]
         for _ in range(n)
     ]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = N_CENTROIDS,
+    sample_every: int = 3,
+    iters: int = 10,
+    dim: int = EMBED_DIM,
+) -> list[list[float]]:
+    """Fit IVF centroids: seeded spherical k-means on a bounded,
+    deterministic sample — how a real 100 TB ANN index builds its
+    coarse quantizer (sample → fit a tiny model driver-side →
+    broadcast centroids back into the distributed assignment).
+
+    * Sample is deterministic (``vec_id % sample_every == 0``), NOT
+      ``df.sample`` — Bernoulli sampling seeds per-partition, so its
+      output would change with partitioning. At 100 TB you'd tighten
+      the modulus (or hash-sample) to keep the sample ~1e5-1e6 rows.
+    * Collecting the sample is bounded model state (k·dim floats out),
+      not a driver-side data loop — the corpus never leaves executors.
+    * Assignment metric is max dot product, identical to the probe's
+      ``_nearest_centroid_expr``; centroids are L2-normalized after
+      each mean update (spherical k-means), which keeps argmax-dot
+      assignment meaningful and prevents a large-norm centroid from
+      absorbing everything.
+    * Deterministic end to end (seeded init, fixed iteration count,
+      tie → higher centroid id like the probe), so the fitted
+      centroids can be rounded and embedded as literals in BOTH the
+      Spark plan and the DuckDB oracle — see FITTED_CENTROIDS.
+    """
+    sample = (
+        df.where(F.col("vec_id") % sample_every == 0)
+        .select("embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([row.embedding for row in sample], dtype=np.float64)
+    cents = np.array(_init_centroids(k, dim), dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        scores = x @ cents.T                      # (n, k) dot products
+        # argmax with tie → higher cid, mirroring the probe expression.
+        assign = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return [[round(float(v), PLANE_DECIMALS) for v in c] for c in cents]
+
+
+def centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """The shipped IVF centroids: ``kmeans_fit`` output (seeded, fitted
+    on the sf0.01 embeddings sample — see ivf_model.py provenance),
+    embedded as literals so the DuckDB oracle replicates assignment
+    bit-for-bit. Falls back to the seeded-random init for non-default
+    shapes (used by tests exercising the machinery generically)."""
+    if n == N_CENTROIDS and dim == EMBED_DIM:
+        from mapreduce_rs_spark.operators.ivf_model import FITTED_CENTROIDS
+
+        return FITTED_CENTROIDS
+    return _init_centroids(n, dim)
 
 
 def _nearest_centroid_expr(emb: F.Column, cents: list[list[float]]) -> F.Column:
@@ -231,23 +293,35 @@ def array_functions_showcase(df: DataFrame) -> DataFrame:
     )
 
 
-def embedding_near_dup(df: DataFrame, threshold: float = 0.97) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by ``label`` so the
-    pair join is per-block instead of all-pairs (labels act as a coarse
-    pre-cluster; at scale you'd block on an LSH bucket instead).
+def embedding_near_dup(
+    df: DataFrame, threshold: float = 0.97, planes: list[list[float]] | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the hyperplane
+    LSH bucket: the pair join is an equi-join on ``bucket``, never an
+    all-pairs product.
+
+    Round 1 blocked on ``label`` — quadratic per label block (millions
+    of vectors per label at 100 TB). LSH buckets fix the scale shape:
+    2^n_planes blocks whose expected size shrinks as planes are added,
+    and genuinely-near-duplicate vectors (cosine → 1) land in the same
+    bucket with probability (1 - θ/π)^n_planes → 1, so recall stays
+    high exactly for the pairs a near-dup pass is after. The bucket
+    blocking is mirrored literally in the DuckDB oracle.
 
     The default threshold is the production-sensible near-dup cut for
     trained embeddings. The registry calls this with 0.30, calibrated
-    to the synthetic test embeddings (random near-orthogonal vectors:
-    within-label max cosine ≈ 0.47, p99 ≈ 0.30) so the correctness gate
-    exercises real selections — that calibration lives at the call
-    site, not in the API default."""
-    a = ensure_parallelism(df, "vec_id").alias("a")
-    b = df.alias("b")
+    to the synthetic test embeddings (random near-orthogonal vectors)
+    so the correctness gate exercises real selections — that
+    calibration lives at the call site, not in the API default."""
+    planes = planes or hyperplanes()
+    bucketed = ensure_parallelism(df, "vec_id").select(
+        "vec_id", "embedding", _bucket_expr(F.col("embedding"), planes).alias("bucket")
+    ).localCheckpoint()  # materialize once; the self-join would recompute 2x
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

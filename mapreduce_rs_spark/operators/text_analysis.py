@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.text import bpe_ish_tokens, tokens
+from mapreduce_rs_spark.functions.text import bpe_ish_tokens, token_ngrams, tokens
 
 # Tiny per-language stopword marker lists for the heuristic language ID.
 # Counting is done on the space-padded text so only whole tokens match.
@@ -120,23 +120,14 @@ def top_terms_per_lang(df: DataFrame, k: int = 5) -> DataFrame:
 
 
 def ngrams(df: DataFrame, n: int = 2) -> DataFrame:
-    """N-gram counts via self-join-free position arithmetic: posexplode
-    the token array once, then join token streams offset by position
-    within the same doc. Narrow per-doc semantics; the join key
-    (doc_id, pos) is unique so no row explosion."""
-    toks = (
-        df.select("doc_id", F.posexplode(F.filter(tokens("text"), lambda t: t != "")).alias("pos", "word"))
-    )
-    joined = toks.alias("a")
-    for i in range(1, n):
-        joined = joined.join(
-            toks.alias(f"t{i}"),
-            (F.col("a.doc_id") == F.col(f"t{i}.doc_id"))
-            & (F.col(f"t{i}.pos") == F.col("a.pos") + i),
-        )
-    gram = F.concat_ws(" ", F.col("a.word"), *[F.col(f"t{i}.word") for i in range(1, n)])
+    """N-gram counts via the narrow sequence+slice slide over the token
+    array (functions.text.token_ngrams): each row produces its n-gram
+    array without leaving the row, so the only shuffle is the final
+    count groupBy. Replaces the round-1 positional self-join, which
+    shuffled the full token stream once per extra gram — same result
+    (oracle hash-checked), strictly better plan at any scale."""
     return (
-        joined.select(gram.alias("ngram"))
+        df.select(F.explode(token_ngrams("text", n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
     )

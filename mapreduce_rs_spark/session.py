@@ -58,7 +58,13 @@ def get_spark(app_name: str = "mapreduce-rs-spark", **extra_confs: str) -> Spark
     mirroring the bench harness contract.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    # local[N, 2]: allow one task retry, the local-mode analog of the
+    # cluster default (spark.task.maxFailures=4) and the engine-side
+    # replacement for the reference's lease-based failure recovery
+    # (src/mr/coordinator.rs:72-131) — a deterministic failure still
+    # fails the job, a transient one is retried and the job completes
+    # (tests/test_fault_tolerance.py injects exactly that).
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus},2]")
     for key, value in {**_DEFAULT_CONFS, **extra_confs}.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -1,0 +1,80 @@
+"""Fault-tolerance demonstration: Spark task retry replaces the
+reference's lease-based failure detection.
+
+The reference's most distinctive control-plane feature is crash
+recovery: the coordinator leases tasks to workers, sweeps expired
+leases, and reassigns the work (``src/mr/coordinator.rs:72-131``,
+``src/bin/mrworker.rs:85-118``). The repo's design position
+(COVERAGE.md) is that Spark's task retry/speculation subsumes that
+machinery — this test closes the claim by *demonstrating* it: every
+task of a Python map stage raises on its first attempt, and the job
+still completes with byte-correct word counts because the engine
+re-runs each failed task (session factory runs ``local[N,2]``, the
+local-mode analog of ``spark.task.maxFailures``).
+
+No config weakening: the failure is a real raised exception crossing
+the Arrow boundary, the retry is Spark's own scheduler, and the
+asserted output is the oracle-checked flagship word count.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from mapreduce_rs_spark.operators import text_analysis as ta
+from mapreduce_rs_spark.sources.catalog import load_table
+
+
+def _flaky_tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None and ctx.attemptNumber() == 0:
+        raise RuntimeError(
+            f"injected failure: partition={ctx.partitionId()} attempt=0 "
+            "(simulated worker crash — the reference would reassign the lease)"
+        )
+    for batch in batches:
+        rows: list[tuple[str]] = []
+        for text in batch["text"]:
+            cleaned = re.sub(r"[^\w\s]", "", text, flags=re.ASCII)
+            rows.extend((w,) for w in cleaned.split())
+        yield pd.DataFrame(rows, columns=["word"])
+
+
+def test_task_failure_recovers_with_correct_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+
+    flaky = (
+        docs.select("text")
+        .mapInPandas(_flaky_tokenize, schema="word string")
+        .groupBy("word")
+        .count()
+    )
+    got = {r["word"]: r["count"] for r in flaky.collect()}
+
+    expected = {r["word"]: r["cnt"] for r in ta.word_count(docs).collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_attempt_number_actually_retried(spark):
+    """Sanity: the injection fires (attempt 0 fails) and the retry is
+    what produces the result — a stage whose output encodes the attempt
+    number must return attempt 1 for every partition."""
+
+    def report_attempt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected failure on attempt 0")
+        for batch in batches:
+            yield pd.DataFrame({"id": batch["id"], "attempt": ctx.attemptNumber()})
+
+    df = spark.range(0, 64, 1, 4).mapInPandas(report_attempt, "id long, attempt int")
+    attempts = {r["attempt"] for r in df.collect()}
+    assert attempts == {1}

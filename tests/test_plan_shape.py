@@ -65,3 +65,28 @@ def test_q1_partial_aggregation(tables):
     # (the optimization the reference famously lacks, worker.rs:149-161).
     plan = _plan(relational.q1_pricing_summary(tables))
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_ngrams_has_no_join(spark, sf_dir):
+    # Round 1 built n-grams with an (n-1)-way positional self-join —
+    # a shuffle join per extra gram over the whole token stream. The
+    # narrow sequence+slice slide must keep the plan join-free: the
+    # only shuffle is the count groupBy.
+    from mapreduce_rs_spark.operators.text_analysis import ngrams
+
+    for n in (2, 3):
+        plan = _plan(ngrams(load_table(spark, sf_dir, "documents"), n))
+        assert "Join" not in plan, f"n={n} plan regressed to a join"
+        assert plan.count("Exchange") == 1, f"n={n}: expected only the groupBy shuffle"
+
+
+def test_minhash_lsh_pairs_single_signature_subtree(spark, sf_dir):
+    # The banded self-join must join against the MATERIALIZED signature
+    # table (localCheckpoint), not re-derive shingles+hashes per side:
+    # the plan must contain no parquet scan at all (both sides read the
+    # checkpointed RDD) — round 1's plan had two full scan→min-agg trees.
+    from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(load_table(spark, sf_dir, "documents")))
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
