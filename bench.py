@@ -5,10 +5,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-to-count) after
-a warm-up pass of the session. The headline metric is total wall time of
-the suite — the number BENCH_r{N}.json records and BASELINE.md's 2x gate
-applies to.
+Each query is timed end-to-end (plan + execute + write to the noop sink)
+after a warm-up pass of the session. The noop sink executes the FULL
+plan — including global orderBy sorts and all projected columns — where
+a bare .count() would let Catalyst eliminate the final sort and prune
+projections, systematically under-measuring the suite. The headline
+metric is total wall time — the number BENCH_r{N}.json records and
+BASELINE.md's 2x gate applies to.
 """
 
 from __future__ import annotations
@@ -47,14 +50,19 @@ def main() -> None:
 
     spark = get_spark("bench", **{"spark.sql.shuffle.partitions": cpus})
 
+    def run_full_plan(name: str) -> None:
+        # noop datasource: full execution (sorts, projections, Python
+        # stages) with zero write cost — the honest end-to-end timer.
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Warm up the JVM / codegen / parquet footer cache so per-query times
     # measure the plans, not first-touch overheads.
-    QUERIES["wordcount"].fn(spark, sf_dir).count()
+    run_full_plan("wordcount")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         start = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).count()
+        run_full_plan(name)
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)

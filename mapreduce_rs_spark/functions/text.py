@@ -6,6 +6,18 @@ underscores, drop empty tokens. Both Spark (Java regex) and DuckDB (RE2)
 treat ``\\w`` as ASCII ``[A-Za-z0-9_]`` by default, so the same pattern is
 oracle-portable.
 
+KNOWN DIVERGENCE from the reference on non-ASCII text: Rust's ``regex``
+crate treats ``\\w``/``\\s`` as Unicode-aware and ``split_whitespace`` as
+Unicode, so the reference KEEPS accented letters ("café" stays "café");
+this engine pins ASCII classes on every path (Java regex default here,
+``re.ASCII`` in the Python UDF surface) so all three engines — Spark,
+DuckDB oracle, Python mappers — agree with EACH OTHER: "café" → "caf".
+ASCII is the deliberate choice because cross-engine agreement is the
+correctness contract; adopting Unicode classes consistently would need
+``(?U)`` in Java AND dropping re.ASCII AND a Unicode-class-capable
+oracle build. Pinned by the non-ASCII golden test in
+tests/test_text_edge_cases.py.
+
 All helpers are pure column expressions — JVM-side, inside whole-stage
 codegen; no Python UDFs on this path.
 """

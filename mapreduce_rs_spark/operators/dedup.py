@@ -164,6 +164,54 @@ def simhash_signatures(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 JACCARD_MAX_DF_FRAC = 0.5  # drop tokens present in > this fraction of a lang's docs
 
 
+SIMHASH_BAND_BITS = 4      # 16-bit signature → 4 bands of 4 bits
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, band_bits: int = SIMHASH_BAND_BITS
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found WITHOUT
+    an all-pairs comparison: band the signature into ``bits/band_bits``
+    chunks — any pair within Hamming distance d < #bands must agree on
+    at least one full band (pigeonhole), so candidate generation is an
+    equi-join on (band, band_value). Exact ``bit_count(xor)`` then
+    filters candidates to the true distance. The classic
+    Charikar/Manku-Jain-Sarma dedup shape: at 100 TB the join carries
+    (doc_id, 4-bit band value) rows and the hot keys are bounded by
+    signature balance, never by corpus size."""
+    sigs = simhash_signatures(df).localCheckpoint()  # materialize once
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    left, right = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, threshold: float = 0.5, max_df_frac: float = JACCARD_MAX_DF_FRAC
 ) -> DataFrame:

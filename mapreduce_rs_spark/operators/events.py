@@ -171,6 +171,29 @@ def multi_resolution_rollup(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def range_window_revenue(t: dict[str, DataFrame], window_sec: int = 3600) -> DataFrame:
+    """Trailing time-RANGE window: per user, the sum of event values in
+    the preceding ``window_sec`` seconds (inclusive) — the moving-window
+    aggregate a ROWS frame can't express (peers are defined by event
+    TIME distance, not row position, so irregular event spacing is
+    handled correctly and timestamp ties contribute symmetrically).
+    One shuffle on user_id; the frame slides within each partition.
+    Decimal accumulation keeps the windowed sum engine-portable."""
+    ev = t["events"]
+    epoch_s = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-window_sec, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(money("value")).over(w).cast("double").alias("trailing_value"),
+    ).orderBy("user_id", "event_id")
+
+
 def kmv_distinct_users(t: dict[str, DataFrame], k: int = 64) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch per event_type.
 

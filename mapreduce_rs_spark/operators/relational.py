@@ -526,6 +526,29 @@ def customers_above_nation_avg(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def fuzzy_nation_pairs(t: dict[str, DataFrame], max_dist: int = 4) -> DataFrame:
+    """Fuzzy string matching: nation-name pairs within Levenshtein
+    distance ``max_dist``. The pair space here is a bounded dimension
+    (25×25 — broadcast nested-loop is the correct plan); for fuzzy
+    matching over a LARGE table you'd first block (by length bucket,
+    first-char, or q-gram LSH — the jaccard/minhash machinery in
+    operators/dedup.py) and verify candidates with this same
+    levenshtein expression."""
+    n = t["nation"].select("n_name")
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.n_name") < F.col("b.n_name"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+        .orderBy("name_a", "name_b")
+    )
+
+
 def scalar_functions_showcase(t: dict[str, DataFrame]) -> DataFrame:
     """String/date/math scalar battery over orders — every expression
     chosen to have identical ANSI semantics in Spark and DuckDB."""

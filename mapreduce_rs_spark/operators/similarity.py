@@ -277,6 +277,63 @@ def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def _centroid_scores(emb: F.Column, cents: list[list[float]]) -> F.Column:
+    """Array of (score, cid) structs, one per centroid."""
+    return F.array(
+        *[
+            F.struct(
+                dot(emb, F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def knn_ivf_multiprobe(
+    df: DataFrame, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """Approximate top-k with IVF nprobe>1: each query searches its
+    ``nprobe`` nearest centroids' inverted lists instead of one — the
+    standard recall/cost knob (recall rises with nprobe, scan cost is
+    nprobe/n_centroids of the corpus; the index build is untouched).
+
+    Corpus vectors still belong to exactly ONE inverted list, so the
+    probed lists are disjoint and no candidate dedup is needed. Probe
+    selection is a sort of the k-element (score, cid) array — struct
+    descending order gives ties → higher cid, identical to the
+    single-probe assignment rule and the oracle's ORDER BY."""
+    cents = centroids()
+    assigned = ivf_assign(df)
+    sorted_scores = F.sort_array(
+        _centroid_scores(F.col("embedding"), cents), asc=False
+    )
+    probes = F.slice(F.transform(sorted_scores, lambda s: s.getField("cid")), 1, nprobe)
+    queries = (
+        df.where(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probes).alias("q_centroid"),
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("q_centroid") == F.col("centroid_id")) & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
 def array_functions_showcase(df: DataFrame) -> DataFrame:
     """Array higher-order/scalar battery over the embedding column —
     all JVM-side, scalar outputs (no array-typed result columns, which

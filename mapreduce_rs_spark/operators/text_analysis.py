@@ -133,6 +133,47 @@ def ngrams(df: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k distinctive terms per document by TF-IDF
+    (tf · ln(N/df)) — the classic relevance weighting, as three
+    aggregates + one window:
+
+    * term counts (corpus shuffle on word — the only big shuffle),
+    * document frequencies (dictionary-sized aggregate of the counts),
+    * corpus size N (1-row aggregate, broadcast cross-join),
+    * per-doc rank window (shuffle on doc_id, top-k).
+
+    idf uses the raw ln(N/df) form; ties broken by word for
+    determinism. ln differs from DuckDB's by at most 1 ulp (~1e-16),
+    far inside hash tolerance — unlike SUM accumulation order, this is
+    a per-value rounding, not a data-volume-dependent drift."""
+    counts = (
+        explode_tokens(df, "text", "doc_id")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = counts.groupBy("word").agg(F.count("*").alias("df_docs"))
+    total = df.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        counts.join(F.broadcast(dfs), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df_docs",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "word", "tf", "df_docs", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def token_count(df: DataFrame) -> DataFrame:
     """Token counting per document with both the whitespace and the
     BPE-ish regex tokenizer — the 'how many tokens will I train on'

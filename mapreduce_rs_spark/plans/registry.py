@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.hashing import h32_sql, h64_sql, text_fingerprint_sql
-from mapreduce_rs_spark.operators import curation, dedup, events, multimodal, relational, similarity
+from mapreduce_rs_spark.operators import curation, dedup, events, graph, multimodal, relational, similarity
 from mapreduce_rs_spark.operators import text_analysis as ta
+from mapreduce_rs_spark.operators import sampling
 from mapreduce_rs_spark.operators.mapreduce import rdd_word_count, word_count_mapreduce
 from mapreduce_rs_spark.operators.partitioning import salted_group_count
 from mapreduce_rs_spark.sources.catalog import load_table, load_tables
@@ -809,6 +810,64 @@ QUERIES: dict[str, QuerySpec] = {
         _jaccard_sql(threshold=0.5),
     ),
     # ---- similarity search ----
+    "simhash_near_pairs": QuerySpec(
+        _docs(dedup.simhash_near_pairs),
+        f"""
+        WITH sigs AS (
+            {_simhash_sql()}
+        ), banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * {dedup.SIMHASH_BAND_BITS})) & {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS band_val
+            FROM sigs, (VALUES (0), (1), (2), (3)) b(band)
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        ORDER BY doc_a, doc_b
+        """,
+        "banded Hamming-distance near-dup (pigeonhole: distance<4 pairs must share a 4-bit band)",
+    ),
+    "dedup_components": QuerySpec(
+        _docs(graph.dedup_components),
+        f"""
+        WITH RECURSIVE pairs AS (
+            {_minhash_pairs_sql()}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT doc_id, min(r) AS component
+        FROM reach GROUP BY doc_id ORDER BY doc_id
+        """,
+        "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
+    ),
+    "tfidf_top_terms": QuerySpec(
+        _docs(lambda df: ta.tfidf_top_terms(df, 3)),
+        f"""{WORDS_CTE}, counts AS (
+            SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+        ), dfs AS (
+            SELECT word, count(*) AS df_docs FROM counts GROUP BY 1
+        ), total AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, c.word, tf, df_docs,
+                   tf * ln(n_docs / df_docs) AS tfidf
+            FROM counts c JOIN dfs USING (word) CROSS JOIN total
+        ), ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, word, tf, df_docs, tfidf, rnk
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+    ),
     "knn_bruteforce": QuerySpec(
         _emb(lambda df: similarity.knn_bruteforce(df, 10)),
         f"""
@@ -878,6 +937,27 @@ QUERIES: dict[str, QuerySpec] = {
         )
         SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
         """,
+    ),
+    "knn_ivf_multiprobe": QuerySpec(
+        _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
+        f"""{_ivf_assigned_cte()}, qprobe AS (
+            SELECT vec_id AS q_id, emb AS q_emb, cid AS q_centroid
+            FROM (
+                SELECT vec_id, emb, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
+                FROM cscores WHERE vec_id % 100 = 0
+            ) r WHERE rn <= 2
+        ), scored AS (
+            SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
+            FROM qprobe q JOIN assigned a ON q.q_centroid = a.centroid_id AND q_id <> a.vec_id
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
+        """,
+        "IVF nprobe=2: disjoint inverted lists, no candidate dedup needed",
     ),
     "array_functions_showcase": QuerySpec(
         _emb(similarity.array_functions_showcase),
@@ -1003,6 +1083,47 @@ QUERIES: dict[str, QuerySpec] = {
     "kmv_distinct_users": QuerySpec(
         _tables(events.kmv_distinct_users),
         _kmv_sql(),
+    ),
+    "range_window_revenue": QuerySpec(
+        _tables(events.range_window_revenue),
+        f"""
+        SELECT user_id, event_id, ts,
+               CAST(sum({_money('value')}) OVER (
+                   PARTITION BY user_id ORDER BY floor(epoch(ts))
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_value
+        FROM events ORDER BY user_id, event_id
+        """,
+        "time-RANGE window frame (peers by event-time distance, not row position)",
+    ),
+    "fuzzy_nation_pairs": QuerySpec(
+        # max_dist=1 calibrated to the synthetic NATION_<i> names (all
+        # pairs are within distance 2, so 1 is the selective cut); the
+        # API default (4) is the production-sensible cut for real names.
+        _tables(lambda t: relational.fuzzy_nation_pairs(t, 1)),
+        """
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
+        FROM nation a JOIN nation b ON a.n_name < b.n_name
+        WHERE levenshtein(a.n_name, b.n_name) <= 1
+        ORDER BY name_a, name_b
+        """,
+        "fuzzy string matching over a bounded dim (blocking notes in the docstring)",
+    ),
+    "stratified_sample_summary": QuerySpec(
+        _docs(sampling.stratified_sample_summary),
+        f"""
+        WITH flagged AS (
+            SELECT lang, n_chars,
+                   CASE WHEN {h32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 10 THEN 1 ELSE 0 END AS s
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(s) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN s = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars,
+               CAST(sum(s) AS DOUBLE) / count(*) AS realized_rate
+        FROM flagged GROUP BY lang ORDER BY lang
+        """,
+        "deterministic hash-systematic sampling: the oracle reproduces the exact sample",
     ),
     "out_of_order_stats": QuerySpec(
         _tables(events.out_of_order_stats),
@@ -1137,6 +1258,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "multimodal_features",
     # (b) new this round
     "rdd_wordcount",
+    "simhash_near_pairs",
+    "dedup_components",
+    "tfidf_top_terms",
+    "knn_ivf_multiprobe",
+    "range_window_revenue",
+    "fuzzy_nation_pairs",
+    "stratified_sample_summary",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",

@@ -51,15 +51,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     # Defensive: the caller may hand us a vanilla session (the driver
     # does). Timestamp semantics must be UTC to match the DuckDB oracle,
-    # and these are dynamic confs, safe to set per-session.
+    # and this is a dynamic conf, safe to set per-session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _NANO_TS_COLS.get(name, ())
     if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in nano_cols:
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+        # Scope the legacy conf to THIS read: it's consulted only at
+        # schema resolution (verified: execution succeeds after
+        # restore), and leaving it on session-wide would make any
+        # later-added table with a nanos column silently read as raw
+        # BIGINT instead of failing loudly at load time.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        for col in nano_cols:
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

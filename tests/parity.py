@@ -35,7 +35,15 @@ def _is_float_col(s: pd.Series) -> bool:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    sort_cols = [c for c in df.columns if not _is_float_col(df[c])]
+    # Non-float columns lead (exact, engine-portable ordering); float
+    # columns follow as a FINAL tie-break so rows that tie on every
+    # non-float key (e.g. value_histogram's float bucket_lo with equal
+    # counts) still align deterministically. Money/decimal-derived
+    # floats are bit-identical across engines by construction, so the
+    # tie-break sorts consistently.
+    sort_cols = [c for c in df.columns if not _is_float_col(df[c])] + [
+        c for c in df.columns if _is_float_col(df[c])
+    ]
     if sort_cols and len(df):
         df = df.sort_values(sort_cols, kind="mergesort")
     return df.reset_index(drop=True)

@@ -1,0 +1,93 @@
+"""Iterative connected components (graph.py) + new round-2 operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce_rs_spark.operators.graph import connected_components, dedup_components
+from mapreduce_rs_spark.sources.catalog import load_table
+
+
+def test_components_hand_graph(spark):
+    # Two components: {1,2,3,4} chained (transitivity required: 1-2,
+    # 2-3, 3-4 — 1 and 4 never share an edge) and {10, 11}.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_converge_on_long_chain(spark):
+    # Path graph of 12 nodes: worst-case diameter for min-propagation;
+    # must still converge inside the iteration budget.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_dedup_components_cluster_exact_copies(spark, sf_dir):
+    # Exact duplicate docs are guaranteed LSH pairs (identical
+    # signatures agree on every band) → same component, labeled by the
+    # min doc_id of the cluster.
+    docs = load_table(spark, sf_dir, "documents")
+    comp = {r["doc_id"]: r["component"] for r in dedup_components(docs).collect()}
+    for doc_id, c in comp.items():
+        assert c <= doc_id
+        assert c in comp and comp[c] == c  # label is a real cluster member's id
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_ivf_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {(r["q_id"], r["vec_id"]) for r in knn_bruteforce(emb, 10).collect()}
+    single = {(r["q_id"], r["vec_id"]) for r in knn_ivf(emb, 10).collect()}
+    multi = {(r["q_id"], r["vec_id"]) for r in knn_ivf_multiprobe(emb, 10, 2).collect()}
+    assert len(multi & truth) >= len(single & truth)
+
+
+def test_tfidf_hand_corpus(spark):
+    from mapreduce_rs_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared", "en"),
+            (2, "banana cherry shared", "en"),
+            (3, "cherry cherry cherry shared", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = tfidf_top_terms(docs, 1).collect()
+    top = {r["doc_id"]: (r["word"], r["tfidf"]) for r in rows}
+    # "shared" appears in all docs -> idf 0, never the top term.
+    assert top[1][0] == "apple"
+    assert top[3][0] == "cherry"
+    assert math.isclose(top[1][1], 2 * math.log(3 / 1))
+    assert math.isclose(top[3][1], 3 * math.log(3 / 2))
+
+
+def test_simhash_near_pairs_exact_copies_distance_zero(spark):
+    from mapreduce_rs_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en"),
+            (2, "alpha beta gamma delta epsilon", "en"),  # exact copy of 1
+            (3, "totally different words entirely here now", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
+    assert pairs.get((1, 2)) == 0

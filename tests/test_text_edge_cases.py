@@ -48,3 +48,40 @@ def test_signatures_skip_docs_without_material(edge_df):
     assert mh_docs == {1}
     sh_docs = {r["doc_id"] for r in simhash_signatures(edge_df).collect()}
     assert sh_docs == {1, 5}
+
+
+def test_non_ascii_golden_all_engines_agree(spark):
+    """Pin the documented ASCII divergence from the reference
+    (functions/text.py module docstring): accented letters are treated
+    as punctuation and stripped — "café" → "caf" — IDENTICALLY by all
+    three engines (Spark column path, DuckDB oracle, Python UDF
+    surface). The Rust reference's Unicode-aware \\w would instead keep
+    "café" whole; cross-engine agreement is this repo's contract."""
+    import duckdb
+
+    from mapreduce_rs_spark.operators.mapreduce import wc_map
+
+    text = "café déjà vu naïve touché touché 北京 test"
+    df = spark.createDataFrame([(1, text, "fr")], ["doc_id", "text", "lang"])
+
+    spark_counts = {r["word"]: r["cnt"] for r in word_count(df).collect()}
+
+    duck = duckdb.connect().execute(
+        r"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+                regexp_replace(?, '[^\w\s]', '', 'g'), '\s+')) AS word
+        ) t WHERE word <> '' GROUP BY word
+        """,
+        [text],
+    ).fetchall()
+    duck_counts = {w: c for w, c in duck}
+
+    py_counts: dict[str, int] = {}
+    for w, _ in wc_map(text):
+        py_counts[w] = py_counts.get(w, 0) + 1
+
+    golden = {"caf": 1, "dj": 1, "vu": 1, "nave": 1, "touch": 2, "test": 1}
+    assert spark_counts == golden
+    assert duck_counts == golden
+    assert py_counts == golden
