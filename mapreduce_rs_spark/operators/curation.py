@@ -27,10 +27,12 @@ MIN_ALPHA_RATIO = 0.5
 ALLOWED_LANGS = ("de", "en", "es", "fr", "zh")
 
 
-def curated_documents(df: DataFrame) -> DataFrame:
+def curated_documents(df: DataFrame, *, keep_text: bool = False) -> DataFrame:
     """The surviving documents after quality → language → dedup gates,
     with their token counts. Dedup keeps the smallest doc_id per
-    fingerprint via a window min — no second join against the corpus."""
+    fingerprint via a window min — no second join against the corpus.
+    ``keep_text=True`` carries the text column through for downstream
+    stages that re-tokenize (the near-dup cluster pass)."""
     toks = F.filter(tokens("text"), lambda t: t != "")
     gated = (
         df.withColumn("n_tokens", F.size(toks))
@@ -45,17 +47,16 @@ def curated_documents(df: DataFrame) -> DataFrame:
         )
     )
     w = Window.partitionBy(text_fingerprint("text"))
+    cols = ["doc_id", "lang", "n_tokens"] + (["text"] if keep_text else [])
     return (
         gated.withColumn("keep_id", F.min("doc_id").over(w))
         .where(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "lang", "n_tokens")
+        .select(*cols)
     )
 
 
-def curation_yield(df: DataFrame) -> DataFrame:
-    """Per-language curation accounting: input docs vs surviving docs
-    and tokens — the yield report every data-curation run ends with."""
-    kept = curated_documents(df)
+def _yield_report(df: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-language yield accounting over a surviving-doc set."""
     totals = df.groupBy("lang").agg(F.count("*").alias("n_docs_in"))
     survived = kept.groupBy("lang").agg(
         F.count("*").alias("n_docs_kept"),
@@ -72,3 +73,35 @@ def curation_yield(df: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def curation_yield(df: DataFrame) -> DataFrame:
+    """Per-language curation accounting: input docs vs surviving docs
+    and tokens — the yield report every data-curation run ends with."""
+    return _yield_report(df, curated_documents(df))
+
+
+def curation_yield_neardup(df: DataFrame) -> DataFrame:
+    """Capstone v2: the full near-dup-aware curation pipeline —
+    quality gates → language allowlist → EXACT dedup → NEAR-dup cluster
+    dedup (MinHash-LSH pairs over the survivors → connected components
+    → keep each cluster's min doc_id) → per-language yield.
+
+    This is the composition a production pretraining pipeline runs:
+    exact dedup removes byte-identical copies cheaply first, the LSH
+    pass then clusters the remaining near-copies (edit-distance
+    survivors, boilerplate variants) transitively — A~B, B~C collapses
+    {A,B,C} even when A,C never co-band. Every stage is the
+    already-oracle-checked operator; the oracle replicates the whole
+    composition including the transitive closure (recursive CTE)."""
+    from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
+    from mapreduce_rs_spark.operators.graph import connected_components
+
+    kept = curated_documents(df, keep_text=True).localCheckpoint()
+    comp = connected_components(minhash_lsh_pairs(kept))
+    final = (
+        kept.join(comp, "doc_id", "left")
+        .where(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return _yield_report(df, final)

@@ -119,18 +119,22 @@ def _emb(fn: Callable[[DataFrame], DataFrame]) -> QueryFn:
 # Oracle SQL builders for the hash-heavy queries
 # ---------------------------------------------------------------------------
 
-def _shingles_sql(n: int = dedup.SHINGLE_N) -> str:
-    """Token n-gram shingle stream: (doc_id, shingle)."""
-    return f"""
-WITH toks AS (
-    SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+def _shingles_ctes(n: int = dedup.SHINGLE_N, source: str = "documents") -> str:
+    """toks→shingles CTE chain WITHOUT the leading WITH, so callers can
+    embed it anywhere in a larger chain. ``source`` is the relation
+    (table or CTE name) carrying (doc_id, text)."""
+    return f"""toks AS (
+    SELECT doc_id, {TOKENS_SQL} AS tk FROM {source}
 ), shingles AS (
     SELECT doc_id,
            unnest(list_transform(range(1, greatest(len(tk) - {n - 1}, 0) + 1),
                   i -> array_to_string(tk[i:i + {n - 1}], ' '))) AS shingle
     FROM toks
-)
-"""
+)"""
+
+
+def _shingles_sql(n: int = dedup.SHINGLE_N, source: str = "documents") -> str:
+    return f"\nWITH {_shingles_ctes(n, source)}\n"
 
 
 def _minhash_sql(k: int = dedup.MINHASH_SEEDS) -> str:
@@ -143,7 +147,13 @@ FROM shingles GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def _minhash_pairs_sql(k: int = dedup.MINHASH_SEEDS, band_size: int = dedup.MINHASH_BAND_SIZE) -> str:
+def _minhash_pairs_ctes(
+    k: int = dedup.MINHASH_SEEDS,
+    band_size: int = dedup.MINHASH_BAND_SIZE,
+    source: str = "documents",
+) -> str:
+    """The toks→shingles→sigs→banded CTE chain (no final SELECT) so the
+    pair join can be embedded in larger compositions."""
     # Band keys derived from band_size (not hardcoded to 2 values) so a
     # non-default call keeps the (spark_fn, oracle) pair in lockstep.
     band_rows = "\n    UNION ALL\n    ".join(
@@ -156,12 +166,17 @@ def _minhash_pairs_sql(k: int = dedup.MINHASH_SEEDS, band_size: int = dedup.MINH
         for b in range(k // band_size)
     )
     mins = ",\n       ".join(f"min({h32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k))
-    return f"""{_shingles_sql()}, sigs AS (
+    return f"""{_shingles_ctes(source=source)}, sigs AS (
     SELECT doc_id, {mins}
     FROM shingles GROUP BY doc_id
 ), banded AS (
     {band_rows}
-)
+)"""
+
+
+def _minhash_pairs_sql(k: int = dedup.MINHASH_SEEDS, band_size: int = dedup.MINHASH_BAND_SIZE) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(k, band_size)}
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
@@ -1201,6 +1216,57 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "capstone: quality -> language -> dedup -> yield accounting in one plan",
     ),
+    "curation_yield_neardup": QuerySpec(
+        _docs(curation.curation_yield_neardup),
+        f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, lang, text,
+                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
+                   {text_fingerprint_sql('text')} AS fp
+            FROM documents
+        ), gated AS (
+            SELECT * FROM base
+            WHERE n_tokens >= {curation.MIN_TOKENS}
+              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
+              AND lang IN {tuple(curation.ALLOWED_LANGS)}
+        ), exact_kept AS (
+            SELECT doc_id, lang, n_tokens, text FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
+            ) g WHERE doc_id = keep_id
+        ), {_minhash_pairs_ctes(source="exact_kept")}, pairs AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), comp AS (
+            SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
+        ), final_kept AS (
+            SELECT k.lang, k.n_tokens
+            FROM exact_kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.component = k.doc_id
+        ), totals AS (
+            SELECT lang, count(*) AS n_docs_in FROM documents GROUP BY lang
+        ), survived AS (
+            SELECT lang, count(*) AS n_docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM final_kept GROUP BY lang
+        )
+        SELECT t.lang, n_docs_in,
+               COALESCE(n_docs_kept, 0) AS n_docs_kept,
+               COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(n_docs_kept, 0) / n_docs_in AS keep_rate
+        FROM totals t LEFT JOIN survived s ON t.lang = s.lang
+        ORDER BY t.lang
+        """,
+        "capstone v2: quality -> language -> exact dedup -> near-dup cluster dedup (LSH pairs + transitive closure) -> yield",
+    ),
     "source_extraction": QuerySpec(
         _docs(
             lambda df: df.select(
@@ -1265,6 +1331,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "range_window_revenue",
     "fuzzy_nation_pairs",
     "stratified_sample_summary",
+    "curation_yield_neardup",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",

@@ -1,4 +1,4 @@
-"""Source connectors: text, csv, json, parquet.
+"""Source connectors: text, csv, json, parquet, orc.
 
 The reference supports exactly one source — whole UTF-8 text files read
 into memory (reference ``src/mr/worker.rs:88-99``). ``read_text`` is its
@@ -67,3 +67,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet source — the primary format: columnar, splittable, with
     predicate pushdown and column pruning reaching the scan."""
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar format with full pushdown/pruning
+    support in Spark's native reader; interchangeable with parquet for
+    every operator in this engine (the catalog is format-agnostic above
+    the reader)."""
+    return spark.read.orc(path)

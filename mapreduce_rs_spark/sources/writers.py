@@ -39,3 +39,13 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, *, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink — same partitioning semantics as the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -66,6 +66,23 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame, *, watermark: str = "2 hours", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until
+    the watermark passes it, so duplicate events arriving within the
+    watermark window are dropped while state stays O(keys in the
+    watermark horizon) — the streaming twin of the batch exact-dedup
+    operator (operators/dedup.py), and the standard front guard of an
+    event ingestion pipeline (at-least-once sources like Kafka replay
+    on rebalance; this makes the pipeline effectively-once per key).
+    Plain ``dropDuplicates`` on a stream would grow state forever."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_foreach_batch_upsert(
     spark: SparkSession, input_dir: str, target_dir: str, checkpoint_dir: str
 ) -> None:

@@ -1,0 +1,53 @@
+"""Curation capstone: quality → language → exact dedup → near-dup
+cluster dedup → yield accounting."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_rs_spark.operators.curation import (
+    curated_documents,
+    curation_yield,
+    curation_yield_neardup,
+)
+from mapreduce_rs_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_neardup_yield_never_exceeds_exact_yield(docs):
+    exact = {r["lang"]: r for r in curation_yield(docs).collect()}
+    near = {r["lang"]: r for r in curation_yield_neardup(docs).collect()}
+    assert set(exact) == set(near)
+    for lang in exact:
+        # The near-dup pass only removes further documents.
+        assert near[lang]["n_docs_kept"] <= exact[lang]["n_docs_kept"]
+        assert near[lang]["n_tokens_kept"] <= exact[lang]["n_tokens_kept"]
+        # Input accounting identical.
+        assert near[lang]["n_docs_in"] == exact[lang]["n_docs_in"]
+
+
+def test_neardup_collapses_planted_cluster(spark):
+    # Three near-identical docs (one-token edits, shared shingles) must
+    # collapse to ONE survivor; the unrelated doc survives alongside.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("today", "tonight"), "en"),
+        (3, base.replace("lazy", "sleepy"), "en"),
+        (50, "entirely different content about databases engines and columnar storage formats", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["lang"]: r for r in curation_yield_neardup(df).collect()}
+    assert got["en"]["n_docs_in"] == 4
+    assert got["en"]["n_docs_kept"] == 2  # min of the cluster (1) + doc 50
+
+
+def test_curated_documents_keep_text_flag(docs):
+    with_text = curated_documents(docs, keep_text=True)
+    without = curated_documents(docs)
+    assert "text" in with_text.columns and "text" not in without.columns
+    assert with_text.count() == without.count()

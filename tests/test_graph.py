@@ -78,6 +78,64 @@ def test_tfidf_hand_corpus(spark):
     assert math.isclose(top[3][1], 3 * math.log(3 / 2))
 
 
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent pure-Python oracle: classic union-find."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Normalize every node to its root, then to the min id in the set.
+    groups: dict[int, list[int]] = {}
+    for node in list(parent):
+        groups.setdefault(find(node), []).append(node)
+    return {n: min(members) for root, members in groups.items() for n in members}
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check against an independent union-find implementation
+    over several deterministic pseudo-random graphs (dense, sparse,
+    star, and multi-component shapes)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 20, 10), (2, 30, 45), (3, 50, 30), (4, 12, 60)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+                for _ in range(n_edges)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expected = _union_find_components(edges)
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+        assert got == expected, f"seed={seed}"
+
+
+def test_kmeans_fit_deterministic(spark, sf_dir):
+    from mapreduce_rs_spark.operators.similarity import EMBED_DIM, N_CENTROIDS, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = kmeans_fit(emb)
+    c2 = kmeans_fit(emb.repartition(7))  # partitioning must not matter
+    assert c1 == c2
+    assert len(c1) == N_CENTROIDS and all(len(c) == EMBED_DIM for c in c1)
+    # Spherical: unit-ish norms (rounded to 6 decimals per coordinate).
+    for c in c1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-3
+
+
 def test_simhash_near_pairs_exact_copies_distance_zero(spark):
     from mapreduce_rs_spark.operators.dedup import simhash_near_pairs
 

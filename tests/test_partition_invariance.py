@@ -1,0 +1,64 @@
+"""Partition-count invariance of float aggregates.
+
+The round-1 oracle failure was double-sum accumulation-order noise:
+results changed with partition count, which means a cluster resize or
+AQE re-plan changes the answer. The decimal-accumulation fix makes the
+money aggregates EXACT, so the same query must produce bit-identical
+floats under radically different parallelism. This is the property the
+100 TB deployment needs (answers must not depend on executor count),
+tested directly: same query, shuffle.partitions swept, outputs compared
+bitwise.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mapreduce_rs_spark.operators import relational
+from mapreduce_rs_spark.sources.catalog import load_tables
+
+
+def _bits(df) -> list[tuple]:
+    rows = []
+    for r in df.collect():
+        rows.append(
+            tuple(
+                struct.pack("<d", v).hex() if isinstance(v, float) else v
+                for v in r
+            )
+        )
+    return sorted(rows)
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        relational.agg_order_priorities,
+        relational.q1_pricing_summary,
+        relational.having_active_customers,
+        relational.window_running_revenue,
+    ],
+)
+def test_money_aggregates_partition_invariant(spark, sf_dir, query):
+    tables = load_tables(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        low = _bits(query(tables))
+        spark.conf.set("spark.sql.shuffle.partitions", "31")  # prime, forces different splits
+        high = _bits(query(tables))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high
+
+
+def test_repartitioned_input_same_bits(spark, sf_dir):
+    # Same invariance under INPUT repartitioning (different map-side
+    # partial-aggregation groupings), not just shuffle fan-out.
+    tables = load_tables(spark, sf_dir)
+    base = _bits(relational.agg_order_priorities(tables))
+    tables_re = dict(tables)
+    tables_re["orders"] = tables["orders"].repartition(17)
+    assert _bits(relational.agg_order_priorities(tables_re)) == base

@@ -1,4 +1,4 @@
-"""Source/sink round-trips: text, csv, json, parquet."""
+"""Source/sink round-trips: text, csv, json, parquet, orc."""
 
 from __future__ import annotations
 
@@ -9,8 +9,10 @@ from mapreduce_rs_spark.operators.text_analysis import word_count
 from mapreduce_rs_spark.sources import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_text,
+    write_orc,
     write_parquet,
     write_sorted_text,
 )
@@ -67,6 +69,19 @@ def test_parquet_partitioned_sink_prunes(spark, tmp_path):
     # lang=en directory, not filter after reading both.
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(i, f"name_{i}", float(i) * 1.5) for i in range(20)], ["id", "name", "score"]
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(src, path, partition_by=["id"])
+    back = read_orc(spark, path).where(F.col("id") == 7).select("name")
+    rows = back.collect()
+    assert [r["name"] for r in rows] == ["name_7"]
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning reaches the ORC scan too
 
 
 def test_sorted_text_sink(spark, tmp_path):

@@ -71,6 +71,34 @@ def test_foreach_batch_upsert_matches_batch(spark, sf_dir, tmp_path):
     assert got2 == expected
 
 
+def test_streaming_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed batch (at-least-once
+    source behavior) must not produce duplicate rows downstream, while
+    state stays bounded by the watermark."""
+    from mapreduce_rs_spark.streaming.pipeline import EVENT_SCHEMA, streaming_dedup
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events").limit(200)
+    # Write the same events TWICE (simulated source replay).
+    events.write.parquet(inp)
+    events.write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+    (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(outp)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
 def test_late_data_beyond_watermark_is_dropped(spark, sf_dir, tmp_path):
     """The late-data contract: rows older than max(event_time) -
     watermark arriving in a later batch must NOT resurrect or duplicate
