@@ -232,9 +232,15 @@ def jaccard_pairs(
     The df table is token-dictionary-sized (not corpus-sized), so the
     extra aggregate + semi-join are cheap at any scale.
     """
+    # Materialize the exploded distinct-token stream ONCE: it feeds the
+    # df aggregate, the semi-join, both pair-join sides and the sizes
+    # aggregate — without this Catalyst re-tokenizes the corpus per use
+    # (the round-1 minhash double-compute disease, ~12 scans). A real
+    # pipeline persists this token table to parquet; localCheckpoint is
+    # the in-session equivalent.
     toks_all = ensure_parallelism(df.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("word")
-    )
+    ).localCheckpoint()
     lang_totals = df.groupBy("lang").agg(F.count("*").alias("n_docs_lang"))
     word_df = toks_all.groupBy("lang", "word").agg(F.count("*").alias("df"))
     rare = (
@@ -242,7 +248,7 @@ def jaccard_pairs(
         .where(F.col("df") <= max_df_frac * F.col("n_docs_lang"))
         .select("lang", "word")
     )
-    toks = toks_all.join(rare, ["lang", "word"], "left_semi")
+    toks = toks_all.join(rare, ["lang", "word"], "left_semi").localCheckpoint()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     pairs = (
         toks.alias("a")

@@ -253,6 +253,38 @@ def out_of_order_stats(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def equi_depth_histogram(t: dict[str, DataFrame], buckets: int = 10) -> DataFrame:
+    """Equi-DEPTH histogram (equal row counts per bucket, data-driven
+    bounds): cutpoints from exact interior percentiles, then a narrow
+    per-row bucket assignment (count of cutpoints below the value) —
+    never a global ntile window, which would force a single-partition
+    total sort. The percentile aggregate is the only heavy op; at
+    100 TB you'd swap it for ``percentile_approx`` (mergeable t-digest)
+    with no change to the bucketing stage. Exact kept here so the
+    DuckDB oracle agrees bit-for-bit."""
+    ev = t["events"]
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts = ev.agg(
+        F.percentile("value", F.array(*[F.lit(x) for x in fracs])).alias("cuts")
+    )
+    bucket = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select("value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def value_histogram(t: dict[str, DataFrame]) -> DataFrame:
     """Fixed-width histogram of event values (bucket = floor(v/50)*50)
     — the one-pass distributed histogram pattern (bucket arithmetic +

@@ -147,11 +147,13 @@ def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
     determinism. ln differs from DuckDB's by at most 1 ulp (~1e-16),
     far inside hash tolerance — unlike SUM accumulation order, this is
     a per-value rounding, not a data-volume-dependent drift."""
+    # Materialized once: counts feeds both the df aggregate and the
+    # scored join — otherwise the corpus tokenizes twice.
     counts = (
         explode_tokens(df, "text", "doc_id")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
-    )
+    ).localCheckpoint()
     dfs = counts.groupBy("word").agg(F.count("*").alias("df_docs"))
     total = df.groupBy().agg(F.count("*").alias("n_docs"))
     scored = (

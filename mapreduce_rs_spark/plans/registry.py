@@ -1161,6 +1161,22 @@ QUERIES: dict[str, QuerySpec] = {
         FROM flagged GROUP BY user_id ORDER BY user_id
         """,
     ),
+    "equi_depth_histogram": QuerySpec(
+        _tables(events.equi_depth_histogram),
+        f"""
+        WITH cuts AS (
+            SELECT quantile_cont(value, [{", ".join(str(i / 10) for i in range(1, 10))}]) AS cs
+            FROM events
+        )
+        SELECT CAST(len(list_filter(cs, c -> value > c)) AS INTEGER) AS bucket,
+               count(*) AS n_events,
+               min(value) AS lo,
+               max(value) AS hi
+        FROM events, cuts
+        GROUP BY 1 ORDER BY bucket
+        """,
+        "equal-count buckets from percentile cutpoints (no global ntile sort)",
+    ),
     "value_histogram": QuerySpec(
         _tables(events.value_histogram),
         """
@@ -1332,6 +1348,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "fuzzy_nation_pairs",
     "stratified_sample_summary",
     "curation_yield_neardup",
+    "equi_depth_histogram",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",

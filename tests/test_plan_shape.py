@@ -80,6 +80,26 @@ def test_ngrams_has_no_join(spark, sf_dir):
         assert plan.count("Exchange") == 1, f"n={n}: expected only the groupBy shuffle"
 
 
+def test_jaccard_tokenizes_corpus_once(spark, sf_dir):
+    # The distinct-token stream feeds 4+ plan positions (df aggregate,
+    # semi-join, both pair sides, sizes); it must be materialized once —
+    # the final plan may contain NO parquet scan (round-2 pre-fix: 12).
+    from mapreduce_rs_spark.operators.dedup import jaccard_pairs
+
+    plan = _plan(jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5))
+    assert "Scan parquet" not in plan and "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    from mapreduce_rs_spark.operators.text_analysis import tfidf_top_terms
+
+    plan = _plan(tfidf_top_terms(load_table(spark, sf_dir, "documents"), 3))
+    # counts materialized once; the only parquet scan left is the 1-row
+    # corpus-size aggregate.
+    assert plan.count("FileScan parquet") <= 1
+
+
 def test_minhash_lsh_pairs_single_signature_subtree(spark, sf_dir):
     # The banded self-join must join against the MATERIALIZED signature
     # table (localCheckpoint), not re-derive shingles+hashes per side:
