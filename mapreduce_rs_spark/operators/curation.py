@@ -93,7 +93,14 @@ def curation_yield_neardup(df: DataFrame) -> DataFrame:
     survivors, boilerplate variants) transitively — A~B, B~C collapses
     {A,B,C} even when A,C never co-band. Every stage is the
     already-oracle-checked operator; the oracle replicates the whole
-    composition including the transitive closure (recursive CTE)."""
+    composition including the transitive closure (recursive CTE).
+
+    NOTE: unlike the registry's other (lazy) queries, calling this
+    EXECUTES the pipeline — the connected-components iteration must run
+    jobs to detect convergence, and the survivor set is materialized
+    (localCheckpoint). The returned DataFrame is the final yield report
+    over that frozen result, which is the semantics an iterative
+    algorithm has to have."""
     from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
     from mapreduce_rs_spark.operators.graph import connected_components
 

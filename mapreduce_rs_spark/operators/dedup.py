@@ -179,8 +179,16 @@ def simhash_near_pairs(
     Charikar/Manku-Jain-Sarma dedup shape: at 100 TB the join carries
     (doc_id, 4-bit band value) rows and the hot keys are bounded by
     signature balance, never by corpus size."""
-    sigs = simhash_signatures(df).localCheckpoint()  # materialize once
     n_bands = SIMHASH_BITS // band_bits
+    if max_hamming >= n_bands:
+        # The pigeonhole guarantee (d < #bands ⇒ some band matches)
+        # would silently not hold: a pair at distance == n_bands can
+        # put one differing bit in every band and never co-band.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs < {n_bands} (= {SIMHASH_BITS}/{band_bits} bands) "
+            "for exhaustive candidate generation; use smaller band_bits for larger distances"
+        )
+    sigs = simhash_signatures(df).localCheckpoint()  # materialize once
     mask = (1 << band_bits) - 1
     bands = [
         F.struct(

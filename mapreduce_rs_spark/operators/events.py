@@ -264,8 +264,17 @@ def equi_depth_histogram(t: dict[str, DataFrame], buckets: int = 10) -> DataFram
     DuckDB oracle agrees bit-for-bit."""
     ev = t["events"]
     fracs = [i / buckets for i in range(1, buckets)]
+    # Cutpoints are rounded to 6 decimals BEFORE the comparison: the two
+    # engines compute the interpolated percentile with different
+    # arithmetic shapes, and when a cutpoint lands mathematically ON a
+    # 2-decimal data value a 1-ulp divergence would flip that value's
+    # bucket (integer counts change — not float-tolerance noise).
+    # Rounding snaps both engines to the same double.
     cuts = ev.agg(
-        F.percentile("value", F.array(*[F.lit(x) for x in fracs])).alias("cuts")
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(x) for x in fracs])),
+            lambda c: F.round(c, 6),
+        ).alias("cuts")
     )
     bucket = F.aggregate(
         F.col("cuts"),

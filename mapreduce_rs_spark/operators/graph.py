@@ -44,6 +44,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Returns (doc_id, component) for every node that appears in an edge.
     """
+    converged = False
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select(F.col("doc_b").alias("doc_id")))
@@ -81,7 +82,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent wrong answers are worse than loud failures: unconverged
+        # labels under-merge clusters. Raise rather than return them —
+        # callers with genuinely long-diameter graphs raise max_iter (or
+        # switch to large-star/small-star, which converges in O(log n)).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "increase max_iter for long-chain graphs"
+        )
     return labels
 
 

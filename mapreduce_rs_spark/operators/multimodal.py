@@ -165,6 +165,8 @@ def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
                 w = len(data) % 16 + 1
                 h = len(data) % 12 + 1
                 pixels = (data * (w * h // max(len(data), 1) + 1))[: w * h]
+                if len(pixels) < w * h:  # empty/short text: zero-pad
+                    pixels = pixels + b"\x00" * (w * h - len(pixels))
                 out["doc_id"].append(doc_id)
                 out["payload"].append(encode_png(w, h, bytes(pixels), 1))
                 out["width"].append(w)

@@ -213,18 +213,28 @@ def centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
     return _init_centroids(n, dim)
 
 
+def _centroid_scores(emb: F.Column, cents: list[list[float]]) -> F.Column:
+    """Array of (score, cid) structs, one per centroid — the single
+    construction site shared by single-probe argmax assignment and
+    multiprobe top-n selection, so tie-break encoding can never
+    desynchronize between the two."""
+    return F.array(
+        *[
+            F.struct(
+                dot(emb, F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
 def _nearest_centroid_expr(emb: F.Column, cents: list[list[float]]) -> F.Column:
-    """Argmax-by-dot-product centroid id via greatest() over
-    (score, id) structs — ties resolve to the higher id, mirrored in
-    the oracle's ORDER BY score DESC, cid DESC."""
-    scored = [
-        F.struct(
-            dot(emb, F.array(*[F.lit(x) for x in c])).alias("score"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    return F.greatest(*scored).getField("cid")
+    """Argmax-by-dot-product centroid id: array_max over (score, id)
+    structs — ties resolve to the higher id (struct ordering compares
+    score first, then cid), mirrored in the oracle's ORDER BY score
+    DESC, cid DESC."""
+    return F.array_max(_centroid_scores(emb, cents)).getField("cid")
 
 
 def ivf_assign(df: DataFrame, cents: list[list[float]] | None = None) -> DataFrame:
@@ -274,19 +284,6 @@ def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
         .orderBy("q_id", "rnk")
-    )
-
-
-def _centroid_scores(emb: F.Column, cents: list[list[float]]) -> F.Column:
-    """Array of (score, cid) structs, one per centroid."""
-    return F.array(
-        *[
-            F.struct(
-                dot(emb, F.array(*[F.lit(x) for x in c])).alias("score"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ]
     )
 
 

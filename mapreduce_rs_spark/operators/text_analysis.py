@@ -145,8 +145,14 @@ def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
 
     idf uses the raw ln(N/df) form; ties broken by word for
     determinism. ln differs from DuckDB's by at most 1 ulp (~1e-16),
-    far inside hash tolerance — unlike SUM accumulation order, this is
-    a per-value rounding, not a data-volume-dependent drift."""
+    far inside hash tolerance for the VALUE — but the RANK compares
+    scores across terms, and two mathematically-equal scores (e.g.
+    tf=4,N/df=2 vs tf=2,N/df=4: 4·ln2 == 2·ln4) can come out
+    float-distinct in opposite orders per engine. The rank therefore
+    orders by the score rounded to 9 decimals (snapping
+    mathematically-equal scores to an exact tie in both engines, then
+    the word tie-break decides identically); the emitted tfidf column
+    stays unrounded."""
     # Materialized once: counts feeds both the df aggregate and the
     # scored join — otherwise the corpus tokenizes twice.
     counts = (
@@ -167,7 +173,9 @@ def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs"))).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("word")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)

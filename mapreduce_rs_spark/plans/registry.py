@@ -248,6 +248,30 @@ def _jaccard_sql(
         """
 
 
+def _simhash_pairs_sql(
+    max_hamming: int = 3, band_bits: int = dedup.SIMHASH_BAND_BITS
+) -> str:
+    """Oracle twin of dedup.simhash_near_pairs — band list and distance
+    threshold derived from the parameters (lockstep convention)."""
+    n_bands = dedup.SIMHASH_BITS // band_bits
+    band_values = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+        WITH sigs AS (
+            {_simhash_sql()}
+        ), banded AS (
+            SELECT doc_id, simhash, band,
+                   (simhash >> (band * {band_bits})) & {(1 << band_bits) - 1} AS band_val
+            FROM sigs, (VALUES {band_values}) b(band)
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+        """
+
+
 def _cosine_sql(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / "
@@ -827,21 +851,7 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- similarity search ----
     "simhash_near_pairs": QuerySpec(
         _docs(dedup.simhash_near_pairs),
-        f"""
-        WITH sigs AS (
-            {_simhash_sql()}
-        ), banded AS (
-            SELECT doc_id, simhash, band,
-                   (simhash >> (band * {dedup.SIMHASH_BAND_BITS})) & {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS band_val
-            FROM sigs, (VALUES (0), (1), (2), (3)) b(band)
-        )
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
-               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
-        FROM banded l JOIN banded r
-          ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id
-        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
-        ORDER BY doc_a, doc_b
-        """,
+        _simhash_pairs_sql(),
         "banded Hamming-distance near-dup (pigeonhole: distance<4 pairs must share a 4-bit band)",
     ),
     "dedup_components": QuerySpec(
@@ -876,7 +886,7 @@ QUERIES: dict[str, QuerySpec] = {
                    tf * ln(n_docs / df_docs) AS tfidf
             FROM counts c JOIN dfs USING (word) CROSS JOIN total
         ), ranked AS (
-            SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS rnk
+            SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY round(tfidf, 9) DESC, word) AS INTEGER) AS rnk
             FROM scored
         )
         SELECT doc_id, word, tf, df_docs, tfidf, rnk
@@ -1165,7 +1175,9 @@ QUERIES: dict[str, QuerySpec] = {
         _tables(events.equi_depth_histogram),
         f"""
         WITH cuts AS (
-            SELECT quantile_cont(value, [{", ".join(str(i / 10) for i in range(1, 10))}]) AS cs
+            SELECT list_transform(
+                quantile_cont(value, [{", ".join(str(i / 10) for i in range(1, 10))}]),
+                c -> round(c, 6)) AS cs
             FROM events
         )
         SELECT CAST(len(list_filter(cs, c -> value > c)) AS INTEGER) AS bucket,

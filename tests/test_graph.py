@@ -20,6 +20,25 @@ def test_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_components_raise_when_iteration_budget_too_small(spark):
+    # Unconverged labels under-merge clusters; the operator must fail
+    # loudly, never return a partial fixpoint.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_simhash_near_pairs_rejects_unsound_distance(spark, sf_dir):
+    # max_hamming >= n_bands breaks the pigeonhole guarantee: a pair at
+    # that distance can avoid sharing any band — must raise, not
+    # silently return an incomplete pair set.
+    from mapreduce_rs_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(docs, max_hamming=4)
+
+
 def test_components_converge_on_long_chain(spark):
     # Path graph of 12 nodes: worst-case diameter for min-propagation;
     # must still converge inside the iteration budget.

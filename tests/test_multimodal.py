@@ -149,6 +149,16 @@ def test_png_rejects_garbage():
         decode_png(b"not a png at all")
 
 
+def test_png_payload_survives_empty_text(spark):
+    # Empty documents must produce a valid (zero-padded) 1x1 PNG, not
+    # crash the encode stage.
+    df = spark.createDataFrame([(1, "", "en"), (2, "some text", "en")], ["doc_id", "text", "lang"])
+    feats = {r["doc_id"]: r for r in extract_features(attach_png_payload(df)).collect()}
+    assert feats[1]["width"] == 1 and feats[1]["height"] == 1
+    assert feats[1]["mean_intensity"] == 0.0  # zero-padded pixel
+    assert feats[2]["mean_intensity"] > 0
+
+
 def test_extract_features_decodes_real_pngs(docs):
     feats = {
         r["doc_id"]: r

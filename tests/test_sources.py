@@ -71,6 +71,21 @@ def test_parquet_partitioned_sink_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # Schema evolution: a later batch adds a column; mergeSchema unions
+    # the schemas and back-fills NULL — the contract a long-lived 100 TB
+    # dataset depends on when producers upgrade.
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(back.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     src = spark.createDataFrame(
         [(i, f"name_{i}", float(i) * 1.5) for i in range(20)], ["id", "name", "score"]
