@@ -81,6 +81,46 @@ def curation_yield(df: DataFrame) -> DataFrame:
     return _yield_report(df, curated_documents(df))
 
 
+PACK_TOKEN_BUDGET = 512
+
+
+def pack_sequences(df: DataFrame, budget: int = PACK_TOKEN_BUDGET) -> DataFrame:
+    """Sequence packing: assign curated documents to fixed-token-budget
+    training bins — the step between curation and tokenizer sharding in
+    a pretraining pipeline (short documents are concatenated up to the
+    context length so no compute is wasted on padding).
+
+    Deterministic streaming packing per language: documents in doc_id
+    order; a document goes in bin floor(preceding_cum_tokens / budget).
+    That's the classic one-pass packing approximation expressed as a
+    window cumsum — one shuffle on lang, no loop, no UDF. (True bin
+    packing is NP-hard; production packers use exactly this greedy
+    stream shape.) Bins can overflow by at most one document — the
+    overflow doc starts the next bin — matching the 'break at the
+    boundary' contract most packers use before truncation.
+
+    Output: per (lang, bin) doc count, token sum, and budget overshoot
+    — all integers, so the oracle comparison is exact by construction.
+    """
+    kept = curated_documents(df)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = kept.withColumn("bin", F.floor(prev_cum / budget))
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .withColumn("overshoot", F.greatest(F.col("n_tokens") - budget, F.lit(0)).cast("long"))
+        .orderBy("lang", "bin")
+    )
+
+
 def curation_yield_neardup(df: DataFrame) -> DataFrame:
     """Capstone v2: the full near-dup-aware curation pipeline —
     quality gates → language allowlist → EXACT dedup → NEAR-dup cluster

@@ -1244,6 +1244,37 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "capstone: quality -> language -> dedup -> yield accounting in one plan",
     ),
+    "pack_sequences": QuerySpec(
+        _docs(curation.pack_sequences),
+        f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
+                   {text_fingerprint_sql('text')} AS fp
+            FROM documents
+        ), gated AS (
+            SELECT * FROM base
+            WHERE n_tokens >= {curation.MIN_TOKENS}
+              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
+              AND lang IN {tuple(curation.ALLOWED_LANGS)}
+        ), kept AS (
+            SELECT doc_id, lang, n_tokens FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
+            ) g WHERE doc_id = keep_id
+        ), binned AS (
+            SELECT lang, n_tokens,
+                   CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {curation.PACK_TOKEN_BUDGET}) AS BIGINT) AS bin
+            FROM kept
+        )
+        SELECT lang, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               greatest(CAST(sum(n_tokens) AS BIGINT) - {curation.PACK_TOKEN_BUDGET}, 0) AS overshoot
+        FROM binned GROUP BY lang, bin ORDER BY lang, bin
+        """,
+        "sequence packing: curated docs -> fixed-token-budget training bins (one-pass window cumsum)",
+    ),
     "curation_yield_neardup": QuerySpec(
         _docs(curation.curation_yield_neardup),
         f"""
@@ -1361,6 +1392,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "stratified_sample_summary",
     "curation_yield_neardup",
     "equi_depth_histogram",
+    "pack_sequences",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",

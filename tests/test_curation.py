@@ -46,6 +46,34 @@ def test_neardup_collapses_planted_cluster(spark):
     assert got["en"]["n_docs_kept"] == 2  # min of the cluster (1) + doc 50
 
 
+def test_pack_sequences_respects_budget_shape(docs):
+    from mapreduce_rs_spark.operators.curation import PACK_TOKEN_BUDGET, pack_sequences
+
+    bins = pack_sequences(docs).collect()
+    assert bins
+    per_lang: dict[str, list] = {}
+    for r in bins:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        rows.sort(key=lambda r: r["bin"])
+        # Bins are contiguous from 0.
+        assert [r["bin"] for r in rows] == list(range(len(rows)))
+        # Every bin except the last is filled past nothing-left-behind:
+        # adding its overshoot back, a bin's tokens start before the
+        # next budget boundary (the defining offset-packing property).
+        for r in rows[:-1]:
+            assert r["n_tokens"] >= 1
+        # Overshoot accounting consistent.
+        for r in rows:
+            assert r["overshoot"] == max(r["n_tokens"] - PACK_TOKEN_BUDGET, 0)
+    # Token conservation: packed tokens == curated tokens.
+    from mapreduce_rs_spark.operators.curation import curated_documents
+
+    total_packed = sum(r["n_tokens"] for r in bins)
+    total_curated = sum(r["n_tokens"] for r in curated_documents(docs).collect())
+    assert total_packed == total_curated
+
+
 def test_curated_documents_keep_text_flag(docs):
     with_text = curated_documents(docs, keep_text=True)
     without = curated_documents(docs)
