@@ -83,6 +83,38 @@ def streaming_dedup(
     )
 
 
+def streaming_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM inner join with event-time bounds: each purchase
+    joined to the same user's clicks from the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance — the two requirements that let the engine
+    EXPIRE join state (a click older than purchase-watermark − 1h can
+    never match again and is dropped from the state store). Without the
+    time bound, stream-stream join state grows forever. This is the
+    attribution-join shape (ad click → conversion) at its streaming
+    core; the batch as-of variant is operators/events.py's
+    ``asof_last_click_before_purchase``.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"), "value"
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value")
+
+
 def run_foreach_batch_upsert(
     spark: SparkSession, input_dir: str, target_dir: str, checkpoint_dir: str
 ) -> None:

@@ -71,6 +71,57 @@ def test_foreach_batch_upsert_matches_batch(spark, sf_dir, tmp_path):
     assert got2 == expected
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with watermarks + event-time bounds must
+    emit exactly the batch interval-join result when the source drains
+    in one availableNow pass (no cross-batch watermark races)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mapreduce_rs_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        streaming_click_purchase_join,
+    )
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(inp)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+    joined = streaming_click_purchase_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(outp).collect()
+    }
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase")
+    expected = {
+        (r["event_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") <= F.col("ts"))
+            & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_streaming_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark: a replayed batch (at-least-once
     source behavior) must not produce duplicate rows downstream, while
