@@ -52,16 +52,39 @@ def dedup_exact(df: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
-    """MinHash signature per document: for each seed i, the min h32 over
-    the doc's shingles. One explode + one groupBy; the aggregate emits k
-    columns mh0..mh{k-1} so downstream banding is column arithmetic."""
-    # The k·|shingles| md5 evaluations are the cost; spread a
-    # single-split scan across cores before the narrow hash stage
-    # (no-op when the input already has enough splits).
+    """MinHash signature per document: for each hash function i, the min
+    over the doc's shingles. One explode + one groupBy; the aggregate
+    emits k columns mh0..mh{k-1} so downstream banding is column
+    arithmetic.
+
+    Hash family: four 32-bit lanes per md5 digest (h32_lane semantics),
+    so k=8 functions cost ceil(8/4)=2 md5 evaluations per shingle
+    instead of 8 — md5 dominates the signature stage. The digests are
+    PROJECTED once per shingle before the aggregate (relying on
+    codegen subexpression elimination across the k min-buffers left
+    ~25% on the table): 7.7s → 4.2s on the 50k replica corpus
+    (SCALE.md). Values are bit-identical to h32_lane, so the oracle
+    fragments (h32_lane_sql) are unchanged."""
+    n_digests = (k + 3) // 4
+    # The md5-per-shingle work is the cost; spread a single-split scan
+    # across cores before the narrow hash stage (no-op when the input
+    # already has enough splits).
     spread = ensure_parallelism(df.select("doc_id", "text"), "doc_id")
     shingled = spread.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    aggs = [F.min(h32("shingle", seed=i)).alias(f"mh{i}") for i in range(k)]
-    return shingled.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    digests = shingled.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("shingle"))).alias(f"d{g}")
+            for g in range(n_digests)
+        ],
+    )
+    aggs = [
+        F.min(
+            F.conv(F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10).cast("long")
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return digests.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 def minhash_lsh_pairs(

@@ -29,7 +29,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.hashing import h32_sql, h64_sql, text_fingerprint_sql
+from mapreduce_rs_spark.functions.hashing import (
+    h32_lane_sql,
+    h32_sql,
+    h64_sql,
+    text_fingerprint_sql,
+)
 from mapreduce_rs_spark.operators import curation, dedup, events, graph, multimodal, relational, similarity
 from mapreduce_rs_spark.operators import text_analysis as ta
 from mapreduce_rs_spark.operators import sampling
@@ -137,12 +142,18 @@ def _shingles_sql(n: int = dedup.SHINGLE_N, source: str = "documents") -> str:
     return f"\nWITH {_shingles_ctes(n, source)}\n"
 
 
-def _minhash_sql(k: int = dedup.MINHASH_SEEDS) -> str:
-    mins = ",\n       ".join(
-        f"min({h32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k)
+def _minhash_mins(k: int) -> str:
+    """The k min-hash aggregate expressions — lane-packed md5 family,
+    twin of dedup.minhash_signatures' h32_lane(i % 4, i // 4)."""
+    return ",\n       ".join(
+        f"min({h32_lane_sql('shingle', lane=i % 4, seed_group=i // 4)}) AS mh{i}"
+        for i in range(k)
     )
+
+
+def _minhash_sql(k: int = dedup.MINHASH_SEEDS) -> str:
     return f"""{_shingles_sql()}
-SELECT doc_id, {mins}
+SELECT doc_id, {_minhash_mins(k)}
 FROM shingles GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -165,9 +176,8 @@ def _minhash_pairs_ctes(
         )
         for b in range(k // band_size)
     )
-    mins = ",\n       ".join(f"min({h32_sql('shingle', seed=i)}) AS mh{i}" for i in range(k))
     return f"""{_shingles_ctes(source=source)}, sigs AS (
-    SELECT doc_id, {mins}
+    SELECT doc_id, {_minhash_mins(k)}
     FROM shingles GROUP BY doc_id
 ), banded AS (
     {band_rows}

@@ -51,3 +51,29 @@ def test_sketches_are_mergeable_across_partitions(orders):
     a = orders.repartition(1).select(F.approx_count_distinct("o_custkey").alias("d")).collect()[0]["d"]
     b = orders.repartition(13).select(F.approx_count_distinct("o_custkey").alias("d")).collect()[0]["d"]
     assert a == b
+
+
+def test_minhash_digest_projection_equals_h32_lane(spark, sf_dir):
+    """minhash_signatures projects the md5 digests once per shingle for
+    speed; values must stay bit-identical to the canonical h32_lane
+    family the oracle SQL mirrors (h32_lane_sql). If this drifts, the
+    oracle silently tests a different hash family."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.functions.hashing import h32_lane
+    from mapreduce_rs_spark.operators.dedup import _shingles, minhash_signatures
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    lane = (
+        shingled.groupBy("doc_id")
+        .agg(*[
+            F.min(h32_lane("shingle", lane=i % 4, seed_group=i // 4)).alias(f"mh{i}")
+            for i in range(8)
+        ])
+        .orderBy("doc_id")
+        .collect()
+    )
+    fast = minhash_signatures(docs).collect()
+    assert [tuple(r) for r in lane] == [tuple(r) for r in fast]
