@@ -32,6 +32,17 @@ def h32(col: Column | str, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(inp), 1, 8), 16, 10).cast("long")
 
 
+def h32_lane_from_digest(digest: Column | str, lane: int) -> Column:
+    """Extract lane ``lane`` (0-3) of an md5 HEX DIGEST column as an
+    unsigned-32-bit integer. The single definition of the lane scheme —
+    both ``h32_lane`` and callers that project the digest once (e.g.
+    minhash_signatures) go through here, so the scheme cannot drift
+    between the one-shot and per-expression forms."""
+    if not 0 <= lane <= 3:
+        raise ValueError("lane must be 0..3 (md5 has 32 hex digits)")
+    return F.conv(F.substring(_col(digest), lane * 8 + 1, 8), 16, 10).cast("long")
+
+
 def h32_lane(col: Column | str, lane: int, seed_group: int | None = None) -> Column:
     """One of FOUR independent 32-bit hashes from a single md5: the
     128-bit digest is split into 8-hex-digit lanes (0-3). A k-value
@@ -39,12 +50,10 @@ def h32_lane(col: Column | str, lane: int, seed_group: int | None = None) -> Col
     instead of k — md5 is the dominant cost of the signature stage, so
     this is a ~4x cut of the hottest narrow stage. ``seed_group``
     prefixes the input to extend the family beyond 4 functions."""
-    if not 0 <= lane <= 3:
-        raise ValueError("lane must be 0..3 (md5 has 32 hex digits)")
     inp = _col(col)
     if seed_group is not None:
         inp = F.concat(F.lit(f"{seed_group}|"), inp)
-    return F.conv(F.substring(F.md5(inp), lane * 8 + 1, 8), 16, 10).cast("long")
+    return h32_lane_from_digest(F.md5(inp), lane)
 
 
 def h64(col: Column | str, seed: int | None = None) -> Column:

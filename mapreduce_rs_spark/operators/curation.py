@@ -95,9 +95,11 @@ def pack_sequences(df: DataFrame, budget: int = PACK_TOKEN_BUDGET) -> DataFrame:
     That's the classic one-pass packing approximation expressed as a
     window cumsum — one shuffle on lang, no loop, no UDF. (True bin
     packing is NP-hard; production packers use exactly this greedy
-    stream shape.) Bins can overflow by at most one document — the
-    overflow doc starts the next bin — matching the 'break at the
-    boundary' contract most packers use before truncation.
+    stream shape.) A document that crosses a budget boundary stays in
+    (and overflows) the bin where it STARTED — the ``overshoot`` column
+    reports by how much — and the following document opens the next
+    bin. A single document longer than several budgets occupies one bin
+    and the bin numbering jumps past the boundaries it spanned.
 
     Output: per (lang, bin) doc count, token sum, and budget overshoot
     — all integers, so the oracle comparison is exact by construction.

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.hashing import h32, h64, text_fingerprint
+from mapreduce_rs_spark.functions.hashing import (
+    h32,
+    h32_lane_from_digest,
+    h64,
+    text_fingerprint,
+)
 from mapreduce_rs_spark.functions.text import token_ngrams, tokens
 from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
@@ -79,9 +84,7 @@ def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
         ],
     )
     aggs = [
-        F.min(
-            F.conv(F.substring(F.col(f"d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10).cast("long")
-        ).alias(f"mh{i}")
+        F.min(h32_lane_from_digest(f"d{i // 4}", i % 4)).alias(f"mh{i}")
         for i in range(k)
     ]
     return digests.groupBy("doc_id").agg(*aggs).orderBy("doc_id")

@@ -87,6 +87,33 @@ def _stable_avg(expr: str) -> str:
 DISC_PRICE_DEC = f"{_money('l_extendedprice')} * ({ONE_RATE} - {_rate('l_discount')})"
 CHARGE_DEC = f"{DISC_PRICE_DEC} * ({ONE_RATE} + {_rate('l_tax')})"
 
+
+def _curation_kept_ctes() -> str:
+    """base→gated→kept CTE chain (no leading WITH): the quality →
+    language → exact-dedup gates of operators/curation.curated_documents.
+    THE single oracle-side definition of the curation gates — shared by
+    curation_yield, curation_yield_neardup and pack_sequences so a gate
+    change can't silently desynchronize one of the three. ``kept``
+    carries (doc_id, lang, n_tokens, text)."""
+    from mapreduce_rs_spark.operators import curation
+
+    return f"""base AS (
+            SELECT doc_id, lang, text,
+                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
+                   {text_fingerprint_sql('text')} AS fp
+            FROM documents
+        ), gated AS (
+            SELECT * FROM base
+            WHERE n_tokens >= {curation.MIN_TOKENS}
+              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
+              AND lang IN {tuple(curation.ALLOWED_LANGS)}
+        ), kept AS (
+            SELECT doc_id, lang, n_tokens, text FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
+            ) g WHERE doc_id = keep_id
+        )"""
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -1223,22 +1250,7 @@ QUERIES: dict[str, QuerySpec] = {
     "curation_yield": QuerySpec(
         _docs(curation.curation_yield),
         f"""
-        WITH base AS (
-            SELECT doc_id, lang,
-                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
-                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
-                   {text_fingerprint_sql('text')} AS fp
-            FROM documents
-        ), gated AS (
-            SELECT * FROM base
-            WHERE n_tokens >= {curation.MIN_TOKENS}
-              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
-              AND lang IN {tuple(curation.ALLOWED_LANGS)}
-        ), kept AS (
-            SELECT doc_id, lang, n_tokens FROM (
-                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
-            ) g WHERE doc_id = keep_id
-        ), totals AS (
+        WITH {_curation_kept_ctes()}, totals AS (
             SELECT lang, count(*) AS n_docs_in FROM documents GROUP BY lang
         ), survived AS (
             SELECT lang, count(*) AS n_docs_kept,
@@ -1257,22 +1269,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_sequences": QuerySpec(
         _docs(curation.pack_sequences),
         f"""
-        WITH base AS (
-            SELECT doc_id, lang,
-                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
-                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
-                   {text_fingerprint_sql('text')} AS fp
-            FROM documents
-        ), gated AS (
-            SELECT * FROM base
-            WHERE n_tokens >= {curation.MIN_TOKENS}
-              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
-              AND lang IN {tuple(curation.ALLOWED_LANGS)}
-        ), kept AS (
-            SELECT doc_id, lang, n_tokens FROM (
-                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
-            ) g WHERE doc_id = keep_id
-        ), binned AS (
+        WITH {_curation_kept_ctes()}, binned AS (
             SELECT lang, n_tokens,
                    CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {curation.PACK_TOKEN_BUDGET}) AS BIGINT) AS bin
@@ -1288,22 +1285,7 @@ QUERIES: dict[str, QuerySpec] = {
     "curation_yield_neardup": QuerySpec(
         _docs(curation.curation_yield_neardup),
         f"""
-        WITH RECURSIVE base AS (
-            SELECT doc_id, lang, text,
-                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
-                   length(regexp_replace(text, '[^\\w]', '', 'g')) / length(text) AS alpha_ratio,
-                   {text_fingerprint_sql('text')} AS fp
-            FROM documents
-        ), gated AS (
-            SELECT * FROM base
-            WHERE n_tokens >= {curation.MIN_TOKENS}
-              AND alpha_ratio >= {curation.MIN_ALPHA_RATIO}
-              AND lang IN {tuple(curation.ALLOWED_LANGS)}
-        ), exact_kept AS (
-            SELECT doc_id, lang, n_tokens, text FROM (
-                SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated
-            ) g WHERE doc_id = keep_id
-        ), {_minhash_pairs_ctes(source="exact_kept")}, pairs AS (
+        WITH RECURSIVE {_curation_kept_ctes()}, {_minhash_pairs_ctes(source="kept")}, pairs AS (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
@@ -1318,7 +1300,7 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
         ), final_kept AS (
             SELECT k.lang, k.n_tokens
-            FROM exact_kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+            FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.component = k.doc_id
         ), totals AS (
             SELECT lang, count(*) AS n_docs_in FROM documents GROUP BY lang
