@@ -526,6 +526,57 @@ def customers_above_nation_avg(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def stats_battery(t: dict[str, DataFrame]) -> DataFrame:
+    """Second-moment statistics per return flag: sample variance/stddev
+    of quantity and price, and their covariance/correlation — derived
+    from EXACT decimal power sums (Σx, Σx², Σxy are exact because the
+    inputs are 2-decimal money values, so squares/products have ≤4
+    decimals), then combined in double with the textbook formulas:
+
+        var  = (Σx² − (Σx)²/n) / (n−1)
+        cov  = (Σxy − ΣxΣy/n) / (n−1)
+        corr = cov / (σx·σy)
+
+    Spark's built-in ``var_samp``/``corr`` use Welford-style merge
+    updates whose DOUBLE state depends on partition merge order — the
+    same nondeterminism class as double `sum`, amplified by squaring.
+    Deriving from exact sums makes every output bit-identical across
+    engines and partition counts (the module-header rationale, applied
+    to second moments). At 100 TB the derived form is also cheaper:
+    three decimal sums partial-aggregate map-side like any sum."""
+    li = t["lineitem"]
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = money("l_extendedprice")
+    sums = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(qty).alias("sx"),
+            F.sum(qty * qty).alias("sxx"),
+            F.sum(price).alias("sy"),
+            F.sum(price * price).alias("syy"),
+            F.sum(qty * price).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    var_p = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return sums.select(
+        "l_returnflag",
+        n.alias("n_rows"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        var_p.alias("var_price"),
+        F.sqrt(var_p).alias("stddev_price"),
+        cov.alias("covar_qty_price"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
 def fuzzy_nation_pairs(t: dict[str, DataFrame], max_dist: int = 4) -> DataFrame:
     """Fuzzy string matching: nation-name pairs within Levenshtein
     distance ``max_dist``. The pair space here is a bounded dimension

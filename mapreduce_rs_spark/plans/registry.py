@@ -1157,6 +1157,32 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "time-RANGE window frame (peers by event-time distance, not row position)",
     ),
+    "stats_battery": QuerySpec(
+        _tables(relational.stats_battery),
+        f"""
+        WITH sums AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                   CAST(sum({_money('l_extendedprice')}) AS DOUBLE) AS sy,
+                   CAST(sum({_money('l_extendedprice')} * {_money('l_extendedprice')}) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * {_money('l_extendedprice')}) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n AS n_rows,
+               (sxx - sx * sx / n) / (n - 1) AS var_qty,
+               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+               (syy - sy * sy / n) / (n - 1) AS var_price,
+               sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
+               (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+               ((sxy - sx * sy / n) / (n - 1))
+                   / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qty_price
+        FROM sums ORDER BY l_returnflag
+        """,
+        "second moments from exact decimal power sums (deterministic var/stddev/cov/corr)",
+    ),
     "fuzzy_nation_pairs": QuerySpec(
         # max_dist=1 calibrated to the synthetic NATION_<i> names (all
         # pairs are within distance 2, so 1 is the selective cut); the
@@ -1385,6 +1411,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "curation_yield_neardup",
     "equi_depth_histogram",
     "pack_sequences",
+    "stats_battery",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",
