@@ -526,6 +526,100 @@ def customers_above_nation_avg(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def promo_revenue_ratio(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape: monthly promo-revenue share — a conditional sum
+    over a broadcast dimension join, expressed as one pass (never two
+    scans with different filters). Both the conditional and total sums
+    accumulate in exact decimal, so the derived percentage is
+    bit-identical across engines and partitionings."""
+    one = F.lit(1).cast(RATE)
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    zero = F.lit(0).cast("decimal(17,4)")
+    promo_price = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(zero)
+    joined = t["lineitem"].join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            (100 * F.sum(promo_price).cast("double") / F.sum(disc_price).cast("double")).alias("promo_pct"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def disjunctive_filter_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) predicate blocks. The disjunction is one residual
+    filter after a single broadcast join — never a UNION of three scans
+    (which would read the fact table three times). Catalyst extracts
+    the common p_partkey join key and pushes the shared IsNotNull
+    predicates; the disjunction itself evaluates in codegen."""
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    one = F.lit(1).cast(RATE)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def priority_line_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q12 shape: per return flag, how many lineitems belong to
+    high- vs low-priority orders — conditional counting across a
+    fact-fact join (the orders edge shuffles; at 100 TB both sides
+    would be bucketed on the order key, sources/bucketing.py)."""
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def null_handling_showcase(t: dict[str, DataFrame]) -> DataFrame:
+    """NULL-semantics battery over a left join's missing side:
+    COALESCE (default), NULLIF (sentinel→NULL), IS NULL
+    classification — the three idioms whose engine-consistent behavior
+    a migration depends on. Customers without orders exercise the NULL
+    branch of every expression."""
+    joined = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(money("o_totalprice")).cast("double"), F.lit(0.0)).alias("total_spend"),
+            F.max("o_orderdate").alias("last_order_date"),
+        )
+        .select(
+            "c_custkey",
+            "n_orders",
+            "total_spend",
+            F.nullif(F.col("n_orders"), F.lit(0)).alias("n_orders_or_null"),
+            F.when(F.col("last_order_date").isNull(), "never-ordered")
+            .otherwise("active")
+            .alias("status"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def stats_battery(t: dict[str, DataFrame]) -> DataFrame:
     """Second-moment statistics per return flag: sample variance/stddev
     of quantity and price, and their covariance/correlation — derived

@@ -1157,6 +1157,57 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "time-RANGE window frame (peers by event-time distance, not row position)",
     ),
+    "promo_revenue_ratio": QuerySpec(
+        _tables(relational.promo_revenue_ratio),
+        f"""
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               100 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_DEC}
+                                   ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+                   / CAST(sum({DISC_PRICE_DEC}) AS DOUBLE) AS promo_pct,
+               {_stable_sum(DISC_PRICE_DEC)} AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1 ORDER BY ship_month
+        """,
+        "TPC-H Q14 shape: conditional decimal sums, one pass",
+    ),
+    "disjunctive_filter_revenue": QuerySpec(
+        _tables(relational.disjunctive_filter_revenue),
+        f"""
+        SELECT p_brand,
+               {_stable_sum(DISC_PRICE_DEC)} AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+        GROUP BY p_brand ORDER BY p_brand
+        """,
+        "TPC-H Q19 shape: disjunctive predicate blocks as one residual filter",
+    ),
+    "priority_line_counts": QuerySpec(
+        _tables(relational.priority_line_counts),
+        """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "TPC-H Q12 shape: conditional counts across the fact-fact join",
+    ),
+    "null_handling_showcase": QuerySpec(
+        _tables(relational.null_handling_showcase),
+        f"""
+        SELECT c_custkey,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               COALESCE({_stable_sum(_money('o_totalprice'))}, 0.0) AS total_spend,
+               NULLIF(CAST(count(o_orderkey) AS BIGINT), 0) AS n_orders_or_null,
+               CASE WHEN max(o_orderdate) IS NULL THEN 'never-ordered' ELSE 'active' END AS status
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        "NULL semantics over a left join's missing side (coalesce/nullif/is-null)",
+    ),
     "stats_battery": QuerySpec(
         _tables(relational.stats_battery),
         f"""
@@ -1412,6 +1463,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "equi_depth_histogram",
     "pack_sequences",
     "stats_battery",
+    "promo_revenue_ratio",
+    "disjunctive_filter_revenue",
+    "priority_line_counts",
+    "null_handling_showcase",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",
