@@ -540,8 +540,8 @@ def promo_revenue_ratio(t: dict[str, DataFrame]) -> DataFrame:
     return (
         joined.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
-            (100 * F.sum(promo_price).cast("double") / F.sum(disc_price).cast("double")).alias("promo_pct"),
-            F.sum(disc_price).cast("double").alias("total_revenue"),
+            (100 * stable_sum(promo_price) / stable_sum(disc_price)).alias("promo_pct"),
+            stable_sum(disc_price).alias("total_revenue"),
         )
         .orderBy("ship_month")
     )
@@ -639,7 +639,7 @@ def stats_battery(t: dict[str, DataFrame]) -> DataFrame:
     to second moments). At 100 TB the derived form is also cheaper:
     three decimal sums partial-aggregate map-side like any sum."""
     li = t["lineitem"]
-    qty = F.col("l_quantity").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast(MONEY)
     price = money("l_extendedprice")
     sums = (
         li.groupBy("l_returnflag")
@@ -656,8 +656,14 @@ def stats_battery(t: dict[str, DataFrame]) -> DataFrame:
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    var_q = (sxx - sx * sx / n) / (n - 1)
-    var_p = (syy - sy * sy / n) / (n - 1)
+    # greatest(·, 0): the computational formula can go fractionally
+    # negative via double cancellation on (near-)constant groups, and
+    # DuckDB's sqrt RAISES on negatives where Spark returns NaN — the
+    # clamp (mirrored in the oracle) keeps both engines defined and
+    # equal. true variance is never negative, so this changes nothing
+    # on healthy data.
+    var_q = F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))
+    var_p = F.greatest((syy - sy * sy / n) / (n - 1), F.lit(0.0))
     cov = (sxy - sx * sy / n) / (n - 1)
     return sums.select(
         "l_returnflag",
@@ -667,7 +673,10 @@ def stats_battery(t: dict[str, DataFrame]) -> DataFrame:
         var_p.alias("var_price"),
         F.sqrt(var_p).alias("stddev_price"),
         cov.alias("covar_qty_price"),
-        (cov / (F.sqrt(var_q) * F.sqrt(var_p))).alias("corr_qty_price"),
+        # try_divide: a zero-variance group makes the denominator 0 —
+        # DuckDB division yields NULL there, Spark's plain `/` would
+        # give NaN; try_divide aligns on NULL.
+        F.try_divide(cov, F.sqrt(var_q) * F.sqrt(var_p)).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 

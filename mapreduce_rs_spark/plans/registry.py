@@ -1223,13 +1223,13 @@ QUERIES: dict[str, QuerySpec] = {
         )
         SELECT l_returnflag,
                n AS n_rows,
-               (sxx - sx * sx / n) / (n - 1) AS var_qty,
-               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-               (syy - sy * sy / n) / (n - 1) AS var_price,
-               sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_price,
+               greatest((sxx - sx * sx / n) / (n - 1), 0.0) AS var_qty,
+               sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) AS stddev_qty,
+               greatest((syy - sy * sy / n) / (n - 1), 0.0) AS var_price,
+               sqrt(greatest((syy - sy * sy / n) / (n - 1), 0.0)) AS stddev_price,
                (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
                ((sxy - sx * sy / n) / (n - 1))
-                   / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qty_price
+                   / (sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) * sqrt(greatest((syy - sy * sy / n) / (n - 1), 0.0))) AS corr_qty_price
         FROM sums ORDER BY l_returnflag
         """,
         "second moments from exact decimal power sums (deterministic var/stddev/cov/corr)",

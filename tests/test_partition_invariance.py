@@ -62,3 +62,20 @@ def test_repartitioned_input_same_bits(spark, sf_dir):
     tables_re = dict(tables)
     tables_re["orders"] = tables["orders"].repartition(17)
     assert _bits(relational.agg_order_priorities(tables_re)) == base
+
+
+def test_stats_battery_constant_group_is_defined(spark):
+    """A (near-)constant group makes the computational-formula variance
+    fractionally negative under double cancellation; both engines must
+    stay DEFINED and aligned: variance clamps to 0, stddev to 0, and
+    corr is NULL (0/0 via try_divide), matching DuckDB's NULL — never a
+    DuckDB sqrt(negative) crash or a Spark NaN-vs-NULL hash mismatch."""
+    from mapreduce_rs_spark.operators.relational import stats_battery
+
+    const = spark.createDataFrame(
+        [("X", 10.0, 100000.01)] * 5, ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    r = stats_battery({"lineitem": const}).collect()[0]
+    assert r["var_qty"] == 0.0 and r["stddev_qty"] == 0.0
+    assert r["var_price"] == 0.0 and r["covar_qty_price"] == 0.0
+    assert r["corr_qty_price"] is None
