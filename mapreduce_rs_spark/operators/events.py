@@ -226,6 +226,66 @@ def kmv_distinct_users(t: dict[str, DataFrame], k: int = 64) -> DataFrame:
     ).orderBy("event_type")
 
 
+def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
+    """Funnel analysis: of all users, how many clicked, and how many
+    purchased strictly AFTER their first click (the ordering constraint
+    is what makes it a funnel, not two independent counts). One
+    aggregation pass per user (conditional min/max), then a one-row
+    rollup — no self-join, no window: per-user funnel state is a pair
+    of timestamps. All outputs integer or exact ratios of integers."""
+    ev = t["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.sum(
+            F.when(
+                F.col("first_click").isNotNull()
+                & (F.col("last_purchase") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_converted"),
+        F.try_divide(
+            F.sum(
+                F.when(
+                    F.col("first_click").isNotNull()
+                    & (F.col("last_purchase") > F.col("first_click")),
+                    1,
+                ).otherwise(0)
+            ).cast("double"),
+            F.count("first_click"),
+        ).alias("click_to_purchase_rate"),
+    )
+
+
+def cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day they were active — (cohort_day, day_offset,
+    n_active_users). Two aggregations: per-user first day (shuffle on
+    user), then distinct user-day activity joined back (broadcast of
+    the tiny cohort map at test scale; co-partitioned on user_id at
+    100 TB). Integer outputs — exact by construction."""
+    ev = t["events"]
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    return (
+        active.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def out_of_order_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Late/out-of-order arrival audit: per user, how many events have
     event-time earlier than an already-seen event (ordered by arrival =

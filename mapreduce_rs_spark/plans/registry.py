@@ -1264,6 +1264,42 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "deterministic hash-systematic sampling: the oracle reproduces the exact sample",
     ),
+    "funnel_conversion": QuerySpec(
+        _tables(events.funnel_conversion),
+        """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                   max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(first_click) AS n_clicked,
+               CAST(sum(CASE WHEN first_click IS NOT NULL AND last_purchase > first_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+               CAST(sum(CASE WHEN first_click IS NOT NULL AND last_purchase > first_click
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(first_click) AS click_to_purchase_rate
+        FROM per_user
+        """,
+        "funnel: purchase strictly after first click (ordering constraint, no self-join)",
+    ),
+    "cohort_retention": QuerySpec(
+        _tables(events.cohort_retention),
+        """
+        WITH first_day AS (
+            SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+        )
+        SELECT cohort_day,
+               CAST(datediff('day', cohort_day, active_day) AS INTEGER) AS day_offset,
+               count(*) AS n_active_users
+        FROM active JOIN first_day USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+        """,
+        "cohort retention matrix (first-seen day x activity offset)",
+    ),
     "out_of_order_stats": QuerySpec(
         _tables(events.out_of_order_stats),
         """
@@ -1467,6 +1503,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "disjunctive_filter_revenue",
     "priority_line_counts",
     "null_handling_showcase",
+    "funnel_conversion",
+    "cohort_retention",
     # (b) modified this round: decimal-stable money sums
     "agg_order_priorities",
     "q1_pricing_summary",
