@@ -68,9 +68,10 @@ def h64(col: Column | str, seed: int | None = None) -> Column:
 
 def text_fingerprint(col: Column | str) -> Column:
     """Exact-duplicate fingerprint: md5 over whitespace-normalized,
-    lowercased text. Matches the oracle's
-    ``md5(lower(regexp_replace(trim(x), '\\s+', ' ', 'g')))``."""
-    normalized = F.regexp_replace(F.trim(_col(col)), r"\s+", " ")
+    lowercased text. Whitespace is the explicit ASCII class (see
+    functions/text.py WS_CLASS: RE2's \\s excludes \\x0B), so the
+    normalization is identical in Spark and the DuckDB oracle."""
+    normalized = F.regexp_replace(F.trim(_col(col)), r"[ \t\n\x0B\f\r]+", " ")
     return F.md5(F.lower(normalized))
 
 
@@ -96,4 +97,4 @@ def h64_sql(expr: str, seed: int | None = None) -> str:
 
 def text_fingerprint_sql(expr: str) -> str:
     """DuckDB fragment equivalent to ``text_fingerprint``."""
-    return f"md5(lower(regexp_replace(trim({expr}), '\\s+', ' ', 'g')))"
+    return f"md5(lower(regexp_replace(trim({expr}), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"

@@ -28,11 +28,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Keep these literals in sync with the SQL fragments in plans/registry.py.
-CLEAN_PATTERN = r"[^\w\s]"
-SPLIT_PATTERN = r"\s+"
+#
+# WHITESPACE IS AN EXPLICIT CLASS, NOT \s: the three engines' \s
+# dialects disagree — RE2 (DuckDB) excludes \x0B vertical tab, which
+# Java (Spark) and Python (re.ASCII) include — so a document containing
+# VT tokenized differently per engine (found by the random-corpus
+# three-engine parity probe in tests/test_properties.py). The explicit
+# class is the ASCII \s set, identical in all three dialects.
+WS_CLASS = r" \t\n\x0B\f\r"
+CLEAN_PATTERN = rf"[^\w{WS_CLASS}]"
+SPLIT_PATTERN = rf"[{WS_CLASS}]+"
 # BPE-ish word/punctuation tokenizer: runs of word chars OR single
 # non-word-non-space chars (so "don't" -> ["don", "'", "t"]).
-BPE_ISH_PATTERN = r"[\w]+|[^\w\s]"
+BPE_ISH_PATTERN = rf"[\w]+|[^\w{WS_CLASS}]"
 
 
 def clean_text(col: Column | str) -> Column:

@@ -205,7 +205,8 @@ def quality_score(df: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     n_word_chars = F.length(F.regexp_replace("text", r"[^\w]", ""))
-    n_punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    # Explicit whitespace class (functions/text.py WS_CLASS rationale).
+    n_punct = F.length(F.regexp_replace("text", r"[\w \t\n\x0B\f\r]", ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
     # try_divide everywhere: empty/punctuation-only docs must yield NULL
     # ratios (as the DuckDB oracle does), not an ANSI division error.

@@ -46,12 +46,28 @@ from mapreduce_rs_spark.sources.catalog import load_table, load_tables
 # Shared DuckDB SQL fragments (keep in sync with functions/text.py patterns)
 # ---------------------------------------------------------------------------
 
+# Whitespace as an EXPLICIT class — RE2's \s excludes \x0B where
+# Java/Python include it (functions/text.py WS_CLASS rationale); these
+# fragments must match CLEAN_PATTERN/SPLIT_PATTERN exactly.
+WS_SQL = " \\t\\n\\x0B\\f\\r"
+CLEAN_SQL = f"[^\\w{WS_SQL}]"
+SPLIT_SQL = f"[{WS_SQL}]+"
+
 # Token array per document, empties removed — the oracle twin of
 # functions.text.tokens + the word<>'' filter.
 TOKENS_SQL = (
-    "list_filter(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), "
-    "'\\s+'), t -> t <> '')"
+    f"list_filter(string_split_regex(regexp_replace(text, '{CLEAN_SQL}', '', 'g'), "
+    f"'{SPLIT_SQL}'), t -> t <> '')"
 )
+
+# The flagship word-count SQL — one definition for the four registry
+# entries that are oracled against it (declarative, salted, RDD, UDF).
+WORDCOUNT_SQL = f"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(regexp_replace(text, '{CLEAN_SQL}', '', 'g'), '{SPLIT_SQL}')) AS word
+            FROM documents
+        ) t WHERE word <> '' GROUP BY word ORDER BY word
+        """
 
 WORDS_CTE = f"""
 WITH words AS (
@@ -410,53 +426,33 @@ QUERIES: dict[str, QuerySpec] = {
     # ---- word-count lineage (the reference's entire app surface) ----
     "wordcount": QuerySpec(
         _docs(ta.word_count),
-        f"""
-        SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
-            FROM documents
-        ) t WHERE word <> '' GROUP BY word ORDER BY word
-        """,
+        WORDCOUNT_SQL,
         "flagship: reference wc semantics (src/mr/function.rs:9-20)",
     ),
     "wordcount_salted": QuerySpec(
         _docs(
             lambda df: salted_group_count(ta.explode_tokens(df), "word").orderBy("word")
         ),
-        f"""
-        SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
-            FROM documents
-        ) t WHERE word <> '' GROUP BY word ORDER BY word
-        """,
+        WORDCOUNT_SQL,
         "skew path: two-phase salted aggregation, oracled against the plain word-count SQL (identical result is the correctness claim)",
     ),
     "wordcount_topk": QuerySpec(
         _docs(lambda df: ta.word_count_topk(df, 20)),
         f"""
         SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
+            SELECT unnest(string_split_regex(regexp_replace(text, '{CLEAN_SQL}', '', 'g'), '{SPLIT_SQL}')) AS word
             FROM documents
         ) t WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20
         """,
     ),
     "rdd_wordcount": QuerySpec(
         _docs(rdd_word_count),
-        f"""
-        SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
-            FROM documents
-        ) t WHERE word <> '' GROUP BY word ORDER BY word
-        """,
+        WORDCOUNT_SQL,
         "the literal RDD lineage (textFile->flatMap->reduceByKey->sortByKey), oracled against the same SQL as the declarative flagship",
     ),
     "wordcount_mapreduce_udf": QuerySpec(
         _docs(word_count_mapreduce),
-        f"""
-        SELECT word, count(*) AS cnt FROM (
-            SELECT unnest(string_split_regex(regexp_replace(text, '[^\\w\\s]', '', 'g'), '\\s+')) AS word
-            FROM documents
-        ) t WHERE word <> '' GROUP BY word ORDER BY word
-        """,
+        WORDCOUNT_SQL,
         "the op-4/op-10 UDF surface (mapInPandas + applyInPandas), oracled against relational SQL",
     ),
     # ---- text analysis ----
@@ -505,7 +501,7 @@ QUERIES: dict[str, QuerySpec] = {
         f"""
         SELECT doc_id,
                CAST(len({TOKENS_SQL}) AS INTEGER) AS n_ws_tokens,
-               CAST(len(regexp_extract_all(text, '[\\w]+|[^\\w\\s]')) AS INTEGER) AS n_bpe_tokens
+               CAST(len(regexp_extract_all(text, '[\\w]+|{CLEAN_SQL}')) AS INTEGER) AS n_bpe_tokens
         FROM documents
         """,
     ),
@@ -516,7 +512,7 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT doc_id, {TOKENS_SQL} AS tk,
                    length(text) AS n_chars,
                    length(regexp_replace(text, '[^\\w]', '', 'g')) AS n_word_chars,
-                   length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct
+                   length(regexp_replace(text, '[\\w{WS_SQL}]', '', 'g')) AS n_punct
             FROM documents
         )
         SELECT doc_id,

@@ -35,3 +35,50 @@ def test_word_count_matches_python_reference(spark, lines):
     df = spark.createDataFrame([(t,) for t in lines], ["text"])
     got = {r["word"]: r["cnt"] for r in word_count(df).collect()}
     assert got == python_word_count(lines)
+
+
+def test_three_engine_tokenizer_parity_on_random_corpus(spark):
+    """Random printable-ASCII corpus (seeded) through all THREE engines
+    — Spark column expressions, the DuckDB oracle SQL, and the Python
+    UDF surface (wc_map). Fixed test corpora can hide a regex-dialect
+    divergence; 200 random docs over the full printable range cannot.
+    One batch per engine (not per-example Spark jobs), so it's fast."""
+    import random
+    import string
+
+    import duckdb
+
+    from mapreduce_rs_spark.operators.mapreduce import wc_map
+
+    rng = random.Random(2024)
+    alphabet = string.printable  # letters, digits, punctuation, whitespace
+    docs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+
+    df = spark.createDataFrame([(t,) for t in docs], ["text"])
+    spark_counts = {r["word"]: r["cnt"] for r in word_count(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in docs])
+    from mapreduce_rs_spark.plans.registry import CLEAN_SQL, SPLIT_SQL
+
+    duck = con.execute(
+        f"""
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(
+                regexp_replace(text, '{CLEAN_SQL}', '', 'g'), '{SPLIT_SQL}')) AS word
+            FROM documents
+        ) t WHERE word <> '' GROUP BY word
+        """
+    ).fetchall()
+    duck_counts = {w: c for w, c in duck}
+
+    py_counts: Counter[str] = Counter()
+    for t in docs:
+        py_counts.update(w for w, _ in wc_map(t))
+
+    assert spark_counts == duck_counts
+    assert spark_counts == dict(py_counts)

@@ -66,11 +66,13 @@ def test_non_ascii_golden_all_engines_agree(spark):
 
     spark_counts = {r["word"]: r["cnt"] for r in word_count(df).collect()}
 
+    from mapreduce_rs_spark.plans.registry import CLEAN_SQL, SPLIT_SQL
+
     duck = duckdb.connect().execute(
-        r"""
+        f"""
         SELECT word, count(*) AS cnt FROM (
             SELECT unnest(string_split_regex(
-                regexp_replace(?, '[^\w\s]', '', 'g'), '\s+')) AS word
+                regexp_replace(?, '{CLEAN_SQL}', '', 'g'), '{SPLIT_SQL}')) AS word
         ) t WHERE word <> '' GROUP BY word
         """,
         [text],
