@@ -82,3 +82,57 @@ def test_three_engine_tokenizer_parity_on_random_corpus(spark):
 
     assert spark_counts == duck_counts
     assert spark_counts == dict(py_counts)
+
+
+def test_date_functions_parity_on_random_timestamps(spark):
+    """Random timestamps 1900-2100 through the date-function family in
+    both engines — the same randomized-probe method that caught the \\s
+    dialect divergence, applied to calendar arithmetic (ISO dow/week,
+    quarter, month boundaries, day-of-year). Guards the oracle contract
+    far outside the fixtures' 1995-1998 range."""
+    import datetime
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    base = datetime.datetime(1900, 1, 1)
+    stamps = [
+        base + datetime.timedelta(days=rng.randrange(0, 73000), seconds=rng.randrange(86400))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(list(enumerate(stamps)), ["id", "ts"])
+    sp = (
+        df.select(
+            "id",
+            (F.weekday("ts") + 1).alias("iso_dow"),
+            F.quarter("ts").alias("q"),
+            F.date_trunc("month", "ts").alias("m_start"),
+            F.last_day("ts").cast("timestamp").alias("m_end"),
+            F.weekofyear("ts").alias("iso_week"),
+            F.dayofyear("ts").alias("doy"),
+        )
+        .toPandas()
+        .set_index("id")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(stamps)))
+    du = (
+        con.execute(
+            """
+            SELECT id, CAST(isodow(ts) AS INT) AS iso_dow,
+                   CAST(quarter(ts) AS INT) AS q,
+                   date_trunc('month', ts) AS m_start,
+                   CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS m_end,
+                   CAST(weekofyear(ts) AS INT) AS iso_week,
+                   CAST(dayofyear(ts) AS INT) AS doy
+            FROM t"""
+        )
+        .fetchdf()
+        .set_index("id")
+    )
+    for col in sp.columns:
+        diffs = [(i, sp[col][i], du[col][i]) for i in sp.index if sp[col][i] != du[col][i]]
+        assert not diffs, f"{col}: {diffs[:3]}"
