@@ -136,3 +136,74 @@ def test_date_functions_parity_on_random_timestamps(spark):
     for col in sp.columns:
         diffs = [(i, sp[col][i], du[col][i]) for i in sp.index if sp[col][i] != du[col][i]]
         assert not diffs, f"{col}: {diffs[:3]}"
+
+
+def test_rounding_and_string_parity_on_random_values(spark):
+    """Random-probe two more expression families: rounding (including
+    exact-half ties like ±2.5 where HALF_UP vs banker's rounding would
+    diverge) and string functions (including non-ASCII case mapping) —
+    both engines agree everywhere these showcases rely on them."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    vals = [2.5, -2.5, 3.5, -3.5, 0.5, -0.5, 1.25, -1.25, 0.125, 2.675, -2.675]
+    vals += [round(rng.uniform(-1000, 1000), rng.choice([1, 2, 3, 4])) for _ in range(200)]
+    df = spark.createDataFrame(list(enumerate(vals)), ["id", "x"])
+    sp = (
+        df.select(
+            "id",
+            F.round("x", 0).alias("r0"),
+            F.round("x", 2).alias("r2"),
+            F.floor("x").alias("fl"),
+            F.ceil("x").alias("ce"),
+        )
+        .toPandas()
+        .set_index("id")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    du = (
+        con.execute(
+            "SELECT id, round(x,0) AS r0, round(x,2) AS r2, "
+            "CAST(floor(x) AS BIGINT) AS fl, CAST(ceil(x) AS BIGINT) AS ce FROM t"
+        )
+        .fetchdf()
+        .set_index("id")
+    )
+    for col in sp.columns:
+        diffs = [(i, vals[i], sp[col][i], du[col][i]) for i in sp.index if sp[col][i] != du[col][i]]
+        assert not diffs, f"{col}: {diffs[:4]}"
+
+    docs = [
+        "".join(rng.choice("aA zZ09_!,é漢\t") for _ in range(rng.randrange(0, 30)))
+        for _ in range(150)
+    ]
+    df2 = spark.createDataFrame(list(enumerate(docs)), ["id", "s"])
+    sp2 = (
+        df2.select(
+            "id",
+            F.upper("s").alias("u"),
+            F.length("s").alias("n"),
+            F.substring("s", 2, 5).alias("sub"),
+            F.trim("s").alias("tr"),
+        )
+        .toPandas()
+        .set_index("id")
+    )
+    con.execute("CREATE TABLE s(id INT, s VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", list(enumerate(docs)))
+    du2 = (
+        con.execute(
+            "SELECT id, upper(s) AS u, CAST(length(s) AS INT) AS n, "
+            "substring(s, 2, 5) AS sub, trim(s) AS tr FROM s"
+        )
+        .fetchdf()
+        .set_index("id")
+    )
+    for col in sp2.columns:
+        diffs = [(i, repr(docs[i])) for i in sp2.index if sp2[col][i] != du2[col][i]]
+        assert not diffs, f"{col}: {diffs[:4]}"
