@@ -1093,10 +1093,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "json_props_agg": QuerySpec(
         _tables(events.json_props_agg),
+        # json_valid guard: DuckDB's json_extract_string THROWS on
+        # malformed JSON where Spark's get_json_object returns NULL
+        # (found by the random-input JSON probe); the guard aligns the
+        # engines on bad rows and is a no-op on valid ones.
         """
         SELECT event_type, count(*) AS n_events,
-               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+               CAST(sum(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
+               max(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),

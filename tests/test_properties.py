@@ -207,3 +207,53 @@ def test_rounding_and_string_parity_on_random_values(spark):
     for col in sp2.columns:
         diffs = [(i, repr(docs[i])) for i in sp2.index if sp2[col][i] != du2[col][i]]
         assert not diffs, f"{col}: {diffs[:4]}"
+
+
+def test_json_extraction_parity_including_malformed(spark):
+    """JSON-path extraction on random documents INCLUDING malformed
+    ones. Dialect difference found by this probe: DuckDB's
+    json_extract_string THROWS on invalid JSON where Spark's
+    get_json_object returns NULL — the oracle therefore guards with
+    json_valid (see json_props_agg); this test pins that the guarded
+    form matches Spark everywhere, bad rows included."""
+    import json
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+
+    def rand_props() -> str:
+        d = {}
+        if rng.random() < 0.9:
+            d["k"] = rng.randrange(-1000, 1000)
+        if rng.random() < 0.5:
+            d["s"] = "".join(rng.choice("ab e") for _ in range(rng.randrange(0, 8)))
+        return json.dumps(d)
+
+    docs = [rand_props() for _ in range(100)]
+    docs += ["{}", "not json", "", '{"k": 1.5}', '{"k": "12"}', '{"k": true}', "{broken"]
+    df = spark.createDataFrame(list(enumerate(docs)), ["id", "props"])
+    sp = (
+        df.select("id", F.get_json_object("props", "$.k").alias("k_raw"))
+        .toPandas()
+        .set_index("id")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    du = (
+        con.execute(
+            "SELECT id, CASE WHEN json_valid(props) "
+            "THEN json_extract_string(props, '$.k') END AS k_raw FROM t"
+        )
+        .fetchdf()
+        .set_index("id")
+    )
+    for i in sp.index:
+        a, b = sp["k_raw"][i], du["k_raw"][i]
+        a_n = a is None or (isinstance(a, float) and pd.isna(a))
+        b_n = b is None or (isinstance(b, float) and pd.isna(b))
+        assert a_n == b_n and (a_n or a == b), f"id={i} doc={docs[i]!r}: {a!r} vs {b!r}"
