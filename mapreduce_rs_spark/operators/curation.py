@@ -71,7 +71,6 @@ def _yield_report(df: DataFrame, kept: DataFrame) -> DataFrame:
             F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
             F.try_divide(F.coalesce("n_docs_kept", F.lit(0)), F.col("n_docs_in")).alias("keep_rate"),
         )
-        .orderBy("lang")
     )
 
 
@@ -119,7 +118,6 @@ def pack_sequences(df: DataFrame, budget: int = PACK_TOKEN_BUDGET) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
         .withColumn("overshoot", F.greatest(F.col("n_tokens") - budget, F.lit(0)).cast("long"))
-        .orderBy("lang", "bin")
     )
 
 

@@ -52,7 +52,6 @@ def dedup_exact(df: DataFrame) -> DataFrame:
         df.select(text_fingerprint("text").alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
-        .orderBy("keep_doc_id")
     )
 
 
@@ -87,7 +86,7 @@ def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
         F.min(h32_lane_from_digest(f"d{i // 4}", i % 4)).alias(f"mh{i}")
         for i in range(k)
     ]
-    return digests.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -108,6 +107,13 @@ def minhash_lsh_pairs(
     anyway — they're reused across dedup runs; localCheckpoint is the
     in-session equivalent (trades lineage-based recovery for the saved
     recompute, the right trade for a deliberately-reused intermediate).
+
+    CLUSTER CAVEAT: localCheckpoint stores blocks UNREPLICATED on
+    executors — fine in local mode, but on a real cluster an executor
+    loss makes the checkpointed signatures unrecoverable and fails the
+    job. Production runs should persist the signature table to parquet
+    (or use reliable ``checkpoint()`` with a checkpoint dir); this
+    in-session stand-in is deliberate for the test/bench environment.
     """
     sigs = minhash_signatures(df, k).localCheckpoint()
     bands = [
@@ -131,7 +137,6 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -160,7 +165,6 @@ def winnow_fingerprints(df: DataFrame, k: int = 4) -> DataFrame:
                 ",",
             ).alias("fingerprint")
         )
-        .orderBy("doc_id")
     )
 
 
@@ -184,7 +188,7 @@ def simhash_signatures(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     for b in range(bits):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
         sig = term if sig is None else sig + term
-    return voted.select("doc_id", sig.cast("long").alias("simhash")).orderBy("doc_id")
+    return voted.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 JACCARD_MAX_DF_FRAC = 0.5  # drop tokens present in > this fraction of a lang's docs
@@ -242,7 +246,6 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -271,7 +274,9 @@ def jaccard_pairs(
     # aggregate — without this Catalyst re-tokenizes the corpus per use
     # (the round-1 minhash double-compute disease, ~12 scans). A real
     # pipeline persists this token table to parquet; localCheckpoint is
-    # the in-session equivalent.
+    # the in-session equivalent (UNREPLICATED executor blocks — see the
+    # minhash_lsh_pairs cluster caveat; parquet/reliable checkpoint on
+    # a real cluster).
     toks_all = ensure_parallelism(df.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.explode(F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))).alias("word")
     ).localCheckpoint()
@@ -307,5 +312,4 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )

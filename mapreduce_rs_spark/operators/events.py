@@ -44,7 +44,6 @@ def tumbling_window(t: dict[str, DataFrame]) -> DataFrame:
             stable_sum(money("value")).alias("sum_value"),
             stable_avg(money("value")).alias("avg_value"),
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -56,7 +55,6 @@ def sliding_window(t: dict[str, DataFrame]) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
         .agg(F.count("*").alias("n_events"), stable_sum(money("value")).alias("sum_value"))
-        .orderBy("window_start")
     )
 
 
@@ -85,7 +83,6 @@ def sessionize(t: dict[str, DataFrame], gap_min: int = SESSION_GAP_MIN) -> DataF
             (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
             stable_sum(money("value")).alias("sum_value"),
         )
-        .orderBy("user_id", "session_idx")
     )
 
 
@@ -102,7 +99,6 @@ def json_props_agg(t: dict[str, DataFrame]) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -133,7 +129,6 @@ def asof_last_click_before_purchase(t: dict[str, DataFrame]) -> DataFrame:
             "last_click_ts",
             (F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")).alias("secs_since_click"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -167,7 +162,6 @@ def multi_resolution_rollup(t: dict[str, DataFrame]) -> DataFrame:
             F.col("sum_value_d").cast("double").alias("sum_value"),
             F.try_divide(F.col("sum_value_d").cast("double"), F.col("n_events")).alias("avg_value"),
         )
-        .orderBy("resolution", "bucket_ts", "event_type")
     )
 
 
@@ -191,7 +185,7 @@ def range_window_revenue(t: dict[str, DataFrame], window_sec: int = 3600) -> Dat
         "event_id",
         "ts",
         F.sum(money("value")).over(w).cast("double").alias("trailing_value"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 def kmv_distinct_users(t: dict[str, DataFrame], k: int = 64) -> DataFrame:
@@ -223,7 +217,7 @@ def kmv_distinct_users(t: dict[str, DataFrame], k: int = 64) -> DataFrame:
         .otherwise(F.col("n_distinct_exact").cast("double"))
         .alias("kmv_estimate"),
         "n_distinct_exact",
-    ).orderBy("event_type")
+    )
 
 
 def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
@@ -282,7 +276,6 @@ def cohort_retention(t: dict[str, DataFrame]) -> DataFrame:
             F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.count("*").alias("n_active_users"))
-        .orderBy("cohort_day", "day_offset")
     )
 
 
@@ -309,48 +302,60 @@ def out_of_order_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.count("late_secs").alias("n_out_of_order"),
             F.max("late_secs").alias("max_late_secs"),
         )
-        .orderBy("user_id")
     )
 
 
-def equi_depth_histogram(t: dict[str, DataFrame], buckets: int = 10) -> DataFrame:
+def equi_depth_histogram(
+    t: dict[str, DataFrame], buckets: int = 10, cuts: list[float] | None = None
+) -> DataFrame:
     """Equi-DEPTH histogram (equal row counts per bucket, data-driven
     bounds): cutpoints from exact interior percentiles, then a narrow
     per-row bucket assignment (count of cutpoints below the value) —
     never a global ntile window, which would force a single-partition
     total sort. The percentile aggregate is the only heavy op; at
     100 TB you'd swap it for ``percentile_approx`` (mergeable t-digest)
-    with no change to the bucketing stage. Exact kept here so the
-    DuckDB oracle agrees bit-for-bit."""
+    with no change to the bucketing stage.
+
+    ``cuts``: precomputed cutpoint literals (histogram_model.py — the
+    ANALYZE-style fitted statistic the registry injects identically into
+    the Spark plan AND the oracle SQL, so no cross-engine percentile
+    arithmetic can diverge; see histogram_model.py for the full
+    rationale). ``cuts=None`` fits them in-plan — the dynamic operator —
+    with round-6 snapping so both engines land on the same double when
+    run side by side."""
     ev = t["events"]
-    fracs = [i / buckets for i in range(1, buckets)]
-    # Cutpoints are rounded to 6 decimals BEFORE the comparison: the two
-    # engines compute the interpolated percentile with different
-    # arithmetic shapes, and when a cutpoint lands mathematically ON a
-    # 2-decimal data value a 1-ulp divergence would flip that value's
-    # bucket (integer counts change — not float-tolerance noise).
-    # Rounding snaps both engines to the same double.
-    cuts = ev.agg(
-        F.transform(
-            F.percentile("value", F.array(*[F.lit(x) for x in fracs])),
-            lambda c: F.round(c, 6),
-        ).alias("cuts")
-    )
-    bucket = F.aggregate(
-        F.col("cuts"),
-        F.lit(0),
-        lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
-    )
+    if cuts is not None:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0)
+        )
+        base = ev.select("value", bucket.alias("bucket"))
+    else:
+        fracs = [i / buckets for i in range(1, buckets)]
+        # Round-6 snap: two engines interpolating the same percentile
+        # with different arithmetic shapes can land 1 ulp apart, and on
+        # a 2-decimal data value that flips the bucket. (The snap still
+        # leaves a cell-boundary straddle hazard — which is why the
+        # registry query uses fitted literal cuts instead.)
+        cuts_df = ev.agg(
+            F.transform(
+                F.percentile("value", F.array(*[F.lit(x) for x in fracs])),
+                lambda c: F.round(c, 6),
+            ).alias("cuts")
+        )
+        bucket = F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+        )
+        base = ev.crossJoin(F.broadcast(cuts_df)).select("value", bucket.alias("bucket"))
     return (
-        ev.crossJoin(F.broadcast(cuts))
-        .select("value", bucket.alias("bucket"))
-        .groupBy("bucket")
+        base.groupBy("bucket")
         .agg(
             F.count("*").alias("n_events"),
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -363,7 +368,6 @@ def value_histogram(t: dict[str, DataFrame]) -> DataFrame:
     return (
         ev.groupBy(bucket.alias("bucket_lo"))
         .agg(F.count("*").alias("n_events"))
-        .orderBy("bucket_lo")
     )
 
 
@@ -390,5 +394,4 @@ def user_activity_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
         )
-        .orderBy("user_id")
     )

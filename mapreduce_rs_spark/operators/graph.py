@@ -105,4 +105,4 @@ def dedup_components(df: DataFrame) -> DataFrame:
     component. The end-to-end shape of a production near-dup pass:
     sign → band → pair → cluster → keep-min."""
     edges = minhash_lsh_pairs(df).select("doc_a", "doc_b")
-    return connected_components(edges).orderBy("doc_id")
+    return connected_components(edges)

@@ -97,7 +97,6 @@ def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
             stable_avg(rate("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -134,7 +133,6 @@ def join_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
             stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
-        .orderBy("r_name", "n_name")
     )
 
 
@@ -165,7 +163,6 @@ def join_left_order_counts(t: dict[str, DataFrame]) -> DataFrame:
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("n_orders"))
-        .orderBy("c_custkey")
     )
 
 
@@ -178,7 +175,6 @@ def join_semi_recent_customers(t: dict[str, DataFrame]) -> DataFrame:
         t["customer"]
         .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -188,7 +184,6 @@ def join_anti_customers_without_orders(t: dict[str, DataFrame]) -> DataFrame:
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
     )
 
 
@@ -209,7 +204,6 @@ def agg_order_priorities(t: dict[str, DataFrame]) -> DataFrame:
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -220,10 +214,6 @@ def rollup_returns(t: dict[str, DataFrame]) -> DataFrame:
         t["lineitem"]
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
     )
 
 
@@ -234,10 +224,6 @@ def cube_status_priority(t: dict[str, DataFrame]) -> DataFrame:
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
         .agg(stable_sum(money("o_totalprice")).alias("sum_price"), F.count("*").alias("n_orders"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
     )
 
 
@@ -253,7 +239,6 @@ def window_top_orders_per_customer(t: dict[str, DataFrame]) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
-        .orderBy("o_custkey", "rnk")
     )
 
 
@@ -329,7 +314,6 @@ def min_cost_part_supplier(t: dict[str, DataFrame]) -> DataFrame:
         ranked.where(F.col("unit_price") == F.col("min_unit_price"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_price")
         .distinct()
-        .orderBy("p_partkey", "s_suppkey")
     )
 
 
@@ -361,7 +345,6 @@ def set_ops_segments(t: dict[str, DataFrame]) -> DataFrame:
         # subtract == SQL EXCEPT (distinct); exceptAll has multiset
         # semantics that diverge from the oracle's EXCEPT.
         .unionAll(building.subtract(urgent).withColumn("op", F.lit("except")))
-        .orderBy("op", "c_custkey")
     )
 
 
@@ -380,7 +363,6 @@ def set_ops_multiset(t: dict[str, DataFrame]) -> DataFrame:
         .unionAll(building_nations.exceptAll(machinery_nations).withColumn("op", F.lit("except_all")))
         .groupBy("op", "c_nationkey")
         .agg(F.count("*").alias("multiplicity"))
-        .orderBy("op", "c_nationkey")
     )
 
 
@@ -397,7 +379,6 @@ def nations_in_region(t: dict[str, DataFrame]) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
             F.count("*").alias("n_nations"),
         )
-        .orderBy("r_name")
     )
 
 
@@ -410,7 +391,6 @@ def having_active_customers(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_orders"), stable_sum(money("o_totalprice")).alias("total_spend"))
         .where(F.col("n_orders") >= 12)
-        .orderBy("o_custkey")
     )
 
 
@@ -428,7 +408,6 @@ def percentiles_by_priority(t: dict[str, DataFrame]) -> DataFrame:
             F.percentile("o_totalprice", 0.5).alias("p50"),
             F.percentile("o_totalprice", 0.75).alias("p75"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -464,7 +443,7 @@ def pivot_status_by_priority(t: dict[str, DataFrame]) -> DataFrame:
     return wide.select(
         "o_orderpriority",
         *[F.col(c).cast("double").alias(c) for c in ("F", "O", "P")],
-    ).orderBy("o_orderpriority")
+    )
 
 
 def unpivot_status_totals(t: dict[str, DataFrame]) -> DataFrame:
@@ -480,7 +459,6 @@ def unpivot_status_totals(t: dict[str, DataFrame]) -> DataFrame:
             valueColumnName="total_price",
         )
         .where(F.col("total_price").isNotNull())
-        .orderBy("o_orderpriority", "status")
     )
 
 
@@ -506,7 +484,6 @@ def range_join_price_bands(t: dict[str, DataFrame]) -> DataFrame:
         )
         .groupBy("band")
         .agg(F.count("*").alias("n_orders"), stable_sum(money("o_totalprice")).alias("sum_price"))
-        .orderBy("band")
     )
 
 
@@ -522,7 +499,6 @@ def customers_above_nation_avg(t: dict[str, DataFrame]) -> DataFrame:
         .join(F.broadcast(nation_avg), "c_nationkey")
         .where(F.col("c_acctbal") > F.col("nation_avg_bal"))
         .select("c_custkey", "c_name", "c_acctbal", "nation_avg_bal")
-        .orderBy("c_custkey")
     )
 
 
@@ -543,7 +519,6 @@ def promo_revenue_ratio(t: dict[str, DataFrame]) -> DataFrame:
             (100 * stable_sum(promo_price) / stable_sum(disc_price)).alias("promo_pct"),
             stable_sum(disc_price).alias("total_revenue"),
         )
-        .orderBy("ship_month")
     )
 
 
@@ -569,7 +544,6 @@ def disjunctive_filter_revenue(t: dict[str, DataFrame]) -> DataFrame:
             stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -587,7 +561,6 @@ def priority_line_counts(t: dict[str, DataFrame]) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
             F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -616,7 +589,6 @@ def null_handling_showcase(t: dict[str, DataFrame]) -> DataFrame:
             .otherwise("active")
             .alias("status"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -677,7 +649,7 @@ def stats_battery(t: dict[str, DataFrame]) -> DataFrame:
         # DuckDB division yields NULL there, Spark's plain `/` would
         # give NaN; try_divide aligns on NULL.
         F.try_divide(cov, F.sqrt(var_q) * F.sqrt(var_p)).alias("corr_qty_price"),
-    ).orderBy("l_returnflag")
+    )
 
 
 def fuzzy_nation_pairs(t: dict[str, DataFrame], max_dist: int = 4) -> DataFrame:
@@ -699,7 +671,6 @@ def fuzzy_nation_pairs(t: dict[str, DataFrame], max_dist: int = 4) -> DataFrame:
             dist.alias("edit_dist"),
         )
         .where(F.col("edit_dist") <= max_dist)
-        .orderBy("name_a", "name_b")
     )
 
 

@@ -47,5 +47,4 @@ def stratified_sample_summary(df: DataFrame, pct: int = 10) -> DataFrame:
             F.sum(F.when(sampled == 1, F.col("n_chars")).otherwise(0)).cast("long").alias("sampled_chars"),
             (F.sum(sampled).cast("double") / F.count(F.lit(1))).alias("realized_rate"),
         )
-        .orderBy("lang")
     )

@@ -180,7 +180,6 @@ def tfidf_top_terms(df: DataFrame, k: int = 3) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("doc_id", "word", "tf", "df_docs", "tfidf", "rnk")
-        .orderBy("doc_id", "rnk")
     )
 
 

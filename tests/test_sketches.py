@@ -75,5 +75,7 @@ def test_minhash_digest_projection_equals_h32_lane(spark, sf_dir):
         .orderBy("doc_id")
         .collect()
     )
-    fast = minhash_signatures(docs).collect()
+    # minhash_signatures is unsorted (presentation ordering is a
+    # registry concern since round 3) — align rows by doc_id.
+    fast = minhash_signatures(docs).orderBy("doc_id").collect()
     assert [tuple(r) for r in lane] == [tuple(r) for r in fast]
