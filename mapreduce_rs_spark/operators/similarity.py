@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mapreduce_rs_spark.functions.hashing import h32
 from mapreduce_rs_spark.functions.vectors import cosine_similarity, dot, l2_norm
 from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
@@ -75,7 +76,6 @@ def knn_bruteforce(df: DataFrame, k: int = 10) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
     )
 
 
@@ -98,7 +98,6 @@ def lsh_buckets(df: DataFrame, planes: list[list[float]] | None = None) -> DataF
         df.select(_bucket_expr(F.col("embedding"), planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
-        .orderBy("bucket")
     )
 
 
@@ -131,7 +130,6 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
     )
 
 
@@ -149,10 +147,13 @@ def _init_centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[flo
     ]
 
 
+KMEANS_SAMPLE_CAP = 100_000  # hard bound on rows collected to the driver
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = N_CENTROIDS,
-    sample_every: int = 3,
+    sample_cap: int = KMEANS_SAMPLE_CAP,
     iters: int = 10,
     dim: int = EMBED_DIM,
 ) -> list[list[float]]:
@@ -161,12 +162,17 @@ def kmeans_fit(
     coarse quantizer (sample → fit a tiny model driver-side →
     broadcast centroids back into the distributed assignment).
 
-    * Sample is deterministic (``vec_id % sample_every == 0``), NOT
-      ``df.sample`` — Bernoulli sampling seeds per-partition, so its
-      output would change with partitioning. At 100 TB you'd tighten
-      the modulus (or hash-sample) to keep the sample ~1e5-1e6 rows.
-    * Collecting the sample is bounded model state (k·dim floats out),
-      not a driver-side data loop — the corpus never leaves executors.
+    * Sample is the ``sample_cap`` vectors with the SMALLEST portable
+      hash ``h32(vec_id)`` — KMV-style systematic sampling. Uniform
+      (the hash is uniform over vec_ids), deterministic under any
+      partitioning/executor count/retry (unlike ``df.sample``, which
+      seeds per partition), and HARD-bounded by construction: the
+      orderBy+limit compiles to TakeOrderedAndProject (each partition
+      keeps a sample_cap heap, driver merges), so the collect is
+      O(sample_cap·dim) REGARDLESS of corpus size — at 100 TB the
+      driver still receives at most sample_cap rows. This replaces the
+      round-2 ``vec_id % 3`` scheme, which collected a corpus
+      *fraction* and would have OOMed a driver at scale.
     * Assignment metric is max dot product, identical to the probe's
       ``_nearest_centroid_expr``; centroids are L2-normalized after
       each mean update (spherical k-means), which keeps argmax-dot
@@ -178,11 +184,15 @@ def kmeans_fit(
       Spark plan and the DuckDB oracle — see FITTED_CENTROIDS.
     """
     sample = (
-        df.where(F.col("vec_id") % sample_every == 0)
+        df.select("vec_id", "embedding")
+        .withColumn("h", h32(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(sample_cap)
         .select("embedding")
-        .orderBy("vec_id")
         .collect()
     )
+    if len(sample) > sample_cap:  # TakeOrdered guarantees this; keep it loud
+        raise AssertionError(f"sample exceeded cap: {len(sample)} > {sample_cap}")
     x = np.array([row.embedding for row in sample], dtype=np.float64)
     cents = np.array(_init_centroids(k, dim), dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -256,7 +266,6 @@ def ivf_histogram(df: DataFrame) -> DataFrame:
         ivf_assign(df)
         .groupBy("centroid_id")
         .agg(F.count("*").alias("n_vectors"))
-        .orderBy("centroid_id")
     )
 
 
@@ -283,7 +292,6 @@ def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
     )
 
 
@@ -327,7 +335,6 @@ def knn_ivf_multiprobe(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
-        .orderBy("q_id", "rnk")
     )
 
 
@@ -384,5 +391,4 @@ def embedding_near_dup(
             cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
     )
