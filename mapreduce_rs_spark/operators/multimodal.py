@@ -86,9 +86,21 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + tag + data + crc
         if tag == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            # All 13 IHDR bytes: a nonzero interlace (Adam7) or
+            # compression/filter method would otherwise pass validation
+            # and surface later as a misleading IDAT-length error — or,
+            # for rare geometries, silently decode garbage pixel stats.
+            (width, height, bit_depth, color_type, compression, filter_method,
+             interlace) = struct.unpack(">IIBBBBB", data[:13])
             if bit_depth != 8 or color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG: depth={bit_depth} color={color_type}")
+            if compression or filter_method or interlace:
+                raise ValueError(
+                    "unsupported PNG: compression={} filter_method={} interlace={} "
+                    "(only baseline non-interlaced zlib PNGs supported)".format(
+                        compression, filter_method, interlace
+                    )
+                )
             channels = _PNG_CHANNELS[color_type]
         elif tag == b"IDAT":
             idat += data
