@@ -319,6 +319,41 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4, fps: int = 30) -> Data
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def png_decode_stats(df: DataFrame) -> DataFrame:
+    """Oracle-checkable PNG decode round-trip (closes the round-2
+    ``no_oracle`` verification gap for the real-codec path).
+
+    Synthesize spec-valid PNGs from even-doc_id documents
+    (attach_png_payload: width/height derived from the utf-8 byte
+    length, pixels = the text bytes tiled), decode them with the FULL
+    codec (chunk walk → zlib inflate → scanline unfilter), and emit
+    per-document stats the synthesis rules make SQL-predictable:
+
+    * width/height — must equal ``len % 16 + 1`` / ``len % 12 + 1``;
+    * n_pixels and the integer SUM of decoded intensities — the tiling
+      sum ``(n // len)·Σbytes + Σ first (n % len) bytes``;
+    * mean_intensity — the same two exact integers divided in double.
+
+    The DuckDB oracle recomputes all of it from the raw text with NO
+    PNG machinery (documents are pure ASCII at every SF, so DuckDB's
+    per-character ``ascii()`` equals the utf-8 byte — asserted in
+    tests). Agreement therefore proves the encoder→decoder round-trip
+    (zlib + filters included) is lossless — the decode kernel itself,
+    not just its plumbing, is externally verified."""
+    feats = extract_features(attach_png_payload(df.where(F.col("doc_id") % 2 == 0)))
+    n_pixels = F.col("width") * F.col("height")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        n_pixels.alias("n_pixels"),
+        # total is an exact integer <= 255·16·12; mean carries ~1e-13
+        # relative error, so round() reconstructs it exactly.
+        F.round(F.col("mean_intensity") * n_pixels).cast("long").alias("sum_intensity"),
+        "mean_intensity",
+    )
+
+
 def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python

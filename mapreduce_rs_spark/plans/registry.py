@@ -1459,11 +1459,44 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "regexp group extraction over a semi-structured id column",
     ),
-    # ---- multimodal (rows-only: decode kernel not SQL-expressible) ----
+    # ---- multimodal ----
+    # The PNG path is oracle-checked via the synthesis rules: the oracle
+    # recomputes width/height/pixel sums from the raw text with NO PNG
+    # machinery (documents are pure ASCII, so ascii() == utf-8 byte);
+    # agreement proves the encode->decode round-trip (zlib + scanline
+    # filters) lossless. The mixed-modality aggregate stays rows-only
+    # (its stub branch is deliberately not SQL-expressible).
+    "png_decode_stats": QuerySpec(
+        _docs(multimodal.png_decode_stats),
+        """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 16 + 1 AS INTEGER) AS width,
+                   CAST(length(text) % 12 + 1 AS INTEGER) AS height
+            FROM documents WHERE doc_id % 2 = 0
+        ), sums AS (
+            SELECT doc_id, width, height,
+                   width * height AS n_pixels,
+                   (width * height) // len AS full_reps,
+                   CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, (width * height) % len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS prefix_sum
+            FROM base
+        )
+        SELECT doc_id, width, height, n_pixels,
+               CAST(full_reps * all_sum + prefix_sum AS BIGINT) AS sum_intensity,
+               CAST(full_reps * all_sum + prefix_sum AS DOUBLE) / n_pixels AS mean_intensity
+        FROM sums ORDER BY doc_id
+        """,
+        "PNG decode round-trip vs a pure-text oracle: codec losslessness is the correctness claim",
+    ),
     "multimodal_features": QuerySpec(
         _docs(multimodal.multimodal_features),
         None,
-        "binary-column plumbing with a stubbed decode kernel (mapInPandas)",
+        "binary-column plumbing: real PNG codec + stubbed non-PNG kernel (mapInPandas); "
+        "the PNG branch is oracle-verified via png_decode_stats, the aggregate golden-pinned "
+        "in tests/test_multimodal.py",
     ),
 }
 
@@ -1537,6 +1570,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "pack_sequences": ("lang", "bin"),
     "curation_yield_neardup": ("lang",),
     "source_extraction": ("src_num",),
+    "png_decode_stats": ("doc_id",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)

