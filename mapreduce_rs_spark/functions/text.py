@@ -13,10 +13,15 @@ this engine pins ASCII classes on every path (Java regex default here,
 ``re.ASCII`` in the Python UDF surface) so all three engines — Spark,
 DuckDB oracle, Python mappers — agree with EACH OTHER: "café" → "caf".
 ASCII is the deliberate choice because cross-engine agreement is the
-correctness contract; adopting Unicode classes consistently would need
-``(?U)`` in Java AND dropping re.ASCII AND a Unicode-class-capable
-oracle build. Pinned by the non-ASCII golden test in
-tests/test_text_edge_cases.py.
+correctness contract; RE2 (the DuckDB oracle) has no Unicode-\\w
+switch, so a Unicode default would be unoracle-able. Pinned by the
+non-ASCII golden test in tests/test_text_edge_cases.py.
+
+For users who need the reference's actual non-ASCII behavior,
+``clean_text``/``tokens``/``word_count`` accept ``unicode=True``
+(Java ``(?U)`` classes) — golden-tested against Python's Unicode regex
+(the Rust-semantics mirror) in tests/test_text_edge_cases.py, closing
+the one documented behavioral divergence from the reference.
 
 All helpers are pure column expressions — JVM-side, inside whole-stage
 codegen; no Python UDFs on this path.
@@ -43,18 +48,36 @@ SPLIT_PATTERN = rf"[{WS_CLASS}]+"
 BPE_ISH_PATTERN = rf"[\w]+|[^\w{WS_CLASS}]"
 
 
-def clean_text(col: Column | str) -> Column:
+# Unicode mode: Java's (?U) flag switches \w/\s to the Unicode-aware
+# classes, matching the Rust reference's semantics on non-ASCII text
+# (Rust regex \w and split_whitespace are Unicode: "café" stays whole,
+# src/mr/function.rs:10-13). NOT the oracle contract — RE2 (DuckDB) has
+# no equivalent switch for \w, so unicode-mode queries are golden-tested
+# against Python's Unicode regex (the Rust mirror) instead of oracled.
+UNICODE_CLEAN_PATTERN = r"(?U)[^\w\s]"
+UNICODE_SPLIT_PATTERN = r"(?U)\s+"
+
+
+def clean_text(col: Column | str, *, unicode: bool = False) -> Column:
     """Strip punctuation exactly like the reference's ``wc::map``
-    (``src/mr/function.rs:10-11``)."""
-    return F.regexp_replace(col, CLEAN_PATTERN, "")
+    (``src/mr/function.rs:10-11``). ``unicode=True`` reproduces the
+    Rust reference's Unicode classes (accented letters survive);
+    default ASCII is the cross-engine oracle contract."""
+    return F.regexp_replace(
+        col, UNICODE_CLEAN_PATTERN if unicode else CLEAN_PATTERN, ""
+    )
 
 
-def tokens(col: Column | str) -> Column:
+def tokens(col: Column | str, *, unicode: bool = False) -> Column:
     """Whitespace-split token array (may contain a leading '' if the text
     starts with whitespace — callers filter empties after explode, the
     analog of ``split_whitespace`` never yielding empties,
-    ``src/mr/function.rs:13``)."""
-    return F.split(clean_text(col), SPLIT_PATTERN)
+    ``src/mr/function.rs:13``). ``unicode=True``: Unicode whitespace +
+    word classes, the reference's actual behavior on non-ASCII input."""
+    return F.split(
+        clean_text(col, unicode=unicode),
+        UNICODE_SPLIT_PATTERN if unicode else SPLIT_PATTERN,
+    )
 
 
 def token_ngrams(col: Column | str, n: int) -> Column:

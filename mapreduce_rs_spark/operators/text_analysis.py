@@ -36,28 +36,35 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def explode_tokens(df: DataFrame, text_col: str = "text", *extra_cols: str) -> DataFrame:
+def explode_tokens(
+    df: DataFrame, text_col: str = "text", *extra_cols: str, unicode: bool = False
+) -> DataFrame:
     """Corpus → one row per token (the reference's map phase, ops 2-4).
 
     A narrow transformation: no shuffle. Each scan partition tokenizes
     independently, so it scales linearly with input splits.
+    ``unicode=True`` uses the Rust reference's Unicode ``\\w``/``\\s``
+    (functions/text.py rationale); the ASCII default is the
+    cross-engine oracle contract.
     """
     return (
-        df.select(*extra_cols, F.explode(tokens(text_col)).alias("word"))
+        df.select(*extra_cols, F.explode(tokens(text_col, unicode=unicode)).alias("word"))
         .where(F.col("word") != "")
     )
 
 
-def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_count(df: DataFrame, text_col: str = "text", *, unicode: bool = False) -> DataFrame:
     """The flagship: word count with exact reference semantics.
 
     Plan shape: scan → narrow tokenize → shuffle on word (hash partition,
     reference op 5) with map-side partial count (the combiner the
     reference lacks, ``src/mr/worker.rs:149-161``) → final count →
     range-partitioned total sort (reference op 12's ``cat | sort``).
+    ``unicode=True`` reproduces the reference's Unicode tokenization on
+    accented text ("café" stays whole) — golden-tested, not oracled.
     """
     return (
-        explode_tokens(df, text_col)
+        explode_tokens(df, text_col, unicode=unicode)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .orderBy("word")

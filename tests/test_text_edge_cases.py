@@ -87,3 +87,42 @@ def test_non_ascii_golden_all_engines_agree(spark):
     assert spark_counts == golden
     assert duck_counts == golden
     assert py_counts == golden
+
+
+def test_unicode_mode_matches_rust_reference_semantics(spark):
+    """unicode=True golden: the Rust reference keeps accented letters
+    ("café" stays "café" — Unicode \\w in src/mr/function.rs:10-13 and
+    Unicode split_whitespace). The expected counts are computed with
+    Python's Unicode regex (the Rust-semantics mirror: \\w without
+    re.ASCII, str.split() = Unicode whitespace split), NOT hand-written,
+    so the golden IS the reference algorithm. ASCII default untouched —
+    it remains the cross-engine oracle contract; unicode mode is the
+    opt-in reference-parity path (no RE2 equivalent → not oracled)."""
+    import re
+
+    text = "café déjà vu naïve touché touché Müller-Straße 北京 test _foo1"
+    df = spark.createDataFrame([(1, text, "fr")], ["doc_id", "text", "lang"])
+
+    got = {r["word"]: r["cnt"] for r in word_count(df, unicode=True).collect()}
+
+    expected: dict[str, int] = {}
+    for w in re.sub(r"[^\w\s]", "", text).split():  # Unicode by default in Python
+        expected[w] = expected.get(w, 0) + 1
+
+    # sanity on the golden itself: accents and CJK survived, the
+    # ASCII-mode mutilations did not happen
+    assert "café" in expected and "touché" in expected and "北京" in expected
+    assert "caf" not in expected and "MüllerStraße" in expected
+    assert got == expected
+
+
+def test_unicode_mode_whitespace_is_unicode(spark):
+    """Unicode split: NBSP (U+00A0, White_Space=Yes) separates tokens in
+    unicode mode exactly as Rust's split_whitespace does; ASCII mode
+    treats it as a word-adjacent non-word char (stripped)."""
+    text = "alpha beta"  # the separator is an explicit NBSP, not a plain space
+    df = spark.createDataFrame([(1, text, "en")], ["doc_id", "text", "lang"])
+    uni = {r["word"]: r["cnt"] for r in word_count(df, unicode=True).collect()}
+    assert uni == {"alpha": 1, "beta": 1}
+    ascii_mode = {r["word"]: r["cnt"] for r in word_count(df).collect()}
+    assert ascii_mode == {"alphabeta": 1}
