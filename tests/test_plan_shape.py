@@ -110,3 +110,83 @@ def test_minhash_lsh_pairs_single_signature_subtree(spark, sf_dir):
     plan = _plan(minhash_lsh_pairs(load_table(spark, sf_dir, "documents")))
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide scale guards (round-2 VERDICT ask): the 10+ most
+# expensive queries must never regress to the round-1 plan diseases —
+# cartesian products, re-derived subtrees, shuffle creep. Caps are the
+# MEASURED exchange counts at sf0.001 (plans are size-independent at
+# these SFs); a refactor that adds a shuffle fails loudly here.
+# ---------------------------------------------------------------------------
+
+# name -> (max hash exchanges, max range exchanges)
+_SCALE_GUARDS = {
+    "wordcount": (1, 1),                  # groupBy + the op-12 total sort
+    "q1_pricing_summary": (1, 0),
+    "join_revenue_by_nation": (1, 0),     # ALL dims broadcast; agg is the only shuffle
+    "window_top_orders_per_customer": (1, 0),
+    "dedup_exact": (1, 0),
+    "minhash_signatures": (1, 0),
+    "knn_bruteforce": (2, 0),             # parallelism spread + top-k window
+    "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
+    "tumbling_window": (1, 0),
+    "minhash_lsh_pairs": (1, 0),          # banded self-join over the checkpointed sigs
+    "jaccard_pairs": (3, 0),              # df agg + pair agg + sizes joins
+    "tfidf_top_terms": (2, 0),            # dfs agg + rank window (counts checkpointed)
+    "knn_ivf": (3, 0),
+    "curation_yield_neardup": (4, 0),
+}
+
+
+def _shape(plan: str) -> tuple[int, int]:
+    return (
+        plan.count("Exchange hashpartitioning"),
+        plan.count("Exchange rangepartitioning"),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_SCALE_GUARDS))
+def test_scale_guard(spark, sf_dir, name):
+    from mapreduce_rs_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    hash_ex, range_ex = _shape(plan)
+    max_hash, max_range = _SCALE_GUARDS[name]
+    assert hash_ex <= max_hash, f"{name}: {hash_ex} hash exchanges (cap {max_hash})"
+    assert range_ex <= max_range, f"{name}: {range_ex} range exchanges (cap {max_range})"
+
+
+def test_dimension_scans_feed_broadcast_not_shuffle(tables):
+    """join_revenue_by_nation's bounded dims must reach the join through
+    BroadcastExchange — a shuffle above a dimension scan means the fact
+    table is being co-shuffled with a 25-row table at 100 TB."""
+    plan = _plan(relational.join_revenue_by_nation(tables))
+    assert plan.count("BroadcastExchange") >= 2  # nation + region hints, minimum
+    assert "BroadcastHashJoin" in plan
+    # the single hash exchange is the 25-row aggregate, nothing else
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scale_guard_negative_control(spark, tables):
+    """Prove the guards actually bite: deliberately diseased plans must
+    trip the same assertions the real queries pass."""
+    nation = tables["nation"]
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = nation.crossJoin(nation.select(nation.n_name.alias("b_name")))
+        plan = _plan(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "CartesianProduct" in plan  # the guard's first assert would fail
+
+    # shuffle creep: a gratuitous repartition must exceed the q1 cap
+    from mapreduce_rs_spark.operators.relational import q1_pricing_summary
+
+    bloated = q1_pricing_summary(
+        dict(tables, lineitem=tables["lineitem"].repartition(7, "l_orderkey"))
+    )
+    hash_ex, _ = _shape(_plan(bloated))
+    assert hash_ex > _SCALE_GUARDS["q1_pricing_summary"][0]
