@@ -1599,58 +1599,61 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # (a) no driver correctness row in round 1 (registry entries 51-64)
-    "embedding_near_dup",
-    "tumbling_window",
-    "sliding_window",
-    "sessionize",
-    "json_props_agg",
-    "asof_last_click_before_purchase",
-    "multi_resolution_rollup",
-    "kmv_distinct_users",
-    "out_of_order_stats",
-    "value_histogram",
-    "user_activity_stats",
-    "curation_yield",
-    "source_extraction",
-    "multimodal_features",
-    # (b) new this round
-    "rdd_wordcount",
-    "simhash_near_pairs",
-    "dedup_components",
-    "tfidf_top_terms",
+    # ---- round 3 window. (a) new or semantically changed this round:
+    "png_decode_stats",        # NEW: codec round-trip vs pure-text oracle
+    "equi_depth_histogram",    # fitted literal cutpoints on both sides
+    "knn_ivf",                 # centroids refit on the bounded KMV sample
     "knn_ivf_multiprobe",
-    "range_window_revenue",
-    "fuzzy_nation_pairs",
-    "stratified_sample_summary",
-    "curation_yield_neardup",
-    "equi_depth_histogram",
-    "pack_sequences",
-    "stats_battery",
-    "promo_revenue_ratio",
-    "disjunctive_filter_revenue",
-    "priority_line_counts",
-    "null_handling_showcase",
-    "funnel_conversion",
-    "cohort_retention",
-    # (b) modified this round: decimal-stable money sums
-    "agg_order_priorities",
+    "ivf_histogram",
+    "stats_battery",           # oracle corr denominator NULLIF-guarded
+    "funnel_conversion",       # oracle rate denominator NULLIF-guarded
+    "doc_stats",               # oracle avg_token_len NULLIF-guarded
+    "quality_score",           # oracle ratios NULLIF-guarded
+    "multimodal_features",     # rows-only; golden-pinned in tests now
+    # (b) green in r01 but not re-checked since (refresh the old rows):
+    "wordcount_topk",
+    "wordcount_mapreduce_udf",
+    "top_terms_per_lang",
+    "token_count",
+    "language_id",
+    "filter_project",
+    "join_left_order_counts",
+    "join_semi_recent_customers",
+    "join_anti_customers_without_orders",
+    "rollup_returns",
+    "window_price_delta",
+    "window_functions_battery",
+    "min_cost_part_supplier",
+    "topk_expensive_orders",
+    "set_ops_segments",
+    "set_ops_multiset",
+    "scalar_functions_showcase",
+    "date_functions_showcase",
+    "nations_in_region",
+    "percentiles_by_priority",
+    "grouping_sets_returns",
+    "customers_above_nation_avg",
+    "array_functions_showcase",
+    "winnow_fingerprints",
+    "lsh_buckets",
+    "knn_lsh",
+    # (c) operators restructured this round (presentation sort moved to
+    # the registry wrapper — output identical by construction, but a
+    # fresh driver row turns that claim into a record):
+    "wordcount",
+    "wordcount_salted",
+    "rdd_wordcount",
     "q1_pricing_summary",
     "join_revenue_by_nation",
     "q3_shipping_priority",
-    "cube_status_priority",
-    "window_running_revenue",
-    "having_active_customers",
-    "pivot_status_by_priority",
-    "unpivot_status_totals",
-    "range_join_price_bands",
-    # (b) modified this round: plan/algorithm changes
-    "bigrams",
-    "jaccard_pairs",
-    "minhash_lsh_pairs",
+    "dedup_exact",
     "minhash_signatures",
-    "ivf_histogram",
-    "knn_ivf",
+    "minhash_lsh_pairs",
+    "sessionize",
+    "tumbling_window",
+    "jaccard_pairs",
+    "tfidf_top_terms",
+    "curation_yield",
 )
 
 QUERIES = {
