@@ -214,3 +214,54 @@ def test_multimodal_features_golden(spark, golden_sf):
         assert r["max_width"] == max_width, modality
         # double avg: order-tolerant compare (250 values, noise ~1e-13)
         assert abs(r["avg_intensity"] - avg_intensity) <= 1e-9 * abs(avg_intensity), modality
+
+
+# ---------------------------------------------------------------------------
+# Codec property tests (pure Python, no Spark): random content through
+# the encode->decode round-trip. The crafted-image tests above exercise
+# each scanline filter; randomized inputs cover the geometry/content
+# space between them.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_random(w, h, ch, data):
+    from mapreduce_rs_spark.operators.multimodal import decode_png, encode_png
+
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    dw, dh, dc, mean = decode_png(encode_png(w, h, pixels, ch))
+    assert (dw, dh, dc) == (w, h, ch)
+    assert mean == sum(pixels) / len(pixels)
+
+
+def test_png_rejects_interlaced():
+    """An Adam7-interlaced IHDR must be rejected AT THE HEADER (the
+    round-2 ADVICE hazard: it previously surfaced as a misleading
+    truncated-IDAT error, or decoded garbage for rare geometries)."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce_rs_spark.operators.multimodal import decode_png, encode_png
+
+    png = bytearray(encode_png(2, 2, bytes(4), 1))
+    ihdr_off = 8 + 8  # magic + len/tag
+    assert png[ihdr_off + 12] == 0  # interlace byte
+    png[ihdr_off + 12] = 1  # claim Adam7
+    # fix the IHDR CRC so only the interlace flag is at fault
+    import zlib as _zlib
+
+    crc = _zlib.crc32(bytes(png[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    png[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(">I", crc)
+    with _pytest.raises(ValueError, match="interlace=1"):
+        decode_png(bytes(png))
