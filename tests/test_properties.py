@@ -257,3 +257,46 @@ def test_json_extraction_parity_including_malformed(spark):
         a_n = a is None or (isinstance(a, float) and pd.isna(a))
         b_n = b is None or (isinstance(b, float) and pd.isna(b))
         assert a_n == b_n and (a_n or a == b), f"id={i} doc={docs[i]!r}: {a!r} vs {b!r}"
+
+
+def test_png_synthesis_math_parity_on_random_text(spark):
+    """The png_decode_stats oracle reconstructs decoded-pixel sums from
+    raw text with DuckDB's per-character ascii() — a NEW expression
+    family this round (byte arithmetic on strings). Probe it on random
+    printable-ASCII text of random lengths: the full chain (synthesize
+    PNG → zlib → decode → pixel sum) must equal the oracle's pure-text
+    tiling arithmetic for every document. Randomized because the fixed
+    corpus only exercises one length/content distribution; substr
+    off-by-ones or tiling-remainder bugs live at the edges (len 1,
+    len == n_pixels, n_pixels % len == 0)."""
+    import random
+
+    import duckdb
+
+    from mapreduce_rs_spark.operators.multimodal import png_decode_stats
+    from mapreduce_rs_spark.plans.registry import QUERIES
+
+    rng = random.Random(17)
+    printable = [chr(c) for c in range(0x20, 0x7F)]
+    docs = []
+    for i in range(120):
+        # even doc_ids only (the query's contract); lengths hit the
+        # tiling edges: 1, exact multiples, primes, long
+        n = rng.choice([1, 2, 3, 7, 12, 16, 17, 48, 191, 192, 193, 400])
+        docs.append((2 * i, "".join(rng.choice(printable) for _ in range(n))))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_pixels"], r["sum_intensity"])
+        for r in png_decode_stats(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]))
+    oracle_sql = QUERIES["png_decode_stats"].oracle
+    expected = {
+        row[0]: (row[1], row[2], row[3], row[4])
+        for row in con.execute(oracle_sql).fetchall()
+    }
+    assert got == expected
+    assert len(got) == 120
