@@ -711,3 +711,163 @@ def date_functions_showcase(t: dict[str, DataFrame]) -> DataFrame:
         F.quarter("o_orderdate").alias("order_quarter"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
     )
+
+
+def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by dropping orders of
+    less than 20% of a part's average quantity, for one brand/size slice.
+
+    The classic formulation is a correlated scalar subquery per fact row
+    (``l_quantity < (SELECT 0.2*avg(l_quantity) ... WHERE l_partkey =
+    p_partkey)``); the scale-correct decorrelation is aggregate-then-
+    join: the per-part threshold table is |selected parts| rows, so BOTH
+    probe-side joins broadcast and lineitem never shuffles. The filtered
+    part list is broadcast into the threshold aggregation too, so the
+    avg runs over only the selected parts' lineitems.
+
+    Quantities are integer-valued; accumulating them in decimal makes
+    the avg (exact sum / count, one double division) bit-identical across
+    engines and partitionings, so the strict `<` threshold compare can
+    never flip on accumulation noise.
+    """
+    small_parts = (
+        t["part"]
+        .where((F.col("p_brand") == "Brand#11") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li = t["lineitem"]
+    brand_lines = li.join(
+        F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.2) * stable_avg(F.col("l_quantity").cast(MONEY))).alias("qty_threshold")
+    ).select(F.col("l_partkey").alias("t_partkey"), "qty_threshold")
+    return (
+        brand_lines.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (stable_sum(money("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("int").alias("n_small_lines"),
+        )
+    )
+
+
+def q18_large_orders(t: dict[str, DataFrame], min_qty: float = 280.0) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer — a HAVING-filtered aggregate semi-joined back
+    to the fact tables.
+
+    Scale shape: the HAVING output is tiny (84 rows at sf0.01, and
+    shrinks relative to the data as the threshold binds harder), so it
+    is broadcast into the orders probe, and that probe result (equally
+    tiny) is broadcast into the customer probe — neither orders nor
+    customer ever shuffles. Quantity sums accumulate in decimal
+    (integer-valued column), so the `> min_qty` cut is exact.
+    """
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(stable_sum(F.col("l_quantity").cast(MONEY)).alias("sum_qty"))
+        .where(F.col("sum_qty") > min_qty)
+    )
+    big_orders = t["orders"].join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(big_orders), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+def q21_sole_late_supplier(t: dict[str, DataFrame], late_days: int = 60) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order. (The canonical query uses l_receiptdate >
+    l_commitdate; this schema has neither, so "late" is l_shipdate more
+    than ``late_days`` after o_orderdate — same EXISTS + NOT-EXISTS
+    join structure, adapted predicate.)
+
+    The double-EXISTS decorrelates to ONE aggregation over the order's
+    lineitems: n_suppliers >= 2 (the EXISTS: another supplier on the
+    order) and n_late_suppliers == 1 (the NOT EXISTS: no OTHER late
+    supplier) — when n_late == 1, max(late suppkey) IS that supplier.
+    Scale shape: lineitem⋈orders is a fact-fact equi-join on the
+    orderkey both sides already hash by; the per-order aggregate and
+    the final per-supplier count are integer counts (exact); the
+    supplier name lookup broadcasts.
+    """
+    flags = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_suppliers"
+        ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_suppkey"),
+    )
+    sole = per_order.where(
+        (F.col("n_suppliers") >= 2) & (F.col("n_late_suppliers") == 1)
+    )
+    return (
+        sole.groupBy("late_suppkey")
+        .agg(F.count(F.lit(1)).cast("int").alias("numwait"))
+        .join(F.broadcast(t["supplier"]), F.col("late_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over a
+    quarter — a scalar subquery (max over an aggregated view) probed
+    against the view itself.
+
+    Scale shape: revenue-per-supplier is one partial-aggregated shuffle
+    of the date-filtered fact; the global max is a 1-row aggregate
+    broadcast back (never a Window over an unpartitioned frame, which
+    would funnel every supplier row through one task). The max-equality
+    compare happens on the EXACT decimal revenue — comparing doubles
+    derived from it would be safe too (one deterministic cast), but the
+    decimal compare makes the tie semantics self-evident. Output casts
+    to double once.
+    """
+    one = F.lit(1).cast(RATE)
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(money("l_extendedprice") * (one - rate("l_discount"))).alias(
+                "rev_dec"
+            )
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_rev_dec"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("max_rev_dec"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )

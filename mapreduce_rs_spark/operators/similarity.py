@@ -392,3 +392,52 @@ def embedding_near_dup(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
+    """Recall@k of every approximate index against the exact brute-force
+    ranking — the evaluation harness an ANN deployment runs before
+    trusting an index, expressed as one query.
+
+    For each (method, query) the hit count is |approx top-k ∩ exact
+    top-k|; recall@k = Σhits / (k · n_queries). All inputs are the
+    already-deterministic knn_* operators (same tie-breaks, same
+    arithmetic on both engines), so the metric itself is exact integer
+    arithmetic plus one final division — oracle-safe.
+
+    Scale shape: the exact side is the expensive input (its cost is the
+    brute-force scan, which this evaluation exists to amortize away);
+    the intersection join is |methods|·n_queries·k rows — trivially
+    small — and the (method × query) grid that restores recall-0 rows
+    for queries an index returned nothing for is a broadcast
+    nested-loop over a 3-row literal frame, not a shuffle. Evaluated on
+    a bounded query sample at 100 TB, exactly as here (_query_set).
+    """
+    spark = df.sparkSession
+    exact = knn_bruteforce(df, k).select("q_id", "vec_id")
+    approx = (
+        knn_lsh(df, k).select("q_id", "vec_id").withColumn("method", F.lit("lsh"))
+        .unionByName(
+            knn_ivf(df, k).select("q_id", "vec_id").withColumn("method", F.lit("ivf"))
+        )
+        .unionByName(
+            knn_ivf_multiprobe(df, k, 2)
+            .select("q_id", "vec_id")
+            .withColumn("method", F.lit("ivf_mp2"))
+        )
+    )
+    per_q = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("method", "q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",), ("ivf_mp2",)], ["method"])
+    grid = exact.select("q_id").distinct().crossJoin(F.broadcast(methods))
+    filled = grid.join(per_q, ["method", "q_id"], "left").select(
+        "method", "q_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
+    )
+    return filled.groupBy("method").agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.sum("n_hits").cast("int").alias("n_hits"),
+        (F.sum("n_hits") / (F.lit(k) * F.count(F.lit(1)))).alias("recall_at_k"),
+    )
