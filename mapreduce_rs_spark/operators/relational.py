@@ -871,3 +871,282 @@ def q15_top_supplier(t: dict[str, DataFrame]) -> DataFrame:
             F.col("rev_dec").cast("double").alias("total_revenue"),
         )
     )
+
+
+def q7_volume_shipping(
+    t: dict[str, DataFrame], nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, by supplier
+    nation, customer nation and ship year.
+
+    Scale shape: the nation-pair selectivity (2 of 25 nations) is pushed
+    to BOTH dimension sides *before* the fact-fact join — lineitem is
+    pre-filtered through the broadcast of the ~2/25ths of suppliers in
+    the pair, so the orders shuffle join moves only qualifying lines,
+    not the whole fact table. The asymmetric-pair predicate
+    (supp != cust) runs as a residual after the cheap equi-joins.
+    """
+    nations = [nation_a, nation_b]
+    pair_nation = t["nation"].where(F.col("n_name").isin(nations))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(pair_nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(pair_nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    one = F.lit(1).cast(RATE)
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+    )
+
+
+def q8_market_share(
+    t: dict[str, DataFrame],
+    region: str = "ASIA",
+    target_nation: str = "NATION_2",
+    ptype: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share (by supplier nation) of
+    a part type's revenue among a region's customers, per order year.
+
+    Scale shape: part-type and region filters prune the two broadcast
+    sides before they touch the fact table; the customer restriction is
+    a LEFT-SEMI join (only the key column shuffles, stops at first
+    match). The share is a conditional-sum / total-sum ratio computed in
+    ONE pass — never two differently-filtered scans. Both sums
+    accumulate in exact decimal, so the divided doubles are bit-identical
+    across engines; try_divide guards the (structurally impossible)
+    zero denominator the same way the oracle's NULLIF does.
+    """
+    one = F.lit(1).cast(RATE)
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    zero = F.lit(0).cast("decimal(17,4)")
+    region_custs = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].where(F.col("r_name") == region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    sel_parts = t["part"].where(F.col("p_type") == ptype).select("p_partkey")
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(sel_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"]
+            .where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            )
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(region_custs, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    target_price = F.when(F.col("supp_nation") == target_nation, disc_price).otherwise(
+        zero
+    )
+    return vol.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.try_divide(stable_sum(target_price), stable_sum(disc_price)).alias(
+            "mkt_share"
+        ),
+        stable_sum(disc_price).alias("total_volume"),
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+    )
+
+
+def q9_profit_by_nation(
+    t: dict[str, DataFrame], name_token: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    whose name contains a token. (The canonical query prices cost from
+    partsupp.ps_supplycost; this schema has no partsupp, so cost is
+    90% of p_retailprice per unit — same join/aggregate structure,
+    adapted cost model.)
+
+    Scale shape: the name filter prunes part before its broadcast; the
+    supplier→nation lookup broadcasts; the only big shuffle is
+    lineitem ⋈ orders on the orderkey both already hash by. Profit is
+    a pure decimal expression (price, discount, retailprice and the
+    0.90 factor are all exact decimals; l_quantity is integer-valued),
+    so the per-group sums are order-independent and bit-identical
+    across engines.
+    """
+    one = F.lit(1).cast(RATE)
+    cost_factor = F.lit(0.90).cast(RATE)
+    profit = money("l_extendedprice") * (one - rate("l_discount")) - money(
+        "p_retailprice"
+    ) * cost_factor * F.col("l_quantity").cast(MONEY)
+    sel_parts = (
+        t["part"]
+        .where(F.col("p_name").contains(name_token))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(sel_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            stable_sum(profit).alias("profit"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+    )
+
+
+def q10_returned_items(t: dict[str, DataFrame], k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: the top customers by revenue lost to returned
+    items in one quarter.
+
+    Scale shape: aggregate-before-join — per-customer revenue is
+    reduced FIRST (the quarter+returnflag filters push to both scans,
+    and the groupBy output is at most |customers| rows), and only then
+    joined to the customer dimension, so the wide customer row never
+    rides through the fact shuffle. The top-k orders by the exact-
+    decimal-derived revenue with c_custkey as the deterministic
+    tie-break (semantic top-k, so the sort stays in the operator).
+    """
+    one = F.lit(1).cast(RATE)
+    per_cust = (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].where(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_return_lines"),
+        )
+    )
+    return (
+        per_cust.join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "n_return_lines", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def q13_customer_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    qualifying orders they placed — a left join preserving zero-order
+    customers, then a second aggregation over the counts. (The
+    canonical exclusion filter is on o_comment; this schema has none,
+    so non-urgent priority is the qualifying predicate — same
+    filtered-left-join structure.)
+
+    Scale shape: two shuffles by construction (per-customer count, then
+    per-count count) — the first reduces to |customers| rows and the
+    second to ~20 groups, so shuffle volume collapses immediately.
+    The filter lives on the orders side of the LEFT join (NOT in a
+    WHERE after it, which would silently drop the zero-order rows).
+    """
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(
+            t["orders"]
+            .where(F.col("o_orderpriority") != "1-URGENT")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("int").alias("custdist")
+    )
+
+
+def q22_dormant_customers(
+    t: dict[str, DataFrame], since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone dormant — account
+    balance above the global positive-balance average (a scalar
+    subquery) and no order since a cutoff (NOT EXISTS), grouped by
+    market segment. (The canonical query groups by phone country code;
+    this schema has no phone, so c_mktsegment is the grouping — same
+    scalar-subquery + anti-join structure.)
+
+    Scale shape: the global average is a 1-row aggregate broadcast via
+    crossJoin (never a window over an unpartitioned frame); the NOT
+    EXISTS is a LEFT-ANTI join against only the date-filtered orders
+    (the filter prunes the anti side before its shuffle). The average
+    divides an exact decimal sum by a count, so the threshold double is
+    bit-identical on both engines and the > cut can't flip.
+    """
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_custs"),
+            stable_sum(money("c_acctbal")).alias("total_acctbal"),
+        )
+    )

@@ -1652,6 +1652,144 @@ QUERIES: dict[str, QuerySpec] = {
         _ann_recall_sql(10),
         "recall@k of lsh/ivf/ivf_mp2 vs exact brute-force: the ANN evaluation harness as a query",
     ),
+    # ---- round-3 additions, part 2: the full remaining TPC-H battery
+    # expressible on this schema (no partsupp / phone / comment / shipmode
+    # columns; adapted shapes note their substitutions inline) ----
+    "q7_volume_shipping": QuerySpec(
+        _tables(relational.q7_volume_shipping),
+        f"""
+        WITH supp AS (
+            SELECT s_suppkey, n_name AS supp_nation FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2')
+        ), cust AS (
+            SELECT c_custkey, n_name AS cust_nation FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2')
+        )
+        SELECT supp_nation, cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               {_stable_sum(DISC_PRICE_DEC)} AS revenue,
+               CAST(count(*) AS INTEGER) AS n_lines
+        FROM lineitem
+        JOIN supp ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN cust ON o_custkey = c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND supp_nation <> cust_nation
+        GROUP BY 1, 2, 3
+        """,
+        "TPC-H Q7: nation-pair filters pushed to both dim sides before the fact-fact join",
+    ),
+    "q8_market_share": QuerySpec(
+        _tables(relational.q8_market_share),
+        f"""
+        WITH region_custs AS (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ), supp AS (
+            SELECT s_suppkey, n_name AS supp_nation FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+        ), vol AS (
+            SELECT o_orderdate, supp_nation, l_extendedprice, l_discount
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supp ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM region_custs WHERE c_custkey = o_custkey)
+        )
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {_stable_sum(f"CASE WHEN supp_nation = 'NATION_2' THEN {DISC_PRICE_DEC} ELSE CAST(0 AS DECIMAL(17,4)) END")}
+                   / NULLIF({_stable_sum(DISC_PRICE_DEC)}, 0) AS mkt_share,
+               {_stable_sum(DISC_PRICE_DEC)} AS total_volume,
+               CAST(count(*) AS INTEGER) AS n_lines
+        FROM vol GROUP BY 1
+        """,
+        "TPC-H Q8: one-pass conditional-sum market share over region-semi-filtered volume",
+    ),
+    "q9_profit_by_nation": QuerySpec(
+        _tables(relational.q9_profit_by_nation),
+        f"""
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {_stable_sum(
+                   f"{DISC_PRICE_DEC} - {_money('p_retailprice')} * CAST(0.90 AS DECIMAL(3,2))"
+                   f" * {_money('l_quantity')}"
+               )} AS profit,
+               CAST(count(*) AS INTEGER) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """,
+        "TPC-H Q9 shape: profit by supplier nation/year (cost = 0.9*retailprice; no partsupp)",
+    ),
+    "q10_returned_items": QuerySpec(
+        _tables(relational.q10_returned_items),
+        f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   {_stable_sum(DISC_PRICE_DEC)} AS revenue,
+                   CAST(count(*) AS INTEGER) AS n_return_lines
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, revenue, n_return_lines, c_acctbal, n_name
+        FROM per_cust
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "TPC-H Q10: aggregate-before-join returned-item revenue, deterministic top-20",
+    ),
+    "q13_customer_distribution": QuerySpec(
+        _tables(relational.q13_customer_distribution),
+        """
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_custkey) AS c_count
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT'
+            ) o ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS INTEGER) AS custdist
+        FROM per_cust GROUP BY c_count
+        """,
+        "TPC-H Q13 shape: zero-preserving left join + double aggregation "
+        "(priority filter stands in for the absent o_comment)",
+    ),
+    "q22_dormant_customers": QuerySpec(
+        _tables(relational.q22_dormant_customers),
+        f"""
+        WITH avg_bal AS (
+            SELECT CAST(sum({_money('c_acctbal')}) AS DOUBLE) / count(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS INTEGER) AS n_custs,
+               {_stable_sum(_money('c_acctbal'))} AS total_acctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_mktsegment
+        """,
+        "TPC-H Q22 shape: global-scalar threshold + anti-join on recent orders, "
+        "grouped by segment (no phone country code in schema)",
+    ),
 }
 
 
@@ -1729,6 +1867,11 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q21_sole_late_supplier": ("s_suppkey",),
     "q15_top_supplier": ("s_suppkey",),
     "ann_recall": ("method",),
+    "q7_volume_shipping": ("supp_nation", "cust_nation", "ship_year"),
+    "q8_market_share": ("o_year",),
+    "q9_profit_by_nation": ("n_name", "o_year"),
+    "q13_customer_distribution": ("c_count",),
+    "q22_dormant_customers": ("c_mktsegment",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -1763,6 +1906,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q21_sole_late_supplier",      # NEW: Q21 double-EXISTS as one aggregate
     "q15_top_supplier",            # NEW: Q15 max-over-view on exact decimals
     "ann_recall",                  # NEW: recall@k evaluation of all ANN indexes
+    "q7_volume_shipping",          # NEW: Q7 nation-pair pushdown
+    "q8_market_share",             # NEW: Q8 one-pass conditional share
+    "q9_profit_by_nation",         # NEW: Q9 shape, adapted cost model
+    "q10_returned_items",          # NEW: Q10 aggregate-before-join top-20
+    "q13_customer_distribution",   # NEW: Q13 zero-preserving double agg
+    "q22_dormant_customers",       # NEW: Q22 shape, recent-order anti-join
     "png_decode_stats",        # NEW: codec round-trip vs pure-text oracle
     "equi_depth_histogram",    # fitted literal cutpoints on both sides
     "knn_ivf",                 # centroids refit on the bounded KMV sample
