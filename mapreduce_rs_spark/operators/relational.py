@@ -1150,3 +1150,90 @@ def q22_dormant_customers(
             stable_sum(money("c_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+def q5_local_supplier_volume(
+    t: dict[str, DataFrame], region: str = "ASIA"
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the supplier and the
+    customer share the nation, within one region and year.
+
+    Scale shape: the region filter prunes nation before both broadcast
+    lookups; the customer and supplier nationkeys ride through their
+    equi-joins and the same-nation requirement is one residual compare
+    (never a join on nationkey, which would fan out). lineitem⋈orders
+    is the only fact-fact shuffle; the final aggregate is ≤|nations in
+    region| rows.
+    """
+    one = F.lit(1).cast(RATE)
+    region_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(region_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nkey"), "n_name")
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(region_nations.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"]
+            .where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            )
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("cust_nkey") == F.col("supp_nkey"))
+        .groupBy("n_name")
+        .agg(
+            stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+    )
+
+
+def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q6: the canonical scan-only query — revenue delta from a
+    hypothetical discount change, one filtered scan, one global sum.
+
+    Scale shape: all three predicates and the 3-column ReadSchema push
+    to the parquet scan; the aggregate is a 1-row partial→final — the
+    cheapest possible distributed plan, and the classic measure of raw
+    scan throughput. The discount band uses exact decimal compares
+    (l_discount is a 2-decimal value; 0.05/0.07 are exact decimals), so
+    the boundary rows can't flip on float representation.
+    """
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & rate("l_discount").between(
+                F.lit("0.05").cast(RATE), F.lit("0.07").cast(RATE)
+            )
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_sum(money("l_extendedprice") * rate("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+    )

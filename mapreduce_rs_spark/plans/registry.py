@@ -1769,6 +1769,40 @@ QUERIES: dict[str, QuerySpec] = {
         "TPC-H Q13 shape: zero-preserving left join + double aggregation "
         "(priority filter stands in for the absent o_comment)",
     ),
+    "q5_local_supplier_volume": QuerySpec(
+        _tables(relational.q5_local_supplier_volume),
+        f"""
+        WITH region_nations AS (
+            SELECT n_nationkey, n_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+        )
+        SELECT n_name,
+               {_stable_sum(DISC_PRICE_DEC)} AS revenue,
+               CAST(count(*) AS INTEGER) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN region_nations ON c_nationkey = n_nationkey
+        WHERE s_nationkey = c_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """,
+        "TPC-H Q5: same-nation residual compare after equi-joins, never a nationkey fan-out join",
+    ),
+    "q6_forecast_revenue": QuerySpec(
+        _tables(relational.q6_forecast_revenue),
+        f"""
+        SELECT {_stable_sum(f"{_money('l_extendedprice')} * {_rate('l_discount')}")} AS revenue,
+               CAST(count(*) AS INTEGER) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND {_rate('l_discount')} BETWEEN CAST(0.05 AS DECIMAL(3,2)) AND CAST(0.07 AS DECIMAL(3,2))
+          AND l_quantity < 24
+        """,
+        "TPC-H Q6: scan-only filtered global sum on exact decimal boundaries",
+    ),
     "q22_dormant_customers": QuerySpec(
         _tables(relational.q22_dormant_customers),
         f"""
@@ -1872,6 +1906,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q9_profit_by_nation": ("n_name", "o_year"),
     "q13_customer_distribution": ("c_count",),
     "q22_dormant_customers": ("c_mktsegment",),
+    "q5_local_supplier_volume": ("n_name",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -1912,6 +1947,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q10_returned_items",          # NEW: Q10 aggregate-before-join top-20
     "q13_customer_distribution",   # NEW: Q13 zero-preserving double agg
     "q22_dormant_customers",       # NEW: Q22 shape, recent-order anti-join
+    "q5_local_supplier_volume",    # NEW: Q5 same-nation residual compare
+    "q6_forecast_revenue",         # NEW: Q6 scan-only decimal-boundary sum
     "png_decode_stats",        # NEW: codec round-trip vs pure-text oracle
     "equi_depth_histogram",    # fitted literal cutpoints on both sides
     "knn_ivf",                 # centroids refit on the bounded KMV sample
