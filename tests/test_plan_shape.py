@@ -136,6 +136,26 @@ _SCALE_GUARDS = {
     "tfidf_top_terms": (2, 0),            # dfs agg + rank window (counts checkpointed)
     "knn_ivf": (3, 0),
     "curation_yield_neardup": (4, 0),
+    # round-3 TPC-H battery (measured at sf0.01; the 3-exchange entries
+    # are the two SMJ sides of the lineitem⋈orders edge + the final agg —
+    # at sf0.01 some of those joins broadcast instead, so the caps leave
+    # AQE room to demote broadcasts at scale without tripping):
+    "q5_local_supplier_volume": (3, 0),
+    "q6_forecast_revenue": (0, 0),        # scan-only: partial→final agg, no shuffle
+    "q7_volume_shipping": (3, 0),
+    "q8_market_share": (3, 0),
+    "q9_profit_by_nation": (2, 0),
+    "q10_returned_items": (2, 0),
+    "q13_customer_distribution": (3, 0),  # left join may shuffle both sides at scale
+    "q15_top_supplier": (2, 0),
+    "q17_small_quantity_revenue": (2, 0),
+    "q18_large_orders": (2, 0),
+    "q21_sole_late_supplier": (3, 0),
+    "q22_dormant_customers": (2, 0),
+    # ann_recall composes the exact + 3 approximate knn pipelines into
+    # one evaluation plan; 17 exchanges measured, all over the bounded
+    # ~1% query sample and k·n_queries candidate sets — never the corpus.
+    "ann_recall": (18, 0),
 }
 
 
