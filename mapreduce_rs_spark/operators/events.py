@@ -395,3 +395,33 @@ def user_activity_stats(t: dict[str, DataFrame]) -> DataFrame:
             F.max("ts").alias("last_seen"),
         )
     )
+
+
+def latest_event_state(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC latest-record-wins compaction: reduce the event log to each
+    user's current state (their most recent event), then summarize the
+    compacted table by state. The standard pattern for maintaining a
+    serving table from an append-only changelog.
+
+    Scale shape: one exchange on user_id feeds the row_number window;
+    the rn=1 filter drops all history before the by-state aggregate, so
+    the second exchange moves at most |event_types| partially-combined
+    rows per task. Tie-break is (ts DESC, event_id DESC), a
+    unique total order, so "latest" is deterministic under any
+    partitioning and identical in both engines. At 100 TB the same
+    plan runs incrementally: new partitions compact against the prior
+    state table with this exact window.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return latest.groupBy(F.col("event_type").alias("latest_event_type")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_users"),
+        F.max("ts").alias("newest_ts"),
+        F.min("ts").alias("oldest_ts"),
+    )

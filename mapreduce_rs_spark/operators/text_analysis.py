@@ -260,3 +260,35 @@ def language_id(df: DataFrame) -> DataFrame:
         best.getField("lang").alias("lang_pred"),
         best.getField("score").alias("marker_hits"),
     )
+
+
+def corpus_profile(df: DataFrame) -> DataFrame:
+    """ANALYZE-style corpus profile: the single-pass data-quality summary
+    every ingestion job runs before touching 100 TB — row counts, key
+    cardinalities, content-length distribution, and the exact-duplicate
+    rate — as ONE aggregate.
+
+    Scale shape: one scan, one partial→final aggregate; the three
+    COUNT DISTINCTs expand to Spark's two-phase partial-distinct plan
+    (dedup happens map-side before anything shuffles), and the distinct
+    travels over a 16-byte md5 fingerprint, never document text. n_chars
+    is integer-valued so its sum/avg is exact in any order; the dup
+    ratio divides two exact integers — bit-identical on both engines.
+    At a real 100 TB you would swap the exact distincts for
+    approx_count_distinct (tested in tests/test_sketches.py); the exact
+    form is the oracle-checkable contract.
+    """
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).alias("n_empty"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_ratio"),
+    )

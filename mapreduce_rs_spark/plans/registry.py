@@ -1769,6 +1769,42 @@ QUERIES: dict[str, QuerySpec] = {
         "TPC-H Q13 shape: zero-preserving left join + double aggregation "
         "(priority filter stands in for the absent o_comment)",
     ),
+    "corpus_profile": QuerySpec(
+        _docs(ta.corpus_profile),
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS exact_dup_ratio
+        FROM documents
+        """,
+        "ANALYZE-style one-pass corpus profile: cardinalities, length stats, exact-dup rate",
+    ),
+    "latest_event_state": QuerySpec(
+        _tables(events.latest_event_state),
+        """
+        WITH latest AS (
+            SELECT event_type, ts FROM (
+                SELECT event_type, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) r WHERE rn = 1
+        )
+        SELECT event_type AS latest_event_type,
+               CAST(count(*) AS INTEGER) AS n_users,
+               max(ts) AS newest_ts,
+               min(ts) AS oldest_ts
+        FROM latest GROUP BY 1
+        """,
+        "CDC latest-record-wins compaction of the event log, summarized by current state",
+    ),
     "q5_local_supplier_volume": QuerySpec(
         _tables(relational.q5_local_supplier_volume),
         f"""
@@ -1907,6 +1943,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q13_customer_distribution": ("c_count",),
     "q22_dormant_customers": ("c_mktsegment",),
     "q5_local_supplier_volume": ("n_name",),
+    "latest_event_state": ("latest_event_type",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -1949,6 +1986,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q22_dormant_customers",       # NEW: Q22 shape, recent-order anti-join
     "q5_local_supplier_volume",    # NEW: Q5 same-nation residual compare
     "q6_forecast_revenue",         # NEW: Q6 scan-only decimal-boundary sum
+    "corpus_profile",              # NEW: one-pass ANALYZE-style profile
+    "latest_event_state",          # NEW: CDC latest-record-wins compaction
     "png_decode_stats",        # NEW: codec round-trip vs pure-text oracle
     "equi_depth_histogram",    # fitted literal cutpoints on both sides
     "knn_ivf",                 # centroids refit on the bounded KMV sample
