@@ -39,6 +39,15 @@ def _bits(df) -> list[tuple]:
         relational.q1_pricing_summary,
         relational.having_active_customers,
         relational.window_running_revenue,
+        # round-3 float-hazard shapes: a strict < against a derived
+        # threshold (q17), a ratio of two sums (q8), a max-equality
+        # probe (q15), and band-boundary predicates feeding a global
+        # sum (q6) — each would be partition-count-dependent under
+        # double accumulation; decimal arithmetic must pin them.
+        relational.q17_small_quantity_revenue,
+        relational.q8_market_share,
+        relational.q15_top_supplier,
+        relational.q6_forecast_revenue,
     ],
 )
 def test_money_aggregates_partition_invariant(spark, sf_dir, query):

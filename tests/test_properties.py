@@ -300,3 +300,62 @@ def test_png_synthesis_math_parity_on_random_text(spark):
     }
     assert got == expected
     assert len(got) == 120
+
+
+def test_interval_arithmetic_parity_on_boundary_timestamps(spark):
+    """q21's lateness predicate is `l_shipdate > o_orderdate + INTERVAL
+    60 DAYS` — a timestamp-plus-interval compare evaluated by BOTH
+    engines. Random timestamp pairs clustered AT the 60-day boundary
+    (sub-second deltas around exactly +60d) probe where a dialect
+    divergence (calendar vs fixed-duration day, DST handling, rounding)
+    would flip the boolean. Both sessions are UTC-pinned, so a day must
+    mean exactly 86400 s in both engines on every probed value."""
+    import datetime
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(21)
+    base = datetime.datetime(1995, 1, 1)
+    pairs = []
+    for i in range(300):
+        order = base + datetime.timedelta(
+            days=rng.randrange(0, 2400), seconds=rng.randrange(86400)
+        )
+        if i % 3 == 0:
+            # exactly on the boundary, and ±1 second around it
+            delta = datetime.timedelta(days=60, seconds=rng.choice([-1, 0, 1]))
+        else:
+            delta = datetime.timedelta(
+                days=rng.randrange(0, 120), seconds=rng.randrange(86400)
+            )
+        pairs.append((i, order, order + delta))
+    df = spark.createDataFrame(pairs, ["id", "o_ts", "s_ts"])
+    sp = (
+        df.select(
+            "id",
+            (F.col("s_ts") > F.col("o_ts") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+            F.datediff("s_ts", "o_ts").alias("dd"),
+        )
+        .toPandas()
+        .set_index("id")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, o_ts TIMESTAMP, s_ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", pairs)
+    du = (
+        con.execute(
+            """
+            SELECT id, s_ts > o_ts + INTERVAL 60 DAY AS late,
+                   CAST(date_diff('day', CAST(o_ts AS DATE), CAST(s_ts AS DATE)) AS INT) AS dd
+            FROM t"""
+        )
+        .fetchdf()
+        .set_index("id")
+    )
+    for col in ["late", "dd"]:
+        diffs = [
+            (i, sp[col][i], du[col][i]) for i in sp.index if sp[col][i] != du[col][i]
+        ]
+        assert not diffs, f"{col}: {diffs[:5]}"
