@@ -35,6 +35,16 @@ def read_text(
     return df
 
 
+def _with_corrupt_col(schema: StructType | str, corrupt_col: str) -> StructType | str:
+    """Spark only populates columnNameOfCorruptRecord if that column is
+    part of the schema — append it (DDL strings get a string append)."""
+    if isinstance(schema, str):
+        return f"{schema}, {corrupt_col} STRING"
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -42,10 +52,25 @@ def read_csv(
     *,
     header: bool = True,
     sep: str = ",",
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """CSV source. Prefer an explicit schema: inference scans the data
-    twice, and at 100 TB the inference pass alone is a full job."""
-    reader = spark.read.option("header", header).option("sep", sep)
+    twice, and at 100 TB the inference pass alone is a full job.
+
+    Malformed-record policy (at 100 TB some records WILL be malformed;
+    the job must quarantine them, not die): PERMISSIVE (default) nulls
+    the unparseable fields and, when ``corrupt_col`` is set (requires an
+    explicit schema), preserves the raw line there for a quarantine
+    sink; DROPMALFORMED silently drops; FAILFAST turns the first bad
+    record into a loud job failure for contract-critical feeds.
+    """
+    reader = spark.read.option("header", header).option("sep", sep).option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = _with_corrupt_col(schema, corrupt_col)
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -54,10 +79,21 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """JSON-lines source; same explicit-schema guidance as CSV."""
-    reader = spark.read
+    """JSON-lines source; same explicit-schema and malformed-record
+    guidance as :func:`read_csv`."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = _with_corrupt_col(schema, corrupt_col)
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

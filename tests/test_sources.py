@@ -107,3 +107,59 @@ def test_sorted_text_sink(spark, tmp_path):
     write_sorted_text(df, path)
     lines = [r["value"] for r in spark.read.text(path).collect()]
     assert lines == ["a 1", "b 2", "c 3"]
+
+
+def test_json_malformed_record_quarantine(spark, tmp_path):
+    """At 100 TB some records WILL be malformed; the three policies must
+    behave as documented: PERMISSIVE+corrupt_col preserves the raw line
+    for a quarantine sink, DROPMALFORMED drops it, FAILFAST dies loudly."""
+    from mapreduce_rs_spark.sources.readers import read_json
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 3, "v": "also ok"}\n'
+    )
+    schema = "id BIGINT, v STRING"
+
+    quarantined = read_json(
+        spark, str(p), schema, corrupt_col="_bad"
+    ).cache()
+    good = quarantined.where(F.col("_bad").isNull())
+    bad = quarantined.where(F.col("_bad").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "{this is not json}" in bad.collect()[0]._bad
+
+    dropped = read_json(spark, str(p), schema, mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception):
+        read_json(spark, str(p), schema, mode="FAILFAST").collect()
+
+    with pytest.raises(ValueError):
+        read_json(spark, str(p), corrupt_col="_bad")
+
+
+def test_csv_malformed_record_quarantine(spark, tmp_path):
+    from mapreduce_rs_spark.sources.readers import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,v\n1,ok\nnot_a_number,broken\n3,fine\n")
+    schema = "id BIGINT, v STRING"
+
+    quarantined = read_csv(
+        spark, str(p), schema, corrupt_col="_bad"
+    ).cache()
+    good = quarantined.where(F.col("_bad").isNull())
+    bad = quarantined.where(F.col("_bad").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    assert "not_a_number" in bad.collect()[0]._bad
+
+    dropped = read_csv(spark, str(p), schema, mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), schema, mode="FAILFAST").collect()
