@@ -210,3 +210,46 @@ def test_scale_guard_negative_control(spark, tables):
     )
     hash_ex, _ = _shape(_plan(bloated))
     assert hash_ex > _SCALE_GUARDS["q1_pricing_summary"][0]
+
+
+def test_runtime_bloom_filter_prunes_selective_fact_join(spark, tables):
+    """At 100 TB the shuffle-volume killer on a selective fact-fact join
+    is shipping fact rows that the other side will discard. Spark's
+    runtime bloom filter (enabled by default in this engine's sessions)
+    injects a might_contain(bloom_filter_agg(...)) predicate on the big
+    side, built from the selective side at runtime — but only above a
+    10 GB application-side scan, so test scale never triggers it. This
+    test recreates the 100 TB regime by lowering the thresholds and pins
+    that (a) the rewrite fires on a q18-shaped join and (b) values are
+    unchanged by the injected filter."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    from pyspark.sql import functions as F
+
+    li, orders = tables["lineitem"], tables["orders"]
+    selective = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    query = lambda: (  # noqa: E731
+        li.join(selective, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = {tuple(r) for r in query().collect()}
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = query()
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, "bloom filter not injected"
+        assert "bloom_filter_agg" in optimized
+        assert {tuple(r) for r in df.collect()} == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
