@@ -359,3 +359,58 @@ def test_interval_arithmetic_parity_on_boundary_timestamps(spark):
             (i, sp[col][i], du[col][i]) for i in sp.index if sp[col][i] != du[col][i]
         ]
         assert not diffs, f"{col}: {diffs[:5]}"
+
+
+def test_decimal_product_widening_parity_on_random_money(spark):
+    """q9's profit is disc_price - retailprice*factor*qty — a
+    DECIMAL(12,2)*(3,2)*(12,2) triple product (result scale 6), a wider
+    combination than q1's charge. Random exact-2-decimal money values
+    probe that Spark's and DuckDB's decimal widening rules produce
+    bit-identical doubles after the final cast, including sums across
+    signs (profit can be negative)."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(9)
+    rows = [
+        (
+            i,
+            round(rng.uniform(900.0, 105000.0), 2),   # l_extendedprice
+            round(rng.uniform(0.0, 0.10), 2),          # l_discount
+            round(rng.uniform(900.0, 2000.0), 2),      # p_retailprice
+            float(rng.randrange(1, 51)),               # l_quantity
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "price", "disc", "retail", "qty"])
+    profit = (
+        F.col("price").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("disc").cast("decimal(3,2)"))
+        - F.col("retail").cast("decimal(12,2)")
+        * F.lit(0.90).cast("decimal(3,2)")
+        * F.col("qty").cast("decimal(12,2)")
+    )
+    sp = df.select("id", profit.cast("double").alias("p")).toPandas().set_index("id")
+    sp_sum = df.agg(F.sum(profit).cast("double")).collect()[0][0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, price DOUBLE, disc DOUBLE, retail DOUBLE, qty DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    expr = (
+        "CAST(price AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(disc AS DECIMAL(3,2)))"
+        " - CAST(retail AS DECIMAL(12,2)) * CAST(0.90 AS DECIMAL(3,2)) * CAST(qty AS DECIMAL(12,2))"
+    )
+    du = con.execute(f"SELECT id, CAST({expr} AS DOUBLE) AS p FROM t").fetchdf().set_index("id")
+    du_sum = con.execute(f"SELECT CAST(sum({expr}) AS DOUBLE) FROM t").fetchone()[0]
+
+    import struct
+
+    diffs = [
+        (i, sp["p"][i], du["p"][i])
+        for i in sp.index
+        if struct.pack("<d", sp["p"][i]) != struct.pack("<d", du["p"][i])
+    ]
+    assert not diffs, f"per-row: {diffs[:5]}"
+    assert struct.pack("<d", sp_sum) == struct.pack("<d", du_sum)
