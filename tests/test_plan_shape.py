@@ -156,6 +156,8 @@ _SCALE_GUARDS = {
     # one evaluation plan; 17 exchanges measured, all over the bounded
     # ~1% query sample and k·n_queries candidate sets — never the corpus.
     "ann_recall": (18, 0),
+    "corpus_profile": (1, 0),             # one partial→final (multi-distinct) agg
+    "latest_event_state": (2, 0),         # user_id window + tiny by-state agg
 }
 
 
