@@ -313,3 +313,61 @@ def jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+DECONTAM_N = 8             # industry-standard verbatim-overlap n-gram length
+
+
+def decontaminate(
+    df: DataFrame, eval_source: str = "src0", n: int = DECONTAM_N
+) -> DataFrame:
+    """Train/eval decontamination audit: how much of the training corpus
+    shares verbatim token n-grams with a held-out evaluation set — the
+    contamination check every pretraining pipeline runs before a corpus
+    ships (here the eval set is one ``source`` partition of the same
+    table; in production it is the benchmark suite).
+
+    A training doc is contaminated if ANY of its n-gram shingles appears
+    anywhere in the eval set (8-grams by default — short enough to
+    catch paraphrase-resistant verbatim runs, long enough that common
+    phrases don't flag everything). Output: per-language training-doc
+    counts, contaminated counts, and the contamination rate.
+
+    Scale shape: the asymmetry is the whole design — the eval side is
+    small by construction (benchmarks are thousands of docs; the corpus
+    is billions), so its DISTINCT shingle-hash set broadcasts and the
+    training side probes it with a left-semi hash join: no training text
+    ever shuffles, and the only exchanges are the per-language count
+    aggregates. Shingles travel as 60-bit h64 values (engine-portable
+    md5 derivation), not strings. A 60-bit collision would flag one
+    spurious doc pair per ~1e18 shingle comparisons — audit-grade.
+    """
+    sh = F.explode(F.array_distinct(_shingles(n=n))).alias("shingle")
+    eval_hashes = (
+        df.where(F.col("source") == eval_source)
+        .select(sh)
+        .select(h64("shingle").alias("h"))
+        .distinct()
+    )
+    train = df.where(F.col("source") != eval_source)
+    contaminated = (
+        train.select("doc_id", "lang", sh)
+        .select("doc_id", "lang", h64("shingle").alias("h"))
+        .join(F.broadcast(eval_hashes), "h", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated"))
+    )
+    totals = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_train_docs")
+    )
+    return totals.join(contaminated, "lang", "left").select(
+        "lang",
+        "n_train_docs",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+            / F.col("n_train_docs")
+        ).alias("contamination_rate"),
+    )

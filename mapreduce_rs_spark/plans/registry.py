@@ -1769,6 +1769,38 @@ QUERIES: dict[str, QuerySpec] = {
         "TPC-H Q13 shape: zero-preserving left join + double aggregation "
         "(priority filter stands in for the absent o_comment)",
     ),
+    "decontaminate": QuerySpec(
+        _docs(lambda df: dedup.decontaminate(df, "src0", n=dedup.DECONTAM_N)),
+        f"""
+        WITH eval_docs AS (
+            SELECT doc_id, text FROM documents WHERE source = 'src0'
+        ), {_shingles_ctes(n=dedup.DECONTAM_N, source='eval_docs')}, eval_h AS (
+            SELECT DISTINCT {h64_sql('shingle')} AS h FROM shingles
+        ), train AS (
+            SELECT doc_id, lang, text FROM documents WHERE source <> 'src0'
+        ), ttoks AS (
+            SELECT doc_id, lang, {TOKENS_SQL} AS tk FROM train
+        ), tsh AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(range(1, greatest(len(tk) - {dedup.DECONTAM_N - 1}, 0) + 1),
+                          i -> array_to_string(tk[i:i + {dedup.DECONTAM_N - 1}], ' '))) AS shingle
+            FROM ttoks
+        ), cont AS (
+            SELECT DISTINCT doc_id, lang FROM tsh
+            JOIN eval_h ON {h64_sql('shingle')} = h
+        ), cc AS (
+            SELECT lang, CAST(count(*) AS INTEGER) AS n_contaminated FROM cont GROUP BY 1
+        ), tt AS (
+            SELECT lang, CAST(count(*) AS INTEGER) AS n_train_docs FROM train GROUP BY 1
+        )
+        SELECT tt.lang, n_train_docs,
+               COALESCE(n_contaminated, 0) AS n_contaminated,
+               CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_train_docs AS contamination_rate
+        FROM tt LEFT JOIN cc ON tt.lang = cc.lang
+        """,
+        "train/eval decontamination audit: broadcast eval shingle-hash set, semi-join probe, "
+        "per-language contamination accounting",
+    ),
     "corpus_profile": QuerySpec(
         _docs(ta.corpus_profile),
         """
@@ -1944,6 +1976,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q22_dormant_customers": ("c_mktsegment",),
     "q5_local_supplier_volume": ("n_name",),
     "latest_event_state": ("latest_event_type",),
+    "decontaminate": ("lang",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -1988,6 +2021,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q6_forecast_revenue",         # NEW: Q6 scan-only decimal-boundary sum
     "corpus_profile",              # NEW: one-pass ANALYZE-style profile
     "latest_event_state",          # NEW: CDC latest-record-wins compaction
+    "decontaminate",               # NEW: train/eval shingle decontamination
     "png_decode_stats",        # NEW: codec round-trip vs pure-text oracle
     "equi_depth_histogram",    # fitted literal cutpoints on both sides
     "knn_ivf",                 # centroids refit on the bounded KMV sample

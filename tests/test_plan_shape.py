@@ -158,6 +158,9 @@ _SCALE_GUARDS = {
     "ann_recall": (18, 0),
     "corpus_profile": (1, 0),             # one partial→final (multi-distinct) agg
     "latest_event_state": (2, 0),         # user_id window + tiny by-state agg
+    # broadcast-semi probe against the eval shingle set + distinct +
+    # two per-lang count aggs; training text never shuffles.
+    "decontaminate": (4, 0),
 }
 
 
