@@ -84,3 +84,25 @@ def test_curated_documents_keep_text_flag(docs):
     without = curated_documents(docs)
     assert "text" in with_text.columns and "text" not in without.columns
     assert with_text.count() == without.count()
+
+
+def test_decontaminate_flags_planted_overlap_only(spark):
+    """Intent check beyond oracle parity: a planted verbatim 8-gram run
+    shared with the eval set flags exactly the overlapping training doc;
+    a disjoint doc and a 7-token (sub-n) partial overlap do not flag."""
+    from mapreduce_rs_spark.operators.dedup import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"benchmark question: {leak} answer key", "en", "eval_set", 0),
+        (2, f"scraped page quoting {leak} verbatim here", "en", "web", 0),
+        (3, "completely unrelated training document text body", "en", "web", 0),
+        # shares only the first 7 of the 8 leak tokens -> no full 8-gram
+        (4, "prefix alpha beta gamma delta epsilon zeta eta suffix", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {
+        r.lang: (r.n_train_docs, r.n_contaminated)
+        for r in decontaminate(df, eval_source="eval_set").collect()
+    }
+    assert out == {"en": (3, 1)}
