@@ -121,6 +121,61 @@ def pack_sequences(df: DataFrame, budget: int = PACK_TOKEN_BUDGET) -> DataFrame:
     )
 
 
+def mixture_weights(df: DataFrame) -> DataFrame:
+    """Training-mixture sampling weights per (lang, source) bucket.
+
+    A pretraining run rarely samples the corpus as-is: it targets a
+    mixture (uniform over languages here — the same arithmetic serves
+    any target table, which at scale arrives as a broadcast-joined
+    config) and needs, per bucket, the sampling weight that achieves
+    the target and the expected epoch count over that bucket's tokens
+    (weight > 1 means the bucket repeats; DoReMi-style reweighting is
+    exactly this shape with learned targets).
+
+    target_share for a bucket = (1 / n_langs) · (bucket tokens /
+    lang tokens): languages get equal total weight, sources keep their
+    natural proportion within the language. expected_epochs =
+    target_share · corpus_tokens / bucket_tokens = corpus / (n_langs ·
+    lang tokens) — how many passes over the bucket one corpus-sized
+    sample makes.
+
+    Scale shape: one partial→final aggregate to the (lang, source)
+    grain — output rows = bucket count, thousands at most — then
+    unpartitioned window sums over that tiny result (a single-partition
+    exchange of the AGGREGATE, never the corpus). Integer token sums;
+    the ratios are single double divisions of exact integers, so both
+    engines produce bit-identical values.
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    buckets = (
+        df.withColumn("n_tokens", F.size(toks))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    all_w = Window.partitionBy()
+    lang_w = Window.partitionBy("lang")
+    total = F.sum("n_tokens").over(all_w)
+    lang_total = F.sum("n_tokens").over(lang_w)
+    n_langs = F.size(F.collect_set("lang").over(all_w))
+    actual_share = F.try_divide(F.col("n_tokens").cast("double"), total)
+    target_share = F.try_divide(
+        F.col("n_tokens").cast("double"), n_langs * lang_total
+    )
+    return buckets.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        actual_share.alias("actual_share"),
+        target_share.alias("target_share"),
+        F.try_divide(target_share, actual_share).alias("weight"),
+        F.try_divide(total * target_share, F.col("n_tokens")).alias("expected_epochs"),
+    )
+
+
 def curation_yield_neardup(df: DataFrame) -> DataFrame:
     """Capstone v2: the full near-dup-aware curation pipeline —
     quality gates → language allowlist → EXACT dedup → NEAR-dup cluster

@@ -394,6 +394,67 @@ def embedding_near_dup(
     )
 
 
+SEMDEDUP_TAU = 0.40
+
+
+def semdedup(df: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space with the fitted IVF centroids, then inside each
+    cluster drop every vector that has a SMALLER-id neighbor at cosine
+    >= tau — deterministic "keep the first copy" pruning of semantic
+    near-duplicates that share no exact bytes. Emits the per-cluster
+    audit (sizes, drops, drop rate) a curation run records.
+
+    Scale shape: the pair join is an equi-join on centroid_id — never
+    an all-pairs product — and per-cluster work is bounded because k
+    scales with the corpus (SemDeDup runs ~100k clusters at
+    billion-vector scale, keeping E[cluster] ~ N/k constant; here k=8
+    spans the test corpus). The assignment table is materialized once
+    (localCheckpoint — in-session stand-in; a cluster run would persist
+    to parquet, see dedup.py note) so the self-join doesn't recompute
+    the 8-way centroid scoring, and the final aggregate shuffles only
+    (centroid_id, flag) pairs. The drop decision needs just EXISTS over
+    the pair stream: dropped ids are distinct-projected before the
+    summary join, so duplicate pair matches never double-count.
+
+    tau=0.40 is calibrated to the synthetic near-orthogonal test
+    embeddings (like embedding_near_dup's 0.30) so the gate exercises
+    real drops; production embeddings use ~0.95+.
+    """
+    assigned = ivf_assign(df).localCheckpoint()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")) >= tau
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce("is_dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "centroid_id",
+            "n_vectors",
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+            F.try_divide(F.col("n_dropped").cast("double"), F.col("n_vectors")).alias(
+                "drop_ratio"
+            ),
+        )
+    )
+
+
 def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
     """Recall@k of every approximate index against the exact brute-force
     ranking — the evaluation harness an ANN deployment runs before

@@ -262,6 +262,114 @@ def language_id(df: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition battery: duplicate-token
+    fraction, top-token fraction, top-bigram fraction — the standard
+    "is this document degenerate boilerplate/spam" pre-filter signals
+    (Rae et al. 2021 §A1.1 use exactly these shapes as removal rules).
+
+    Scale shape: explode → two partial→final aggregates keyed by
+    (doc_id, gram) then doc_id — work is linear in corpus tokens (never
+    quadratic in document length, unlike the per-row
+    ``array_distinct``+``filter`` form, which is O(len·distinct) per
+    document and dies on long documents). Both aggregate chains share
+    the doc_id key, so AQE co-locates the final join; docs whose text
+    produces zero tokens are preserved by the left join from the doc
+    spine with NULL ratios (the oracle mirrors this).
+    """
+    spine = df.select("doc_id")
+    tok = (
+        explode_tokens(df, "text", "doc_id")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("cnt").alias("top_token_cnt"),
+        )
+    )
+    big = (
+        df.select("doc_id", F.explode(token_ngrams("text", 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_cnt"))
+    )
+    return (
+        spine.join(tok, "doc_id", "left")
+        .join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.try_divide(
+                (F.col("n_tokens") - F.col("n_distinct_tokens")).cast("double"),
+                F.col("n_tokens"),
+            ).alias("dup_token_ratio"),
+            F.try_divide(F.col("top_token_cnt").cast("double"), F.col("n_tokens")).alias(
+                "top_token_ratio"
+            ),
+            F.try_divide(F.col("top_bigram_cnt").cast("double"), F.col("n_bigrams")).alias(
+                "top_bigram_ratio"
+            ),
+        )
+    )
+
+
+BOILERPLATE_N = 3
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_ngrams(
+    df: DataFrame, n: int = BOILERPLATE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """Cross-document boilerplate coverage: the fraction of each
+    document's token n-gram positions whose gram recurs in >= min_docs
+    DISTINCT documents — the C4/RefinedWeb-style "repeated template
+    text" signal (headers, footers, navigation chrome) that per-document
+    repetition cannot see.
+
+    Scale shape: one explode of per-row n-grams (narrow expression,
+    functions/text.token_ngrams — no self-join), a (gram → distinct-doc
+    count) aggregate whose map-side partial dedup means only distinct
+    (gram, doc) pairs shuffle, then a semi-join of the gram stream
+    against the boilerplate gram set on the gram key. At 100 TB the
+    boilerplate set (grams with df >= min_docs) is many orders smaller
+    than the gram stream — Zipf: almost all grams are singletons — and
+    the runtime bloom-filter rewrite prunes the stream scan-side; no
+    step holds more than (gram, count) pairs. Output is one row per
+    document (left join from the doc spine keeps zero-token docs,
+    NULL ratio).
+    """
+    grams = df.select("doc_id", F.explode(token_ngrams("text", n)).alias("gram"))
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= min_docs)
+        .select("gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    covered = (
+        grams.join(boiler, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return (
+        df.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+            F.try_divide(
+                F.coalesce("n_boilerplate", F.lit(0)).cast("double"), F.col("n_grams")
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
 def corpus_profile(df: DataFrame) -> DataFrame:
     """ANALYZE-style corpus profile: the single-pass data-quality summary
     every ingestion job runs before touching 100 TB — row counts, key

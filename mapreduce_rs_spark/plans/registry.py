@@ -1817,6 +1817,112 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "ANALYZE-style one-pass corpus profile: cardinalities, length stats, exact-dup rate",
     ),
+    # ---- round-4 additions: training-mixture & semantic-dedup ops ----
+    "repetition_signals": QuerySpec(
+        _docs(ta.repetition_signals),
+        f"""
+        WITH words AS (
+            SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents
+        ), tok AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(max(cnt) AS BIGINT) AS top_cnt
+            FROM (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word) c
+            GROUP BY doc_id
+        ), bigrams AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                   CAST(max(cnt) AS BIGINT) AS top_cnt
+            FROM (
+                SELECT doc_id, gram, count(*) AS cnt FROM (
+                    SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                  i -> array_to_string(tk[i:i + 1], ' '))) AS gram
+                    FROM (SELECT doc_id, {TOKENS_SQL} AS tk FROM documents) t
+                ) g GROUP BY doc_id, gram
+            ) c GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(t.n_tokens - t.n_distinct AS DOUBLE) / NULLIF(t.n_tokens, 0) AS dup_token_ratio,
+               CAST(t.top_cnt AS DOUBLE) / NULLIF(t.n_tokens, 0) AS top_token_ratio,
+               CAST(b.top_cnt AS DOUBLE) / NULLIF(b.n_bigrams, 0) AS top_bigram_ratio
+        FROM documents d
+        LEFT JOIN tok t USING (doc_id) LEFT JOIN bigrams b USING (doc_id)
+        """,
+        "Gopher-style within-doc repetition battery: dup-token / top-token / top-bigram fractions",
+    ),
+    "boilerplate_ngrams": QuerySpec(
+        _docs(ta.boilerplate_ngrams),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                          i -> array_to_string(tk[i:i + 2], ' '))) AS gram
+            FROM toks
+        ), boiler AS (
+            SELECT gram FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= {ta.BOILERPLATE_MIN_DOCS}
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id
+        ), covered AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boilerplate
+            FROM grams WHERE gram IN (SELECT gram FROM boiler) GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(c.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+               CAST(coalesce(c.n_boilerplate, 0) AS DOUBLE) / NULLIF(p.n_grams, 0) AS boilerplate_ratio
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id) LEFT JOIN covered c USING (doc_id)
+        """,
+        "C4/RefinedWeb-style cross-document boilerplate: fraction of 3-gram positions "
+        "recurring in >= 3 distinct docs",
+    ),
+    "mixture_weights": QuerySpec(
+        _docs(curation.mixture_weights),
+        f"""
+        WITH buckets AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang, source
+        ), w AS (
+            SELECT lang, source, n_docs, n_tokens,
+                   CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+                   CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+                   (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM buckets) AS n_langs
+            FROM buckets
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / NULLIF(total, 0) AS actual_share,
+               CAST(n_tokens AS DOUBLE) / NULLIF(n_langs * lang_total, 0) AS target_share,
+               (CAST(n_tokens AS DOUBLE) / NULLIF(n_langs * lang_total, 0))
+                   / NULLIF(CAST(n_tokens AS DOUBLE) / NULLIF(total, 0), 0) AS weight,
+               (total * (CAST(n_tokens AS DOUBLE) / NULLIF(n_langs * lang_total, 0)))
+                   / NULLIF(n_tokens, 0) AS expected_epochs
+        FROM w
+        """,
+        "DoReMi-shaped training-mixture weights: uniform-over-language target, "
+        "natural source proportions within language",
+    ),
+    "semdedup": QuerySpec(
+        _emb(similarity.semdedup),
+        f"""{_ivf_assigned_cte()}, dropped AS (
+            SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+             AND {_cosine_sql('a.emb', 'b.emb')} >= {similarity.SEMDEDUP_TAU}
+        )
+        SELECT centroid_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / NULLIF(count(*), 0) AS drop_ratio
+        FROM assigned a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+        GROUP BY centroid_id
+        """,
+        "SemDeDup: IVF-cluster-scoped semantic near-dup pruning, keep-min-id, per-cluster audit",
+    ),
     "latest_event_state": QuerySpec(
         _tables(events.latest_event_state),
         """
@@ -1977,6 +2083,10 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q5_local_supplier_volume": ("n_name",),
     "latest_event_state": ("latest_event_type",),
     "decontaminate": ("lang",),
+    "repetition_signals": ("doc_id",),
+    "boilerplate_ngrams": ("doc_id",),
+    "mixture_weights": ("lang", "source"),
+    "semdedup": ("centroid_id",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)

@@ -1,0 +1,133 @@
+"""Intent tests (beyond oracle parity) for the round-4 training-data
+pipeline signals: within-doc repetition, cross-doc boilerplate,
+mixture weights, and SemDeDup cluster-scoped semantic dedup.
+
+Oracle parity proves Spark and DuckDB agree; these tests pin that the
+agreed-on answer is the INTENDED one, on fixtures where the right
+answer is hand-computable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mapreduce_rs_spark.operators.curation import mixture_weights
+from mapreduce_rs_spark.operators.text_analysis import (
+    boilerplate_ngrams,
+    repetition_signals,
+)
+
+
+def _by_doc(rows):
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "all words here are different okay"),
+        (3, ""),
+        (4, "one two one two one two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = _by_doc(repetition_signals(df).collect())
+    assert set(got) == {1, 2, 3, 4}
+
+    # Degenerate doc: one token repeated 4x.
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["dup_token_ratio"] == pytest.approx(3 / 4)
+    assert got[1]["top_token_ratio"] == pytest.approx(1.0)
+    assert got[1]["top_bigram_ratio"] == pytest.approx(1.0)  # "spam spam" x3
+
+    # Fully diverse doc.
+    assert got[2]["n_tokens"] == 6
+    assert got[2]["dup_token_ratio"] == pytest.approx(0.0)
+    assert got[2]["top_token_ratio"] == pytest.approx(1 / 6)
+    assert got[2]["top_bigram_ratio"] == pytest.approx(1 / 5)
+
+    # Empty doc survives with NULL ratios, not a dropped row.
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["dup_token_ratio"] is None
+    assert got[3]["top_token_ratio"] is None
+    assert got[3]["top_bigram_ratio"] is None
+
+    # Alternating pattern: bigram "one two" x3 of 5 bigrams.
+    assert got[4]["n_tokens"] == 6
+    assert got[4]["dup_token_ratio"] == pytest.approx(4 / 6)
+    assert got[4]["top_token_ratio"] == pytest.approx(3 / 6)
+    assert got[4]["top_bigram_ratio"] == pytest.approx(3 / 5)
+
+
+def test_boilerplate_ngrams_flags_planted_template_only(spark):
+    # "lorem ipsum dolor" appears in 3 docs (= min_docs); every other
+    # 3-gram is unique to its document, so exactly one gram per planted
+    # doc is boilerplate.
+    rows = [
+        (1, "lorem ipsum dolor unique1a unique1b", "en"),
+        (2, "lorem ipsum dolor unique2a unique2b", "en"),
+        (3, "lorem ipsum dolor unique3a unique3b", "en"),
+        (4, "totally different text sample four", "en"),
+        (5, "xy", "en"),  # 1 token -> zero 3-grams -> NULL ratio
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = _by_doc(boilerplate_ngrams(df).collect())
+    for d in (1, 2, 3):
+        assert got[d]["n_grams"] == 3
+        assert got[d]["n_boilerplate"] == 1
+        assert got[d]["boilerplate_ratio"] == pytest.approx(1 / 3)
+    assert got[4]["n_grams"] == 3
+    assert got[4]["n_boilerplate"] == 0
+    assert got[4]["boilerplate_ratio"] == pytest.approx(0.0)
+    assert got[5]["n_grams"] == 0
+    assert got[5]["boilerplate_ratio"] is None
+
+
+def test_mixture_weights_uniform_language_target(spark):
+    rows = [
+        (1, "w w w w", "en", "a", 0),
+        (2, "x x", "en", "b", 0),
+        (3, "y y y", "de", "a", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {(r["lang"], r["source"]): r for r in mixture_weights(df).collect()}
+    assert set(got) == {("en", "a"), ("en", "b"), ("de", "a")}
+
+    # Hand-computed: total=9 tokens, n_langs=2.
+    assert got[("en", "a")]["n_tokens"] == 4
+    assert got[("en", "a")]["actual_share"] == pytest.approx(4 / 9)
+    assert got[("en", "a")]["target_share"] == pytest.approx(4 / 12)
+    assert got[("en", "a")]["weight"] == pytest.approx(0.75)
+    assert got[("en", "a")]["expected_epochs"] == pytest.approx(0.75)
+    assert got[("de", "a")]["weight"] == pytest.approx(1.5)
+    assert got[("de", "a")]["expected_epochs"] == pytest.approx(1.5)
+
+    # Invariants: target shares sum to 1; each language gets an equal
+    # 1/n_langs slice; within a language every source shares one weight.
+    assert math.isclose(sum(r["target_share"] for r in got.values()), 1.0)
+    en_total = sum(r["target_share"] for k, r in got.items() if k[0] == "en")
+    de_total = sum(r["target_share"] for k, r in got.items() if k[0] == "de")
+    assert math.isclose(en_total, 0.5) and math.isclose(de_total, 0.5)
+    assert got[("en", "a")]["weight"] == pytest.approx(got[("en", "b")]["weight"])
+
+
+def test_semdedup_drops_near_identical_keeps_first(spark):
+    from mapreduce_rs_spark.operators.similarity import semdedup
+
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.999] + [0.01] + [0.0] * (dim - 2)  # cos(e1,e2) ~ 0.99995
+    e3 = [0.0] * (dim - 1) + [1.0]  # orthogonal to both
+    rows = [(10, e1, 0), (20, e2, 0), (30, e3, 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = semdedup(df).collect()
+
+    assert sum(r["n_vectors"] for r in out) == 3
+    assert sum(r["n_dropped"] for r in out) == 1  # vec 20, the larger id
+    assert sum(r["n_kept"] for r in out) == 2
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
+        if r["n_dropped"]:
+            # The near-identical pair shares one cluster: 2 in, 1 kept.
+            assert r["n_vectors"] == 2 and r["drop_ratio"] == pytest.approx(0.5)
