@@ -346,18 +346,23 @@ def boilerplate_ngrams(
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("dfreq"))
         .where(F.col("dfreq") >= min_docs)
-        .select("gram")
+        .select("gram", F.lit(1).alias("is_boiler"))
     )
-    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    covered = (
-        grams.join(boiler, "gram", "left_semi")
+    # ONE pass over the gram stream computes both the position count and
+    # the boilerplate-covered count (a left join against the small
+    # boilerplate set instead of a separate semi-join + second
+    # aggregation — one fewer corpus-sized gram derivation).
+    per_doc = (
+        grams.join(boiler, "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("is_boiler", F.lit(0))).alias("n_boilerplate"),
+        )
     )
     return (
         df.select("doc_id", "lang")
         .join(per_doc, "doc_id", "left")
-        .join(covered, "doc_id", "left")
         .select(
             "doc_id",
             "lang",

@@ -73,6 +73,38 @@ def test_repartitioned_input_same_bits(spark, sf_dir):
     assert _bits(relational.agg_order_priorities(tables_re)) == base
 
 
+def test_round4_ratio_signals_partition_invariant(spark, sf_dir):
+    """The round-4 pipeline signals emit ratios of exact integer
+    aggregates (one final double division) — invariant by construction;
+    pinned bitwise under a partition sweep like the money aggregates."""
+    from mapreduce_rs_spark.operators.curation import mixture_weights
+    from mapreduce_rs_spark.operators.similarity import semdedup
+    from mapreduce_rs_spark.operators.text_analysis import (
+        boilerplate_ngrams,
+        repetition_signals,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        lambda: repetition_signals(docs),
+        lambda: boilerplate_ngrams(docs),
+        lambda: mixture_weights(docs),
+        lambda: semdedup(emb),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for q in queries:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            low = _bits(q())
+            spark.conf.set("spark.sql.shuffle.partitions", "31")
+            high = _bits(q())
+            assert low == high
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_stats_battery_constant_group_is_defined(spark):
     """A (near-)constant group makes the computational-formula variance
     fractionally negative under double cancellation; both engines must

@@ -161,6 +161,17 @@ _SCALE_GUARDS = {
     # broadcast-semi probe against the eval shingle set + distinct +
     # two per-lang count aggs; training text never shuffles.
     "decontaminate": (4, 0),
+    # round-4 pipeline signals: token agg chain + bigram agg chain (two
+    # partial→final pairs) joined back on doc_id
+    "repetition_signals": (4, 0),
+    # gram-dfreq agg + one flagged gram-stream agg + the spine join
+    "boilerplate_ngrams": (3, 0),
+    # one partial→final agg to the (lang, source) grain; the window
+    # sums run on a SinglePartition exchange of that tiny aggregate
+    "mixture_weights": (1, 0),
+    # centroid-blocked pair join + distinct + per-cluster agg, all over
+    # the checkpointed assignment table (no parquet rescan)
+    "semdedup": (3, 0),
 }
 
 
