@@ -121,6 +121,47 @@ def pack_sequences(df: DataFrame, budget: int = PACK_TOKEN_BUDGET) -> DataFrame:
     )
 
 
+MAX_DUP_TOKEN_RATIO = 0.6
+MAX_BOILERPLATE_RATIO = 0.35
+
+
+def curation_yield_signals(df: DataFrame) -> DataFrame:
+    """Capstone v3: the round-4 signal gates composed onto the curation
+    pipeline — quality → language → exact dedup (curated_documents) →
+    within-doc repetition gate (dup_token_ratio) → cross-doc
+    boilerplate gate (boilerplate_ratio) → per-language yield.
+
+    This is the Gopher/C4 filter ordering: corpus-wide boilerplate
+    detection runs over ALL documents (the df>=min_docs gram set must
+    see the full corpus — a template is boilerplate because OTHER
+    documents repeat it, including ones the quality gates drop), then
+    per-document thresholds prune the curated survivors. All three
+    signal joins are on doc_id, so the gates co-partition; survivors of
+    the n_tokens gate always have non-NULL ratios (>= MIN_TOKENS
+    tokens ⇒ both denominators positive). Thresholds are calibrated to
+    the synthetic corpus (sf0.01 medians ~0.54 dup / ~0.27 boiler) so
+    the gates exercise real drops; production corpora tune them per
+    distribution, same plan."""
+    from mapreduce_rs_spark.operators.text_analysis import (
+        boilerplate_ngrams,
+        repetition_signals,
+    )
+
+    rep = repetition_signals(df).select("doc_id", "dup_token_ratio")
+    boil = boilerplate_ngrams(df).select("doc_id", "boilerplate_ratio")
+    kept = (
+        curated_documents(df)
+        .join(rep, "doc_id")
+        .join(boil, "doc_id")
+        .where(
+            (F.col("dup_token_ratio") <= MAX_DUP_TOKEN_RATIO)
+            & (F.col("boilerplate_ratio") <= MAX_BOILERPLATE_RATIO)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return _yield_report(df, kept)
+
+
 def mixture_weights(df: DataFrame) -> DataFrame:
     """Training-mixture sampling weights per (lang, source) bucket.
 

@@ -1905,6 +1905,52 @@ QUERIES: dict[str, QuerySpec] = {
         "DoReMi-shaped training-mixture weights: uniform-over-language target, "
         "natural source proportions within language",
     ),
+    "curation_yield_signals": QuerySpec(
+        _docs(curation.curation_yield_signals),
+        f"""
+        WITH {_curation_kept_ctes()}, words AS (
+            SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents
+        ), rep AS (
+            SELECT doc_id,
+                   CAST(CAST(sum(cnt) AS BIGINT) - CAST(count(*) AS BIGINT) AS DOUBLE)
+                       / NULLIF(CAST(sum(cnt) AS BIGINT), 0) AS dup_token_ratio
+            FROM (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word) c
+            GROUP BY doc_id
+        ), grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                          i -> array_to_string(tk[i:i + 2], ' '))) AS gram
+            FROM (SELECT doc_id, {TOKENS_SQL} AS tk FROM documents) t
+        ), boilset AS (
+            SELECT gram FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= {ta.BOILERPLATE_MIN_DOCS}
+        ), boil AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN gram IN (SELECT gram FROM boilset) THEN 1 ELSE 0 END) AS DOUBLE)
+                       / NULLIF(count(*), 0) AS boilerplate_ratio
+            FROM grams GROUP BY doc_id
+        ), final AS (
+            SELECT k.doc_id, k.lang, k.n_tokens FROM kept k
+            JOIN rep r ON k.doc_id = r.doc_id
+            JOIN boil b ON k.doc_id = b.doc_id
+            WHERE r.dup_token_ratio <= {curation.MAX_DUP_TOKEN_RATIO}
+              AND b.boilerplate_ratio <= {curation.MAX_BOILERPLATE_RATIO}
+        ), totals AS (
+            SELECT lang, count(*) AS n_docs_in FROM documents GROUP BY lang
+        ), survived AS (
+            SELECT lang, count(*) AS n_docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM final GROUP BY lang
+        )
+        SELECT t.lang, n_docs_in,
+               COALESCE(n_docs_kept, 0) AS n_docs_kept,
+               COALESCE(n_tokens_kept, 0) AS n_tokens_kept,
+               COALESCE(n_docs_kept, 0) / n_docs_in AS keep_rate
+        FROM totals t LEFT JOIN survived s ON t.lang = s.lang
+        ORDER BY t.lang
+        """,
+        "capstone v3: curation gates + round-4 repetition and boilerplate signal gates "
+        "(boilerplate set fitted on the FULL corpus, Gopher/C4 filter ordering)",
+    ),
     "semdedup": QuerySpec(
         _emb(similarity.semdedup),
         f"""{_ivf_assigned_cte()}, dropped AS (
@@ -2083,6 +2129,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q5_local_supplier_volume": ("n_name",),
     "latest_event_state": ("latest_event_type",),
     "decontaminate": ("lang",),
+    "curation_yield_signals": ("lang",),
     "repetition_signals": ("doc_id",),
     "boilerplate_ngrams": ("doc_id",),
     "mixture_weights": ("lang", "source"),
@@ -2120,6 +2167,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "boilerplate_ngrams",    # NEW: cross-doc boilerplate 3-gram coverage
     "mixture_weights",       # NEW: uniform-over-language mixture weights
     "semdedup",              # NEW: IVF-cluster-scoped semantic dedup
+    "curation_yield_signals",  # NEW: capstone v3 with the signal gates
     # (b) last external row is r01 — two rounds stale, refresh first:
     "lsh_buckets",
     "knn_lsh",
@@ -2145,10 +2193,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "tfidf_top_terms",
     "curation_yield",
     # (d) r02-green and unchanged since — freshest-possible refresh fills
-    # the remaining window slots; the three left past the 50-entry cut
+    # the remaining window slots; the four left past the 50-entry cut
     # (agg_order_priorities, pivot_status_by_priority,
-    # unpivot_status_totals — stable single-aggregate relational shapes
-    # untouched since r02) keep their r02 green rows as evidence:
+    # unpivot_status_totals, source_extraction — stable single-pass
+    # shapes untouched since r02) keep their r02 green rows as evidence:
     "bigrams",
     "cube_status_priority",
     "window_running_revenue",
@@ -2175,7 +2223,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "user_activity_stats",
     "pack_sequences",
     "curation_yield_neardup",
-    "source_extraction",
 )
 
 QUERIES = {

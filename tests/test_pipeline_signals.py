@@ -112,6 +112,43 @@ def test_mixture_weights_uniform_language_target(spark):
     assert got[("en", "a")]["weight"] == pytest.approx(got[("en", "b")]["weight"])
 
 
+def test_curation_yield_signals_gates_only_reduce(spark, sf_dir):
+    from mapreduce_rs_spark.operators.curation import (
+        curation_yield,
+        curation_yield_signals,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {r["lang"]: r for r in curation_yield(docs).collect()}
+    gated = {r["lang"]: r for r in curation_yield_signals(docs).collect()}
+    assert set(base) == set(gated)
+    for lang in base:
+        assert gated[lang]["n_docs_in"] == base[lang]["n_docs_in"]
+        assert gated[lang]["n_docs_kept"] <= base[lang]["n_docs_kept"]
+        assert gated[lang]["n_tokens_kept"] <= base[lang]["n_tokens_kept"]
+    # The gates bite on the synthetic corpus (calibrated thresholds).
+    assert sum(g["n_docs_kept"] for g in gated.values()) < sum(
+        b["n_docs_kept"] for b in base.values()
+    )
+
+
+def test_curation_yield_signals_drops_planted_degenerate_doc(spark):
+    """A repetitive doc that passes every v1 gate (length, alpha, lang,
+    unique text) must be dropped by the dup_token_ratio gate; a diverse
+    doc of the same length survives."""
+    from mapreduce_rs_spark.operators.curation import curation_yield_signals
+
+    degenerate = " ".join(["spam"] * 12)  # 12 tokens, dup ratio 11/12
+    diverse = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    rows = [(1, degenerate, "en", "s", 0), (2, diverse, "en", "s", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r["lang"]: r for r in curation_yield_signals(df).collect()}
+    assert got["en"]["n_docs_in"] == 2
+    assert got["en"]["n_docs_kept"] == 1
+    assert got["en"]["n_tokens_kept"] == 12  # the diverse doc's tokens
+
+
 def test_semdedup_drops_near_identical_keeps_first(spark):
     from mapreduce_rs_spark.operators.similarity import semdedup
 

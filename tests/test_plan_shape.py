@@ -172,6 +172,10 @@ _SCALE_GUARDS = {
     # centroid-blocked pair join + distinct + per-cluster agg, all over
     # the checkpointed assignment table (no parquet rescan)
     "semdedup": (3, 0),
+    # capstone v3: curated-gate window + repetition chain (2) + gram
+    # dfreq/flagged aggs (2) + doc_id gate joins + two yield aggs —
+    # every exchange on doc_id/lang/gram keys, never a wide row
+    "curation_yield_signals": (8, 0),
 }
 
 
