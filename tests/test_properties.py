@@ -414,3 +414,94 @@ def test_decimal_product_widening_parity_on_random_money(spark):
     ]
     assert not diffs, f"per-row: {diffs[:5]}"
     assert struct.pack("<d", sp_sum) == struct.pack("<d", du_sum)
+
+
+def test_repetition_and_boilerplate_match_python_reference_on_random_corpus(spark):
+    """Random-probe the round-4 signal family (per-doc gram frequency
+    aggregates) against a pure-Python reference. Docs are word soup from
+    a SMALL vocabulary — so token/bigram collisions actually occur —
+    separated by random ASCII whitespace (incl. \\x0B) with punctuation
+    injected, stressing tokenization edges and the frequency logic
+    together. Ratios are double divisions of exact integers, so the
+    comparison is exact equality, not isclose."""
+    import random
+    import re
+    from collections import Counter
+
+    from mapreduce_rs_spark.operators.text_analysis import (
+        BOILERPLATE_MIN_DOCS,
+        boilerplate_ngrams,
+        repetition_signals,
+    )
+
+    rng = random.Random(41)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "q1", "_u", "v", "w2"]
+    ws = [" ", "\t", "\n", "\x0b", "\f", "\r", "  "]
+    punct = ["", "", "", ".", ",", "!", "'"]
+
+    def make_doc() -> str:
+        n = rng.randrange(0, 25)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(vocab) + rng.choice(punct) + rng.choice(ws))
+        return "".join(parts)
+
+    from pyspark.sql import functions as F
+
+    docs = [(i, make_doc()) for i in range(150)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).withColumn("lang", F.lit("en"))
+
+    def py_tokens(t: str) -> list[str]:
+        return re.sub(r"[^\w\s]", "", t, flags=re.ASCII).split()
+
+    # --- repetition_signals reference ---
+    exp_rep = {}
+    for i, t in docs:
+        toks = py_tokens(t)
+        n = len(toks)
+        if n == 0:
+            exp_rep[i] = (0, None, None, None)
+            continue
+        c = Counter(toks)
+        bi = [" ".join(toks[j : j + 2]) for j in range(n - 1)]
+        cb = Counter(bi)
+        exp_rep[i] = (
+            n,
+            float(n - len(c)) / n,
+            float(max(c.values())) / n,
+            (float(max(cb.values())) / len(bi)) if bi else None,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_token_ratio"],
+            r["top_token_ratio"],
+            r["top_bigram_ratio"],
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert got == exp_rep
+
+    # --- boilerplate_ngrams reference ---
+    grams_per_doc = {}
+    dfreq: Counter = Counter()
+    for i, t in docs:
+        toks = py_tokens(t)
+        grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        grams_per_doc[i] = grams
+        dfreq.update(set(grams))
+    boiler = {g for g, d in dfreq.items() if d >= BOILERPLATE_MIN_DOCS}
+    exp_boil = {}
+    for i, _ in docs:
+        grams = grams_per_doc[i]
+        nb = sum(1 for g in grams if g in boiler)
+        exp_boil[i] = (
+            len(grams),
+            nb,
+            (float(nb) / len(grams)) if grams else None,
+        )
+    got_b = {
+        r["doc_id"]: (r["n_grams"], r["n_boilerplate"], r["boilerplate_ratio"])
+        for r in boilerplate_ngrams(df).collect()
+    }
+    assert got_b == exp_boil
