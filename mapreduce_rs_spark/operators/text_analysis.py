@@ -316,6 +316,50 @@ def repetition_signals(df: DataFrame) -> DataFrame:
     )
 
 
+def heavy_hitters_mg(df: DataFrame, k: int = 32, text_col: str = "text") -> DataFrame:
+    """Approximate top-k terms via mergeable Misra-Gries summaries — the
+    bounded-memory substitute for exact word count when the vocabulary
+    itself doesn't fit (100 TB web text: billions of distinct tokens).
+
+    Each input partition builds an MG summary capped at k counters
+    (mapInPandas; one Arrow batch at a time merged via vectorized
+    value_counts, then compressed by subtracting the (k+1)-th largest
+    weight — the Agarwal et al. mergeable-summaries compress). Only
+    k rows per partition shuffle; the final merge is a sum+top-k over
+    ≤ k·P rows. Guarantees (accuracy-tested in tests/test_sketches.py):
+    estimates never exceed true counts, undercount by at most
+    N/(k+1), and every token with true count > N/(k+1) is present.
+
+    Not oracle-checked: the summary contents depend on partition
+    boundaries by design (like HLL/t-digest, same precedent) — the
+    GUARANTEES are partition-invariant, the exact estimates are not.
+    """
+    tokens_df = explode_tokens(df, text_col)
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["word"].value_counts(), fill_value=0)
+            if len(counters) > k:
+                counters = counters.sort_values(ascending=False)
+                sub = counters.iloc[k]
+                counters = (counters - sub).iloc[:k]
+                counters = counters[counters > 0]
+        yield pd.DataFrame(
+            {"word": counters.index, "weight": counters.astype("int64").values}
+        )
+
+    summaries = tokens_df.mapInPandas(mg_summaries, "word string, weight long")
+    return (
+        summaries.groupBy("word")
+        .agg(F.sum("weight").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), "word")
+        .limit(k)
+    )
+
+
 BOILERPLATE_N = 3
 BOILERPLATE_MIN_DOCS = 3
 

@@ -79,3 +79,44 @@ def test_minhash_digest_projection_equals_h32_lane(spark, sf_dir):
     # registry concern since round 3) — align rows by doc_id.
     fast = minhash_signatures(docs).orderBy("doc_id").collect()
     assert [tuple(r) for r in lane] == [tuple(r) for r in fast]
+
+
+def test_misra_gries_heavy_hitters_guarantees(spark):
+    """Mergeable Misra-Gries guarantees on a skewed random corpus,
+    under different partitionings: estimates never exceed true counts,
+    undercount is bounded by N/(k+1), and every true heavy hitter
+    (count > N/(k+1)) is reported."""
+    import random
+    from collections import Counter
+
+    from mapreduce_rs_spark.operators.text_analysis import heavy_hitters_mg
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(400)]
+    # Zipf-ish weights: a few dominant tokens, long tail.
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    docs = [
+        (i, " ".join(rng.choices(vocab, weights=weights, k=40))) for i in range(300)
+    ]
+    exact = Counter()
+    for _, t in docs:
+        exact.update(t.split())
+    n_total = sum(exact.values())
+
+    k = 32
+    err_bound = n_total / (k + 1)
+    heavy = {w for w, c in exact.items() if c > err_bound}
+    assert heavy, "fixture must contain true heavy hitters"
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for parts in (1, 7, 32):
+        got = {
+            r["word"]: r["est_count"]
+            for r in heavy_hitters_mg(df.repartition(parts), k).collect()
+        }
+        assert len(got) <= k
+        for w, est in got.items():
+            assert est <= exact[w], (parts, w, est, exact[w])
+            assert exact[w] - est <= err_bound, (parts, w, est, exact[w])
+        missing = heavy - set(got)
+        assert not missing, (parts, missing)
