@@ -316,6 +316,62 @@ def repetition_signals(df: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_WINDOW = 16
+CHUNK_STRIDE = 12
+
+
+def chunk_documents(
+    df: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    fixed-size windows with overlap (window - stride tokens) — the
+    pre-tokenization sharding step between curation and training, and
+    the chunking a retrieval pipeline feeds its embedder.
+
+    Chunk starts sit at 0, stride, 2·stride, …; the final chunk is
+    partial (documents are never padded here — packing is
+    pack_sequences' job). Chunk count for n tokens is
+    1 + ceil(max(n - window, 0) / stride), so a document shorter than
+    one window yields exactly one chunk and empty documents yield none.
+
+    Entirely a narrow per-row expression (sequence → slice, the
+    token_ngrams shape): no shuffle, no UDF; scales linearly with
+    corpus bytes. The ceil is floor((m + stride - 1) / stride) on
+    exact small-int doubles — identical in both engines.
+
+    The defaults are sized to the synthetic corpus (~30-token docs →
+    2-3 overlapping chunks); production uses the model context length.
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        (
+            F.floor(
+                (F.greatest(n - window, F.lit(0)) + (stride - 1)) / stride
+            ) + 1
+        ).cast("int")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(toks, i * stride + 1, window).alias("chunk_toks"),
+            ),
+        )
+    )
+    return (
+        df.where(F.size(F.filter(tokens("text"), lambda t: t != "")) > 0)
+        .select("doc_id", chunk.alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.chunk_toks").alias("n_chunk_tokens"),
+            F.array_join("c.chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+
+
 def heavy_hitters_mg(df: DataFrame, k: int = 32, text_col: str = "text") -> DataFrame:
     """Approximate top-k terms via mergeable Misra-Gries summaries — the
     bounded-memory substitute for exact word count when the vocabulary

@@ -1905,6 +1905,32 @@ QUERIES: dict[str, QuerySpec] = {
         "DoReMi-shaped training-mixture weights: uniform-over-language target, "
         "natural source proportions within language",
     ),
+    "chunk_documents": QuerySpec(
+        _docs(ta.chunk_documents),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), sized AS (
+            SELECT doc_id, tk,
+                   CAST(floor((greatest(len(tk) - {ta.CHUNK_WINDOW}, 0) + {ta.CHUNK_STRIDE - 1})
+                        / {ta.CHUNK_STRIDE}) + 1 AS INTEGER) AS n_chunks
+            FROM toks WHERE len(tk) > 0
+        ), starts AS (
+            SELECT doc_id, tk, unnest(range(0, n_chunks)) AS i FROM sized
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(len(tk[CAST(i * {ta.CHUNK_STRIDE} + 1 AS INTEGER)
+                         : CAST(i * {ta.CHUNK_STRIDE} + {ta.CHUNK_WINDOW} AS INTEGER)]) AS INTEGER)
+                   AS n_chunk_tokens,
+               array_to_string(tk[CAST(i * {ta.CHUNK_STRIDE} + 1 AS INTEGER)
+                                : CAST(i * {ta.CHUNK_STRIDE} + {ta.CHUNK_WINDOW} AS INTEGER)], ' ')
+                   AS chunk_text
+        FROM starts
+        """,
+        "context-window chunking with overlap (window 16 / stride 12): the "
+        "curation -> tokenizer sharding step, as a narrow sequence+slice expression",
+    ),
     "curation_yield_signals": QuerySpec(
         _docs(curation.curation_yield_signals),
         f"""
@@ -2130,6 +2156,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "latest_event_state": ("latest_event_type",),
     "decontaminate": ("lang",),
     "curation_yield_signals": ("lang",),
+    "chunk_documents": ("doc_id", "chunk_idx"),
     "repetition_signals": ("doc_id",),
     "boilerplate_ngrams": ("doc_id",),
     "mixture_weights": ("lang", "source"),
@@ -2168,6 +2195,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "mixture_weights",       # NEW: uniform-over-language mixture weights
     "semdedup",              # NEW: IVF-cluster-scoped semantic dedup
     "curation_yield_signals",  # NEW: capstone v3 with the signal gates
+    "chunk_documents",       # NEW: context-window chunking with overlap
     # (b) last external row is r01 — two rounds stale, refresh first:
     "lsh_buckets",
     "knn_lsh",
@@ -2195,7 +2223,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # (d) r02-green and unchanged since — freshest-possible refresh fills
     # the remaining window slots; the four left past the 50-entry cut
     # (agg_order_priorities, pivot_status_by_priority,
-    # unpivot_status_totals, source_extraction — stable single-pass
+    # unpivot_status_totals, source_extraction, pack_sequences — stable
     # shapes untouched since r02) keep their r02 green rows as evidence:
     "bigrams",
     "cube_status_priority",
@@ -2221,7 +2249,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "out_of_order_stats",
     "value_histogram",
     "user_activity_stats",
-    "pack_sequences",
     "curation_yield_neardup",
 )
 

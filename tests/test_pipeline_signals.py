@@ -149,6 +149,41 @@ def test_curation_yield_signals_drops_planted_degenerate_doc(spark):
     assert got["en"]["n_tokens_kept"] == 12  # the diverse doc's tokens
 
 
+def test_chunk_documents_hand_computed(spark):
+    from mapreduce_rs_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
+        chunk_documents,
+    )
+
+    toks30 = [f"t{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(toks30)),  # 30 tokens -> chunks at 0, 12, 24
+        (2, "just a few tokens"),  # 4 tokens -> one partial chunk
+        (3, ""),  # no tokens -> no chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in c1] == [16, 16, 6]
+    assert c1[0]["chunk_text"].split() == toks30[:16]
+    assert c1[1]["chunk_text"].split() == toks30[12:28]  # overlap of 4
+    assert c1[2]["chunk_text"].split() == toks30[24:]
+    # Every token covered; consecutive chunks overlap by window - stride.
+    assert set(toks30) == {t for r in c1 for t in r["chunk_text"].split()}
+    assert CHUNK_WINDOW - CHUNK_STRIDE == 4
+
+    (c2,) = by_doc[2]
+    assert c2["chunk_idx"] == 0 and c2["n_chunk_tokens"] == 4
+    assert c2["chunk_text"] == "just a few tokens"
+
+
 def test_semdedup_drops_near_identical_keeps_first(spark):
     from mapreduce_rs_spark.operators.similarity import semdedup
 

@@ -176,6 +176,8 @@ _SCALE_GUARDS = {
     # dfreq/flagged aggs (2) + doc_id gate joins + two yield aggs —
     # every exchange on doc_id/lang/gram keys, never a wide row
     "curation_yield_signals": (8, 0),
+    # pure narrow sequence+slice chunker: zero shuffles, zero joins
+    "chunk_documents": (0, 0),
 }
 
 
