@@ -162,16 +162,20 @@ def curation_yield_signals(df: DataFrame) -> DataFrame:
     return _yield_report(df, kept)
 
 
-def mixture_weights(df: DataFrame) -> DataFrame:
+def mixture_weights(
+    df: DataFrame, lang_targets: dict[str, float] | None = None
+) -> DataFrame:
     """Training-mixture sampling weights per (lang, source) bucket.
 
     A pretraining run rarely samples the corpus as-is: it targets a
-    mixture (uniform over languages here — the same arithmetic serves
-    any target table, which at scale arrives as a broadcast-joined
-    config) and needs, per bucket, the sampling weight that achieves
-    the target and the expected epoch count over that bucket's tokens
-    (weight > 1 means the bucket repeats; DoReMi-style reweighting is
-    exactly this shape with learned targets).
+    mixture (uniform over languages by default) and needs, per bucket,
+    the sampling weight that achieves the target and the expected epoch
+    count over that bucket's tokens (weight > 1 means the bucket
+    repeats; DoReMi-style reweighting is exactly this shape with
+    learned targets). ``lang_targets`` supplies a custom per-language
+    target mix (fractions; languages absent from the map get NULL
+    shares/weights — surface the config gap, don't guess); at scale the
+    map is a broadcast-joined config table, same arithmetic.
 
     target_share for a bucket = (1 / n_langs) · (bucket tokens /
     lang tokens): languages get equal total weight, sources keep their
@@ -202,9 +206,18 @@ def mixture_weights(df: DataFrame) -> DataFrame:
     lang_total = F.sum("n_tokens").over(lang_w)
     n_langs = F.size(F.collect_set("lang").over(all_w))
     actual_share = F.try_divide(F.col("n_tokens").cast("double"), total)
-    target_share = F.try_divide(
-        F.col("n_tokens").cast("double"), n_langs * lang_total
-    )
+    if lang_targets is None:
+        # Uniform-over-languages default — the oracle-contract shape.
+        target_share = F.try_divide(
+            F.col("n_tokens").cast("double"), n_langs * lang_total
+        )
+    else:
+        tmap = F.create_map(
+            *[F.lit(x) for kv in sorted(lang_targets.items()) for x in kv]
+        )
+        target_share = tmap[F.col("lang")] * F.try_divide(
+            F.col("n_tokens").cast("double"), lang_total
+        )
     return buckets.select(
         "lang",
         "source",

@@ -112,6 +112,31 @@ def test_mixture_weights_uniform_language_target(spark):
     assert got[("en", "a")]["weight"] == pytest.approx(got[("en", "b")]["weight"])
 
 
+def test_mixture_weights_custom_targets(spark):
+    """A custom per-language target mix: en gets 3/4, de 1/4. A language
+    missing from the config gets NULL shares (loud config gap)."""
+    rows = [
+        (1, "w w w w", "en", "a", 0),
+        (2, "x x", "en", "b", 0),
+        (3, "y y y", "de", "a", 0),
+        (4, "z z", "fr", "a", 0),  # not in the target map
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {
+        (r["lang"], r["source"]): r
+        for r in mixture_weights(df, {"en": 0.75, "de": 0.25}).collect()
+    }
+    # en buckets: lang_total=6, target 0.75 split 4:2.
+    assert got[("en", "a")]["target_share"] == pytest.approx(0.75 * 4 / 6)
+    assert got[("en", "b")]["target_share"] == pytest.approx(0.75 * 2 / 6)
+    # total=11 tokens; weight = target/actual.
+    assert got[("en", "a")]["actual_share"] == pytest.approx(4 / 11)
+    assert got[("en", "a")]["weight"] == pytest.approx((0.75 * 4 / 6) / (4 / 11))
+    assert got[("de", "a")]["target_share"] == pytest.approx(0.25)
+    assert got[("fr", "a")]["target_share"] is None
+    assert got[("fr", "a")]["weight"] is None
+
+
 def test_curation_yield_signals_gates_only_reduce(spark, sf_dir):
     from mapreduce_rs_spark.operators.curation import (
         curation_yield,
