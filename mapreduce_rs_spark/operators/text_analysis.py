@@ -268,37 +268,44 @@ def repetition_signals(df: DataFrame) -> DataFrame:
     "is this document degenerate boilerplate/spam" pre-filter signals
     (Rae et al. 2021 §A1.1 use exactly these shapes as removal rules).
 
-    Scale shape: explode → two partial→final aggregates keyed by
-    (doc_id, gram) then doc_id — work is linear in corpus tokens (never
+    Scale shape: ONE corpus scan feeds both signal families — tokens
+    and bigrams ride a single tagged gram stream (kind 't'/'b') into
+    one (doc_id, kind, gram) partial→final aggregate, then one per-doc
+    conditional aggregate — work is linear in corpus tokens (never
     quadratic in document length, unlike the per-row
     ``array_distinct``+``filter`` form, which is O(len·distinct) per
-    document and dies on long documents). Both aggregate chains share
-    the doc_id key, so AQE co-locates the final join; docs whose text
-    produces zero tokens are preserved by the left join from the doc
-    spine with NULL ratios (the oracle mirrors this).
+    document and dies on long documents). Docs whose text produces
+    zero tokens are preserved by the left join from the doc spine with
+    NULL ratios (the oracle mirrors this).
     """
     spine = df.select("doc_id")
-    tok = (
-        explode_tokens(df, "text", "doc_id")
-        .groupBy("doc_id", "word")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    tagged = F.concat(
+        F.transform(
+            toks, lambda t: F.struct(F.lit("t").alias("kind"), t.alias("gram"))
+        ),
+        F.transform(
+            token_ngrams("text", 2),
+            lambda b: F.struct(F.lit("b").alias("kind"), b.alias("gram")),
+        ),
+    )
+    is_tok = F.col("kind") == "t"
+    per_doc = (
+        df.select("doc_id", F.explode(tagged).alias("g"))
+        .select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+        .groupBy("doc_id", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct_tokens"),
-            F.max("cnt").alias("top_token_cnt"),
+            F.sum(F.when(is_tok, F.col("cnt"))).alias("n_tokens"),
+            F.count(F.when(is_tok, F.lit(1))).alias("n_distinct_tokens"),
+            F.max(F.when(is_tok, F.col("cnt"))).alias("top_token_cnt"),
+            F.sum(F.when(~is_tok, F.col("cnt"))).alias("n_bigrams"),
+            F.max(F.when(~is_tok, F.col("cnt"))).alias("top_bigram_cnt"),
         )
     )
-    big = (
-        df.select("doc_id", F.explode(token_ngrams("text", 2)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_bigram_cnt"))
-    )
     return (
-        spine.join(tok, "doc_id", "left")
-        .join(big, "doc_id", "left")
+        spine.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
