@@ -38,10 +38,15 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects
-# outright. We read them as raw nanosecond longs (legacy conf below) and
-# rebuild a microsecond timestamp with exact integer division — `div`, not
-# `/`, because 1.7e18 exceeds double's 2^53 exact-integer range.
+# Columns that have shipped as parquet TIMESTAMP(NANOS) in some testdata
+# generations, which Spark's reader rejects outright. For those files we
+# read the column as raw nanosecond longs (legacy conf below) and rebuild a
+# microsecond timestamp with exact integer division — `div`, not `/`,
+# because 1.7e18 exceeds double's 2^53 exact-integer range. Other
+# generations store the same column as TIMESTAMP(MICROS), which the legacy
+# conf leaves untouched — so the rebuild below is TYPE-CONDITIONAL: it
+# inspects what the scan actually produced instead of assuming a physical
+# type the data files may no longer use.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -71,7 +76,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else:
                 spark.conf.set(conf_key, prev)
         for col in nano_cols:
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            dtype = df.schema[col].dataType.typeName()
+            if dtype in ("long", "bigint"):
+                # Parquet NANOS generation: raw nanos long → micros ts.
+                df = df.withColumn(
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+                )
+            elif dtype == "timestamp_ntz":
+                # Parquet MICROS (isAdjustedToUTC=false) generation: Spark
+                # reads TIMESTAMP_NTZ. Cast to session-local TIMESTAMP —
+                # the session is pinned UTC above, so wall values are
+                # unchanged and downstream operators/oracles see the same
+                # type every generation.
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
+            # plain "timestamp": already what every operator expects.
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
