@@ -96,6 +96,154 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+# Fixed-point scale for pagerank: rank 1.0 == 10^12. Chosen so that
+# (a) per-node ranks (< 1 by construction after the first update) carry
+# 12 significant fractional digits, and (b) every intermediate stays
+# exactly representable: rank_fp * weight is computed in DECIMAL(38,0)
+# (Spark) / HUGEINT (oracle), then floor-divided back under 10^12.
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping_pct: int = 85
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count, in fixed-point
+    integer arithmetic.
+
+    ``edges`` has columns (src, dst, weight: integral > 0). Every node
+    is expected to have at least one out-edge (feed an undirected /
+    symmetrized edge list, as ``pagerank_trade_flows`` does — that
+    guarantees no dangling mass by construction; this function raises
+    if a sink node is detected rather than silently leaking rank).
+
+    Why fixed-point: the iteration is sums of ``rank * w / out_w``
+    terms, and floating-point sums are partition-order-dependent — the
+    exact class of cross-engine hazard this repo's decimal-money rule
+    exists for (BASELINE.md). Here the quantities aren't 2-decimal
+    money, so instead the algorithm itself is DEFINED over integers:
+    rank is a BIGINT in units of 1e-12 (``PAGERANK_SCALE``), each edge
+    contribution is ``(rank_fp * w) div out_w`` with the product in
+    DECIMAL(38,0) so nothing overflows at any realistic weight, and the
+    damping update is ``((100-d)*SCALE) div (100*N) + (d*inflow) div
+    100``. Integer sums are exactly associative, so the result is
+    bit-identical on any partitioning and any engine — the DuckDB
+    oracle unrolls the same recurrence with HUGEINT ``//``. (Quotients
+    are <= SCALE so the BIGINT result of Spark's decimal ``div`` never
+    overflows; only the transient product needs 38 digits.)
+
+    Scale shape: building the edge list is the data-sized job (the
+    caller's aggregation); the iteration loop is K jobs of one
+    broadcast-join + one integer groupBy each over the AGGREGATED graph
+    — O(E) per round with no float state. The driver holds only the
+    loop counter. The reference has no iterative operators at all
+    (single map->reduce pass, ``src/mr/coordinator.rs:342-345``).
+
+    Returns (node, rank_fp: bigint, rank: double) — ``rank`` is the
+    presentation-only scalar ``rank_fp / 1e12``.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    edges = edges.select(
+        F.col("src"), F.col("dst"), F.col("weight").cast("long")
+    ).localCheckpoint()
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    n_sinks = nodes.join(out_w, nodes.node == out_w.src, "left_anti").count()
+    if n_sinks:
+        raise ValueError(
+            f"pagerank requires every node to have an out-edge; {n_sinks} "
+            "sink node(s) found — symmetrize the edge list or add self-loops"
+        )
+
+    # Edge table annotated with its source's total out-weight, reused
+    # every iteration (checkpoint: computed once, lineage truncated).
+    graph = edges.join(out_w, "src").localCheckpoint()
+
+    base_fp = ((100 - damping_pct) * PAGERANK_SCALE) // (100 * n_nodes)
+    init_fp = PAGERANK_SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(init_fp).cast("long").alias("rank_fp"))
+
+    for _ in range(iterations):
+        inflow = (
+            graph.join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            )
+            .select(
+                F.col("dst"),
+                (
+                    F.col("rank_fp").cast("decimal(38,0)") * F.col("weight")
+                ).alias("scaled"),
+                F.col("out_w"),
+            )
+            .select("dst", F.expr("scaled div out_w").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow_fp"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_fp)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow_fp, 0L)) div 100"
+                    )
+                ).cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        (F.col("rank_fp") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+    )
+
+
+def pagerank_trade_flows(tables: dict[str, DataFrame]) -> DataFrame:
+    """PageRank centrality of nations in the trade network.
+
+    Edge building is the data-sized half (this is where 100 TB lives):
+    lineitem->orders->customer gives the buying nation, lineitem->
+    supplier the selling nation; the fact table never shuffles wide —
+    customer/supplier/nation are broadcast and the only exchange is the
+    (25 x 25)-key count aggregation. The directed flow counts are then
+    symmetrized (w(a,b) = d(a,b) + d(b,a), self-loops kept) so every
+    node has out-edges — the no-dangling-mass precondition ``pagerank``
+    enforces — and 5 fixed-point iterations run on the aggregated graph.
+
+    Returns (n_name, rank_fp, rank) — integer fixed-point rank plus its
+    double presentation form.
+    """
+    li, o = tables["lineitem"], tables["orders"]
+    c, s, n = tables["customer"], tables["supplier"], tables["nation"]
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("a"), s.s_nationkey.alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        flows.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .union(flows.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("weight"))
+    )
+    ranks = pagerank(edges, iterations=5, damping_pct=85)
+    return ranks.join(
+        F.broadcast(n), ranks.node == n.n_nationkey
+    ).select("n_name", "rank_fp", "rank")
+
+
 def dedup_components(df: DataFrame) -> DataFrame:
     """Near-duplicate CLUSTERS from MinHash-LSH candidate pairs:
     transitive closure over the pair graph, then per-doc component

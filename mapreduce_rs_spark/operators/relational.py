@@ -1237,3 +1237,127 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_lines"),
         )
     )
+
+
+def copurchase_pairs(tables: dict[str, DataFrame], min_orders: int = 2) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    same order, with the lift statistic
+    (P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)).
+
+    The pair generation is a SELF-JOIN ON THE ORDER KEY, which is safe
+    at any scale because its fan-out is bounded by items-per-order (a
+    small constant in order data: TPC-H caps at 7) — per order the join
+    emits at most C(items,2) rows, so total work is linear in
+    lineitems, never quadratic in parts. This is the same
+    bounded-blocking discipline as the dedup pair joins (every pair
+    path in this repo goes through a bounded block; BASELINE.md).
+    Part-frequency lookups are equi-joins on the part key — no
+    broadcast needed, so the shape holds even when the part dimension
+    itself is huge.
+
+    Lift determinism: all counts are exact integers; the single
+    double division of two < 2^53 products is a per-row scalar op,
+    bit-identical on both engines.
+
+    The distinct (order, part) projection feeds three consumers (pair
+    join sides, frequencies, total); Catalyst recomputes it per
+    consumer — each a pruned 2-column scan + one exchange, cheap here.
+    A 100 TB run materializes it once (persist to parquet / an
+    eager checkpoint) and reads it three times instead.
+
+    Returns (part_a, part_b, n_ab, n_a, n_b, lift) for pairs
+    co-purchased in >= min_orders orders.
+    """
+    li = tables["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_orders)
+    )
+    freq = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    total = op.select(F.countDistinct("l_orderkey").alias("n_orders_total"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_ab * n_orders_total AS DOUBLE)"
+                " / CAST(n_a * n_b AS DOUBLE)"
+            ).alias("lift"),
+        )
+    )
+
+
+def skyline_parts(tables: dict[str, DataFrame], n_buckets: int = 32) -> DataFrame:
+    """Two-phase distributed skyline (Pareto frontier): parts where no
+    other part is both cheaper-or-equal AND larger-or-equal with at
+    least one strict — the classic multi-objective filter Spark has no
+    built-in operator for.
+
+    Naive dominance is an all-pairs NOT EXISTS (the oracle states it
+    that way — fine for a columnar single-node engine, quadratic
+    poison at scale). The distributed shape used here is the standard
+    two-phase skyline:
+
+    1. LOCAL phase: distinct (price, size) points are hash-bucketed;
+       within each bucket the 2D skyline falls out of one window pass —
+       sort by (price asc, size desc) and keep a point iff its size
+       exceeds the running max over all PRIOR rows (any prior row with
+       size >= current strictly dominates it once exact duplicates are
+       collapsed, which the distinct guarantees). A point dominated in
+       its bucket is dominated globally, so this prunes almost
+       everything while touching each point once.
+    2. GLOBAL phase: the same window rule over the union of bucket
+       survivors — a single-partition sort, but over the tiny pruned
+       set (skyline cardinality is O(log^(d-1) n) expected for random
+       data), which is exactly when a global window is the right plan.
+
+    Returns every part sitting AT a skyline point (ties on both
+    dimensions are all reported): (p_partkey, p_retailprice, p_size).
+    """
+    p = tables["part"].select("p_partkey", "p_retailprice", "p_size")
+    pts = p.select("p_retailprice", "p_size").distinct()
+    bucketed = pts.withColumn(
+        "bucket", F.pmod(F.hash("p_retailprice", "p_size"), F.lit(n_buckets))
+    )
+    before = Window.rowsBetween(Window.unboundedPreceding, -1)
+    w_local = before.partitionBy("bucket").orderBy(
+        F.col("p_retailprice").asc(), F.col("p_size").desc()
+    )
+    not_dominated = lambda cmax: F.col(cmax).isNull() | (  # noqa: E731
+        F.col(cmax) < F.col("p_size")
+    )
+    local = (
+        bucketed.withColumn("cmax", F.max("p_size").over(w_local))
+        .where(not_dominated("cmax"))
+        .drop("bucket", "cmax")
+    )
+    w_global = before.orderBy(
+        F.col("p_retailprice").asc(), F.col("p_size").desc()
+    )
+    sky_pts = (
+        local.withColumn("cmax", F.max("p_size").over(w_global))
+        .where(not_dominated("cmax"))
+        .drop("cmax")
+    )
+    return p.join(sky_pts, ["p_retailprice", "p_size"]).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )

@@ -512,3 +512,60 @@ def corpus_profile(df: DataFrame) -> DataFrame:
             - F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1))
         ).alias("exact_dup_ratio"),
     )
+
+
+def bigram_pmi(df: DataFrame, min_pair: int = 3) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    collocation score a phrase-mining / tokenizer-vocabulary pipeline
+    computes over a corpus (PMI(x,y) = ln(p(xy) / (p(x)p(y)))).
+
+    Plan shape: one narrow per-row n-gram slide (token_ngrams — no
+    self-join), one groupBy for bigram counts, one for unigram counts,
+    and two 1-row corpus totals broadcast in. The pair->unigram joins
+    are plain equi-joins on the word; nothing all-pairs anywhere, so
+    the shape survives any corpus size.
+
+    Float determinism: PMI is computed in ln-difference form
+    (ln n_xy + 2 ln T_u - ln T_b - ln n_x - ln n_y) rather than as one
+    big ratio — every ln argument is an exactly-cast integer count, no
+    product can overflow at any scale, and the fixed left-associated
+    expression tree evaluates bit-identically on both engines (same
+    precedent as tfidf's ln weighting, hash-verified since round 1).
+
+    Returns (w1, w2, n_xy, n_x, n_y, pmi) for pairs seen >= min_pair
+    times.
+    """
+    grams = (
+        df.select(F.explode(token_ngrams("text", 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    toks = explode_tokens(df)
+    uni = toks.groupBy("word").agg(F.count("*").alias("n_w"))
+    totals = toks.agg(F.count("*").alias("t_uni")).crossJoin(
+        grams.agg(F.sum("n_xy").alias("t_bi"))
+    )
+    pairs = (
+        grams.where(F.col("n_xy") >= min_pair)
+        .withColumn("w1", F.split("ngram", " ").getItem(0))
+        .withColumn("w2", F.split("ngram", " ").getItem(1))
+    )
+    fa = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_x"))
+    fb = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_y"))
+    return (
+        pairs.join(fa, "w1")
+        .join(fb, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(
+                "ln(CAST(n_xy AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))"
+                " - ln(CAST(t_bi AS DOUBLE)) - ln(CAST(n_x AS DOUBLE))"
+                " - ln(CAST(n_y AS DOUBLE))"
+            ).alias("pmi"),
+        )
+    )

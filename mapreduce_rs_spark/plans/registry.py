@@ -506,6 +506,65 @@ def _ann_recall_sql(k: int = 10) -> str:
         """
 
 
+def _pagerank_trade_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    """Oracle twin of graph.pagerank_trade_flows: the SAME fixed-point
+    integer recurrence, unrolled into chained CTEs (one i{k}/r{k} pair
+    per iteration). Every arithmetic step is integral — HUGEINT product,
+    floor division, integer sums — so the unrolled SQL reproduces the
+    Spark loop bit-for-bit regardless of engine float semantics or
+    partitioning. SCALE = 10^12 (graph.PAGERANK_SCALE)."""
+    scale = graph.PAGERANK_SCALE
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f"""i{k} AS (
+            SELECT g.dst AS node,
+                   SUM((CAST(r.rank_fp AS HUGEINT) * g.weight) // g.out_w) AS inflow
+            FROM g JOIN r{k - 1} r ON g.src = r.node GROUP BY 1
+        ), r{k} AS (
+            SELECT n.node,
+                   (SELECT base_fp FROM meta)
+                   + ({damping_pct} * COALESCE(i.inflow, 0)) // 100 AS rank_fp
+            FROM nodes n LEFT JOIN i{k} i USING (node)
+        )""")
+    chain = ",\n        ".join(iters)
+    return f"""
+        WITH flows AS (
+            SELECT c.c_nationkey AS a, s.s_nationkey AS b, count(*) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT src, dst, SUM(w) AS weight FROM (
+                SELECT a AS src, b AS dst, w FROM flows
+                UNION ALL
+                SELECT b AS src, a AS dst, w FROM flows
+            ) GROUP BY 1, 2
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), meta AS (
+            SELECT (({100 - damping_pct} * CAST({scale} AS HUGEINT))
+                    // (100 * count(*))) AS base_fp,
+                   (CAST({scale} AS HUGEINT) // count(*)) AS init_fp
+            FROM nodes
+        ), g AS (
+            SELECT e.src, e.dst, e.weight, ow.out_w
+            FROM edges e
+            JOIN (SELECT src, SUM(weight) AS out_w FROM edges GROUP BY 1) ow
+              USING (src)
+        ), r0 AS (
+            SELECT node, (SELECT init_fp FROM meta) AS rank_fp FROM nodes
+        ),
+        {chain}
+        SELECT n_name,
+               CAST(rank_fp AS BIGINT) AS rank_fp,
+               CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+        FROM r{iterations} JOIN nation ON node = n_nationkey
+        ORDER BY n_name
+        """
+
+
 # ---------------------------------------------------------------------------
 # The registry
 # ---------------------------------------------------------------------------
@@ -581,6 +640,42 @@ QUERIES: dict[str, QuerySpec] = {
         )
         SELECT ngram, count(*) AS cnt FROM grams GROUP BY ngram
         """,
+    ),
+    "bigram_pmi": QuerySpec(
+        _docs(ta.bigram_pmi),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), grams AS (
+            SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> array_to_string(tk[i:i + 1], ' '))) AS ngram
+            FROM toks
+        ), bi AS (
+            SELECT ngram, count(*) AS n_xy FROM grams GROUP BY ngram
+        ), words AS (
+            SELECT unnest(tk) AS word FROM toks
+        ), uni AS (
+            SELECT word, count(*) AS n_w FROM words GROUP BY word
+        ), totals AS (
+            SELECT (SELECT count(*) FROM words) AS t_uni,
+                   (SELECT sum(n_xy) FROM bi) AS t_bi
+        )
+        SELECT split_part(ngram, ' ', 1) AS w1,
+               split_part(ngram, ' ', 2) AS w2,
+               n_xy,
+               fa.n_w AS n_x,
+               fb.n_w AS n_y,
+               ln(CAST(n_xy AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))
+               - ln(CAST(t_bi AS DOUBLE)) - ln(CAST(fa.n_w AS DOUBLE))
+               - ln(CAST(fb.n_w AS DOUBLE)) AS pmi
+        FROM bi
+        JOIN uni fa ON split_part(ngram, ' ', 1) = fa.word
+        JOIN uni fb ON split_part(ngram, ' ', 2) = fb.word
+        CROSS JOIN totals
+        WHERE n_xy >= 3
+        """,
+        "collocation PMI in ln-difference form: exact integer counts, "
+        "fixed expression tree — no product overflow, engine-portable",
     ),
     "token_count": QuerySpec(
         _docs(ta.token_count),
@@ -921,6 +1016,52 @@ QUERIES: dict[str, QuerySpec] = {
         GROUP BY band ORDER BY band
         """,
     ),
+    "copurchase_pairs": QuerySpec(
+        _tables(relational.copurchase_pairs),
+        """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_ab
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ), freq AS (
+            SELECT l_partkey, count(*) AS n_orders FROM op GROUP BY 1
+        ), total AS (
+            SELECT count(DISTINCT l_orderkey) AS n_orders_total FROM op
+        )
+        SELECT part_a, part_b, n_ab,
+               fa.n_orders AS n_a, fb.n_orders AS n_b,
+               CAST(n_ab * n_orders_total AS DOUBLE)
+               / CAST(fa.n_orders * fb.n_orders AS DOUBLE) AS lift
+        FROM pairs
+        JOIN freq fa ON part_a = fa.l_partkey
+        JOIN freq fb ON part_b = fb.l_partkey
+        CROSS JOIN total
+        """,
+        "market-basket pair counts + lift; pair join fan-out bounded by "
+        "items-per-order, so linear in lineitems at any scale",
+    ),
+    "skyline_parts": QuerySpec(
+        _tables(relational.skyline_parts),
+        """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+        """,
+        "Pareto frontier (min price, max size): two-phase bucketed window "
+        "skyline (Spark) vs all-pairs NOT EXISTS (oracle) — same set",
+    ),
     "customers_above_nation_avg": QuerySpec(
         _tables(relational.customers_above_nation_avg),
         """
@@ -991,6 +1132,13 @@ QUERIES: dict[str, QuerySpec] = {
         FROM reach GROUP BY doc_id ORDER BY doc_id
         """,
         "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
+    ),
+    "pagerank_trade_flows": QuerySpec(
+        _tables(graph.pagerank_trade_flows),
+        _pagerank_trade_sql(),
+        "fixed-point integer PageRank (5 iterations) on the symmetrized "
+        "nation trade graph; Spark loop vs unrolled-CTE oracle, bit-exact "
+        "because every step is integral",
     ),
     "tfidf_top_terms": QuerySpec(
         _docs(lambda df: ta.tfidf_top_terms(df, 3)),
@@ -2091,6 +2239,10 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "jaccard_pairs": ("doc_a", "doc_b"),
     "simhash_near_pairs": ("doc_a", "doc_b"),
     "dedup_components": ("doc_id",),
+    "pagerank_trade_flows": ("n_name",),
+    "bigram_pmi": ("w1", "w2"),
+    "copurchase_pairs": ("part_a", "part_b"),
+    "skyline_parts": ("p_partkey",),
     "tfidf_top_terms": ("doc_id", "rnk"),
     "knn_bruteforce": ("q_id", "rnk"),
     "lsh_buckets": ("bucket",),
@@ -2189,14 +2341,19 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round 4 window. (a) new this round:
-    "repetition_signals",    # NEW: Gopher repetition battery
-    "boilerplate_ngrams",    # NEW: cross-doc boilerplate 3-gram coverage
-    "mixture_weights",       # NEW: uniform-over-language mixture weights
-    "semdedup",              # NEW: IVF-cluster-scoped semantic dedup
-    "curation_yield_signals",  # NEW: capstone v3 with the signal gates
-    "chunk_documents",       # NEW: context-window chunking with overlap
-    # (b) last external row is r01 — two rounds stale, refresh first:
+    # ---- current window. (a) new THIS round — never driver-checked:
+    "pagerank_trade_flows",  # NEW: fixed-point iterative PageRank
+    "bigram_pmi",            # NEW: collocation PMI, ln-difference form
+    "copurchase_pairs",      # NEW: market-basket lift
+    "skyline_parts",         # NEW: two-phase Pareto frontier
+    # (a') new last round, still awaiting their first driver row:
+    "repetition_signals",    # Gopher repetition battery
+    "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
+    "mixture_weights",       # uniform-over-language mixture weights
+    "semdedup",              # IVF-cluster-scoped semantic dedup
+    "curation_yield_signals",  # capstone v3 with the signal gates
+    "chunk_documents",       # context-window chunking with overlap
+    # (b) last external row is r01 — stale, refresh first:
     "lsh_buckets",
     "knn_lsh",
     "dedup_exact",
@@ -2246,10 +2403,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "fuzzy_nation_pairs",
     "stratified_sample_summary",
     "cohort_retention",
-    "out_of_order_stats",
-    "value_histogram",
-    "user_activity_stats",
-    "curation_yield_neardup",
 )
 
 QUERIES = {

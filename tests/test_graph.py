@@ -168,3 +168,43 @@ def test_simhash_near_pairs_exact_copies_distance_zero(spark):
     )
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(docs).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_pagerank_mass_conservation_and_symmetry(spark):
+    from mapreduce_rs_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    # Symmetric 3-cycle with equal weights: by symmetry every node must
+    # get exactly the same rank, and total mass stays ~SCALE (short only
+    # by deterministic floor-division dust).
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]],
+        ["src", "dst", "weight"],
+    )
+    rows = pagerank(edges, iterations=4).collect()
+    fps = {r["node"]: r["rank_fp"] for r in rows}
+    assert len(set(fps.values())) == 1
+    total = sum(fps.values())
+    assert PAGERANK_SCALE - 200 <= total <= PAGERANK_SCALE
+
+
+def test_pagerank_partition_invariant(spark):
+    from mapreduce_rs_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b, w) for a, b, w in [(1, 2, 5), (2, 1, 5), (1, 3, 2), (3, 1, 2), (2, 3, 7), (3, 2, 7)]],
+        ["src", "dst", "weight"],
+    )
+    base = {r["node"]: r["rank_fp"] for r in pagerank(edges).collect()}
+    reparted = {
+        r["node"]: r["rank_fp"] for r in pagerank(edges.repartition(13)).collect()
+    }
+    # Fixed-point integer arithmetic: bit-identical under any partitioning.
+    assert base == reparted
+
+
+def test_pagerank_rejects_sink_nodes(spark):
+    from mapreduce_rs_spark.operators.graph import pagerank
+
+    directed = spark.createDataFrame([(1, 2, 1)], ["src", "dst", "weight"])
+    with pytest.raises(ValueError, match="sink"):
+        pagerank(directed)

@@ -178,6 +178,22 @@ _SCALE_GUARDS = {
     "curation_yield_signals": (8, 0),
     # pure narrow sequence+slice chunker: zero shuffles, zero joins
     "chunk_documents": (0, 0),
+    # round-3 batch 2:
+    # pagerank's visible plan is the post-loop fragment (each iteration
+    # localCheckpoints, truncating lineage by design — the per-round
+    # plan is 1 broadcast join + 1 integer groupBy); what remains must
+    # be only the broadcast nation-name join.
+    "pagerank_trade_flows": (0, 0),
+    # gram agg + unigram agg + marginal joins (broadcast at test scale;
+    # cap leaves room for AQE to demote them to shuffles at 100 TB)
+    "bigram_pmi": (6, 0),
+    # 3x the distinct (order,part) projection (materialize-once at real
+    # scale, see docstring) + pair agg + 2 freq aggs + total distinct
+    "copurchase_pairs": (9, 0),
+    # distinct points + bucket repartition; the global phase is a
+    # SinglePartition exchange over bucket survivors (not counted here,
+    # bounded by construction)
+    "skyline_parts": (2, 0),
 }
 
 
