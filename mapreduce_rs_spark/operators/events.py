@@ -425,3 +425,172 @@ def latest_event_state(t: dict[str, DataFrame]) -> DataFrame:
         F.max("ts").alias("newest_ts"),
         F.min("ts").alias("oldest_ts"),
     )
+
+
+def event_paths(t: dict[str, DataFrame], max_events: int = 8) -> DataFrame:
+    """Top-of-funnel path analysis: each user's first ``max_events``
+    event types as an ordered '>'-joined path, counted across users —
+    the product-analytics "common journeys" query (and the shape a
+    Markov attribution model consumes).
+
+    Plan shape: ONE exchange on user_id serves both the row_number
+    window and the per-user path aggregation (Spark reuses the
+    partitioning); the path->count agg then shuffles only one short
+    string per user. Path strings are bounded by construction
+    (max_events types), so path cardinality can't explode.
+
+    Determinism: within-user order is (ts, event_id) — event_id breaks
+    timestamp ties, so the path string is unique for any partitioning
+    and engine. The ordered concat is expressed as array_sort over
+    (ts, event_id, event_type) structs + transform + array_join (the
+    engine-portable ordered-string-agg; DuckDB side uses
+    string_agg(... ORDER BY ts, event_id)).
+
+    Returns (path, path_len, n_users): journeys with their realized
+    length (users with fewer than max_events events contribute shorter
+    paths) and user counts.
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_events)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).cast("int").alias("path_len"),
+        )
+    )
+    return paths.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).cast("int").alias("n_users")
+    )
+
+
+def value_anomalies(t: dict[str, DataFrame], z_thresh: float = 2.0) -> DataFrame:
+    """Per-user z-score outliers: events whose value deviates >=
+    ``z_thresh`` sample standard deviations from that user's mean — the
+    monitoring/abuse-detection primitive over behavioral streams.
+
+    The per-user moments come from EXACT decimal power sums computed as
+    window aggregates (one user_id exchange serves sums AND the per-row
+    score — no join back), then combine in double with the same
+    computational formulas as stats_battery: decimal Σx/Σx² are
+    order-independent, so the z-scores are bit-identical across
+    partitionings and engines. Users with n < 2 or zero variance yield
+    NULL z (NULLIF-guarded divide), which the threshold filter drops on
+    both engines identically.
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id")
+    val = money("value")
+    sums = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(val).over(w).alias("sx_dec"),
+        F.sum(val * val).over(w).alias("sxx_dec"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx_dec").cast("double"), F.col("sxx_dec").cast("double")
+    mean = sx / n
+    std = F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0)))
+    z = (F.col("value") - mean) / F.nullif(std, F.lit(0.0))
+    return (
+        sums.where(n >= 2)
+        .withColumn("zscore", z)
+        .where(F.abs(F.col("zscore")) >= z_thresh)
+        .select("event_id", "user_id", "event_type", "value", "zscore")
+    )
+
+
+def time_weighted_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-weighted average value per user — the TSDB aggregate for
+    irregularly-sampled series (a value that held for an hour must
+    outweigh one that held a second; the plain avg is wrong whenever
+    sampling is bursty, which behavioral streams always are).
+
+    Each event's value is weighted by the seconds until the user's next
+    event (last-observation-carried-forward segments via one lead
+    window); the user's TWA is Σ(value·Δt) / ΣΔt. One user_id exchange
+    serves the lead window and the per-user aggregation.
+
+    Determinism: Δt is integer seconds, value is 2-decimal — so
+    value·Δt is exact decimal, both sums are order-independent, and the
+    single final double division is per-row scalar. Same-second
+    successors contribute zero weight symmetrically on both engines;
+    users whose whole span is one second (ΣΔt = 0) emit NULL twa via
+    NULLIF rather than a division error.
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur_s = F.unix_timestamp("ts")
+    seg = ev.select(
+        "user_id",
+        money("value").alias("v_dec"),
+        (F.lead(cur_s).over(w) - cur_s).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_intervals"),
+            F.sum("dt").alias("span_sec"),
+            F.sum(F.col("v_dec") * F.col("dt")).alias("wv_dec"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_sec",
+            F.expr("CAST(wv_dec AS DOUBLE) / NULLIF(span_sec, 0)").alias(
+                "twa_value"
+            ),
+        )
+    )
+
+
+def ohlc_bars(t: dict[str, DataFrame]) -> DataFrame:
+    """Candlestick (OHLC) bars: per hour and event type, the opening /
+    highest / lowest / closing value plus volume — the financial-style
+    downsampling every time-series store ships.
+
+    Open/close need a deterministic FIRST/LAST by event time: computed
+    with two row_number windows over the (bucket, event_type) partition
+    — (ts, event_id) ascending and descending — then folded in the
+    same-keyed aggregation (the partitioning is reused: one exchange
+    total). This avoids min_by/struct-min, whose tie semantics differ
+    across engines; row_number over a total order is portable.
+    """
+    ev = t["events"]
+    bucket = F.date_trunc("hour", "ts").alias("bucket_ts")
+    base = ev.select(bucket, "event_type", "ts", "event_id", "value")
+    asc = Window.partitionBy("bucket_ts", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    desc = Window.partitionBy("bucket_ts", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = base.select(
+        "bucket_ts",
+        "event_type",
+        "value",
+        F.row_number().over(asc).alias("rn_first"),
+        F.row_number().over(desc).alias("rn_last"),
+    )
+    return flagged.groupBy("bucket_ts", "event_type").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        stable_sum(money("value")).alias("sum_value"),
+    )

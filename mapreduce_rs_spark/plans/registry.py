@@ -1580,6 +1580,97 @@ QUERIES: dict[str, QuerySpec] = {
         FROM events GROUP BY 1 ORDER BY bucket_lo
         """,
     ),
+    "event_paths": QuerySpec(
+        _tables(events.event_paths),
+        """
+        WITH ranked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   CAST(count(*) AS INTEGER) AS path_len
+            FROM ranked WHERE rn <= 8 GROUP BY user_id
+        )
+        SELECT path, path_len, CAST(count(*) AS INTEGER) AS n_users
+        FROM paths GROUP BY path, path_len
+        """,
+        "common-journeys path analysis: ordered per-user event-type "
+        "concat ((ts, event_id) total order) — engine-portable ordered "
+        "string agg",
+    ),
+    "time_weighted_value": QuerySpec(
+        _tables(events.time_weighted_value),
+        f"""
+        WITH seg AS (
+            SELECT user_id,
+                   {_money('value')} AS v_dec,
+                   lead(floor(epoch(ts))) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                   - floor(epoch(ts)) AS dt
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS INTEGER) AS n_intervals,
+               CAST(sum(dt) AS BIGINT) AS span_sec,
+               CAST(sum(v_dec * dt) AS DOUBLE)
+               / NULLIF(CAST(sum(dt) AS BIGINT), 0) AS twa_value
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id
+        """,
+        "time-weighted average over LOCF segments: integer-second "
+        "weights x 2-decimal values = exact decimal sums, one exchange",
+    ),
+    "ohlc_bars": QuerySpec(
+        _tables(events.ohlc_bars),
+        f"""
+        WITH flagged AS (
+            SELECT date_trunc('hour', ts) AS bucket_ts, event_type, value,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                      ORDER BY ts, event_id) AS rn_first,
+                   row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn_last
+            FROM events
+        )
+        SELECT bucket_ts, event_type,
+               max(CASE WHEN rn_first = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_last = 1 THEN value END) AS close,
+               CAST(count(*) AS INTEGER) AS n_events,
+               {_stable_sum('CAST(value AS DECIMAL(12,2))')} AS sum_value
+        FROM flagged
+        GROUP BY bucket_ts, event_type
+        """,
+        "hourly OHLC candlesticks: first/last by (ts, event_id) via "
+        "row_number windows (portable tie semantics), partitioning "
+        "reused by the same-keyed aggregation",
+    ),
+    "value_anomalies": QuerySpec(
+        _tables(events.value_anomalies),
+        f"""
+        WITH s AS (
+            SELECT event_id, user_id, event_type, value,
+                   count(*) OVER w AS n,
+                   CAST(sum({_money('value')}) OVER w AS DOUBLE) AS sx,
+                   CAST(sum({_money('value')} * {_money('value')}) OVER w AS DOUBLE) AS sxx
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        ), scored AS (
+            SELECT event_id, user_id, event_type, value,
+                   (value - sx / n)
+                   / NULLIF(sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)), 0.0)
+                   AS zscore
+            FROM s WHERE n >= 2
+        )
+        SELECT event_id, user_id, event_type, value, zscore
+        FROM scored WHERE abs(zscore) >= 2.0
+        """,
+        "per-user z-score outliers from exact decimal power sums as "
+        "window aggregates — one user_id exchange, no join-back",
+    ),
     "user_activity_stats": QuerySpec(
         _tables(events.user_activity_stats),
         f"""
@@ -2290,6 +2381,10 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "equi_depth_histogram": ("bucket",),
     "value_histogram": ("bucket_lo",),
     "user_activity_stats": ("user_id",),
+    "event_paths": ("path",),
+    "value_anomalies": ("event_id",),
+    "time_weighted_value": ("user_id",),
+    "ohlc_bars": ("bucket_ts", "event_type"),
     "curation_yield": ("lang",),
     "pack_sequences": ("lang", "bin"),
     "curation_yield_neardup": ("lang",),
@@ -2346,6 +2441,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bigram_pmi",            # NEW: collocation PMI, ln-difference form
     "copurchase_pairs",      # NEW: market-basket lift
     "skyline_parts",         # NEW: two-phase Pareto frontier
+    "event_paths",           # NEW: common-journeys path analysis
+    "value_anomalies",       # NEW: per-user z-score outliers
+    "time_weighted_value",   # NEW: TSDB time-weighted average (LOCF)
+    "ohlc_bars",             # NEW: hourly OHLC candlesticks
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2399,10 +2498,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "promo_revenue_ratio",
     "disjunctive_filter_revenue",
     "priority_line_counts",
-    "null_handling_showcase",
-    "fuzzy_nation_pairs",
-    "stratified_sample_summary",
-    "cohort_retention",
 )
 
 QUERIES = {

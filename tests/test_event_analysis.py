@@ -1,0 +1,84 @@
+"""Hand-sized semantics tests for event_paths and value_anomalies.
+Oracle parity checks these on the real tables; here the edge cases:
+timestamp-tie ordering, path truncation, and zero-variance users."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from mapreduce_rs_spark.operators.events import event_paths, value_anomalies
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def _t(sec):
+    return dt.datetime(2024, 1, 1, 0, 0, sec)
+
+
+def test_event_paths_tie_break_and_truncation(spark):
+    # User 1: two events share a timestamp — event_id must break the tie
+    # (2 before 3). User 2: 10 events, path truncates to the first 8.
+    rows = [
+        (1, _t(0), 1, "a", 0.0),
+        (3, _t(5), 1, "c", 0.0),
+        (2, _t(5), 1, "b", 0.0),
+    ] + [(10 + i, _t(i), 2, "x", 0.0) for i in range(10)]
+    got = {r["path"]: (r["path_len"], r["n_users"]) for r in event_paths({"events": _ev(spark, rows)}).collect()}
+    assert got == {"a>b>c": (3, 1), ">".join(["x"] * 8): (8, 1)}
+
+
+def test_value_anomalies_flags_outlier_and_skips_constant_users(spark):
+    # User 1: nine 10.00s and one 100.00 — the spike must be flagged.
+    # User 2: constant values (zero variance) — NULL z, never flagged.
+    # User 3: single event (n < 2) — excluded.
+    rows = (
+        [(i, _t(i), 1, "click", 10.0) for i in range(9)]
+        + [(9, _t(9), 1, "click", 100.0)]
+        + [(20 + i, _t(i), 2, "click", 5.0) for i in range(4)]
+        + [(30, _t(0), 3, "click", 7.0)]
+    )
+    out = value_anomalies({"events": _ev(spark, rows)}).collect()
+    assert [r["event_id"] for r in out] == [9]
+    # z = (100 - 19) / sqrt((sxx - sx^2/n)/(n-1)), sx=190, sxx=10900
+    var = (10900 - 190 * 190 / 10) / 9
+    assert math.isclose(out[0]["zscore"], 81 / math.sqrt(var), rel_tol=1e-12)
+
+
+def test_time_weighted_value_locf_semantics(spark):
+    # User 1: value 10 held 100s, then value 90 held 10s, final event
+    # has no successor (dropped). TWA = (10*100 + 90*10) / 110.
+    rows = [
+        (1, _t(0), 1, "click", 10.0),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 40), 1, "click", 90.0),
+        (3, dt.datetime(2024, 1, 1, 0, 1, 50), 1, "click", 0.0),
+    ]
+    from mapreduce_rs_spark.operators.events import time_weighted_value
+
+    out = time_weighted_value({"events": _ev(spark, rows)}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_intervals"], r["span_sec"]) == (2, 110)
+    assert math.isclose(r["twa_value"], (10 * 100 + 90 * 10) / 110, rel_tol=1e-15)
+
+
+def test_ohlc_open_close_tie_break(spark):
+    # Three events in one hour; the first two share a timestamp — open
+    # must be the lower event_id's value; close is the latest event.
+    from mapreduce_rs_spark.operators.events import ohlc_bars
+
+    rows = [
+        (2, _t(0), 1, "click", 7.0),   # same ts as event 1, higher id
+        (1, _t(0), 1, "click", 3.0),   # open (lower event_id)
+        (9, _t(30), 1, "click", 5.0),  # close
+    ]
+    out = ohlc_bars({"events": _ev(spark, rows)}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
+        3.0, 7.0, 3.0, 5.0, 3,
+    )

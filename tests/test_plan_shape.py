@@ -194,6 +194,17 @@ _SCALE_GUARDS = {
     # SinglePartition exchange over bucket survivors (not counted here,
     # bounded by construction)
     "skyline_parts": (2, 0),
+    # one user_id exchange serves window + per-user path agg; one more
+    # for the path->count agg over one short string per user
+    "event_paths": (2, 0),
+    # single user_id exchange serves the moment windows AND the per-row
+    # score — no join-back
+    "value_anomalies": (1, 0),
+    # one user_id exchange: lead window + per-user agg share it
+    "time_weighted_value": (1, 0),
+    # one (bucket, event_type) exchange: both row_number windows and
+    # the OHLC aggregation share the partitioning
+    "ohlc_bars": (1, 0),
 }
 
 
