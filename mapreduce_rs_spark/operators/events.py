@@ -594,3 +594,49 @@ def ohlc_bars(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_events"),
         stable_sum(money("value")).alias("sum_value"),
     )
+
+
+def gapfill_hourly(t: dict[str, DataFrame]) -> DataFrame:
+    """Gap-filled hourly series: every (hour, event_type) cell over the
+    corpus's full time span, zero-filled where no events landed — the
+    TSDB gap-fill that turns sparse aggregates into dense series (a
+    downstream chart/model can't tell "no data" from "not emitted"
+    without it).
+
+    The dense grid is generated, not joined from data: distinct event
+    types x sequence(min_hour, max_hour) — grid cardinality is
+    hours x types regardless of event volume, so densification never
+    touches the fact table twice. The aggregate joins in from the LEFT
+    so missing cells surface as NULL -> 0, flagged in ``filled``.
+    """
+    ev = t["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(money("value")).alias("sum_dec"),
+    )
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("bucket_ts"),
+        )
+    )
+    return grid.join(hourly, ["bucket_ts", "event_type"], "left").select(
+        "bucket_ts",
+        "event_type",
+        F.coalesce("n_raw", F.lit(0)).cast("int").alias("n_events"),
+        F.coalesce(F.col("sum_dec"), F.lit(0).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.col("n_raw").isNull().alias("filled"),
+    )

@@ -1361,3 +1361,51 @@ def skyline_parts(tables: dict[str, DataFrame], n_buckets: int = 32) -> DataFram
     return p.join(sky_pts, ["p_retailprice", "p_size"]).select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+# The star schema's FK edges: (name, child table, fk col, parent table,
+# pk col). The audit below checks each edge; keeping the list a literal
+# makes the oracle SQL builder and the Spark loop provably identical.
+FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the star
+    schema: child row counts, distinct FK values, and orphan rows
+    (child keys with no parent) — the pre-flight a pipeline runs before
+    trusting joins (an orphan silently vanishes from every inner join
+    downstream; this query makes that loss visible up front).
+
+    Per edge: one distinct-FK aggregate and one left-anti join against
+    the parent KEY COLUMN only (dimension parents broadcast; the
+    orders-side edge degrades to a shuffle semi-join at scale — either
+    way the child table is scanned once per edge with only its key
+    column read). The 7 per-edge 1-row results are unioned — each leg
+    is an independent job, all integer-exact.
+    """
+    out = None
+    for name, child, fk, parent, pk in FK_EDGES:
+        c = tables[child].select(F.col(fk).alias("fk"))
+        p = tables[parent].select(F.col(pk).alias("pk"))
+        orphans = c.join(p, c.fk == p.pk, "left_anti")
+        leg = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.countDistinct("fk").alias("n_distinct_fk"),
+        ).crossJoin(
+            F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        ).select(
+            F.lit(name).alias("relationship"),
+            "n_child_rows",
+            "n_distinct_fk",
+            "n_orphans",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

@@ -1601,6 +1601,52 @@ QUERIES: dict[str, QuerySpec] = {
         "concat ((ts, event_id) total order) — engine-portable ordered "
         "string agg",
     ),
+    "gapfill_hourly": QuerySpec(
+        _tables(events.gapfill_hourly),
+        f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+                   count(*) AS n_raw,
+                   sum({_money('value')}) AS sum_dec
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events
+        ), grid AS (
+            SELECT event_type, bucket_ts
+            FROM (SELECT DISTINCT event_type FROM events)
+            CROSS JOIN (
+                SELECT unnest(generate_series((SELECT h0 FROM span),
+                                              (SELECT h1 FROM span),
+                                              INTERVAL 1 HOUR)) AS bucket_ts
+            )
+        )
+        SELECT g.bucket_ts, g.event_type,
+               CAST(coalesce(h.n_raw, 0) AS INTEGER) AS n_events,
+               CAST(coalesce(h.sum_dec, 0) AS DOUBLE) AS sum_value,
+               h.n_raw IS NULL AS filled
+        FROM grid g LEFT JOIN hourly h USING (bucket_ts, event_type)
+        """,
+        "TSDB gap-fill: generated dense (hour x type) grid left-joins the "
+        "sparse aggregate; grid cardinality independent of event volume",
+    ),
+    "referential_audit": QuerySpec(
+        _tables(relational.referential_audit),
+        "\nUNION ALL\n".join(
+            f"""
+        SELECT '{name}' AS relationship,
+               (SELECT count(*) FROM {child}) AS n_child_rows,
+               (SELECT count(DISTINCT {fk}) FROM {child}) AS n_distinct_fk,
+               (SELECT count(*) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{fk})) AS n_orphans
+            """
+            for name, child, fk, parent, pk in relational.FK_EDGES
+        ),
+        "referential-integrity audit over every FK edge (anti-join orphan "
+        "counts); edges and SQL generated from the same FK_EDGES literal",
+    ),
     "time_weighted_value": QuerySpec(
         _tables(events.time_weighted_value),
         f"""
@@ -2385,6 +2431,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "value_anomalies": ("event_id",),
     "time_weighted_value": ("user_id",),
     "ohlc_bars": ("bucket_ts", "event_type"),
+    "gapfill_hourly": ("bucket_ts", "event_type"),
+    "referential_audit": ("relationship",),
     "curation_yield": ("lang",),
     "pack_sequences": ("lang", "bin"),
     "curation_yield_neardup": ("lang",),
@@ -2445,6 +2493,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "value_anomalies",       # NEW: per-user z-score outliers
     "time_weighted_value",   # NEW: TSDB time-weighted average (LOCF)
     "ohlc_bars",             # NEW: hourly OHLC candlesticks
+    "gapfill_hourly",        # NEW: dense-grid TSDB gap fill
+    "referential_audit",     # NEW: FK orphan audit over the star schema
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2496,8 +2546,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "kmv_distinct_users",
     "range_window_revenue",
     "promo_revenue_ratio",
-    "disjunctive_filter_revenue",
-    "priority_line_counts",
 )
 
 QUERIES = {

@@ -82,3 +82,48 @@ def test_ohlc_open_close_tie_break(spark):
     assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
         3.0, 7.0, 3.0, 5.0, 3,
     )
+
+
+def test_gapfill_fills_empty_hours_with_zeros(spark):
+    from mapreduce_rs_spark.operators.events import gapfill_hourly
+
+    # Events at hours 0 and 2 — hour 1 must be synthesized with zeros.
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 15), 1, "click", 2.5),
+        (2, dt.datetime(2024, 1, 1, 2, 45), 1, "click", 4.0),
+    ]
+    out = {
+        r["bucket_ts"].hour: (r["n_events"], r["sum_value"], r["filled"])
+        for r in gapfill_hourly({"events": _ev(spark, rows)}).collect()
+    }
+    assert out == {
+        0: (1, 2.5, False),
+        1: (0, 0.0, True),
+        2: (1, 4.0, False),
+    }
+
+
+def test_referential_audit_counts_orphans(spark):
+    from mapreduce_rs_spark.operators.relational import referential_audit
+
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0), (2, "C", 9)],  # nationkey 2 -> region 9 missing
+        ["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = spark.createDataFrame([(0, "R0")], ["r_regionkey", "r_name"])
+    empty = spark.createDataFrame(
+        [], "l_orderkey long, l_partkey long, l_suppkey long, "
+            "o_orderkey long, o_custkey long, c_custkey long, "
+            "c_nationkey long, s_suppkey long, s_nationkey long, "
+            "p_partkey long"
+    )
+    t = {
+        "lineitem": empty, "orders": empty, "customer": empty,
+        "supplier": empty, "part": empty, "nation": nation, "region": region,
+    }
+    got = {
+        r["relationship"]: (r["n_child_rows"], r["n_distinct_fk"], r["n_orphans"])
+        for r in referential_audit(t).collect()
+    }
+    assert got["nation->region"] == (3, 2, 1)
+    assert got["lineitem->orders"] == (0, 0, 0)
