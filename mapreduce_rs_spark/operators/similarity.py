@@ -486,13 +486,18 @@ def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
             .select("q_id", "vec_id")
             .withColumn("method", F.lit("ivf_mp2"))
         )
+        .unionByName(
+            knn_pq(df, k).select("q_id", "vec_id").withColumn("method", F.lit("pq"))
+        )
     )
     per_q = (
         approx.join(exact, ["q_id", "vec_id"])
         .groupBy("method", "q_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    methods = spark.createDataFrame([("lsh",), ("ivf",), ("ivf_mp2",)], ["method"])
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("ivf_mp2",), ("pq",)], ["method"]
+    )
     grid = exact.select("q_id").distinct().crossJoin(F.broadcast(methods))
     filled = grid.join(per_q, ["method", "q_id"], "left").select(
         "method", "q_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
@@ -501,4 +506,176 @@ def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_queries"),
         F.sum("n_hits").cast("int").alias("n_hits"),
         (F.sum("n_hits") / (F.lit(k) * F.count(F.lit(1)))).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the classic memory-compressed ANN index.
+# The 64-dim vector is split into PQ_M subvectors; each subspace gets its
+# own PQ_K-centroid codebook, and a vector is stored as PQ_M small codes.
+# Query-time ADC (asymmetric distance computation) scores a candidate as
+# the sum of per-subspace dot products between the RAW query subvector
+# and the candidate's CODEBOOK ENTRY — 4 table lookups + 3 adds per
+# candidate instead of a 64-dim dot product, which is the entire point
+# of PQ at scale (the corpus holds codes, not floats: 8 bytes/vector
+# here vs 256).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                        # subspaces
+PQ_K = 16                       # codes per subspace
+PQ_SUBDIM = EMBED_DIM // PQ_M   # dims per subspace
+PQ_SEED = 11
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_cap: int = KMEANS_SAMPLE_CAP,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks: per-subspace PLAIN (Euclidean) k-means on the
+    same KMV hash-bounded sample as ``kmeans_fit`` (driver collect hard-
+    capped at sample_cap rows regardless of corpus size). Plain, not
+    spherical: PQ codebooks approximate the subvectors themselves, so
+    the mean update is not normalized. Deterministic end to end (seeded
+    init per subspace, fixed iterations, argmin-distance assignment
+    with tie -> LOWER code id via numpy argmin), so the fitted
+    codebooks round to literals shared by the Spark plan and the DuckDB
+    oracle (operators/pq_model.py)."""
+    subdim = EMBED_DIM // m
+    sample = (
+        df.select("vec_id", "embedding")
+        .withColumn("h", h32(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(sample_cap)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([row.embedding for row in sample], dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for sub in range(m):
+        xs = x[:, sub * subdim : (sub + 1) * subdim]
+        rng = np.random.RandomState(PQ_SEED + sub)
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)          # tie -> lower code id
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(
+            [[round(float(v), PLANE_DECIMALS) for v in c] for c in cents]
+        )
+    return books
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    from mapreduce_rs_spark.operators.pq_model import FITTED_PQ
+
+    return FITTED_PQ
+
+
+def _pq_code_expr(sub: F.Column, book: list[list[float]]) -> F.Column:
+    """Argmin-squared-distance code for one subspace, computed as
+    argmax of (2*dot(sub, c) - |c|^2): |sub|^2 is constant per row, and
+    the |c|^2 literals are precomputed IN PYTHON from the rounded
+    codebook literals so both engines consume identical constants. Tie
+    -> LOWER code id (array_max on (score, -cid) structs), mirroring
+    numpy argmin in pq_fit and ORDER BY score DESC, cid ASC in the
+    oracle."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    2.0 * dot(sub, F.array(*[F.lit(v) for v in c]))
+                    - F.lit(sum(v * v for v in c))
+                ).alias("score"),
+                F.lit(-i).alias("neg_cid"),
+            )
+            for i, c in enumerate(book)
+        ]
+    )
+    return -F.array_max(scored).getField("neg_cid")
+
+
+def _subvec(emb: F.Column, sub: int, subdim: int = PQ_SUBDIM) -> F.Column:
+    return F.slice(emb, sub * subdim + 1, subdim)
+
+
+def pq_assign(df: DataFrame) -> DataFrame:
+    """Encode every vector as PQ_M codebook codes — the PQ index build.
+    Narrow (per-row expressions only); at scale the output is the
+    memory-resident index: PQ_M small ints per vector."""
+    books = _pq_codebooks()
+    emb = F.col("embedding")
+    return ensure_parallelism(df, "vec_id").select(
+        "vec_id",
+        "embedding",
+        *[
+            _pq_code_expr(_subvec(emb, sub), book).alias(f"code_{sub}")
+            for sub, book in enumerate(books)
+        ],
+    )
+
+
+def pq_code_histogram(df: DataFrame) -> DataFrame:
+    """Code usage per subspace — the codebook-balance check (a dead or
+    overloaded code means the codebook needs refitting), PQ's analog of
+    ivf_histogram."""
+    assigned = pq_assign(df)
+    # One narrow posexplode over the 4-code array — a single scan and
+    # encode pass, not one union leg (and re-encode) per subspace.
+    return (
+        assigned.select(
+            F.posexplode(
+                F.array(*[F.col(f"code_{sub}") for sub in range(PQ_M)])
+            ).alias("subspace", "code")
+        )
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_vectors"))
+    )
+
+
+def knn_pq(df: DataFrame, k: int = 10) -> DataFrame:
+    """Approximate top-k by PQ ADC: candidates are scored as the sum of
+    per-subspace dots between the raw query subvector and the
+    candidate's codebook entry. The scoring join ships only the PQ_M
+    codes per corpus vector (the query side, with its per-code lookup
+    expression, broadcasts); the ADC sum is a FIXED 4-term left-
+    associated add of deterministic dots, so scores are bit-identical
+    across engines and the (score desc, vec_id) top-k is stable."""
+    books = _pq_codebooks()
+    assigned = pq_assign(df).select(
+        "vec_id", *[f"code_{sub}" for sub in range(PQ_M)]
+    )
+    queries = _query_set(df)
+    q_emb = F.col("q_emb")
+    # Per-query lookup tables: luts[sub][code] = dot(q_sub, book[sub][code]).
+    luts = F.array(
+        *[
+            F.array(
+                *[
+                    dot(_subvec(q_emb, sub), F.array(*[F.lit(v) for v in c]))
+                    for c in book
+                ]
+            )
+            for sub, book in enumerate(books)
+        ]
+    )
+    q = queries.select("q_id", luts.alias("luts"))
+    def term(sub: int) -> F.Column:
+        # element_at is 1-based; codes are 0-based.
+        return F.element_at(F.col("luts")[sub], F.col(f"code_{sub}") + 1)
+
+    adc = term(0) + term(1) + term(2) + term(3)
+    scored = assigned.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
+        "q_id", "vec_id", adc.alias("adc_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "adc_sim", "rnk")
     )

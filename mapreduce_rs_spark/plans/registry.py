@@ -432,6 +432,104 @@ def _ivf_assigned_cte() -> str:
             ) r WHERE rn = 1
         )"""
 
+def _pq_subslice(emb: str, sub: int) -> str:
+    lo, hi = sub * similarity.PQ_SUBDIM + 1, (sub + 1) * similarity.PQ_SUBDIM
+    return f"{emb}[{lo}:{hi}]"
+
+
+def _pq_codes_ctes(with_v: bool = True) -> str:
+    """CTEs assigning every vector its PQ code per subspace: argmax of
+    (2*dot(sub, c) - |c|^2) with tie -> LOWER code id, mirroring
+    similarity._pq_code_expr (the |c|^2 literals are the same Python
+    floats embedded on both sides). ``with_v=False`` emits only the
+    pscores/pcode CTEs for embedding into a query that already defines
+    the standard ``v`` (vec_id, emb) CTE (ann_recall)."""
+    from mapreduce_rs_spark.operators.pq_model import FITTED_PQ
+
+    parts = (
+        [
+            """v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        )"""
+        ]
+        if with_v
+        else []
+    )
+    for sub, book in enumerate(FITTED_PQ):
+        rows = "\n            UNION ALL\n            ".join(
+            f"SELECT vec_id, {i} AS code, "
+            f"2 * list_dot_product({_pq_subslice('emb', sub)}, {_plane_literal(c)}) "
+            f"- CAST({sum(v * v for v in c)!r} AS DOUBLE) AS score FROM v"
+            for i, c in enumerate(book)
+        )
+        parts.append(f"""pscores{sub} AS (
+            {rows}
+        ), pcode{sub} AS (
+            SELECT vec_id, code AS code_{sub} FROM (
+                SELECT vec_id, code,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, code ASC) AS rn
+                FROM pscores{sub}
+            ) r WHERE rn = 1
+        )""")
+    return ("WITH " if with_v else "") + ",\n        ".join(parts)
+
+
+def _pq_histogram_sql() -> str:
+    legs = "\n        UNION ALL\n        ".join(
+        f"SELECT {sub} AS subspace, code_{sub} AS code, "
+        f"CAST(count(*) AS INTEGER) AS n_vectors FROM pcode{sub} GROUP BY code_{sub}"
+        for sub in range(similarity.PQ_M)
+    )
+    return f"""
+        {_pq_codes_ctes()}
+        {legs}
+        """
+
+
+def _pq_adc_terms(q_emb: str, codes_alias: str) -> str:
+    """The ADC score as a fixed 4-term left-associated sum; each term
+    looks the candidate's code up in the query's per-code dot table,
+    expressed as a 16-way CASE on the code (identical dot literals,
+    identical association order to the Spark side)."""
+    from mapreduce_rs_spark.operators.pq_model import FITTED_PQ
+
+    return " + ".join(
+        f"(CASE {codes_alias}.code_{sub} "
+        + " ".join(
+            f"WHEN {i} THEN list_dot_product({_pq_subslice(q_emb, sub)}, {_plane_literal(c)})"
+            for i, c in enumerate(book)
+        )
+        + " END)"
+        for sub, book in enumerate(FITTED_PQ)
+    )
+
+
+def _knn_pq_sql(k: int = 10) -> str:
+    """Oracle twin of similarity.knn_pq."""
+    terms = _pq_adc_terms("q.emb", "q_codes")
+    joins = " ".join(
+        f"JOIN pcode{sub} USING (vec_id)" for sub in range(similarity.PQ_M)
+    )
+    return f"""
+        {_pq_codes_ctes()}, codes AS (
+            SELECT vec_id, code_0, code_1, code_2, code_3
+            FROM v {joins}
+        ), q AS (
+            SELECT vec_id AS q_id, emb FROM v WHERE vec_id % 100 = 0
+        ), scored AS (
+            SELECT q_id, q_codes.vec_id, {terms} AS adc_sim
+            FROM q JOIN codes q_codes ON q_id <> q_codes.vec_id
+        )
+        SELECT q_id, vec_id, adc_sim, rnk FROM (
+            SELECT q_id, vec_id, adc_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY adc_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        ) r WHERE rnk <= {k}
+        """
+
+
 def _ann_recall_sql(k: int = 10) -> str:
     """Oracle twin of similarity.ann_recall: every approximate index's
     top-k reproduced exactly as its own registry oracle does it, then
@@ -483,10 +581,23 @@ def _ann_recall_sql(k: int = 10) -> str:
             SELECT q_id, vec_id FROM (
                 SELECT q_id, vec_id, {rank} AS rnk FROM mp_scored
             ) s WHERE rnk <= {k}
+        ), {_pq_codes_ctes(with_v=False)}, pq_codes AS (
+            SELECT vec_id, code_0, code_1, code_2, code_3
+            FROM v {" ".join(f"JOIN pcode{s} USING (vec_id)" for s in range(similarity.PQ_M))}
+        ), pq_scored AS (
+            SELECT q.q_id, pc.vec_id, {_pq_adc_terms("q.q_emb", "pc")} AS adc_sim
+            FROM q JOIN pq_codes pc ON q.q_id <> pc.vec_id
+        ), pq_topk AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rnk
+                FROM pq_scored
+            ) s WHERE rnk <= {k}
         ), approx AS (
             SELECT 'lsh' AS method, q_id, vec_id FROM lsh_topk
             UNION ALL SELECT 'ivf' AS method, q_id, vec_id FROM ivf_topk
             UNION ALL SELECT 'ivf_mp2' AS method, q_id, vec_id FROM mp_topk
+            UNION ALL SELECT 'pq' AS method, q_id, vec_id FROM pq_topk
         ), hits AS (
             SELECT method, a.q_id, count(*) AS n_hits
             FROM approx a JOIN exact_topk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
@@ -494,7 +605,7 @@ def _ann_recall_sql(k: int = 10) -> str:
         ), grid AS (
             SELECT method, q_id
             FROM (SELECT DISTINCT q_id FROM exact_topk) qs
-            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'ivf_mp2']) AS method) m
+            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'ivf_mp2', 'pq']) AS method) m
         ), filled AS (
             SELECT g.method, g.q_id, COALESCE(h.n_hits, 0) AS n_hits
             FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
@@ -1159,6 +1270,19 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT doc_id, word, tf, df_docs, tfidf, rnk
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
+    ),
+    "pq_code_histogram": QuerySpec(
+        _emb(similarity.pq_code_histogram),
+        _pq_histogram_sql(),
+        "PQ codebook-balance check: code usage per subspace (PQ analog "
+        "of ivf_histogram); encode is narrow per-row expressions",
+    ),
+    "knn_pq": QuerySpec(
+        _emb(lambda df: similarity.knn_pq(df, 10)),
+        _knn_pq_sql(),
+        "PQ ADC top-k: per-candidate cost is 4 lookups + 3 adds, not a "
+        "64-dim dot — the memory-compressed ANN tier; fixed-order sum "
+        "keeps scores bit-identical cross-engine",
     ),
     "knn_bruteforce": QuerySpec(
         _emb(lambda df: similarity.knn_bruteforce(df, 10)),
@@ -2382,6 +2506,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "skyline_parts": ("p_partkey",),
     "tfidf_top_terms": ("doc_id", "rnk"),
     "knn_bruteforce": ("q_id", "rnk"),
+    "pq_code_histogram": ("subspace", "code"),
+    "knn_pq": ("q_id", "rnk"),
     "lsh_buckets": ("bucket",),
     "knn_lsh": ("q_id", "rnk"),
     "ivf_histogram": ("centroid_id",),
@@ -2495,6 +2621,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ohlc_bars",             # NEW: hourly OHLC candlesticks
     "gapfill_hourly",        # NEW: dense-grid TSDB gap fill
     "referential_audit",     # NEW: FK orphan audit over the star schema
+    "pq_code_histogram",     # NEW: PQ codebook balance
+    "knn_pq",                # NEW: PQ ADC approximate top-k
+    "ann_recall",            # MODIFIED: now also evaluates the pq index
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2543,9 +2672,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "json_props_agg",
     "asof_last_click_before_purchase",
     "multi_resolution_rollup",
-    "kmv_distinct_users",
-    "range_window_revenue",
-    "promo_revenue_ratio",
 )
 
 QUERIES = {

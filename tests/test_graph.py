@@ -208,3 +208,28 @@ def test_pagerank_rejects_sink_nodes(spark):
     directed = spark.createDataFrame([(1, 2, 1)], ["src", "dst", "weight"])
     with pytest.raises(ValueError, match="sink"):
         pagerank(directed)
+
+
+def test_pq_fit_deterministic_and_shaped(spark, sf_dir):
+    from mapreduce_rs_spark.operators.similarity import PQ_K, PQ_M, PQ_SUBDIM, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = pq_fit(emb)
+    b2 = pq_fit(emb.repartition(5))
+    assert b1 == b2  # partitioning must not matter
+    assert len(b1) == PQ_M
+    assert all(len(book) == PQ_K for book in b1)
+    assert all(len(c) == PQ_SUBDIM for book in b1 for c in book)
+
+
+def test_pq_assign_recovers_exact_codebook_vectors(spark):
+    # A vector built FROM codebook entries must encode to exactly those
+    # codes (its subvector distance to the chosen centroid is 0).
+    from mapreduce_rs_spark.operators.pq_model import FITTED_PQ
+    from mapreduce_rs_spark.operators.similarity import PQ_M, pq_assign
+
+    chosen = [3, 7, 0, 15]
+    vec = [v for sub, code in enumerate(chosen) for v in FITTED_PQ[sub][code]]
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    row = pq_assign(df).collect()[0]
+    assert [row[f"code_{s}"] for s in range(PQ_M)] == chosen

@@ -152,10 +152,11 @@ _SCALE_GUARDS = {
     "q18_large_orders": (2, 0),
     "q21_sole_late_supplier": (3, 0),
     "q22_dormant_customers": (2, 0),
-    # ann_recall composes the exact + 3 approximate knn pipelines into
-    # one evaluation plan; 17 exchanges measured, all over the bounded
-    # ~1% query sample and k·n_queries candidate sets — never the corpus.
-    "ann_recall": (18, 0),
+    # ann_recall composes the exact + 4 approximate knn pipelines into
+    # one evaluation plan; 19 exchanges measured (the pq tier adds its
+    # code-table join + top-k window), all over the bounded ~1% query
+    # sample and k·n_queries candidate sets — never the corpus.
+    "ann_recall": (20, 0),
     "corpus_profile": (1, 0),             # one partial→final (multi-distinct) agg
     "latest_event_state": (2, 0),         # user_id window + tiny by-state agg
     # broadcast-semi probe against the eval shingle set + distinct +
@@ -202,6 +203,11 @@ _SCALE_GUARDS = {
     "value_anomalies": (1, 0),
     # one user_id exchange: lead window + per-user agg share it
     "time_weighted_value": (1, 0),
+    # narrow encode + posexplode, then the 64-key agg; plus the
+    # ensure_parallelism spread of the single-file scan
+    "pq_code_histogram": (2, 0),
+    # broadcast query LUTs over the code table + top-k window
+    "knn_pq": (2, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
