@@ -105,3 +105,22 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     return F.regexp_extract_all(
         col if isinstance(col, Column) else F.col(col), F.lit(BPE_ISH_PATTERN), 0
     )
+
+
+def token_pairs_at_distance(col: Column | str, d: int) -> Column:
+    """Ordered token pairs exactly ``d`` positions apart, space-joined —
+    the skip-gram generator. Same narrow sequence+element_at slide as
+    token_ngrams: each row produces its pairs without leaving the row,
+    so a window-W skip-gram corpus is W narrow expressions, never a
+    positional self-join of the exploded token stream."""
+    toks = F.filter(tokens(col), lambda t: t != "")
+    n_pairs = F.greatest(F.size(toks) - d, F.lit(0))
+    return F.when(
+        n_pairs > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_pairs),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + d)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.text import bpe_ish_tokens, token_ngrams, tokens
+from mapreduce_rs_spark.functions.text import (
+    bpe_ish_tokens,
+    token_ngrams,
+    token_pairs_at_distance,
+    tokens,
+)
 
 # Tiny per-language stopword marker lists for the heuristic language ID.
 # Counting is done on the space-padded text so only whole tokens match.
@@ -565,6 +570,62 @@ def bigram_pmi(df: DataFrame, min_pair: int = 3) -> DataFrame:
             F.expr(
                 "ln(CAST(n_xy AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))"
                 " - ln(CAST(t_bi AS DOUBLE)) - ln(CAST(n_x AS DOUBLE))"
+                " - ln(CAST(n_y AS DOUBLE))"
+            ).alias("pmi"),
+        )
+    )
+
+
+def skipgram_pmi(df: DataFrame, window: int = 2, min_pair: int = 3) -> DataFrame:
+    """Skip-gram co-occurrence PMI: ordered token pairs up to ``window``
+    positions apart, scored with the same ln-difference PMI as
+    bigram_pmi — the word2vec/GloVe-style co-occurrence statistic a
+    distributional-similarity pipeline aggregates over a corpus.
+
+    Pair generation is ``window`` narrow per-row slides
+    (token_pairs_at_distance) flattened into one explode — never a
+    positional self-join of the token stream, so the shape is linear in
+    corpus size with constant factor ``window``. Marginals are unigram
+    counts; the pair-total normalizer is the skip-gram count (pairs at
+    all distances), so PMI compares pair frequency against the
+    independence baseline under the same sampling.
+
+    Returns (w1, w2, n_xy, n_x, n_y, pmi) for ordered pairs seen >=
+    ``min_pair`` times within the window.
+    """
+    pair_arrays = F.flatten(
+        F.array(*[token_pairs_at_distance("text", d) for d in range(1, window + 1)])
+    )
+    grams = (
+        df.select(F.explode(pair_arrays).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    toks = explode_tokens(df)
+    uni = toks.groupBy("word").agg(F.count("*").alias("n_w"))
+    totals = toks.agg(F.count("*").alias("t_uni")).crossJoin(
+        grams.agg(F.sum("n_xy").alias("t_pairs"))
+    )
+    pairs = (
+        grams.where(F.col("n_xy") >= min_pair)
+        .withColumn("w1", F.split("pair", " ").getItem(0))
+        .withColumn("w2", F.split("pair", " ").getItem(1))
+    )
+    fa = uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_x"))
+    fb = uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_y"))
+    return (
+        pairs.join(fa, "w1")
+        .join(fb, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(
+                "ln(CAST(n_xy AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))"
+                " - ln(CAST(t_pairs AS DOUBLE)) - ln(CAST(n_x AS DOUBLE))"
                 " - ln(CAST(n_y AS DOUBLE))"
             ).alias("pmi"),
         )

@@ -788,6 +788,46 @@ QUERIES: dict[str, QuerySpec] = {
         "collocation PMI in ln-difference form: exact integer counts, "
         "fixed expression tree — no product overflow, engine-portable",
     ),
+    "skipgram_pmi": QuerySpec(
+        _docs(ta.skipgram_pmi),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), grams AS (
+            SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS pair
+            FROM toks
+            UNION ALL
+            SELECT unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                          i -> tk[i] || ' ' || tk[i + 2])) AS pair
+            FROM toks
+        ), sg AS (
+            SELECT pair, count(*) AS n_xy FROM grams GROUP BY pair
+        ), words AS (
+            SELECT unnest(tk) AS word FROM toks
+        ), uni AS (
+            SELECT word, count(*) AS n_w FROM words GROUP BY word
+        ), totals AS (
+            SELECT (SELECT count(*) FROM words) AS t_uni,
+                   (SELECT sum(n_xy) FROM sg) AS t_pairs
+        )
+        SELECT split_part(pair, ' ', 1) AS w1,
+               split_part(pair, ' ', 2) AS w2,
+               n_xy,
+               fa.n_w AS n_x,
+               fb.n_w AS n_y,
+               ln(CAST(n_xy AS DOUBLE)) + 2 * ln(CAST(t_uni AS DOUBLE))
+               - ln(CAST(t_pairs AS DOUBLE)) - ln(CAST(fa.n_w AS DOUBLE))
+               - ln(CAST(fb.n_w AS DOUBLE)) AS pmi
+        FROM sg
+        JOIN uni fa ON split_part(pair, ' ', 1) = fa.word
+        JOIN uni fb ON split_part(pair, ' ', 2) = fb.word
+        CROSS JOIN totals
+        WHERE n_xy >= 3
+        """,
+        "word2vec-style window-2 skip-gram co-occurrence PMI; pair "
+        "generation is 2 narrow slides, never a positional self-join",
+    ),
     "token_count": QuerySpec(
         _docs(ta.token_count),
         f"""
@@ -2502,6 +2542,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "dedup_components": ("doc_id",),
     "pagerank_trade_flows": ("n_name",),
     "bigram_pmi": ("w1", "w2"),
+    "skipgram_pmi": ("w1", "w2"),
     "copurchase_pairs": ("part_a", "part_b"),
     "skyline_parts": ("p_partkey",),
     "tfidf_top_terms": ("doc_id", "rnk"),
@@ -2624,6 +2665,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "pq_code_histogram",     # NEW: PQ codebook balance
     "knn_pq",                # NEW: PQ ADC approximate top-k
     "ann_recall",            # MODIFIED: now also evaluates the pq index
+    "skipgram_pmi",          # NEW: window-2 skip-gram co-occurrence PMI
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2671,7 +2713,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "sliding_window",
     "json_props_agg",
     "asof_last_click_before_purchase",
-    "multi_resolution_rollup",
 )
 
 QUERIES = {

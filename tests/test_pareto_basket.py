@@ -111,3 +111,18 @@ def test_bigram_pmi_exact_values(spark):
     assert abs(za["pmi"] - expected_za) < 1e-12
     # The perfectly-collocated pair is the most informative one.
     assert zz["pmi"] == max(r["pmi"] for r in got.values())
+
+
+def test_skipgram_pmi_window_semantics(spark):
+    # "a b c" yields distance-1 pairs (a b), (b c) and the distance-2
+    # pair (a c) — the window-2 skip-gram set.
+    docs = spark.createDataFrame(
+        [(i, "a b c", "en") for i in range(3)], ["doc_id", "text", "lang"]
+    )
+    from mapreduce_rs_spark.operators.text_analysis import skipgram_pmi
+
+    got = {
+        (r["w1"], r["w2"]): r["n_xy"]
+        for r in skipgram_pmi(docs, min_pair=1).collect()
+    }
+    assert got == {("a", "b"): 3, ("b", "c"): 3, ("a", "c"): 3}

@@ -208,6 +208,8 @@ _SCALE_GUARDS = {
     "pq_code_histogram": (2, 0),
     # broadcast query LUTs over the code table + top-k window
     "knn_pq": (2, 0),
+    # pair agg + unigram agg + marginal joins (broadcast at test scale)
+    "skipgram_pmi": (6, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
