@@ -1,0 +1,109 @@
+"""Randomized three-way probe for the documents-family registry: Spark
+and DuckDB run the same registry query + oracle SQL over a RANDOM
+documents table — word-soup texts with injected punctuation, every
+ASCII whitespace variant (incl. \\x0B, the dialect divergence the fixed
+corpus can't re-catch), empty documents, exact duplicates, and
+near-duplicates one token apart (so the dedup/LSH paths generate real
+candidates). Companion to tests/test_event_random_probe.py.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from mapreduce_rs_spark.plans.registry import QUERIES, queries
+from tests.parity import assert_frames_match, run_oracle
+
+DOC_QUERIES = (
+    "wordcount",
+    "wordcount_salted",
+    "wordcount_topk",
+    "bigrams",
+    "bigram_pmi",
+    "skipgram_pmi",
+    "tfidf_top_terms",
+    "token_count",
+    "doc_stats",
+    "quality_score",
+    "language_id",
+    "top_terms_per_lang",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "winnow_fingerprints",
+    "jaccard_pairs",
+    "dedup_components",
+    "corpus_profile",
+    "chunk_documents",
+    "repetition_signals",
+    "boilerplate_ngrams",
+    "stratified_sample_summary",
+)
+
+SEED = 813
+N_DOCS = 120
+VOCAB = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon"
+).split()
+WS = [" ", "  ", "\t", "\n", "\x0b", "\f", "\r", " \t "]
+PUNCT = ["", "", "", ",", ".", "!", "?", ";", "'s", '"']
+
+
+def _text(rng: random.Random) -> str:
+    n = rng.randint(5, 60)
+    parts = []
+    for _ in range(n):
+        parts.append(rng.choice(VOCAB) + rng.choice(PUNCT))
+        parts.append(rng.choice(WS))
+    return "".join(parts)
+
+
+def _random_documents() -> pd.DataFrame:
+    rng = random.Random(SEED)
+    langs = ["en", "de", "fr", "es", "it"]
+    sources = [f"https://site{i}.example/path{i}" for i in range(6)]
+    rows = []
+    for doc_id in range(N_DOCS):
+        t = _text(rng)
+        rows.append((doc_id, t, rng.choice(langs), rng.choice(sources), len(t)))
+    # Exact duplicates (dedup_exact / corpus_profile's dup-rate).
+    for i in range(5):
+        src = rows[i]
+        rows.append((N_DOCS + i, src[1], src[2], src[3], src[4]))
+    # Near-duplicates: one token appended (MinHash/SimHash candidates).
+    for i in range(5):
+        src = rows[10 + i]
+        t = src[1] + " omega"
+        rows.append((N_DOCS + 5 + i, t, src[2], src[3], len(t)))
+    # Empty and whitespace-only documents.
+    rows.append((N_DOCS + 10, "", "en", sources[0], 0))
+    rows.append((N_DOCS + 11, " \t\n\x0b ", "de", sources[1], 6))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+@pytest.fixture(scope="module")
+def random_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("random_docs_catalog")
+    src = os.path.abspath("/root/testdata/sf0.001")
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    _random_documents().to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_doc_query_matches_oracle_on_random_corpus(spark, random_docs_dir, name):
+    spdf = queries()[name](spark, random_docs_dir).toPandas()
+    oracle_pdf = run_oracle(QUERIES[name].oracle, random_docs_dir)
+    assert_frames_match(spdf, oracle_pdf, f"{name}[random-docs]")
