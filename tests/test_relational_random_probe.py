@@ -1,0 +1,168 @@
+"""Randomized three-way probe for the star-schema (relational) registry:
+random customer/orders/lineitem tables with RANDOM 2-decimal money
+values, boundary-straddling dates, skewed keys, and deliberately
+planted FK orphans — run against the DuckDB oracles. This is the
+strongest evidence that the decimal-sum discipline is universal: the
+fixed testdata can only show bit-parity on ONE set of amounts; random
+amounts show it holds for any. part/supplier/nation/region stay the
+real sf0.001 dims (FK targets), so join paths stay realistic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pandas as pd
+import pytest
+
+from mapreduce_rs_spark.plans.registry import QUERIES, queries
+from tests.parity import assert_frames_match, run_oracle
+
+REL_QUERIES = (
+    "q1_pricing_summary",
+    "agg_order_priorities",
+    "stats_battery",
+    "promo_revenue_ratio",
+    "priority_line_counts",
+    "disjunctive_filter_revenue",
+    "join_revenue_by_nation",
+    "q3_shipping_priority",
+    "join_left_order_counts",
+    "join_semi_recent_customers",
+    "join_anti_customers_without_orders",
+    "having_active_customers",
+    "percentiles_by_priority",
+    "rollup_returns",
+    "cube_status_priority",
+    "grouping_sets_returns",
+    "pivot_status_by_priority",
+    "unpivot_status_totals",
+    "window_top_orders_per_customer",
+    "window_running_revenue",
+    "window_price_delta",
+    "topk_expensive_orders",
+    "range_join_price_bands",
+    "customers_above_nation_avg",
+    "set_ops_segments",
+    "set_ops_multiset",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "copurchase_pairs",
+    "referential_audit",
+    "pagerank_trade_flows",
+)
+
+SEED = 4217
+N_CUST, N_ORDERS, N_LINES = 60, 400, 1600
+
+
+def _money(rng: random.Random, lo: float, hi: float) -> float:
+    return round(rng.uniform(lo, hi), 2)
+
+
+def _tables():
+    rng = random.Random(SEED)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    customers = pd.DataFrame(
+        [
+            (
+                c,
+                f"Customer#{c:09d}",
+                rng.randint(0, 24),
+                _money(rng, -999.99, 9999.99),
+                rng.choice(segs),
+            )
+            # Orphan FK: customer 58/59 point at nation 77 (missing).
+            for c in range(N_CUST)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    customers.loc[customers.c_custkey >= N_CUST - 2, "c_nationkey"] = 77
+    base = dt.datetime(1992, 1, 1)
+    span_days = (dt.datetime(1998, 12, 31) - base).days
+    boundary_dates = [
+        dt.datetime(1995, 1, 1), dt.datetime(1996, 1, 1),
+        dt.datetime(1996, 12, 31), dt.datetime(1998, 9, 2),
+        dt.datetime(1995, 3, 15),
+    ]
+    orders = pd.DataFrame(
+        [
+            (
+                o,
+                rng.randint(0, N_CUST + 4),  # some orphan custkeys
+                rng.choice(["O", "F", "P"]),
+                _money(rng, 900.0, 105000.0),
+                rng.choice(boundary_dates)
+                if rng.random() < 0.1
+                else base + dt.timedelta(days=rng.randint(0, span_days)),
+                rng.choice(prios),
+            )
+            for o in range(N_ORDERS)
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    lines = []
+    for i in range(N_LINES):
+        o = rng.randint(0, N_ORDERS - 1)  # skewed: some orders get many lines
+        lines.append(
+            (
+                o,
+                rng.randint(0, 199),
+                rng.randint(0, 9),
+                rng.randint(1, 7),
+                float(rng.randint(1, 50)),
+                _money(rng, 900.0, 95000.0),
+                round(rng.choice([0.0, 0.01, 0.05, 0.06, 0.07, 0.1]), 2),
+                round(rng.choice([0.0, 0.02, 0.04, 0.08]), 2),
+                rng.choice(["A", "N", "R"]),
+                rng.choice(["O", "F"]),
+                rng.choice(boundary_dates)
+                if rng.random() < 0.1
+                else base + dt.timedelta(days=rng.randint(0, span_days)),
+            )
+        )
+    lineitem = pd.DataFrame(
+        lines,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    return customers, orders, lineitem
+
+
+@pytest.fixture(scope="module")
+def random_star_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("random_star_catalog")
+    src = os.path.abspath("/root/testdata/sf0.001")
+    for t in "region nation supplier part documents embeddings events".split():
+        os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    customers, orders, lineitem = _tables()
+    customers.to_parquet(d / "customer.parquet", index=False)
+    orders.to_parquet(d / "orders.parquet", index=False, coerce_timestamps="us")
+    lineitem.to_parquet(d / "lineitem.parquet", index=False, coerce_timestamps="us")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_relational_query_matches_oracle_on_random_star(spark, random_star_dir, name):
+    spdf = queries()[name](spark, random_star_dir).toPandas()
+    oracle_pdf = run_oracle(QUERIES[name].oracle, random_star_dir)
+    assert_frames_match(spdf, oracle_pdf, f"{name}[random-star]")
