@@ -630,3 +630,63 @@ def skipgram_pmi(df: DataFrame, window: int = 2, min_pair: int = 3) -> DataFrame
             ).alias("pmi"),
         )
     )
+
+
+COVERAGE_TARGETS = (50, 90, 95, 99)
+
+
+def vocab_coverage(df: DataFrame) -> DataFrame:
+    """Tokenizer-vocabulary sizing: for each coverage target (50/90/95/
+    99% of the token stream), the smallest frequency-ranked vocabulary
+    that reaches it — the first statistic a vocab-construction pipeline
+    computes (how big must V be before OOV is rare?).
+
+    Shape: one word-count aggregation (corpus-sized, partial-agg
+    friendly), then rank + cumulative sum over the VOCABULARY — which
+    is orders of magnitude smaller than the corpus, so the single-
+    partition window is bounded by |vocab|, not |tokens| (same
+    discipline as skyline's global phase: global windows only over
+    provably-small sets; at web scale cap the vocab with a min-count
+    cutoff first).
+
+    Integer-exact: coverage compares cum_tokens * 100 >= target *
+    total_tokens in integers — no float thresholds to straddle. Rank
+    ties break by word, so the vocabulary order is total.
+
+    Returns one row per target: (target_pct, vocab_size,
+    covered_tokens, total_tokens, coverage) with coverage the realized
+    fraction as a per-row double division.
+    """
+    counts = explode_tokens(df).groupBy("word").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_tokens"
+        ),
+    ).crossJoin(
+        F.broadcast(
+            counts.agg(F.sum("cnt").alias("total_tokens"))
+        )
+    )
+    targets = F.explode(
+        F.array(*[F.lit(t) for t in COVERAGE_TARGETS])
+    ).alias("target_pct")
+    per_target = ranked.select("*", targets).where(
+        F.col("cum_tokens") * 100 >= F.col("target_pct") * F.col("total_tokens")
+    )
+    best = Window.partitionBy("target_pct").orderBy("rank")
+    return (
+        per_target.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            "target_pct",
+            F.col("rank").alias("vocab_size"),
+            F.col("cum_tokens").alias("covered_tokens"),
+            "total_tokens",
+            (F.col("cum_tokens").cast("double") / F.col("total_tokens")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -788,6 +788,35 @@ QUERIES: dict[str, QuerySpec] = {
         "collocation PMI in ln-difference form: exact integer counts, "
         "fixed expression tree — no product overflow, engine-portable",
     ),
+    "vocab_coverage": QuerySpec(
+        _docs(ta.vocab_coverage),
+        f"""{WORDS_CTE}, counts AS (
+            SELECT word, count(*) AS cnt FROM words GROUP BY word
+        ), ranked AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, word) AS rank,
+                   sum(cnt) OVER (ORDER BY cnt DESC, word
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                   (SELECT sum(cnt) FROM counts) AS total_tokens
+            FROM counts
+        ), hits AS (
+            SELECT t.target_pct, rank, cum_tokens, total_tokens,
+                   row_number() OVER (PARTITION BY t.target_pct
+                                      ORDER BY rank) AS rn
+            FROM ranked
+            CROSS JOIN (SELECT unnest([50, 90, 95, 99]) AS target_pct) t
+            WHERE cum_tokens * 100 >= t.target_pct * total_tokens
+        )
+        SELECT CAST(target_pct AS INTEGER) AS target_pct,
+               CAST(rank AS INTEGER) AS vocab_size,
+               CAST(cum_tokens AS BIGINT) AS covered_tokens,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               CAST(cum_tokens AS DOUBLE) / CAST(total_tokens AS BIGINT) AS coverage
+        FROM hits WHERE rn = 1
+        """,
+        "tokenizer vocab sizing: smallest frequency-ranked vocabulary "
+        "reaching each coverage target; integer threshold compare",
+    ),
     "skipgram_pmi": QuerySpec(
         _docs(ta.skipgram_pmi),
         f"""
@@ -2543,6 +2572,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "pagerank_trade_flows": ("n_name",),
     "bigram_pmi": ("w1", "w2"),
     "skipgram_pmi": ("w1", "w2"),
+    "vocab_coverage": ("target_pct",),
     "copurchase_pairs": ("part_a", "part_b"),
     "skyline_parts": ("p_partkey",),
     "tfidf_top_terms": ("doc_id", "rnk"),
@@ -2666,6 +2696,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "knn_pq",                # NEW: PQ ADC approximate top-k
     "ann_recall",            # MODIFIED: now also evaluates the pq index
     "skipgram_pmi",          # NEW: window-2 skip-gram co-occurrence PMI
+    "vocab_coverage",        # NEW: tokenizer vocab sizing
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2712,7 +2743,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "embedding_near_dup",
     "sliding_window",
     "json_props_agg",
-    "asof_last_click_before_purchase",
 )
 
 QUERIES = {

@@ -44,6 +44,7 @@ DOC_QUERIES = (
     "repetition_signals",
     "boilerplate_ngrams",
     "stratified_sample_summary",
+    "vocab_coverage",
 )
 
 SEED = 813

@@ -210,6 +210,10 @@ _SCALE_GUARDS = {
     "knn_pq": (2, 0),
     # pair agg + unigram agg + marginal joins (broadcast at test scale)
     "skipgram_pmi": (6, 0),
+    # word-count agg + the target window; the SinglePartition windows
+    # run over the VOCABULARY (provably small), like skyline's global
+    # phase
+    "vocab_coverage": (2, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
