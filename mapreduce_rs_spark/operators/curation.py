@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.hashing import text_fingerprint
+from mapreduce_rs_spark.functions.hashing import h32, text_fingerprint
 from mapreduce_rs_spark.functions.text import tokens
 
 MIN_TOKENS = 10
@@ -261,3 +261,61 @@ def curation_yield_neardup(df: DataFrame) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
     )
     return _yield_report(df, final)
+
+
+def mixture_sample(df: DataFrame) -> DataFrame:
+    """Materialized-mixture accounting: apply the uniform-over-language
+    sampling weights (mixture_weights' default target) to actual
+    documents and count what a sampler would emit — integer copies per
+    document, fractional parts resolved by a deterministic per-doc hash
+    draw. This is the step AFTER deciding weights: proving the sampler
+    realizes them, with repeats (weight > 1) handled by construction.
+
+    Per document: copies = floor(w) + [h32(doc_id|mix) mod 10^4 <
+    floor(frac(w)·10^4)] — the same hash-systematic trick as
+    sampling.py, so the materialized sample is identical under any
+    partitioning, run, or engine (df.sample could never provide this).
+    w is a single division of exact integer token counts, hence
+    bit-identical cross-engine; floor/frac of it are then exact too.
+
+    Returns per (lang, source): n_docs, weight, n_copies (what the
+    sampler emits), realized_epochs = n_copies / n_docs — the Monte
+    Carlo realization of mixture_weights' expected_epochs.
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    docs = df.select(
+        "doc_id", "lang", "source", F.size(toks).alias("n_tokens")
+    )
+    lang_tok = docs.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("lang_tokens")
+    )
+    totals = lang_tok.agg(
+        F.sum("lang_tokens").cast("long").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    weighted = (
+        docs.join(F.broadcast(lang_tok), "lang")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "weight",
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_langs") * F.col("lang_tokens")),
+        )
+    )
+    frac_bp = F.floor((F.col("weight") - F.floor("weight")) * 10000)
+    draw = h32(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))) % 10000
+    copies = (F.floor("weight") + F.when(draw < frac_bp, 1).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        weighted.withColumn("n_copies", copies)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("weight").alias("weight"),
+            F.sum("n_copies").cast("long").alias("n_copies"),
+            (F.sum("n_copies").cast("double") / F.count(F.lit(1))).alias(
+                "realized_epochs"
+            ),
+        )
+    )

@@ -788,6 +788,44 @@ QUERIES: dict[str, QuerySpec] = {
         "collocation PMI in ln-difference form: exact integer counts, "
         "fixed expression tree — no product overflow, engine-portable",
     ),
+    "mixture_sample": QuerySpec(
+        _docs(curation.mixture_sample),
+        f"""
+        WITH docs AS (
+            SELECT doc_id, lang, source, len({TOKENS_SQL}) AS n_tokens
+            FROM documents
+        ), lang_tok AS (
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+            FROM docs GROUP BY lang
+        ), totals AS (
+            SELECT CAST(sum(lang_tokens) AS BIGINT) AS corpus_tokens,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM lang_tok
+        ), weighted AS (
+            SELECT d.*,
+                   CAST(corpus_tokens AS DOUBLE) / (n_langs * lang_tokens)
+                   AS weight
+            FROM docs d JOIN lang_tok USING (lang) CROSS JOIN totals
+        ), drawn AS (
+            SELECT lang, source, weight,
+                   CAST(floor(weight) AS BIGINT)
+                   + CASE WHEN {h32_sql("(CAST(doc_id AS VARCHAR) || '|mix')")} % 10000
+                               < floor((weight - floor(weight)) * 10000)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM weighted
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(weight) AS weight,
+               CAST(sum(n_copies) AS BIGINT) AS n_copies,
+               CAST(sum(n_copies) AS DOUBLE) / count(*) AS realized_epochs
+        FROM drawn
+        GROUP BY lang, source
+        """,
+        "materialized uniform-over-language mixture: per-doc copy counts "
+        "from floor(weight) + deterministic hash draw on the fraction — "
+        "partition/run/engine-invariant sampling with repeats",
+    ),
     "vocab_coverage": QuerySpec(
         _docs(ta.vocab_coverage),
         f"""{WORDS_CTE}, counts AS (
@@ -2573,6 +2611,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bigram_pmi": ("w1", "w2"),
     "skipgram_pmi": ("w1", "w2"),
     "vocab_coverage": ("target_pct",),
+    "mixture_sample": ("lang", "source"),
     "copurchase_pairs": ("part_a", "part_b"),
     "skyline_parts": ("p_partkey",),
     "tfidf_top_terms": ("doc_id", "rnk"),
@@ -2697,6 +2736,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ann_recall",            # MODIFIED: now also evaluates the pq index
     "skipgram_pmi",          # NEW: window-2 skip-gram co-occurrence PMI
     "vocab_coverage",        # NEW: tokenizer vocab sizing
+    "mixture_sample",        # NEW: materialized mixture with hash draws
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2742,7 +2782,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_components",
     "embedding_near_dup",
     "sliding_window",
-    "json_props_agg",
 )
 
 QUERIES = {

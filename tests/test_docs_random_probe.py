@@ -45,6 +45,7 @@ DOC_QUERIES = (
     "boilerplate_ngrams",
     "stratified_sample_summary",
     "vocab_coverage",
+    "mixture_sample",
 )
 
 SEED = 813

@@ -214,6 +214,9 @@ _SCALE_GUARDS = {
     # run over the VOCABULARY (provably small), like skyline's global
     # phase
     "vocab_coverage": (2, 0),
+    # per-lang token agg + the (lang, source) result agg; lang_tok and
+    # the 1-row totals broadcast back onto the doc stream
+    "mixture_sample": (3, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
