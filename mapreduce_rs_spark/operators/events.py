@@ -640,3 +640,90 @@ def gapfill_hourly(t: dict[str, DataFrame]) -> DataFrame:
         .alias("sum_value"),
         F.col("n_raw").isNull().alias("filled"),
     )
+
+
+def _spread_bits_sql(col: str) -> str:
+    """16-bit -> 32-bit Morton spread (engine-portable bit magic: the
+    same text parses in Spark SQL and DuckDB; all BIGINT ops)."""
+    s = col
+    s = f"(({s} | ({s} << 8)) & 16711935)"       # 0x00FF00FF
+    s = f"(({s} | ({s} << 4)) & 252645135)"      # 0x0F0F0F0F
+    s = f"(({s} | ({s} << 2)) & 858993459)"      # 0x33333333
+    s = f"(({s} | ({s} << 1)) & 1431655765)"     # 0x55555555
+    return s
+
+
+def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
+    """Z-order (Morton-curve) layout evaluation: interleave the bits of
+    (user bucket, hour bucket) into one z-value, group rows into 256
+    z-range "files", and measure per-file locality on BOTH dimensions —
+    against the same-file-count time-only layout as the baseline.
+
+    This is the data-layout decision behind multi-dimensional data
+    skipping (Delta/Iceberg OPTIMIZE ZORDER): a time-sorted layout
+    gives perfect hour locality but every file contains every user; the
+    z-order layout bounds BOTH spans, so min/max file statistics prune
+    on either predicate. The output quantifies exactly that trade:
+    per layout, the file count and the average per-file distinct-user
+    and distinct-hour spans.
+
+    Everything is integer arithmetic (bit spreads, modular buckets,
+    distinct counts); the two avg columns are single divisions of exact
+    integers — deterministic cross-engine, like every ratio in this
+    repo.
+    """
+    ev = t["events"]
+    raw = ev.select(
+        F.col("user_id").alias("u"),
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("h"),
+    )
+    # Normalize both dimensions to the full 16-bit range with exact
+    # integer min/max scaling (a 1-row broadcast) — without this, small
+    # key domains leave the interleave's high bits dead and every row
+    # lands in one z-file. All-integer: (v - min)·65536 div span.
+    bounds = raw.agg(
+        F.min("u").alias("umin"),
+        F.max("u").alias("umax"),
+        F.min("h").alias("hmin"),
+        F.max("h").alias("hmax"),
+    )
+    base = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((u - umin) * 65536) div (umax - umin + 1)").alias("ub"),
+        F.expr("((h - hmin) * 65536) div (hmax - hmin + 1)").alias("hb"),
+    )
+    z = f"({_spread_bits_sql('ub')} | ({_spread_bits_sql('hb')} << 1))"
+    tagged = base.select("ub", "hb", F.expr(z).alias("z"))
+    # 256 file groups per layout: top byte of the 32-bit z vs 256
+    # CONTIGUOUS hour ranges (the honest time-sorted baseline).
+    per_file = (
+        tagged.select(
+            F.lit("zorder").alias("layout"),
+            F.expr("z div 16777216").alias("file_id"),
+            "ub",
+            "hb",
+        )
+        .unionByName(
+            tagged.select(
+                F.lit("time").alias("layout"),
+                F.expr("hb div 256").alias("file_id"),
+                "ub",
+                "hb",
+            )
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("ub").alias("n_users"),
+            F.countDistinct("hb").alias("n_hours"),
+        )
+    )
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        (F.sum("n_users").cast("double") / F.count(F.lit(1))).alias(
+            "avg_users_per_file"
+        ),
+        (F.sum("n_hours").cast("double") / F.count(F.lit(1))).alias(
+            "avg_hours_per_file"
+        ),
+    )

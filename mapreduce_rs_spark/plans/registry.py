@@ -1832,6 +1832,50 @@ QUERIES: dict[str, QuerySpec] = {
         "concat ((ts, event_id) total order) — engine-portable ordered "
         "string agg",
     ),
+    "zorder_locality": QuerySpec(
+        _tables(events.zorder_locality),
+        f"""
+        WITH raw AS (
+            SELECT user_id AS u,
+                   CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h
+            FROM events
+        ), bounds AS (
+            SELECT min(u) AS umin, max(u) AS umax,
+                   min(h) AS hmin, max(h) AS hmax
+            FROM raw
+        ), base AS (
+            SELECT ((u - umin) * 65536) // (umax - umin + 1) AS ub,
+                   ((h - hmin) * 65536) // (hmax - hmin + 1) AS hb
+            FROM raw CROSS JOIN bounds
+        ), tagged AS (
+            SELECT ub, hb,
+                   ({events._spread_bits_sql('ub')}
+                    | ({events._spread_bits_sql('hb')} << 1)) AS z
+            FROM base
+        ), per_file AS (
+            SELECT layout, file_id,
+                   count(*) AS n_rows,
+                   count(DISTINCT ub) AS n_users,
+                   count(DISTINCT hb) AS n_hours
+            FROM (
+                SELECT 'zorder' AS layout, z // 16777216 AS file_id, ub, hb
+                FROM tagged
+                UNION ALL
+                SELECT 'time' AS layout, hb // 256 AS file_id, ub, hb
+                FROM tagged
+            ) GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(count(*) AS INTEGER) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_users) AS DOUBLE) / count(*) AS avg_users_per_file,
+               CAST(sum(n_hours) AS DOUBLE) / count(*) AS avg_hours_per_file
+        FROM per_file GROUP BY layout
+        """,
+        "Morton-curve layout evaluation: z-range files bound BOTH the "
+        "user and hour spans (the data-skipping property), quantified "
+        "against a same-file-count time-only layout",
+    ),
     "gapfill_hourly": QuerySpec(
         _tables(events.gapfill_hourly),
         f"""
@@ -2737,6 +2781,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "skipgram_pmi",          # NEW: window-2 skip-gram co-occurrence PMI
     "vocab_coverage",        # NEW: tokenizer vocab sizing
     "mixture_sample",        # NEW: materialized mixture with hash draws
+    "zorder_locality",       # NEW: Morton-curve layout evaluation
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2781,7 +2826,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "simhash_near_pairs",
     "dedup_components",
     "embedding_near_dup",
-    "sliding_window",
 )
 
 QUERIES = {

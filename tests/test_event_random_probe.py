@@ -44,6 +44,7 @@ EVENT_QUERIES = (
     "time_weighted_value",
     "ohlc_bars",
     "gapfill_hourly",
+    "zorder_locality",
 )
 
 SEED = 20260813

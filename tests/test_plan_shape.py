@@ -217,6 +217,9 @@ _SCALE_GUARDS = {
     # per-lang token agg + the (lang, source) result agg; lang_tok and
     # the 1-row totals broadcast back onto the doc stream
     "mixture_sample": (3, 0),
+    # 1-row bounds broadcast onto the scan; the layout union aggregates
+    # (two partial->final pairs) + the per-layout summary
+    "zorder_locality": (3, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
