@@ -163,3 +163,43 @@ def test_csv_malformed_record_quarantine(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_csv(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_load_table_handles_both_events_ts_generations(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as TIMESTAMP(NANOS)
+    in some generations and TIMESTAMP(MICROS) in others; load_table
+    must normalize BOTH to a session-UTC TimestampType with identical
+    wall values (the round-5 drift incident, fixed type-conditionally)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 11],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    stamps = [
+        dt.datetime(2024, 1, 1, 12, 0, 0, 250000),
+        dt.datetime(2024, 1, 2, 3, 4, 5, 6),
+    ]
+    expected = None
+    for unit in ("ns", "us"):
+        d = tmp_path / f"gen_{unit}"
+        os.makedirs(d)
+        table = pa.table(
+            {**rows, "ts": pa.array(stamps, type=pa.timestamp(unit))}
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp", unit
+        got = [r["ts"] for r in df.orderBy("event_id").collect()]
+        if expected is None:
+            expected = got
+        assert got == expected == stamps, unit
