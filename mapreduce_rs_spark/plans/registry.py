@@ -2210,7 +2210,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall": QuerySpec(
         _emb(lambda df: similarity.ann_recall(df, 10)),
         _ann_recall_sql(10),
-        "recall@k of lsh/ivf/ivf_mp2 vs exact brute-force: the ANN evaluation harness as a query",
+        "recall@k of lsh/ivf/ivf_mp2/pq vs exact brute-force: the ANN evaluation harness as a query",
     ),
     # ---- round-3 additions, part 2: the full remaining TPC-H battery
     # expressible on this schema (no partsupp / phone / comment / shipmode
