@@ -690,3 +690,58 @@ def vocab_coverage(df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def term_drift(df: DataFrame, k: int = 5) -> DataFrame:
+    """Distribution-shift monitor: the terms whose frequency moved most
+    between two deterministic halves of the corpus (doc_id parity —
+    stand-in for any real split: time windows, crawl snapshots, before/
+    after a pipeline change). Reported as smoothed log-odds drift, the
+    standard corpus-comparison statistic.
+
+    drift = ln(c_a+1) - ln(t_a+V) - (ln(c_b+1) - ln(t_b+V)) with add-1
+    smoothing over the language's vocabulary V — every ln argument an
+    exactly-cast integer (the bigram_pmi determinism discipline), the
+    rank tie snapped on round(|drift|, 9) like tfidf's float-rank
+    hazard handling. Top-k per language by absolute drift.
+
+    Shape: ONE token aggregation to the (lang, word) grain with
+    conditional half-counts (zero-count sides fall out of the
+    aggregation as 0 — no full-outer self-alignment join), then the
+    per-lang totals/vocab as window sums over the vocabulary-sized
+    aggregate, and the rank window on the same lang partitioning —
+    2 exchanges total.
+    """
+    toks = explode_tokens(df, "text", "lang", "doc_id")
+    aligned = (
+        toks.groupBy("lang", "word")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    lang_w = Window.partitionBy("lang")
+    aligned = (
+        aligned.withColumn("t_a", F.sum("cnt_a").over(lang_w))
+        .withColumn("t_b", F.sum("cnt_b").over(lang_w))
+        .withColumn("v", F.count(F.lit(1)).over(lang_w))
+        .withColumn(
+            "drift",
+            F.expr(
+                "ln(CAST(cnt_a + 1 AS DOUBLE)) - ln(CAST(t_a + v AS DOUBLE))"
+                " - ln(CAST(cnt_b + 1 AS DOUBLE)) + ln(CAST(t_b + v AS DOUBLE))"
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.round(F.abs(F.col("drift")), 9).desc(), F.col("word")
+    )
+    return (
+        aligned.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("lang", "word", "cnt_a", "cnt_b", "drift", "rnk")
+    )

@@ -826,6 +826,34 @@ QUERIES: dict[str, QuerySpec] = {
         "from floor(weight) + deterministic hash draw on the fraction — "
         "partition/run/engine-invariant sampling with repeats",
     ),
+    "term_drift": QuerySpec(
+        _docs(lambda df: ta.term_drift(df, 5)),
+        f"""{WORDS_CTE.replace("SELECT doc_id, lang", "SELECT doc_id, lang, doc_id % 2 AS half")}, aligned AS (
+            SELECT lang, word,
+                   CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                   CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+            FROM words GROUP BY lang, word
+        ), scored AS (
+            SELECT lang, word, cnt_a, cnt_b,
+                   ln(CAST(cnt_a + 1 AS DOUBLE))
+                   - ln(CAST(sum(cnt_a) OVER w + count(*) OVER w AS DOUBLE))
+                   - ln(CAST(cnt_b + 1 AS DOUBLE))
+                   + ln(CAST(sum(cnt_b) OVER w + count(*) OVER w AS DOUBLE))
+                   AS drift
+            FROM aligned
+            WINDOW w AS (PARTITION BY lang)
+        )
+        SELECT lang, word, cnt_a, cnt_b, drift, rnk FROM (
+            SELECT *, CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY round(abs(drift), 9) DESC, word) AS INTEGER) AS rnk
+            FROM scored
+        ) r WHERE rnk <= 5
+        """,
+        "corpus distribution-shift monitor: smoothed log-odds drift of "
+        "term frequencies between deterministic corpus halves, top-k "
+        "per language (float rank snapped at round-9, tfidf precedent)",
+    ),
     "vocab_coverage": QuerySpec(
         _docs(ta.vocab_coverage),
         f"""{WORDS_CTE}, counts AS (
@@ -2655,6 +2683,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bigram_pmi": ("w1", "w2"),
     "skipgram_pmi": ("w1", "w2"),
     "vocab_coverage": ("target_pct",),
+    "term_drift": ("lang", "rnk"),
     "mixture_sample": ("lang", "source"),
     "copurchase_pairs": ("part_a", "part_b"),
     "skyline_parts": ("p_partkey",),
@@ -2782,6 +2811,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "vocab_coverage",        # NEW: tokenizer vocab sizing
     "mixture_sample",        # NEW: materialized mixture with hash draws
     "zorder_locality",       # NEW: Morton-curve layout evaluation
+    "term_drift",            # NEW: corpus distribution-shift monitor
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2825,7 +2855,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "range_join_price_bands",
     "simhash_near_pairs",
     "dedup_components",
-    "embedding_near_dup",
 )
 
 QUERIES = {

@@ -46,6 +46,7 @@ DOC_QUERIES = (
     "stratified_sample_summary",
     "vocab_coverage",
     "mixture_sample",
+    "term_drift",
 )
 
 SEED = 813

@@ -220,6 +220,9 @@ _SCALE_GUARDS = {
     # 1-row bounds broadcast onto the scan; the layout union aggregates
     # (two partial->final pairs) + the per-layout summary
     "zorder_locality": (3, 0),
+    # one (lang, word) conditional agg + the lang windows (totals,
+    # vocab, rank) all on one lang repartition
+    "term_drift": (2, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
