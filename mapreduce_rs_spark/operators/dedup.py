@@ -371,3 +371,73 @@ def decontaminate(
             / F.col("n_train_docs")
         ).alias("contamination_rate"),
     )
+
+
+def lsh_dedup_eval(
+    df: DataFrame, tau_num: int = 1, tau_den: int = 2, every: int = 10
+) -> DataFrame:
+    """Dedup-index evaluation (the ann_recall of the dedup family):
+    precision/recall of the MinHash-LSH candidate pairs against EXACT
+    shingle-Jaccard ground truth on a bounded query sample.
+
+    Ground truth: for every sampled document (doc_id % every == 0, the
+    bounded-query-set discipline of knn_*), its exact Jaccard overlap
+    with every other document, computed from distinct shingle sets via
+    a shared-shingle equi-join (co-groups bounded by the sample size
+    per shingle key — never all-pairs). The threshold test is INTEGER
+    (n_inter·den >= num·(sz_a + sz_b - n_inter), tau = num/den), so no
+    float boundary exists cross-engine.
+
+    Predicted: minhash_lsh_pairs restricted to pairs touching the
+    sample. Output is one row: truth/predicted/hit counts, precision,
+    recall — the numbers that justify (or veto) replacing exact dedup
+    with the LSH tier at scale.
+    """
+    sh = df.select(
+        "doc_id", F.explode(F.array_distinct(_shingles("text"))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    q_sh = sh.where(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("q_id"), "shingle"
+    )
+    inter = (
+        q_sh.join(sh, "shingle")
+        .where(F.col("q_id") != F.col("doc_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    qs = sizes.select(F.col("doc_id").alias("q_id"), F.col("sz").alias("sz_q"))
+    ds = sizes.select("doc_id", F.col("sz").alias("sz_d"))
+    truth = (
+        inter.join(qs, "q_id")
+        .join(ds, "doc_id")
+        .where(
+            F.col("n_inter") * tau_den
+            >= tau_num * (F.col("sz_q") + F.col("sz_d") - F.col("n_inter"))
+        )
+        .select(
+            F.least("q_id", "doc_id").alias("doc_a"),
+            F.greatest("q_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pred = minhash_lsh_pairs(df).select("doc_a", "doc_b").where(
+        (F.col("doc_a") % every == 0) | (F.col("doc_b") % every == 0)
+    )
+    hits = truth.join(pred, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(pred.agg(F.count(F.lit(1)).alias("n_predicted"))))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_truth",
+            "n_predicted",
+            "n_hits",
+            F.try_divide(
+                F.col("n_hits").cast("double"), F.col("n_predicted")
+            ).alias("precision"),
+            F.try_divide(F.col("n_hits").cast("double"), F.col("n_truth")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -1386,6 +1386,47 @@ QUERIES: dict[str, QuerySpec] = {
         "nation trade graph; Spark loop vs unrolled-CTE oracle, bit-exact "
         "because every step is integral",
     ),
+    "lsh_dedup_eval": QuerySpec(
+        _docs(dedup.lsh_dedup_eval),
+        f"""
+        WITH {_shingles_ctes()}, dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM shingles
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id
+        ), inter AS (
+            SELECT q.doc_id AS q_id, d.doc_id AS doc_id,
+                   count(*) AS n_inter
+            FROM (SELECT * FROM dsh WHERE doc_id % 10 = 0) q
+            JOIN dsh d USING (shingle)
+            WHERE q.doc_id <> d.doc_id
+            GROUP BY 1, 2
+        ), truth AS (
+            SELECT DISTINCT least(q_id, i.doc_id) AS doc_a,
+                            greatest(q_id, i.doc_id) AS doc_b
+            FROM inter i
+            JOIN sizes sq ON sq.doc_id = i.q_id
+            JOIN sizes sd ON sd.doc_id = i.doc_id
+            WHERE n_inter * 2 >= 1 * (sq.sz + sd.sz - n_inter)
+        ), pred AS (
+            SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+            WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+        ), hits AS (
+            SELECT count(*) AS n_hits
+            FROM truth JOIN pred USING (doc_a, doc_b)
+        )
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM pred) AS n_predicted,
+               n_hits,
+               CAST(n_hits AS DOUBLE)
+               / NULLIF((SELECT count(*) FROM pred), 0) AS precision,
+               CAST(n_hits AS DOUBLE)
+               / NULLIF((SELECT count(*) FROM truth), 0) AS recall
+        FROM hits
+        """,
+        "dedup-index evaluation (the ann_recall of the dedup family): "
+        "LSH candidate pairs vs exact shingle-Jaccard truth on a "
+        "bounded query sample; integer threshold test",
+    ),
     "tfidf_top_terms": QuerySpec(
         _docs(lambda df: ta.tfidf_top_terms(df, 3)),
         f"""{WORDS_CTE}, counts AS (
@@ -2812,6 +2853,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "mixture_sample",        # NEW: materialized mixture with hash draws
     "zorder_locality",       # NEW: Morton-curve layout evaluation
     "term_drift",            # NEW: corpus distribution-shift monitor
+    "lsh_dedup_eval",        # NEW: dedup-index precision/recall harness
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2854,7 +2896,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "having_active_customers",
     "range_join_price_bands",
     "simhash_near_pairs",
-    "dedup_components",
 )
 
 QUERIES = {

@@ -47,6 +47,7 @@ DOC_QUERIES = (
     "vocab_coverage",
     "mixture_sample",
     "term_drift",
+    "lsh_dedup_eval",
 )
 
 SEED = 813

@@ -223,6 +223,10 @@ _SCALE_GUARDS = {
     # one (lang, word) conditional agg + the lang windows (totals,
     # vocab, rank) all on one lang repartition
     "term_drift": (2, 0),
+    # evaluation harness composing truth (shingle join over the bounded
+    # 10% sample) + the LSH pipeline + 3 count aggregates — the
+    # ann_recall pattern for the dedup family
+    "lsh_dedup_eval": (11, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
