@@ -727,3 +727,30 @@ def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
             "avg_hours_per_file"
         ),
     )
+
+
+def hourly_percentile_bands(t: dict[str, DataFrame]) -> DataFrame:
+    """SLO-style percentile bands over time: per (hour, event_type) the
+    p50/p95/p99 of the value distribution plus count — the latency-band
+    dashboard query every monitoring stack renders.
+
+    Exact interpolated percentiles (Spark ``percentile`` == ANSI
+    percentile_cont == DuckDB quantile_cont — the established
+    cross-engine pair from percentiles_by_priority); groups are
+    (hour, type) so the per-group sort is bounded by the hour's
+    traffic. At 100 TB the same query swaps in percentile_approx
+    (mergeable t-digest, map-side partials) — kept exact here because
+    the oracle must agree bit-for-bit.
+    """
+    ev = t["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+    )

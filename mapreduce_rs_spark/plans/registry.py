@@ -1901,6 +1901,19 @@ QUERIES: dict[str, QuerySpec] = {
         "concat ((ts, event_id) total order) — engine-portable ordered "
         "string agg",
     ),
+    "hourly_percentile_bands": QuerySpec(
+        _tables(events.hourly_percentile_bands),
+        """
+        SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+               CAST(count(*) AS INTEGER) AS n_events,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY 1, 2
+        """,
+        "SLO percentile bands per (hour, type): exact interpolated "
+        "percentiles (swap percentile_approx at 100 TB)",
+    ),
     "zorder_locality": QuerySpec(
         _tables(events.zorder_locality),
         f"""
@@ -2782,6 +2795,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "time_weighted_value": ("user_id",),
     "ohlc_bars": ("bucket_ts", "event_type"),
     "gapfill_hourly": ("bucket_ts", "event_type"),
+    "hourly_percentile_bands": ("bucket_ts", "event_type"),
     "referential_audit": ("relationship",),
     "curation_yield": ("lang",),
     "pack_sequences": ("lang", "bin"),
@@ -2854,6 +2868,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zorder_locality",       # NEW: Morton-curve layout evaluation
     "term_drift",            # NEW: corpus distribution-shift monitor
     "lsh_dedup_eval",        # NEW: dedup-index precision/recall harness
+    "hourly_percentile_bands",  # NEW: SLO percentile bands per hour
     # (a') new last round, still awaiting their first driver row:
     "repetition_signals",    # Gopher repetition battery
     "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
@@ -2895,7 +2910,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "window_running_revenue",
     "having_active_customers",
     "range_join_price_bands",
-    "simhash_near_pairs",
 )
 
 QUERIES = {

@@ -45,6 +45,7 @@ EVENT_QUERIES = (
     "ohlc_bars",
     "gapfill_hourly",
     "zorder_locality",
+    "hourly_percentile_bands",
 )
 
 SEED = 20260813

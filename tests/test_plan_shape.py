@@ -227,6 +227,8 @@ _SCALE_GUARDS = {
     # 10% sample) + the LSH pipeline + 3 count aggregates — the
     # ann_recall pattern for the dedup family
     "lsh_dedup_eval": (11, 0),
+    # one (hour, type) exchange; exact percentile sorts within groups
+    "hourly_percentile_bands": (1, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
