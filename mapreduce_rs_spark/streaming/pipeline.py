@@ -177,3 +177,56 @@ def run_windowed_stream(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_ohlc(stream: DataFrame) -> DataFrame:
+    """Streaming OHLC bars: per event-time hour and type, open/high/
+    low/close + volume, with a 2-hour watermark bounding state.
+
+    Open/close use ``min_by``/``max_by`` over the (ts, event_id) order
+    struct — the streaming-legal formulation (row_number windows, the
+    batch operator's cross-ENGINE-portable form, aren't allowed in
+    streaming aggregations; within one engine min_by on a total-order
+    struct is deterministic, and the equivalence test pins it against
+    the identical batch expression).
+    """
+    order_key = F.struct("ts", "event_id")
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window").start.alias("bucket_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def run_ohlc_stream(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain-and-stop OHLC stream over a file source (availableNow),
+    append mode: only watermark-closed windows are emitted, each
+    exactly once via the checkpoint."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    (
+        streaming_ohlc(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -181,3 +181,31 @@ def test_late_data_beyond_watermark_is_dropped(spark, sf_dir, tmp_path):
     assert all(after.get(k) == v for k, v in before.items())
     late_window_keys = [k for k in after if k[0] <= late_ts - datetime.timedelta(days=9)]
     assert not late_window_keys, "window from dropped-late straggler was emitted"
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.streaming.pipeline import run_ohlc_stream
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(inp)
+    run_ohlc_stream(spark, inp, outp, ckpt)
+    streamed = spark.read.parquet(outp)
+    order_key = F.struct("ts", "event_id")
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    key = lambda r: (r["bucket_ts"], r["event_type"])  # noqa: E731
+    s = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_events"]) for r in streamed.collect()}
+    b = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_events"]) for r in batch.collect()}
+    assert s, "stream emitted nothing"
+    assert all(b[k] == v for k, v in s.items())
+    # Append mode withholds only windows newer than the final watermark.
+    assert len(s) >= len(b) - 10
