@@ -272,11 +272,19 @@ def mixture_sample(df: DataFrame) -> DataFrame:
     realizes them, with repeats (weight > 1) handled by construction.
 
     Per document: copies = floor(w) + [h32(doc_id|mix) mod 10^4 <
-    floor(frac(w)·10^4)] — the same hash-systematic trick as
-    sampling.py, so the materialized sample is identical under any
-    partitioning, run, or engine (df.sample could never provide this).
-    w is a single division of exact integer token counts, hence
-    bit-identical cross-engine; floor/frac of it are then exact too.
+    frac_bp] — the same hash-systematic trick as sampling.py, so the
+    materialized sample is identical under any partitioning, run, or
+    engine (df.sample could never provide this). Both floor(w) and the
+    basis-point threshold frac_bp are PURE INTEGER arithmetic on the
+    token counts (w = N/D with N = corpus_tokens, D = n_langs ·
+    lang_tokens: floor(w) = N div D, frac_bp = (N mod D)·10^4 div D) —
+    the repo's integer-cross-multiply discipline for thresholds, so a
+    boundary-straddling weight can never flip between engines the way a
+    double floor((w - floor(w))·10^4) could. Overflow headroom: the
+    product (N mod D)·10^4 < D·10^4 needs D < 2^63/10^4 ≈ 9.2e14 —
+    ~37x above a 100 TB corpus (2.5e13 tokens) even at n_langs = 1.
+    The reported ``weight`` column stays the single double division
+    (display value, identical expression both engines).
 
     Returns per (lang, source): n_docs, weight, n_copies (what the
     sampler emits), realized_epochs = n_copies / n_docs — the Monte
@@ -302,11 +310,13 @@ def mixture_sample(df: DataFrame) -> DataFrame:
             / (F.col("n_langs") * F.col("lang_tokens")),
         )
     )
-    frac_bp = F.floor((F.col("weight") - F.floor("weight")) * 10000)
-    draw = h32(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))) % 10000
-    copies = (F.floor("weight") + F.when(draw < frac_bp, 1).otherwise(0)).cast(
-        "long"
+    whole = F.expr("corpus_tokens div (n_langs * lang_tokens)")
+    frac_bp = F.expr(
+        "((corpus_tokens % (n_langs * lang_tokens)) * 10000)"
+        " div (n_langs * lang_tokens)"
     )
+    draw = h32(F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))) % 10000
+    copies = (whole + F.when(draw < frac_bp, 1).otherwise(0)).cast("long")
     return (
         weighted.withColumn("n_copies", copies)
         .groupBy("lang", "source")

@@ -30,6 +30,7 @@ from mapreduce_rs_spark.functions.hashing import (
     text_fingerprint,
 )
 from mapreduce_rs_spark.functions.text import token_ngrams, tokens
+from mapreduce_rs_spark.operators.materialize import materialize
 from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
 MINHASH_SEEDS = 8          # k signature values
@@ -90,7 +91,10 @@ def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, k: int = MINHASH_SEEDS, band_size: int = MINHASH_BAND_SIZE
+    df: DataFrame,
+    k: int = MINHASH_SEEDS,
+    band_size: int = MINHASH_BAND_SIZE,
+    persist_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding.
 
@@ -99,23 +103,18 @@ def minhash_lsh_pairs(
     the banded table with itself on (band, band_key) — the classic
     all-pairs-free LSH join. Dedups (a,b) pairs across bands.
 
-    The signature table is materialized ONCE (localCheckpoint) before
-    the self-join: without it Catalyst expands both join sides into the
-    full scan→shingle→k·md5-min pipeline, doubling the most expensive
-    narrow stage (round-1 PLANS.md showed two complete signature
-    subtrees). A production pipeline persists signatures to parquet
-    anyway — they're reused across dedup runs; localCheckpoint is the
-    in-session equivalent (trades lineage-based recovery for the saved
-    recompute, the right trade for a deliberately-reused intermediate).
-
-    CLUSTER CAVEAT: localCheckpoint stores blocks UNREPLICATED on
-    executors — fine in local mode, but on a real cluster an executor
-    loss makes the checkpointed signatures unrecoverable and fails the
-    job. Production runs should persist the signature table to parquet
-    (or use reliable ``checkpoint()`` with a checkpoint dir); this
-    in-session stand-in is deliberate for the test/bench environment.
+    The signature table is materialized ONCE before the self-join:
+    without it Catalyst expands both join sides into the full
+    scan→shingle→k·md5-min pipeline, doubling the most expensive narrow
+    stage (round-1 PLANS.md showed two complete signature subtrees).
+    ``persist_dir=None`` uses localCheckpoint (in-session, unreplicated
+    executor blocks — local mode / tests); a cluster run passes
+    ``persist_dir=`` to write the signatures to parquet instead —
+    executor-loss-safe and reusable across dedup runs
+    (operators/materialize.py; byte-equality of the two paths proven in
+    tests/test_materialize.py).
     """
-    sigs = minhash_signatures(df, k).localCheckpoint()
+    sigs = materialize(minhash_signatures(df, k), persist_dir, "minhash_sigs")
     bands = [
         F.struct(
             F.lit(b).alias("band"),

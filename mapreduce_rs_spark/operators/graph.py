@@ -20,9 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
+from mapreduce_rs_spark.operators.materialize import materialize
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, persist_dir: str | None = None
+) -> DataFrame:
     """Connected components by min-label propagation.
 
     ``edges`` has columns (doc_a, doc_b). Each node starts labeled with
@@ -35,12 +38,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Scale shape: each iteration is one join + one aggregate, both on
     the edge list — O(E) shuffle per round, O(diameter) rounds.
     Near-dup clusters have tiny diameters (dense clique-ish blocks), so
-    this converges in a handful of rounds; ``localCheckpoint`` per
-    round truncates the otherwise-exponentially-growing lineage, which
-    is what makes iterative DataFrame loops viable at all. (GraphX /
+    this converges in a handful of rounds; materializing per round
+    truncates the otherwise-exponentially-growing lineage, which is
+    what makes iterative DataFrame loops viable at all. (GraphX /
     GraphFrames uses the same alternating large-star/small-star trick
     for worst-case graphs; min-propagation is the right tool for
-    bounded-diameter dedup clusters.)
+    bounded-diameter dedup clusters.) ``persist_dir=None`` truncates
+    with localCheckpoint (in-session); a cluster run passes
+    ``persist_dir=`` to write each round's labels to parquet instead —
+    executor-loss-safe, and a killed run restarts from the last
+    completed round's artifact (operators/materialize.py).
 
     Returns (doc_id, component) for every node that appears in an edge.
     """
@@ -51,19 +58,24 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
     )
     # Undirected adjacency, both directions.
-    nbrs = (
+    nbrs = materialize(
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))),
+        persist_dir,
+        "cc_edges",
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint()
-    for _ in range(max_iter):
+    labels = materialize(
+        nodes.select("doc_id", F.col("doc_id").alias("component")),
+        persist_dir,
+        "cc_labels_0",
+    )
+    for i in range(max_iter):
         nbr_min = (
             nbrs.join(labels, nbrs.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        new_labels = materialize(
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
@@ -71,8 +83,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint()
+            ),
+            persist_dir,
+            f"cc_labels_{i + 1}",
         )
         changed = (
             new_labels.alias("n")
@@ -244,13 +257,15 @@ def pagerank_trade_flows(tables: dict[str, DataFrame]) -> DataFrame:
     ).select("n_name", "rank_fp", "rank")
 
 
-def dedup_components(df: DataFrame) -> DataFrame:
+def dedup_components(df: DataFrame, persist_dir: str | None = None) -> DataFrame:
     """Near-duplicate CLUSTERS from MinHash-LSH candidate pairs:
     transitive closure over the pair graph, then per-doc component
     assignment (component id = min doc_id in the cluster — the doc an
     exact-dedup pass would keep). Only documents that have at least one
     near-duplicate appear; singletons are implicitly their own
     component. The end-to-end shape of a production near-dup pass:
-    sign → band → pair → cluster → keep-min."""
-    edges = minhash_lsh_pairs(df).select("doc_a", "doc_b")
-    return connected_components(edges)
+    sign → band → pair → cluster → keep-min. ``persist_dir`` selects
+    the durable parquet materialization path for the signature table
+    and each CC round (operators/materialize.py)."""
+    edges = minhash_lsh_pairs(df, persist_dir=persist_dir).select("doc_a", "doc_b")
+    return connected_components(edges, persist_dir=persist_dir)

@@ -412,6 +412,22 @@ _PLANES = similarity.hyperplanes()
 _CENTROIDS = similarity.centroids()
 
 
+def _qids_cte(src: str = "v", cap: int = similarity.N_QUERIES_CAP) -> str:
+    """KMV query-id CTE (no leading WITH) — oracle twin of
+    similarity._query_set: the ``cap`` vec_ids with the smallest
+    portable hash h32(vec_id). ``src`` is any relation carrying vec_id.
+    Every knn_* oracle filters its query side with
+    ``vec_id IN (SELECT q_id FROM qids)`` so the sample definition
+    cannot drift between tiers."""
+    return (
+        f"qids AS (SELECT vec_id AS q_id FROM {src} ORDER BY "
+        f"{h32_sql('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {cap})"
+    )
+
+
+_QFILTER = "vec_id IN (SELECT q_id FROM qids)"
+
+
 def _ivf_assigned_cte() -> str:
     """CTE assigning each vector its argmax-dot centroid (tie → higher
     cid, mirroring greatest() over (score, cid) structs in Spark)."""
@@ -515,8 +531,8 @@ def _knn_pq_sql(k: int = 10) -> str:
         {_pq_codes_ctes()}, codes AS (
             SELECT vec_id, code_0, code_1, code_2, code_3
             FROM v {joins}
-        ), q AS (
-            SELECT vec_id AS q_id, emb FROM v WHERE vec_id % 100 = 0
+        ), {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, emb FROM v WHERE {_QFILTER}
         ), scored AS (
             SELECT q_id, q_codes.vec_id, {terms} AS adc_sim
             FROM q JOIN codes q_codes ON q_id <> q_codes.vec_id
@@ -539,8 +555,8 @@ def _ann_recall_sql(k: int = 10) -> str:
     rank = "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)"
     return f"""{_ivf_assigned_cte()}, b AS (
             SELECT vec_id, emb, {_bucket_sql('emb', _PLANES)} AS bucket FROM v
-        ), q AS (
-            SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id % 100 = 0
+        ), {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE {_QFILTER}
         ), exact_scored AS (
             SELECT q_id, vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
             FROM q JOIN v ON q_id <> vec_id
@@ -550,7 +566,7 @@ def _ann_recall_sql(k: int = 10) -> str:
             ) e WHERE rnk <= {k}
         ), lq AS (
             SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
-            FROM b WHERE vec_id % 100 = 0
+            FROM b WHERE {_QFILTER}
         ), lsh_scored AS (
             SELECT q_id, b.vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
             FROM lq JOIN b ON q_bucket = bucket AND q_id <> b.vec_id
@@ -560,7 +576,7 @@ def _ann_recall_sql(k: int = 10) -> str:
             ) s WHERE rnk <= {k}
         ), iq AS (
             SELECT vec_id AS q_id, emb AS q_emb, centroid_id AS q_centroid
-            FROM assigned WHERE vec_id % 100 = 0
+            FROM assigned WHERE {_QFILTER}
         ), ivf_scored AS (
             SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
             FROM iq JOIN assigned a ON q_centroid = a.centroid_id AND q_id <> a.vec_id
@@ -572,7 +588,7 @@ def _ann_recall_sql(k: int = 10) -> str:
             SELECT vec_id AS q_id, emb AS q_emb, cid AS q_centroid FROM (
                 SELECT vec_id, emb, cid,
                        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
-                FROM cscores WHERE vec_id % 100 = 0
+                FROM cscores WHERE {_QFILTER}
             ) r WHERE rn <= 2
         ), mp_scored AS (
             SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
@@ -802,15 +818,18 @@ QUERIES: dict[str, QuerySpec] = {
                    CAST(count(*) AS BIGINT) AS n_langs
             FROM lang_tok
         ), weighted AS (
-            SELECT d.*,
+            SELECT d.*, corpus_tokens, n_langs, lang_tokens,
                    CAST(corpus_tokens AS DOUBLE) / (n_langs * lang_tokens)
                    AS weight
             FROM docs d JOIN lang_tok USING (lang) CROSS JOIN totals
         ), drawn AS (
+            -- integer cross-multiply thresholds (curation.mixture_sample):
+            -- floor(w) = N div D, frac_bp = (N mod D)*10^4 div D
             SELECT lang, source, weight,
-                   CAST(floor(weight) AS BIGINT)
+                   corpus_tokens // (n_langs * lang_tokens)
                    + CASE WHEN {h32_sql("(CAST(doc_id AS VARCHAR) || '|mix')")} % 10000
-                               < floor((weight - floor(weight)) * 10000)
+                               < (corpus_tokens % (n_langs * lang_tokens)) * 10000
+                                 // (n_langs * lang_tokens)
                           THEN 1 ELSE 0 END AS n_copies
             FROM weighted
         )
@@ -1463,14 +1482,13 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_bruteforce": QuerySpec(
         _emb(lambda df: similarity.knn_bruteforce(df, 10)),
         f"""
-        WITH q AS (
-            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
-            FROM embeddings WHERE vec_id % 100 = 0
-        ), c AS (
+        WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE {_QFILTER}
         ), scored AS (
             SELECT q_id, vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
-            FROM q, c WHERE q_id <> vec_id
+            FROM q, v WHERE q_id <> vec_id
         ), ranked AS (
             SELECT q_id, vec_id, cos_sim,
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
@@ -1494,8 +1512,8 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                    {_bucket_sql('CAST(embedding AS DOUBLE[])', _PLANES)} AS bucket
             FROM embeddings
-        ), q AS (
-            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id % 100 = 0
+        ), {_qids_cte(src="b")}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE {_QFILTER}
         ), scored AS (
             SELECT q_id, b.vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
             FROM q JOIN b ON q_bucket = bucket AND q_id <> b.vec_id
@@ -1516,9 +1534,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "knn_ivf": QuerySpec(
         _emb(lambda df: similarity.knn_ivf(df, 10)),
-        f"""{_ivf_assigned_cte()}, q AS (
+        f"""{_ivf_assigned_cte()}, {_qids_cte()}, q AS (
             SELECT vec_id AS q_id, emb AS q_emb, centroid_id AS q_centroid
-            FROM assigned WHERE vec_id % 100 = 0
+            FROM assigned WHERE {_QFILTER}
         ), scored AS (
             SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
             FROM q JOIN assigned a ON q_centroid = a.centroid_id AND q_id <> a.vec_id
@@ -1532,12 +1550,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
-        f"""{_ivf_assigned_cte()}, qprobe AS (
+        f"""{_ivf_assigned_cte()}, {_qids_cte()}, qprobe AS (
             SELECT vec_id AS q_id, emb AS q_emb, cid AS q_centroid
             FROM (
                 SELECT vec_id, emb, cid,
                        row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid DESC) AS rn
-                FROM cscores WHERE vec_id % 100 = 0
+                FROM cscores WHERE {_QFILTER}
             ) r WHERE rn <= 2
         ), scored AS (
             SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
@@ -2820,6 +2838,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "boilerplate_ngrams": ("doc_id",),
     "mixture_weights": ("lang", "source"),
     "semdedup": ("centroid_id",),
+    "zorder_locality": ("layout",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)

@@ -207,5 +207,17 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
     b = {key(r): (r["open"], r["high"], r["low"], r["close"], r["n_events"]) for r in batch.collect()}
     assert s, "stream emitted nothing"
     assert all(b[k] == v for k, v in s.items())
-    # Append mode withholds only windows newer than the final watermark.
-    assert len(s) >= len(b) - 10
+    # Append mode withholds exactly the windows NOT yet finalized at the
+    # final watermark (max event time - 2h watermark): a 1h window is
+    # emitted iff window_end <= watermark, i.e. bucket_ts + 1h <=
+    # max(ts) - 2h. Derived, not a magic slack constant — if the
+    # testdata's tail-hour distribution drifts, the expected set drifts
+    # with it and the assertion stays exact.
+    import datetime
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - datetime.timedelta(hours=2)
+    emitted_expected = {
+        k for k in b if k[0] + datetime.timedelta(hours=1) <= final_wm
+    }
+    assert set(s) == emitted_expected
