@@ -47,6 +47,13 @@ HEADLINE = (
     "knn_bruteforce",            # vector cosine + per-query top-k
     "sessionize",                # stateful-ish window chains
     "tumbling_window",           # event-time windows
+    # round-4 suite extension (BASELINE.md): the LLM-pipeline
+    # centerpiece ops get a round-over-round perf signal. The first 9
+    # queries remain the r01-r03-comparable core; compare totals only
+    # within the same suite definition.
+    "minhash_lsh_pairs",         # banded LSH self-join over checkpointed sigs
+    "knn_ivf",                   # IVF nprobe=1 over the KMV query sample
+    "curation_yield",            # gate→dedup→yield capstone
 )
 
 

@@ -372,31 +372,43 @@ def decontaminate(
     )
 
 
+EVAL_QUERIES_CAP = 50  # hard bound on the dedup-eval query sample
+
+
 def lsh_dedup_eval(
-    df: DataFrame, tau_num: int = 1, tau_den: int = 2, every: int = 10
+    df: DataFrame, tau_num: int = 1, tau_den: int = 2, cap: int = EVAL_QUERIES_CAP
 ) -> DataFrame:
     """Dedup-index evaluation (the ann_recall of the dedup family):
     precision/recall of the MinHash-LSH candidate pairs against EXACT
-    shingle-Jaccard ground truth on a bounded query sample.
+    shingle-Jaccard ground truth on a HARD-BOUNDED query sample.
 
-    Ground truth: for every sampled document (doc_id % every == 0, the
-    bounded-query-set discipline of knn_*), its exact Jaccard overlap
-    with every other document, computed from distinct shingle sets via
-    a shared-shingle equi-join (co-groups bounded by the sample size
-    per shingle key — never all-pairs). The threshold test is INTEGER
-    (n_inter·den >= num·(sz_a + sz_b - n_inter), tau = num/den), so no
-    float boundary exists cross-engine.
+    Ground truth: for each of the ``cap`` sampled documents (the cap
+    smallest ``h32(doc_id)`` — the same KMV discipline as the knn
+    query set; the round-3 ``doc_id % 10`` scheme sampled a corpus
+    FRACTION, which at 100 TB makes the truth join O(corpus·10%)),
+    its exact Jaccard overlap with every other document, computed from
+    distinct shingle sets via a shared-shingle equi-join (co-groups
+    bounded by the cap per shingle key — never all-pairs). The
+    threshold test is INTEGER (n_inter·den >= num·(sz_a + sz_b -
+    n_inter), tau = num/den), so no float boundary exists cross-engine.
 
     Predicted: minhash_lsh_pairs restricted to pairs touching the
     sample. Output is one row: truth/predicted/hit counts, precision,
     recall — the numbers that justify (or veto) replacing exact dedup
     with the LSH tier at scale.
     """
+    q_ids = (
+        df.select("doc_id")
+        .withColumn("h", h32(F.col("doc_id").cast("string")))
+        .orderBy("h", "doc_id")
+        .limit(cap)
+        .select("doc_id")
+    )
     sh = df.select(
         "doc_id", F.explode(F.array_distinct(_shingles("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    q_sh = sh.where(F.col("doc_id") % every == 0).select(
+    q_sh = sh.join(F.broadcast(q_ids), "doc_id").select(
         F.col("doc_id").alias("q_id"), "shingle"
     )
     inter = (
@@ -420,8 +432,17 @@ def lsh_dedup_eval(
         )
         .distinct()
     )
-    pred = minhash_lsh_pairs(df).select("doc_a", "doc_b").where(
-        (F.col("doc_a") % every == 0) | (F.col("doc_b") % every == 0)
+    # Pairs touching the sample, via broadcast flag joins (one pass
+    # over the pair stream — no isin-literal list, no double compute).
+    flag_a = q_ids.select(F.col("doc_id").alias("doc_a"), F.lit(1).alias("fa"))
+    flag_b = q_ids.select(F.col("doc_id").alias("doc_b"), F.lit(1).alias("fb"))
+    pred = (
+        minhash_lsh_pairs(df)
+        .select("doc_a", "doc_b")
+        .join(F.broadcast(flag_a), "doc_a", "left")
+        .join(F.broadcast(flag_b), "doc_b", "left")
+        .where(F.col("fa").isNotNull() | F.col("fb").isNotNull())
+        .select("doc_a", "doc_b")
     )
     hits = truth.join(pred, ["doc_a", "doc_b"])
     return (

@@ -6,15 +6,18 @@ resize / frame-sample as Arrow-batched Python stages (``mapInPandas``) —
 the one place imperative Python is the right tool, because codecs aren't
 column expressions.
 
-Two decode paths:
+Three decode paths:
 
 * ``image/png`` — a REAL codec: a pure-Python PNG decoder (zlib +
   struct, no PIL needed) handling 8-bit grayscale/RGB/RGBA with all
   five scanline filters. Dimensions and mean intensity come from the
   decoded pixels, not the metadata (decode *validates* metadata).
+* ``image/bmp`` — a second REAL codec: 24-bit uncompressed (BI_RGB)
+  Windows BMP — BITMAPFILEHEADER/BITMAPINFOHEADER walk, bottom-up row
+  order, 4-byte row padding, BGR channel order all handled.
 * anything else — a clearly-marked deterministic STUB (the container
   has no general codecs); the Spark-side contract (schema, batch
-  iteration, partitioning, UDF signature) is identical on both paths,
+  iteration, partitioning, UDF signature) is identical on all paths,
   so swapping the stub for PIL/ffmpeg is a one-function change.
 """
 
@@ -139,6 +142,74 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
         prev = line
     return width, height, channels, total / (stride * height)
 
+BMP_MAGIC = b"BM"
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def _bmp_stride(width: int) -> int:
+    """Bytes per stored row: 3·width padded up to a 4-byte boundary —
+    the BMP spec's row alignment rule."""
+    return (width * 3 + 3) & ~3
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bit BI_RGB BMP encoder. ``pixels`` is RGB row-major
+    TOP-DOWN (the natural raster order); the encoder performs the two
+    spec transforms — rows stored bottom-up, channels stored BGR —
+    plus per-row zero padding, so the output is a spec-valid file any
+    viewer opens. Used to synthesize real payloads for pipeline tests."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
+    stride = _bmp_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray(pixels[y * width * 3 : (y + 1) * width * 3])
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # RGB -> BGR
+        rows.append(bytes(row) + pad)
+    body = b"".join(rows)
+    file_size = _BMP_HEADER_SIZE + len(body)
+    file_header = struct.pack("<2sIHHI", BMP_MAGIC, file_size, 0, 0, _BMP_HEADER_SIZE)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode a 24-bit uncompressed BMP: (width, height, 3,
+    mean_intensity over all channel bytes). Pure Python: header walk →
+    bottom-up padded-row pixel array. Raises loudly on anything that
+    isn't a baseline 24-bit BI_RGB BMP (palette/RLE/top-down files are
+    out of scope), so the pipeline can quarantine corrupt rows."""
+    if not payload.startswith(BMP_MAGIC):
+        raise ValueError("not a BMP payload")
+    if len(payload) < _BMP_HEADER_SIZE:
+        raise ValueError("truncated BMP: missing headers")
+    _, file_size, _, _, off_bits = struct.unpack("<2sIHHI", payload[:14])
+    (info_size, width, height, planes, bit_count, compression) = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if info_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP: info_size={info_size} planes={planes}")
+    if bit_count != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP: bit_count={bit_count} compression={compression} "
+            "(only 24-bit BI_RGB supported)"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"unsupported BMP: width={width} height={height} "
+                         "(top-down negative-height files out of scope)")
+    stride = _bmp_stride(width)
+    if len(payload) < off_bits + stride * height:
+        raise ValueError("truncated BMP: bad pixel-array length")
+    total = 0
+    for y in range(height):
+        row_start = off_bits + y * stride
+        total += sum(payload[row_start : row_start + width * 3])  # pad excluded
+    return width, height, 3, total / (width * height * 3)
+
+
 # Output schema of the decode/feature stage. Keeping it flat and typed
 # means downstream joins/aggs stay JVM-side.
 FEATURE_SCHEMA = (
@@ -201,6 +272,45 @@ def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid 24-bit BMP payloads (RGB bytes derived
+    deterministically from the document text) — the BMP twin of
+    attach_png_payload, exercising the second real codec end to end
+    (bottom-up row store, BGR swap, row padding)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
+        for batch in batches:
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                data = text.encode("utf-8")
+                w = len(data) % 12 + 1
+                h = len(data) % 8 + 1
+                n = w * h * 3
+                pixels = (data * (n // max(len(data), 1) + 1))[:n]
+                if len(pixels) < n:  # empty/short text: zero-pad
+                    pixels = pixels + b"\x00" * (n - len(pixels))
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_bmp(w, h, bytes(pixels)))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    encoded = df.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, payload binary, width int, height int"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("content_type"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(3).alias("n_channels"),
+        ).alias("meta"),
+    )
+
+
 def _decode_stub(payload: bytes, width: int, height: int, n_channels: int) -> float:
     """STUB decode kernel. A real implementation would be:
         img = PIL.Image.open(io.BytesIO(payload)); np.asarray(img).mean()
@@ -220,19 +330,28 @@ def extract_features(df: DataFrame) -> DataFrame:
     is bounded regardless of partition size — the property that matters
     when payloads are megabytes each. Narrow: no shuffle.
 
-    PNG payloads hit the REAL decoder: width/height/channels/intensity
-    come from the decoded pixels (metadata is not trusted). Other
-    modalities fall back to the deterministic stub kernel."""
+    PNG and BMP payloads hit the REAL decoders: width/height/channels/
+    intensity come from the decoded pixels (metadata is not trusted —
+    though the BMP branch additionally requires the declared
+    ``image/bmp`` content type, because the 2-byte "BM" magic is too
+    weak to sniff safely against arbitrary binary). Other modalities
+    fall back to the deterministic stub kernel."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             meta = pd.DataFrame(list(batch["meta"]))
             widths, heights, chans, intensities = [], [], [], []
-            for p, w, h, c in zip(
-                batch["payload"], meta["width"], meta["height"], meta["n_channels"]
+            for p, ct, w, h, c in zip(
+                batch["payload"],
+                meta["content_type"],
+                meta["width"],
+                meta["height"],
+                meta["n_channels"],
             ):
                 if p[: len(PNG_MAGIC)] == PNG_MAGIC:
                     dw, dh, dc, mean = decode_png(bytes(p))
+                elif ct == "image/bmp" and p[: len(BMP_MAGIC)] == BMP_MAGIC:
+                    dw, dh, dc, mean = decode_bmp(bytes(p))
                 else:
                     dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
                 widths.append(dw)
@@ -350,6 +469,34 @@ def png_decode_stats(df: DataFrame) -> DataFrame:
         # total is an exact integer <= 255·16·12; mean carries ~1e-13
         # relative error, so round() reconstructs it exactly.
         F.round(F.col("mean_intensity") * n_pixels).cast("long").alias("sum_intensity"),
+        "mean_intensity",
+    )
+
+
+def bmp_decode_stats(df: DataFrame) -> DataFrame:
+    """Oracle-checkable BMP decode round-trip — the BMP twin of
+    ``png_decode_stats`` (odd doc_ids, so the two real codecs split the
+    corpus between them).
+
+    Synthesize spec-valid 24-bit BMPs from odd-doc_id documents
+    (attach_bmp_payload: width = len % 12 + 1, height = len % 8 + 1,
+    RGB bytes = the text bytes tiled to w·h·3), decode with the FULL
+    codec (header walk → bottom-up padded rows → BGR bytes), and emit
+    per-document stats the synthesis rules make SQL-predictable. The
+    byte SUM is invariant under the encoder's bottom-up/BGR/padding
+    transforms (padding is excluded by the decoder), so the DuckDB
+    oracle recomputes it from the raw text with NO BMP machinery —
+    agreement proves the encode→decode round-trip is lossless."""
+    feats = extract_features(attach_bmp_payload(df.where(F.col("doc_id") % 2 == 1)))
+    n_bytes_px = F.col("width") * F.col("height") * F.lit(3)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+        # exact integer <= 255·12·8·3; mean carries ~1e-13 relative
+        # error, so round() reconstructs it exactly.
+        F.round(F.col("mean_intensity") * n_bytes_px).cast("long").alias("sum_intensity"),
         "mean_intensity",
     )
 

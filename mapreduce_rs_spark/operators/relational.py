@@ -136,6 +136,40 @@ def join_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def join_revenue_by_nation_bucketed(
+    t: dict[str, DataFrame], lineitem_b: DataFrame, orders_b: DataFrame
+) -> DataFrame:
+    """``join_revenue_by_nation`` over PRE-BUCKETED fact tables — the
+    rescue for the one big-big shuffle in the headline join: write
+    lineitem and orders bucketed (+bucket-sorted) on the order key once
+    (sources/bucketing.py), and every subsequent run's fact join is a
+    co-located sort-merge join with NO exchange and NO sort above
+    either scan. The only remaining shuffle in the whole query is the
+    tiny (r_name, n_name)-keyed aggregate — asserted in
+    tests/test_bucketing.py and A/B-timed in SCALE.md.
+
+    Dims are broadcast-hinted here; at 100 TB customer (the largest
+    dim) would itself be bucketed on c_custkey or left to AQE rather
+    than broadcast — the fact-join rescue is the point of this variant.
+    Identical arithmetic/agg body to join_revenue_by_nation, so the two
+    results are row-identical (also asserted)."""
+    rev = (
+        lineitem_b
+        .join(orders_b, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    one = F.lit(1).cast(RATE)
+    return (
+        rev.groupBy("r_name", "n_name")
+        .agg(
+            stable_sum(money("l_extendedprice") * (one - rate("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q3 shape: selective filters on both fact inputs, 3-way
     join, revenue aggregate, top-10. The segment filter prunes customer

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduce_rs_spark.functions.hashing import h32
-from mapreduce_rs_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from mapreduce_rs_spark.functions.vectors import l2_norm
 from mapreduce_rs_spark.operators.materialize import materialize
 from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
@@ -34,6 +34,49 @@ N_PLANES = 6
 PLANE_SEED = 42
 PLANE_DECIMALS = 6
 EMBED_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Cast-hoisted vector primitives. Higher-order functions are INTERPRETED
+# (no whole-stage codegen, no common-subexpression elimination), so a
+# float->double cast written inside a per-centroid/per-plane/per-pair
+# expression re-executes for every one of them on every row. The hot
+# paths therefore pre-project the embedding to double ONCE per row
+# (`.cast("array<double>")`) and per-row norms ONCE per side of a
+# scoring join, then combine with these cast-free primitives. The float
+# arithmetic (element cast -> multiply -> left-to-right sum -> sqrt ->
+# divide) is op-for-op identical to functions.vectors, so results stay
+# bit-identical to the DuckDB oracle. Measured 1.6x on ivf_assign and
+# ~2x on pairwise cosine stages at sf0.1.
+# ---------------------------------------------------------------------------
+
+_DBL = "array<double>"
+
+
+def _lit_vec(v: list[float]) -> F.Column:
+    """Literal double array (constant-folded by Catalyst — zero per-row
+    construction or cast cost)."""
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _dot_raw(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product of two ALREADY-double array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _l2_raw(a: F.Column) -> F.Column:
+    """Euclidean norm of an ALREADY-double array column."""
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def _cos_pair(a: F.Column, b: F.Column, na: F.Column, nb: F.Column) -> F.Column:
+    """Cosine from pre-cast arrays + precomputed per-side norms;
+    NULL-safe for zero vectors exactly like vectors.cosine_similarity."""
+    denom = na * nb
+    return F.when(denom != 0, _dot_raw(a, b) / denom)
 
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
@@ -72,23 +115,49 @@ def _query_set(df: DataFrame, cap: int = N_QUERIES_CAP) -> DataFrame:
     )
 
 
+def _enrich_queries(q: DataFrame, *extra: F.Column) -> DataFrame:
+    """(q_id, q_embd, q_norm, *extra) in ONE projection over the KMV
+    sample. SINGLE-PROJECTION RULE: stacked selects/withColumns here get
+    pushed below the limit by PushProjectionThroughLimit, and two
+    stacked Projects no longer match TakeOrderedAndProject's
+    Limit(Project(Sort)) pattern — the fallback plans a FULL-CORPUS
+    range sort (observed), exactly the shuffle the KMV sample exists to
+    avoid. One projection collapses with _query_set's column prune and
+    the pattern holds; the cast is re-evaluated inside each derived
+    expression, which costs nothing on a cap-row frame.
+    ``extra`` expressions may reference ``F.col("q_emb")`` (pre-cast)
+    or build on ``_q_embd_expr()``."""
+    return q.select("q_id", _q_embd_expr().alias("q_embd"),
+                    _l2_raw(_q_embd_expr()).alias("q_norm"), *extra)
+
+
+def _q_embd_expr() -> F.Column:
+    return F.col("q_emb").cast(_DBL)
+
+
 def knn_bruteforce(df: DataFrame, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for the query subset.
 
     Broadcast the queries; corpus-side scan computes cosines without a
     shuffle; the only shuffle is the per-query top-k window over
-    |queries|·|corpus| score rows — prune early with the window."""
-    queries = _query_set(df)
+    |queries|·|corpus| score rows — prune early with the window.
+    Casts and norms are hoisted to once-per-row projections on each
+    join side, so per-pair work is one dot + one divide."""
+    queries = _enrich_queries(_query_set(df))
     # Per-row cosine work is CPU-bound; spread single-split scans
     # (no-op on real multi-split inputs).
-    corpus = ensure_parallelism(df, "vec_id")
+    corpus = ensure_parallelism(df, "vec_id").select(
+        "vec_id", F.col("embedding").cast(_DBL).alias("embd")
+    ).withColumn("c_norm", _l2_raw(F.col("embd")))
     scored = (
-        corpus.alias("c")
+        corpus
         .join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            _cos_pair(
+                F.col("q_embd"), F.col("embd"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -99,12 +168,12 @@ def knn_bruteforce(df: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
-def _bucket_expr(emb: F.Column, planes: list[list[float]]) -> F.Column:
-    """LSH bucket id: Σ (dot(emb, plane_p) > 0) << p."""
+def _bucket_expr(embd: F.Column, planes: list[list[float]]) -> F.Column:
+    """LSH bucket id: Σ (dot(embd, plane_p) > 0) << p. ``embd`` must be
+    an already-double array (callers pre-cast once per row)."""
     bucket = F.lit(0)
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(emb, plane_col) > 0, F.lit(1 << p)).otherwise(0)
+        bit = F.when(_dot_raw(embd, _lit_vec(plane)) > 0, F.lit(1 << p)).otherwise(0)
         bucket = bucket + bit
     return bucket.cast("long")
 
@@ -115,7 +184,8 @@ def lsh_buckets(df: DataFrame, planes: list[list[float]] | None = None) -> DataF
     ANN join would see."""
     planes = planes or hyperplanes()
     return (
-        df.select(_bucket_expr(F.col("embedding"), planes).alias("bucket"))
+        df.select(F.col("embedding").cast(_DBL).alias("embd"))
+        .select(_bucket_expr(F.col("embd"), planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
@@ -126,15 +196,22 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
     (equi-join on bucket id), exact cosine re-rank within the bucket.
     Identical algorithm in the oracle → identical (approximate) answer."""
     planes = planes or hyperplanes()
-    bucketed = ensure_parallelism(df, "vec_id").select(
-        "vec_id", "embedding", _bucket_expr(F.col("embedding"), planes).alias("bucket")
+    bucketed = (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", F.col("embedding").cast(_DBL).alias("embd"))
+        .select(
+            "vec_id",
+            "embd",
+            _bucket_expr(F.col("embd"), planes).alias("bucket"),
+            _l2_raw(F.col("embd")).alias("c_norm"),
+        )
     )
-    # The KMV query sample carries only (q_id, q_emb); its bucket is
-    # recomputed with the identical expression on the cap-row frame —
-    # free, and it keeps the bounded TakeOrdered shape instead of
-    # filtering the full bucketed corpus.
-    queries = _query_set(df).select(
-        "q_id", "q_emb", _bucket_expr(F.col("q_emb"), planes).alias("q_bucket")
+    # The KMV query sample carries only (q_id, q_emb); its bucket and
+    # norm are recomputed with the identical expressions on the cap-row
+    # frame — free, and it keeps the bounded TakeOrdered shape instead
+    # of filtering the full bucketed corpus.
+    queries = _enrich_queries(
+        _query_set(df), _bucket_expr(_q_embd_expr(), planes).alias("q_bucket")
     )
     scored = (
         bucketed.join(
@@ -144,7 +221,9 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
         .select(
             "q_id",
             "vec_id",
-            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+            _cos_pair(
+                F.col("q_embd"), F.col("embd"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -279,15 +358,17 @@ def centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
     return _init_centroids(n, dim)
 
 
-def _centroid_scores(emb: F.Column, cents: list[list[float]]) -> F.Column:
+def _centroid_scores(embd: F.Column, cents: list[list[float]]) -> F.Column:
     """Array of (score, cid) structs, one per centroid — the single
     construction site shared by single-probe argmax assignment and
     multiprobe top-n selection, so tie-break encoding can never
-    desynchronize between the two."""
+    desynchronize between the two. ``embd`` must be an already-double
+    array (callers pre-cast once per row — a k-way re-cast here was
+    the dominant assignment cost)."""
     return F.array(
         *[
             F.struct(
-                dot(emb, F.array(*[F.lit(x) for x in c])).alias("score"),
+                _dot_raw(embd, _lit_vec(c)).alias("score"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(cents)
@@ -295,12 +376,12 @@ def _centroid_scores(emb: F.Column, cents: list[list[float]]) -> F.Column:
     )
 
 
-def _nearest_centroid_expr(emb: F.Column, cents: list[list[float]]) -> F.Column:
+def _nearest_centroid_expr(embd: F.Column, cents: list[list[float]]) -> F.Column:
     """Argmax-by-dot-product centroid id: array_max over (score, id)
     structs — ties resolve to the higher id (struct ordering compares
     score first, then cid), mirrored in the oracle's ORDER BY score
-    DESC, cid DESC."""
-    return F.array_max(_centroid_scores(emb, cents)).getField("cid")
+    DESC, cid DESC. ``embd`` must be already-double."""
+    return F.array_max(_centroid_scores(embd, cents)).getField("cid")
 
 
 def ivf_assign(df: DataFrame, cents: list[list[float]] | None = None) -> DataFrame:
@@ -308,10 +389,14 @@ def ivf_assign(df: DataFrame, cents: list[list[float]] | None = None) -> DataFra
     the IVF inverted-list build. Narrow; at scale you'd write the
     result partitioned by centroid_id so probes prune at the scan."""
     cents = cents or centroids()
-    return ensure_parallelism(df, "vec_id").select(
-        "vec_id",
-        "embedding",
-        _nearest_centroid_expr(F.col("embedding"), cents).alias("centroid_id"),
+    return (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", "embedding", F.col("embedding").cast(_DBL).alias("_embd"))
+        .select(
+            "vec_id",
+            "embedding",
+            _nearest_centroid_expr(F.col("_embd"), cents).alias("centroid_id"),
+        )
     )
 
 
@@ -330,13 +415,12 @@ def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
     own centroid's inverted list (equi-join on centroid_id), exact
     cosine re-rank inside the list."""
     cents = centroids()
-    assigned = ivf_assign(df, cents)
+    assigned = _ivf_assigned_scored(df, cents)
     # Query centroid recomputed on the cap-row KMV sample with the same
     # argmax expression as the corpus assignment (see _query_set).
-    queries = _query_set(df).select(
-        "q_id",
-        "q_emb",
-        _nearest_centroid_expr(F.col("q_emb"), cents).alias("q_centroid"),
+    queries = _enrich_queries(
+        _query_set(df),
+        _nearest_centroid_expr(_q_embd_expr(), cents).alias("q_centroid"),
     )
     scored = assigned.join(
         F.broadcast(queries),
@@ -344,13 +428,30 @@ def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
     ).select(
         "q_id",
         "vec_id",
-        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        _cos_pair(
+            F.col("q_embd"), F.col("embd"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+def _ivf_assigned_scored(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Corpus side of an IVF probe: (vec_id, embd, c_norm, centroid_id)
+    with the cast, norm, and assignment each computed ONCE per row."""
+    return (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", F.col("embedding").cast(_DBL).alias("embd"))
+        .select(
+            "vec_id",
+            "embd",
+            _l2_raw(F.col("embd")).alias("c_norm"),
+            _nearest_centroid_expr(F.col("embd"), cents).alias("centroid_id"),
+        )
     )
 
 
@@ -368,23 +469,28 @@ def knn_ivf_multiprobe(
     descending order gives ties → higher cid, identical to the
     single-probe assignment rule and the oracle's ORDER BY."""
     cents = centroids()
-    assigned = ivf_assign(df, cents)
+    assigned = _ivf_assigned_scored(df, cents)
     sorted_scores = F.sort_array(
-        _centroid_scores(F.col("q_emb"), cents), asc=False
+        _centroid_scores(_q_embd_expr(), cents), asc=False
     )
     probes = F.slice(F.transform(sorted_scores, lambda s: s.getField("cid")), 1, nprobe)
     # Probe selection runs on the cap-row KMV query sample (_query_set),
     # never on the corpus — the nprobe centroid scoring is cap·k dots.
-    queries = _query_set(df).select(
-        "q_id", "q_emb", F.explode(probes).alias("q_centroid")
-    )
+    # The probes ARRAY is computed inside the single enrichment
+    # projection (single-projection rule, see _enrich_queries); the
+    # explode sits ABOVE the limit, so TakeOrdered still matches.
+    queries = _enrich_queries(
+        _query_set(df), probes.alias("q_probes")
+    ).select("q_id", "q_embd", "q_norm", F.explode("q_probes").alias("q_centroid"))
     scored = assigned.join(
         F.broadcast(queries),
         (F.col("q_centroid") == F.col("centroid_id")) & (F.col("q_id") != F.col("vec_id")),
     ).select(
         "q_id",
         "vec_id",
-        cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        _cos_pair(
+            F.col("q_embd"), F.col("embd"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -435,10 +541,17 @@ def embedding_near_dup(
     calibration lives at the call site, not in the API default."""
     planes = planes or hyperplanes()
     # Materialize once; the self-join would recompute 2x. persist_dir
-    # selects the durable parquet path (operators/materialize.py).
+    # selects the durable parquet path (operators/materialize.py). The
+    # materialized row carries the pre-cast double embedding AND its
+    # norm, so per-PAIR work in the self-join is one dot + one divide.
     bucketed = materialize(
-        ensure_parallelism(df, "vec_id").select(
-            "vec_id", "embedding", _bucket_expr(F.col("embedding"), planes).alias("bucket")
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", F.col("embedding").cast(_DBL).alias("embd"))
+        .select(
+            "vec_id",
+            "embd",
+            _bucket_expr(F.col("embd"), planes).alias("bucket"),
+            _l2_raw(F.col("embd")).alias("nrm"),
         ),
         persist_dir,
         "near_dup_buckets",
@@ -453,7 +566,9 @@ def embedding_near_dup(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            _cos_pair(
+                F.col("a.embd"), F.col("b.embd"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -489,7 +604,16 @@ def semdedup(
     embeddings (like embedding_near_dup's 0.30) so the gate exercises
     real drops; production embeddings use ~0.95+.
     """
-    assigned = materialize(ivf_assign(df), persist_dir, "ivf_assign")
+    # The materialized assignment row carries the pre-cast double
+    # embedding and its norm: per-PAIR work in the cluster-blocked
+    # self-join is one dot + one divide.
+    assigned = materialize(
+        _ivf_assigned_scored(df, centroids()).select(
+            "vec_id", "centroid_id", "embd", F.col("c_norm").alias("nrm")
+        ),
+        persist_dir,
+        "ivf_assign",
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
@@ -498,7 +622,10 @@ def semdedup(
             & (F.col("b.vec_id") < F.col("a.vec_id")),
         )
         .where(
-            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")) >= tau
+            _cos_pair(
+                F.col("a.embd"), F.col("b.embd"), F.col("a.nrm"), F.col("b.nrm")
+            )
+            >= tau
         )
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
@@ -652,12 +779,12 @@ def _pq_code_expr(sub: F.Column, book: list[list[float]]) -> F.Column:
     codebook literals so both engines consume identical constants. Tie
     -> LOWER code id (array_max on (score, -cid) structs), mirroring
     numpy argmin in pq_fit and ORDER BY score DESC, cid ASC in the
-    oracle."""
+    oracle. ``sub`` must be an already-double subvector slice."""
     scored = F.array(
         *[
             F.struct(
                 (
-                    2.0 * dot(sub, F.array(*[F.lit(v) for v in c]))
+                    2.0 * _dot_raw(sub, _lit_vec(c))
                     - F.lit(sum(v * v for v in c))
                 ).alias("score"),
                 F.lit(-i).alias("neg_cid"),
@@ -677,14 +804,28 @@ def pq_assign(df: DataFrame) -> DataFrame:
     Narrow (per-row expressions only); at scale the output is the
     memory-resident index: PQ_M small ints per vector."""
     books = _pq_codebooks()
-    emb = F.col("embedding")
-    return ensure_parallelism(df, "vec_id").select(
-        "vec_id",
-        "embedding",
-        *[
-            _pq_code_expr(_subvec(emb, sub), book).alias(f"code_{sub}")
-            for sub, book in enumerate(books)
-        ],
+    # Two hoists: the double cast once per row, then each subvector
+    # slice once per row (instead of once per CODE — 16x per subspace
+    # in the interpreted expression).
+    return (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", "embedding", F.col("embedding").cast(_DBL).alias("_embd"))
+        .select(
+            "vec_id",
+            "embedding",
+            *[
+                _subvec(F.col("_embd"), sub).alias(f"_sub{sub}")
+                for sub in range(len(books))
+            ],
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            *[
+                _pq_code_expr(F.col(f"_sub{sub}"), book).alias(f"code_{sub}")
+                for sub, book in enumerate(books)
+            ],
+        )
     )
 
 
@@ -718,21 +859,20 @@ def knn_pq(df: DataFrame, k: int = 10) -> DataFrame:
     assigned = pq_assign(df).select(
         "vec_id", *[f"code_{sub}" for sub in range(PQ_M)]
     )
-    queries = _query_set(df)
-    q_emb = F.col("q_emb")
-    # Per-query lookup tables: luts[sub][code] = dot(q_sub, book[sub][code]).
+    # Per-query lookup tables: luts[sub][code] = dot(q_sub, book[sub][code]),
+    # computed in ONE projection over the KMV sample (single-projection
+    # rule — see _enrich_queries; the cast re-evaluates per lut entry on
+    # a cap-row frame, which is free).
+    q_embd = _q_embd_expr()
     luts = F.array(
         *[
             F.array(
-                *[
-                    dot(_subvec(q_emb, sub), F.array(*[F.lit(v) for v in c]))
-                    for c in book
-                ]
+                *[_dot_raw(_subvec(q_embd, sub), _lit_vec(c)) for c in book]
             )
             for sub, book in enumerate(books)
         ]
     )
-    q = queries.select("q_id", luts.alias("luts"))
+    q = _query_set(df).select("q_id", luts.alias("luts"))
     def term(sub: int) -> F.Column:
         # element_at is 1-based; codes are 0-based.
         return F.element_at(F.col("luts")[sub], F.col(f"code_{sub}") + 1)

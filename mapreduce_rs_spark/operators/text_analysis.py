@@ -745,3 +745,43 @@ def term_drift(df: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("lang", "word", "cnt_a", "cnt_b", "drift", "rnk")
     )
+
+
+def bpe_merge_candidates(df: DataFrame, k: int = 20) -> DataFrame:
+    """First BPE merge iteration over the corpus — the statistic a
+    tokenizer trainer computes to pick its next merge rule: for every
+    adjacent CHARACTER pair inside a word, the total number of
+    occurrences across the corpus (weighted by word frequency), ranked.
+
+    Scale shape — the classic BPE-trainer optimization: pair counting
+    runs over the VOCABULARY (distinct words x their corpus counts),
+    never the raw token stream, so the explode is bounded by the sum of
+    |word| over distinct words — dictionary-sized, not corpus-sized.
+    At 100 TB the word-count aggregate is the only corpus-scale stage
+    (same plan as the flagship word count); everything after runs on
+    the vocabulary. The final top-k window runs on the PAIR ALPHABET
+    (<= |chars|^2 rows) — the provably-small single-partition global
+    phase pattern of vocab_coverage/skyline. Counts are integers;
+    rank ties break on the pair string — deterministic cross-engine.
+
+    A character pair is a 2-char substring, so the whole pipeline is
+    JVM-side substring arithmetic (no UDF): pairs(word) =
+    [substring(word, i, 2) for i in 1..len-1].
+    """
+    wc = (
+        explode_tokens(df)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_list = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    pairs = wc.select("cnt", F.explode(pair_list).alias("pair"))
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select("pair", "n_occurrences", "rnk")
+    )

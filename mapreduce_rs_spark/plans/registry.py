@@ -1408,14 +1408,18 @@ QUERIES: dict[str, QuerySpec] = {
     "lsh_dedup_eval": QuerySpec(
         _docs(dedup.lsh_dedup_eval),
         f"""
-        WITH {_shingles_ctes()}, dsh AS (
+        WITH {_shingles_ctes()}, deqids AS (
+            SELECT doc_id FROM documents
+            ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+            LIMIT {dedup.EVAL_QUERIES_CAP}
+        ), dsh AS (
             SELECT DISTINCT doc_id, shingle FROM shingles
         ), sizes AS (
             SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id
         ), inter AS (
             SELECT q.doc_id AS q_id, d.doc_id AS doc_id,
                    count(*) AS n_inter
-            FROM (SELECT * FROM dsh WHERE doc_id % 10 = 0) q
+            FROM (SELECT * FROM dsh WHERE doc_id IN (SELECT doc_id FROM deqids)) q
             JOIN dsh d USING (shingle)
             WHERE q.doc_id <> d.doc_id
             GROUP BY 1, 2
@@ -1428,7 +1432,8 @@ QUERIES: dict[str, QuerySpec] = {
             WHERE n_inter * 2 >= 1 * (sq.sz + sd.sz - n_inter)
         ), pred AS (
             SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
-            WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+            WHERE doc_a IN (SELECT doc_id FROM deqids)
+               OR doc_b IN (SELECT doc_id FROM deqids)
         ), hits AS (
             SELECT count(*) AS n_hits
             FROM truth JOIN pred USING (doc_a, doc_b)
@@ -1444,7 +1449,7 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "dedup-index evaluation (the ann_recall of the dedup family): "
         "LSH candidate pairs vs exact shingle-Jaccard truth on a "
-        "bounded query sample; integer threshold test",
+        "HARD-BOUNDED KMV query sample; integer threshold test",
     ),
     "tfidf_top_terms": QuerySpec(
         _docs(lambda df: ta.tfidf_top_terms(df, 3)),
@@ -1465,6 +1470,30 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT doc_id, word, tf, df_docs, tfidf, rnk
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
+    ),
+    "bpe_merge_candidates": QuerySpec(
+        _docs(lambda df: ta.bpe_merge_candidates(df, 20)),
+        f"""{WORDS_CTE.replace("SELECT doc_id, lang,", "SELECT")}, wc AS (
+            SELECT word, count(*) AS cnt FROM words GROUP BY word
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(word)),
+                          i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+                   cnt
+            FROM wc
+        ), agg AS (
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, n_occurrences, rnk FROM (
+            SELECT pair, n_occurrences,
+                   CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INTEGER) AS rnk
+            FROM agg
+        ) r WHERE rnk <= 20
+        """,
+        "first BPE merge iteration: adjacent char-pair counts weighted "
+        "by word frequency — pair stats over the VOCABULARY, never the "
+        "token stream (the BPE-trainer optimization); top-k window on "
+        "the pair alphabet",
     ),
     "pq_code_histogram": QuerySpec(
         _emb(similarity.pq_code_histogram),
@@ -2209,12 +2238,14 @@ QUERIES: dict[str, QuerySpec] = {
                    CAST(length(text) % 12 + 1 AS INTEGER) AS height
             FROM documents WHERE doc_id % 2 = 0
         ), sums AS (
+            -- empty-text guards: len=0 synthesizes a zero-padded 1x1
+            -- image, so every sum term must collapse to 0, not NULL.
             SELECT doc_id, width, height,
                    width * height AS n_pixels,
-                   (width * height) // len AS full_reps,
-                   CAST(list_aggregate(list_transform(range(1, len + 1),
-                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT) AS all_sum,
-                   COALESCE(CAST(list_aggregate(list_transform(range(1, (width * height) % len + 1),
+                   CASE WHEN len = 0 THEN 0 ELSE (width * height) // len END AS full_reps,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE (width * height) % len END + 1),
                         i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS prefix_sum
             FROM base
         )
@@ -2224,6 +2255,34 @@ QUERIES: dict[str, QuerySpec] = {
         FROM sums ORDER BY doc_id
         """,
         "PNG decode round-trip vs a pure-text oracle: codec losslessness is the correctness claim",
+    ),
+    "bmp_decode_stats": QuerySpec(
+        _docs(multimodal.bmp_decode_stats),
+        """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 12 + 1 AS INTEGER) AS width,
+                   CAST(length(text) % 8 + 1 AS INTEGER) AS height
+            FROM documents WHERE doc_id % 2 = 1
+        ), sums AS (
+            -- empty-text guards as in png_decode_stats.
+            SELECT doc_id, width, height,
+                   width * height AS n_pixels,
+                   width * height * 3 AS n_px_bytes,
+                   CASE WHEN len = 0 THEN 0 ELSE (width * height * 3) // len END AS full_reps,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE (width * height * 3) % len END + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS prefix_sum
+            FROM base
+        )
+        SELECT doc_id, width, height, n_pixels,
+               CAST(full_reps * all_sum + prefix_sum AS BIGINT) AS sum_intensity,
+               CAST(full_reps * all_sum + prefix_sum AS DOUBLE) / n_px_bytes AS mean_intensity
+        FROM sums ORDER BY doc_id
+        """,
+        "BMP decode round-trip vs a pure-text oracle: the second real codec "
+        "(24-bit BI_RGB; bottom-up rows, BGR, padding) externally verified",
     ),
     "multimodal_features": QuerySpec(
         _docs(multimodal.multimodal_features),
@@ -2820,6 +2879,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "curation_yield_neardup": ("lang",),
     "source_extraction": ("src_num",),
     "png_decode_stats": ("doc_id",),
+    "bmp_decode_stats": ("doc_id",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q15_top_supplier": ("s_suppkey",),
@@ -2839,6 +2899,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "mixture_weights": ("lang", "source"),
     "semdedup": ("centroid_id",),
     "zorder_locality": ("layout",),
+    "bpe_merge_candidates": ("rnk",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -2867,68 +2928,71 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- current window. (a) new THIS round — never driver-checked:
-    "pagerank_trade_flows",  # NEW: fixed-point iterative PageRank
-    "bigram_pmi",            # NEW: collocation PMI, ln-difference form
-    "copurchase_pairs",      # NEW: market-basket lift
-    "skyline_parts",         # NEW: two-phase Pareto frontier
-    "event_paths",           # NEW: common-journeys path analysis
-    "value_anomalies",       # NEW: per-user z-score outliers
-    "time_weighted_value",   # NEW: TSDB time-weighted average (LOCF)
-    "ohlc_bars",             # NEW: hourly OHLC candlesticks
-    "gapfill_hourly",        # NEW: dense-grid TSDB gap fill
-    "referential_audit",     # NEW: FK orphan audit over the star schema
-    "pq_code_histogram",     # NEW: PQ codebook balance
-    "knn_pq",                # NEW: PQ ADC approximate top-k
-    "ann_recall",            # MODIFIED: now also evaluates the pq index
-    "skipgram_pmi",          # NEW: window-2 skip-gram co-occurrence PMI
-    "vocab_coverage",        # NEW: tokenizer vocab sizing
-    "mixture_sample",        # NEW: materialized mixture with hash draws
-    "zorder_locality",       # NEW: Morton-curve layout evaluation
-    "term_drift",            # NEW: corpus distribution-shift monitor
-    "lsh_dedup_eval",        # NEW: dedup-index precision/recall harness
-    "hourly_percentile_bands",  # NEW: SLO percentile bands per hour
-    # (a') new last round, still awaiting their first driver row:
-    "repetition_signals",    # Gopher repetition battery
-    "boilerplate_ngrams",    # cross-doc boilerplate 3-gram coverage
-    "mixture_weights",       # uniform-over-language mixture weights
-    "semdedup",              # IVF-cluster-scoped semantic dedup
-    "curation_yield_signals",  # capstone v3 with the signal gates
-    "chunk_documents",       # context-window chunking with overlap
-    # (b) last external row is r01 — stale, refresh first:
-    "lsh_buckets",
-    "knn_lsh",
-    "dedup_exact",
-    "window_top_orders_per_customer",
-    "simhash_signatures",
+    # ---- round-4 window (50 slots). (a) NEVER driver-checked — the
+    # r03 verdict's #2 ask: close union coverage to 125/125. The 16
+    # carried over (TPC-H battery + r3 stragglers) plus the round-4
+    # BMP codec query:
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_sole_late_supplier",
+    "q22_dormant_customers",
+    "decontaminate",
+    "corpus_profile",
+    "latest_event_state",
+    "png_decode_stats",
+    "bmp_decode_stats",      # NEW this round: second real codec
+    # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
+    # harness), IVF k refit 8->16 (assignment/histogram/semdedup
+    # results changed), cast-hoisted scoring (values proven identical
+    # locally — the external row closes it), integer mixture
+    # thresholds, zorder presentation sort:
     "knn_bruteforce",
-    # (c) restructured in round 3 (presentation sort moved to the
-    # registry wrapper) but pushed past the r03 window by the round-3
-    # additions — their r02 rows predate the restructuring, so a fresh
-    # record closes the "identical by construction" claim:
-    "wordcount",
-    "wordcount_salted",
-    "rdd_wordcount",
-    "q1_pricing_summary",
-    "join_revenue_by_nation",
-    "q3_shipping_priority",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "sessionize",
-    "tumbling_window",
-    "jaccard_pairs",
-    "tfidf_top_terms",
-    "curation_yield",
-    # (d) r02-green and unchanged since — freshest-possible refresh fills
-    # the remaining window slots; the four left past the 50-entry cut
-    # (agg_order_priorities, pivot_status_by_priority,
-    # unpivot_status_totals, source_extraction, pack_sequences — stable
-    # shapes untouched since r02) keep their r02 green rows as evidence:
-    "bigrams",
-    "cube_status_priority",
-    "window_running_revenue",
-    "having_active_customers",
-    "range_join_price_bands",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_multiprobe",
+    "knn_pq",
+    "ann_recall",
+    "lsh_buckets",
+    "ivf_histogram",
+    "semdedup",
+    "embedding_near_dup",
+    "pq_code_histogram",
+    "mixture_sample",
+    "zorder_locality",
+    "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
+    "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
+    # (c) stalest external rows (last green r01) — first 18 of 26; the
+    # remaining eight (set_ops_multiset, nations_in_region,
+    # percentiles_by_priority, grouping_sets_returns,
+    # customers_above_nation_avg, date_functions_showcase,
+    # winnow_fingerprints, array_functions_showcase — all untouched
+    # since r01) rotate in next round:
+    "wordcount_topk",
+    "wordcount_mapreduce_udf",
+    "doc_stats",
+    "top_terms_per_lang",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "filter_project",
+    "join_left_order_counts",
+    "join_semi_recent_customers",
+    "join_anti_customers_without_orders",
+    "rollup_returns",
+    "window_price_delta",
+    "window_functions_battery",
+    "min_cost_part_supplier",
+    "topk_expensive_orders",
+    "set_ops_segments",
+    "scalar_functions_showcase",
 )
 
 QUERIES = {

@@ -22,9 +22,20 @@ def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, n_buckets: int, *, sort: bool = True
 ) -> None:
     """Persist a DataFrame as a bucketed (and bucket-sorted) table.
-    Sorting within buckets additionally enables merge-join without a
-    sort step."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    The write repartitions on the bucket column first (repartition and
+    bucketBy share the Murmur3 hash, so each write task holds exactly
+    one bucket → one file per bucket, no small-file sprawl) — this is
+    the write-time shuffle the whole pattern exists to pay once.
+
+    Honest Spark-4 note: bucketed-scan OUTPUT ORDERING was removed in
+    Spark 3.1+ (the legacy conf is gone in 4.x), so a merge join still
+    inserts per-partition in-memory sorts above the scans even with
+    sortBy — what bucketing eliminates is the EXCHANGE (the network
+    cost that dominates at 100 TB); the residual local sorts are
+    in-memory per bucket. sortBy is still worthwhile for row-group
+    min/max skipping on the key."""
+    src = df.repartition(n_buckets, bucket_col) if sort else df
+    writer = src.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
     writer.saveAsTable(table_name, format="parquet")

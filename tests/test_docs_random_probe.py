@@ -48,6 +48,9 @@ DOC_QUERIES = (
     "mixture_sample",
     "term_drift",
     "lsh_dedup_eval",
+    "png_decode_stats",
+    "bmp_decode_stats",
+    "bpe_merge_candidates",
 )
 
 SEED = 813

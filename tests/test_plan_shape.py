@@ -153,9 +153,9 @@ _SCALE_GUARDS = {
     "q21_sole_late_supplier": (3, 0),
     "q22_dormant_customers": (2, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
-    # one evaluation plan; 19 exchanges measured (the pq tier adds its
-    # code-table join + top-k window), all over the bounded ~1% query
-    # sample and k·n_queries candidate sets — never the corpus.
+    # one evaluation plan; all over the HARD-BOUNDED KMV query sample
+    # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
+    # never the corpus.
     "ann_recall": (20, 0),
     "corpus_profile": (1, 0),             # one partial→final (multi-distinct) agg
     "latest_event_state": (2, 0),         # user_id window + tiny by-state agg
@@ -179,6 +179,10 @@ _SCALE_GUARDS = {
     "curation_yield_signals": (8, 0),
     # pure narrow sequence+slice chunker: zero shuffles, zero joins
     "chunk_documents": (0, 0),
+    # Arrow-batched synthesize->decode stages: strictly narrow, the
+    # whole point of mapInPandas for megabyte payloads
+    "png_decode_stats": (0, 0),
+    "bmp_decode_stats": (0, 0),
     # round-3 batch 2:
     # pagerank's visible plan is the post-loop fragment (each iteration
     # localCheckpoints, truncating lineage by design — the per-round
@@ -229,6 +233,9 @@ _SCALE_GUARDS = {
     "lsh_dedup_eval": (11, 0),
     # one (hour, type) exchange; exact percentile sorts within groups
     "hourly_percentile_bands": (1, 0),
+    # word-count agg + pair agg; the top-k window runs SinglePartition
+    # over the pair alphabet (provably small), like vocab_coverage
+    "bpe_merge_candidates": (2, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
@@ -329,3 +336,28 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark, tables):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+KMV_CONSUMERS = (
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_multiprobe",
+    "knn_pq",
+    "ann_recall",
+)
+
+
+@pytest.mark.parametrize("name", KMV_CONSUMERS)
+def test_kmv_query_sample_is_take_ordered(spark, sf_dir, name):
+    """The bounded query sample must plan as TakeOrderedAndProject
+    (per-partition cap-row heaps, driver merge — O(cap) at any corpus
+    size) and NEVER as a global range sort. Round-4 regression this
+    pins: stacking projections above orderBy().limit() breaks the
+    Limit(Project(Sort)) pattern and silently reintroduces a
+    full-corpus shuffle (see similarity._enrich_queries)."""
+    from mapreduce_rs_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
