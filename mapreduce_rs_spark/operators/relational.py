@@ -818,6 +818,72 @@ def q18_large_orders(t: dict[str, DataFrame], min_qty: float = 280.0) -> DataFra
     )
 
 
+def q4_order_priority_checking(
+    t: dict[str, DataFrame], late_days: int = 30
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority counts of one quarter's orders that
+    had at least one LATE lineitem — the correlated EXISTS decorrelated
+    to a left-semi join on the order key. (Canonical late =
+    l_commitdate < l_receiptdate; this schema has neither — adapted:
+    l_shipdate more than ``late_days`` after o_orderdate, the q21
+    lateness rule.)
+
+    Scale shape: the quarter filter pushes to the orders scan; the
+    lateness check joins lineitem against only the FILTERED quarter's
+    (o_orderkey, o_orderdate) pair — at 100 TB that projection is small
+    enough for AQE to broadcast, and the semi-join back ships only
+    distinct late order keys. The final aggregate is 5 integer rows.
+    """
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    quarter = t["orders"].where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    late_keys = (
+        t["lineitem"]
+        .join(
+            quarter.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        )
+        .select("o_orderkey")
+    )
+    return (
+        quarter.join(late_keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q12_priority_by_returnflag(t: dict[str, DataFrame], year: int = 1997) -> DataFrame:
+    """TPC-H Q12 shape: per shipping-class counts of high- vs
+    low-priority order lines in one year. (Canonical classes are the
+    two filtered l_shipmode values; this schema has no l_shipmode —
+    adapted: l_returnflag is the class dimension, same conditional
+    CASE-sum split on o_orderpriority.)
+
+    Scale shape: the year filter pushes to the lineitem scan; the
+    orders side ships only (o_orderkey, o_orderpriority); counts are
+    exact integers and the result is 3 rows.
+    """
+    lines = t["lineitem"].where(F.year("l_shipdate") == year)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
 def q21_sole_late_supplier(t: dict[str, DataFrame], late_days: int = 60) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
     multi-supplier order. (The canonical query uses l_receiptdate >

@@ -2327,6 +2327,42 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "TPC-H Q18: HAVING-filtered aggregate broadcast back through orders and customer",
     ),
+    "q4_order_priority_checking": QuerySpec(
+        _tables(relational.q4_order_priority_checking),
+        """
+        WITH quarter AS (
+            SELECT * FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+        ), late AS (
+            SELECT DISTINCT o.o_orderkey
+            FROM lineitem l JOIN quarter o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        )
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM quarter WHERE o_orderkey IN (SELECT o_orderkey FROM late)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "TPC-H Q4 shape: EXISTS-late-line decorrelated to a left-semi "
+        "join (lateness adapted to l_shipdate > o_orderdate + 30d, the "
+        "q21 rule — schema has no commit/receipt dates)",
+    ),
+    "q12_priority_by_returnflag": QuerySpec(
+        _tables(relational.q12_priority_by_returnflag),
+        """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) = 1997
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "TPC-H Q12 shape: high/low-priority CASE-sum split per shipping "
+        "class (class adapted to l_returnflag — schema has no "
+        "l_shipmode)",
+    ),
     "q21_sole_late_supplier": QuerySpec(
         _tables(relational.q21_sole_late_supplier),
         """
@@ -2882,6 +2918,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bmp_decode_stats": ("doc_id",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
+    "q4_order_priority_checking": ("o_orderpriority",),
+    "q12_priority_by_returnflag": ("l_returnflag",),
     "q15_top_supplier": ("s_suppkey",),
     "ann_recall": ("method",),
     "q7_volume_shipping": ("supp_nation", "cust_nation", "ship_year"),
@@ -2949,6 +2987,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "latest_event_state",
     "png_decode_stats",
     "bmp_decode_stats",      # NEW this round: second real codec
+    "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
+    "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
     # harness), IVF k refit 8->16 (assignment/histogram/semdedup
     # results changed), cast-hoisted scoring (values proven identical
@@ -2969,12 +3009,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zorder_locality",
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
-    # (c) stalest external rows (last green r01) — first 18 of 26; the
-    # remaining eight (set_ops_multiset, nations_in_region,
-    # percentiles_by_priority, grouping_sets_returns,
-    # customers_above_nation_avg, date_functions_showcase,
-    # winnow_fingerprints, array_functions_showcase — all untouched
-    # since r01) rotate in next round:
+    # (c) stalest external rows (last green r01) — first 16 of 26; the
+    # remaining ten (set_ops_segments, scalar_functions_showcase,
+    # set_ops_multiset, nations_in_region, percentiles_by_priority,
+    # grouping_sets_returns, customers_above_nation_avg,
+    # date_functions_showcase, winnow_fingerprints,
+    # array_functions_showcase — all untouched since r01) rotate in
+    # next round:
     "wordcount_topk",
     "wordcount_mapreduce_udf",
     "doc_stats",
@@ -2991,8 +3032,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "window_functions_battery",
     "min_cost_part_supplier",
     "topk_expensive_orders",
-    "set_ops_segments",
-    "scalar_functions_showcase",
 )
 
 QUERIES = {

@@ -152,6 +152,10 @@ _SCALE_GUARDS = {
     "q18_large_orders": (2, 0),
     "q21_sole_late_supplier": (3, 0),
     "q22_dormant_customers": (2, 0),
+    # round-4: quarter join + distinct late-keys + semi-join + agg (at
+    # sf0.01 the quarter side broadcasts; cap leaves AQE demote room)
+    "q4_order_priority_checking": (3, 0),
+    "q12_priority_by_returnflag": (1, 0),  # orders side broadcasts; one agg
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
