@@ -52,17 +52,41 @@ EMBED_DIM = 64
 _DBL = "array<double>"
 
 
+def _vec_sql(v: list[float]) -> str:
+    """Literal double array as a SQL fragment. The 'D' suffix forces
+    DOUBLE literals — bare SQL decimals parse as DECIMAL(p,s) and would
+    poison the arithmetic — and shortest-round-trip ``repr`` keeps
+    values bit-identical to ``F.lit(float(x))``."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+
+
 def _lit_vec(v: list[float]) -> F.Column:
     """Literal double array (constant-folded by Catalyst — zero per-row
     construction or cast cost), built as ONE parsed SQL expression
     instead of dim F.lit()/F.array() py4j calls: constructing a 16x64
     literal family element-wise costs ~0.5 s of py4j round trips vs
     ~6 ms for the parse (measured; plan-BUILD time is part of every
-    bench number). The 'D' suffix forces DOUBLE literals — bare SQL
-    decimals parse as DECIMAL(p,s) and would poison the arithmetic —
-    and shortest-round-trip ``repr`` keeps values bit-identical to
-    ``F.lit(float(x))``."""
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in v) + ")")
+    bench number)."""
+    return F.expr(_vec_sql(v))
+
+
+def _dot_lit_sql(a_sql: str, v: list[float]) -> str:
+    """SQL fragment: dot(a, literal vector) — the same
+    zip_with/aggregate operation chain as ``_dot_raw`` (so values are
+    bit-identical), but built server-side by ONE parser call. The k-way
+    literal families (16 centroids, 4x16 PQ codebooks, 6 hyperplanes)
+    construct hundreds of these per plan; the Python-lambda route costs
+    ~10 py4j round trips each, which made plan CONSTRUCTION (not
+    Catalyst, not execution) the dominant cost of knn_pq/knn_ivf —
+    measured ~2.5 s per build. ``a_sql`` must already be double."""
+    return (
+        f"aggregate(zip_with({a_sql}, {_vec_sql(v)}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+# SQL form of the pre-cast query embedding (see _enrich_queries).
+_Q_EMBD_SQL = "CAST(q_emb AS ARRAY<DOUBLE>)"
 
 
 def _dot_raw(a: F.Column, b: F.Column) -> F.Column:
@@ -175,14 +199,15 @@ def knn_bruteforce(df: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
-def _bucket_expr(embd: F.Column, planes: list[list[float]]) -> F.Column:
-    """LSH bucket id: Σ (dot(embd, plane_p) > 0) << p. ``embd`` must be
-    an already-double array (callers pre-cast once per row)."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        bit = F.when(_dot_raw(embd, _lit_vec(plane)) > 0, F.lit(1 << p)).otherwise(0)
-        bucket = bucket + bit
-    return bucket.cast("long")
+def _bucket_expr(embd_sql: str, planes: list[list[float]]) -> F.Column:
+    """LSH bucket id: Σ (dot(embd, plane_p) > 0) << p. ``embd_sql`` is
+    the SQL form of an already-double array (callers pre-cast once per
+    row); built as one parsed expression (see _dot_lit_sql)."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(embd_sql, plane)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return F.expr(f"CAST({bits} AS BIGINT)")
 
 
 def lsh_buckets(df: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
@@ -192,7 +217,7 @@ def lsh_buckets(df: DataFrame, planes: list[list[float]] | None = None) -> DataF
     planes = planes or hyperplanes()
     return (
         df.select(F.col("embedding").cast(_DBL).alias("embd"))
-        .select(_bucket_expr(F.col("embd"), planes).alias("bucket"))
+        .select(_bucket_expr("embd", planes).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
@@ -209,7 +234,7 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
         .select(
             "vec_id",
             "embd",
-            _bucket_expr(F.col("embd"), planes).alias("bucket"),
+            _bucket_expr("embd", planes).alias("bucket"),
             _l2_raw(F.col("embd")).alias("c_norm"),
         )
     )
@@ -218,7 +243,7 @@ def knn_lsh(df: DataFrame, k: int = 10, planes: list[list[float]] | None = None)
     # frame — free, and it keeps the bounded TakeOrdered shape instead
     # of filtering the full bucketed corpus.
     queries = _enrich_queries(
-        _query_set(df), _bucket_expr(_q_embd_expr(), planes).alias("q_bucket")
+        _query_set(df), _bucket_expr(_Q_EMBD_SQL, planes).alias("q_bucket")
     )
     scored = (
         bucketed.join(
@@ -365,30 +390,30 @@ def centroids(n: int = N_CENTROIDS, dim: int = EMBED_DIM) -> list[list[float]]:
     return _init_centroids(n, dim)
 
 
-def _centroid_scores(embd: F.Column, cents: list[list[float]]) -> F.Column:
-    """Array of (score, cid) structs, one per centroid — the single
-    construction site shared by single-probe argmax assignment and
-    multiprobe top-n selection, so tie-break encoding can never
-    desynchronize between the two. ``embd`` must be an already-double
-    array (callers pre-cast once per row — a k-way re-cast here was
-    the dominant assignment cost)."""
-    return F.array(
-        *[
-            F.struct(
-                _dot_raw(embd, _lit_vec(c)).alias("score"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ]
+def _centroid_scores_sql(embd_sql: str, cents: list[list[float]]) -> str:
+    """Array of (score, cid) structs, one per centroid, as a SQL
+    fragment — the single construction site shared by single-probe
+    argmax assignment and multiprobe top-n selection, so tie-break
+    encoding can never desynchronize between the two. ``embd_sql`` must
+    be the SQL form of an already-double array (callers pre-cast once
+    per row — a k-way re-cast here was the dominant assignment cost)."""
+    structs = ", ".join(
+        f"named_struct('score', {_dot_lit_sql(embd_sql, c)}, 'cid', {i})"
+        for i, c in enumerate(cents)
     )
+    return f"array({structs})"
 
 
-def _nearest_centroid_expr(embd: F.Column, cents: list[list[float]]) -> F.Column:
+def _centroid_scores(embd_sql: str, cents: list[list[float]]) -> F.Column:
+    return F.expr(_centroid_scores_sql(embd_sql, cents))
+
+
+def _nearest_centroid_expr(embd_sql: str, cents: list[list[float]]) -> F.Column:
     """Argmax-by-dot-product centroid id: array_max over (score, id)
     structs — ties resolve to the higher id (struct ordering compares
     score first, then cid), mirrored in the oracle's ORDER BY score
-    DESC, cid DESC. ``embd`` must be already-double."""
-    return F.array_max(_centroid_scores(embd, cents)).getField("cid")
+    DESC, cid DESC."""
+    return F.expr(f"array_max({_centroid_scores_sql(embd_sql, cents)}).cid")
 
 
 def ivf_assign(df: DataFrame, cents: list[list[float]] | None = None) -> DataFrame:
@@ -402,7 +427,7 @@ def ivf_assign(df: DataFrame, cents: list[list[float]] | None = None) -> DataFra
         .select(
             "vec_id",
             "embedding",
-            _nearest_centroid_expr(F.col("_embd"), cents).alias("centroid_id"),
+            _nearest_centroid_expr("_embd", cents).alias("centroid_id"),
         )
     )
 
@@ -427,7 +452,7 @@ def knn_ivf(df: DataFrame, k: int = 10) -> DataFrame:
     # argmax expression as the corpus assignment (see _query_set).
     queries = _enrich_queries(
         _query_set(df),
-        _nearest_centroid_expr(_q_embd_expr(), cents).alias("q_centroid"),
+        _nearest_centroid_expr(_Q_EMBD_SQL, cents).alias("q_centroid"),
     )
     scored = assigned.join(
         F.broadcast(queries),
@@ -457,7 +482,7 @@ def _ivf_assigned_scored(df: DataFrame, cents: list[list[float]]) -> DataFrame:
             "vec_id",
             "embd",
             _l2_raw(F.col("embd")).alias("c_norm"),
-            _nearest_centroid_expr(F.col("embd"), cents).alias("centroid_id"),
+            _nearest_centroid_expr("embd", cents).alias("centroid_id"),
         )
     )
 
@@ -478,7 +503,7 @@ def knn_ivf_multiprobe(
     cents = centroids()
     assigned = _ivf_assigned_scored(df, cents)
     sorted_scores = F.sort_array(
-        _centroid_scores(_q_embd_expr(), cents), asc=False
+        _centroid_scores(_Q_EMBD_SQL, cents), asc=False
     )
     probes = F.slice(F.transform(sorted_scores, lambda s: s.getField("cid")), 1, nprobe)
     # Probe selection runs on the cap-row KMV query sample (_query_set),
@@ -557,7 +582,7 @@ def embedding_near_dup(
         .select(
             "vec_id",
             "embd",
-            _bucket_expr(F.col("embd"), planes).alias("bucket"),
+            _bucket_expr("embd", planes).alias("bucket"),
             _l2_raw(F.col("embd")).alias("nrm"),
         ),
         persist_dir,
@@ -779,31 +804,26 @@ def _pq_codebooks() -> list[list[list[float]]]:
     return FITTED_PQ
 
 
-def _pq_code_expr(sub: F.Column, book: list[list[float]]) -> F.Column:
+def _pq_code_expr(sub_sql: str, book: list[list[float]]) -> F.Column:
     """Argmin-squared-distance code for one subspace, computed as
     argmax of (2*dot(sub, c) - |c|^2): |sub|^2 is constant per row, and
     the |c|^2 literals are precomputed IN PYTHON from the rounded
     codebook literals so both engines consume identical constants. Tie
     -> LOWER code id (array_max on (score, -cid) structs), mirroring
     numpy argmin in pq_fit and ORDER BY score DESC, cid ASC in the
-    oracle. ``sub`` must be an already-double subvector slice."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    2.0 * _dot_raw(sub, _lit_vec(c))
-                    - F.lit(sum(v * v for v in c))
-                ).alias("score"),
-                F.lit(-i).alias("neg_cid"),
-            )
-            for i, c in enumerate(book)
-        ]
+    oracle. ``sub_sql`` is the SQL form of an already-double subvector
+    slice; the whole 16-way argmax builds as one parsed expression
+    (see _dot_lit_sql)."""
+    structs = ", ".join(
+        f"named_struct('score', 2.0D * {_dot_lit_sql(sub_sql, c)}"
+        f" - {float(sum(v * v for v in c))!r}D, 'neg_cid', {-i})"
+        for i, c in enumerate(book)
     )
-    return -F.array_max(scored).getField("neg_cid")
+    return F.expr(f"-(array_max(array({structs})).neg_cid)")
 
 
-def _subvec(emb: F.Column, sub: int, subdim: int = PQ_SUBDIM) -> F.Column:
-    return F.slice(emb, sub * subdim + 1, subdim)
+def _subvec_sql(emb_sql: str, sub: int, subdim: int = PQ_SUBDIM) -> str:
+    return f"slice({emb_sql}, {sub * subdim + 1}, {subdim})"
 
 
 def pq_assign(df: DataFrame) -> DataFrame:
@@ -821,7 +841,7 @@ def pq_assign(df: DataFrame) -> DataFrame:
             "vec_id",
             "embedding",
             *[
-                _subvec(F.col("_embd"), sub).alias(f"_sub{sub}")
+                F.expr(_subvec_sql("_embd", sub)).alias(f"_sub{sub}")
                 for sub in range(len(books))
             ],
         )
@@ -829,7 +849,7 @@ def pq_assign(df: DataFrame) -> DataFrame:
             "vec_id",
             "embedding",
             *[
-                _pq_code_expr(F.col(f"_sub{sub}"), book).alias(f"code_{sub}")
+                _pq_code_expr(f"_sub{sub}", book).alias(f"code_{sub}")
                 for sub, book in enumerate(books)
             ],
         )
@@ -869,15 +889,19 @@ def knn_pq(df: DataFrame, k: int = 10) -> DataFrame:
     # Per-query lookup tables: luts[sub][code] = dot(q_sub, book[sub][code]),
     # computed in ONE projection over the KMV sample (single-projection
     # rule — see _enrich_queries; the cast re-evaluates per lut entry on
-    # a cap-row frame, which is free).
-    q_embd = _q_embd_expr()
-    luts = F.array(
-        *[
-            F.array(
-                *[_dot_raw(_subvec(q_embd, sub), _lit_vec(c)) for c in book]
+    # a cap-row frame, which is free) and built as ONE parsed SQL
+    # expression (64 dot fragments — the py4j-tax fix, _dot_lit_sql).
+    luts = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _dot_lit_sql(_subvec_sql(_Q_EMBD_SQL, sub), c) for c in book
             )
+            + ")"
             for sub, book in enumerate(books)
-        ]
+        )
+        + ")"
     )
     q = _query_set(df).select("q_id", luts.alias("luts"))
     def term(sub: int) -> F.Column:
