@@ -785,3 +785,75 @@ def bpe_merge_candidates(df: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("pair", "n_occurrences", "rnk")
     )
+
+
+SURPRISAL_SCALE = 100  # centinats: the quantization grid of the contract
+
+
+def unigram_surprisal_scores(
+    df: DataFrame, persist_dir: str | None = None
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality scores: per-document MEAN
+    TOKEN SURPRISAL under the corpus's own add-one-smoothed unigram
+    model — the dictionary-sized stand-in for CCNet's KenLM perplexity
+    filter (high mean = rare/garbled tokens, low = common fluent text;
+    a curation pass drops both tails).
+
+    Float discipline (the BASELINE.md rule: no float sums across rows):
+    per-token surprisal is QUANTIZED to integer centinats —
+    floor(SCALE · (ln(total + V) − ln(cnt_w + 1))) — as part of the
+    operator's CONTRACT (the pagerank fixed-point precedent), so the
+    per-document aggregation is an exact integer sum, independent of
+    partition count and engine. The only float steps are one ln
+    difference per DISTINCT WORD (quantization-boundary risk vs a
+    1-ulp cross-engine ln divergence is ~1e-12 per word against the
+    0.01-nat grid) and the final exact-int / exact-int division.
+
+    Scale shape: the vocabulary aggregate is dictionary-sized and
+    broadcasts back onto the per-doc tf rows (never the raw token
+    stream); exchanges are the (doc_id, word) tf aggregate, the word
+    regroup, and the final per-doc integer sum. The tf table feeds
+    BOTH the vocabulary derivation and the scoring join, so it is
+    materialized once (operators/materialize.py — localCheckpoint by
+    default, ``persist_dir=`` for the durable parquet path); without
+    it Catalyst re-tokenizes the corpus per consumer.
+    """
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    tf = materialize(
+        explode_tokens(df, "text", "doc_id")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        persist_dir,
+        "unigram_tf",
+    )
+    vocab = tf.groupBy("word").agg(F.sum("tf").cast("long").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    surp = vocab.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.floor(
+            SURPRISAL_SCALE
+            * (F.log(F.col("total") + F.col("v_size")) - F.log(F.col("cnt") + 1))
+        )
+        .cast("long")
+        .alias("surp_cn"),
+    )
+    return (
+        tf.join(F.broadcast(surp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("surp_cn")).cast("long").alias("sum_surprisal_cn"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_surprisal_cn",
+            (F.col("sum_surprisal_cn").cast("double") / F.col("n_tokens")).alias(
+                "mean_surprisal_cn"
+            ),
+        )
+    )

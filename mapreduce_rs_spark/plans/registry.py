@@ -1471,6 +1471,33 @@ QUERIES: dict[str, QuerySpec] = {
         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
         """,
     ),
+    "unigram_surprisal_scores": QuerySpec(
+        _docs(ta.unigram_surprisal_scores),
+        f"""{WORDS_CTE}, tf AS (
+            SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+        ), vocab AS (
+            SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY word
+        ), totals AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS v_size
+            FROM vocab
+        ), surp AS (
+            SELECT word,
+                   CAST(floor({ta.SURPRISAL_SCALE} * (ln(total + v_size) - ln(cnt + 1))) AS BIGINT) AS surp_cn
+            FROM vocab CROSS JOIN totals
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * surp_cn) AS BIGINT) AS sum_surprisal_cn,
+               CAST(sum(tf * surp_cn) AS DOUBLE) / sum(tf) AS mean_surprisal_cn
+        FROM tf JOIN surp USING (word)
+        GROUP BY doc_id ORDER BY doc_id
+        """,
+        "CCNet-style perplexity-proxy quality scores: mean token "
+        "surprisal under the corpus unigram model, quantized to integer "
+        "centinats so per-doc aggregation is an exact integer sum "
+        "(pagerank fixed-point precedent); vocab broadcasts",
+    ),
     "bpe_merge_candidates": QuerySpec(
         _docs(lambda df: ta.bpe_merge_candidates(df, 20)),
         f"""{WORDS_CTE.replace("SELECT doc_id, lang,", "SELECT")}, wc AS (
@@ -2938,6 +2965,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "semdedup": ("centroid_id",),
     "zorder_locality": ("layout",),
     "bpe_merge_candidates": ("rnk",),
+    "unigram_surprisal_scores": ("doc_id",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -3009,13 +3037,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zorder_locality",
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
-    # (c) stalest external rows (last green r01) — first 16 of 26; the
-    # remaining ten (set_ops_segments, scalar_functions_showcase,
-    # set_ops_multiset, nations_in_region, percentiles_by_priority,
-    # grouping_sets_returns, customers_above_nation_avg,
-    # date_functions_showcase, winnow_fingerprints,
-    # array_functions_showcase — all untouched since r01) rotate in
-    # next round:
+    "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
+    # (c) stalest external rows (last green r01) — first 15 of 26; the
+    # remaining eleven (topk_expensive_orders, set_ops_segments,
+    # scalar_functions_showcase, set_ops_multiset, nations_in_region,
+    # percentiles_by_priority, grouping_sets_returns,
+    # customers_above_nation_avg, date_functions_showcase,
+    # winnow_fingerprints, array_functions_showcase — all untouched
+    # since r01) rotate in next round:
     "wordcount_topk",
     "wordcount_mapreduce_udf",
     "doc_stats",
@@ -3031,7 +3060,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "window_price_delta",
     "window_functions_battery",
     "min_cost_part_supplier",
-    "topk_expensive_orders",
 )
 
 QUERIES = {

@@ -240,6 +240,10 @@ _SCALE_GUARDS = {
     # word-count agg + pair agg; the top-k window runs SinglePartition
     # over the pair alphabet (provably small), like vocab_coverage
     "bpe_merge_candidates": (2, 0),
+    # tf agg + vocab regroup + per-doc sum; the checkpointed tf table
+    # feeds both consumers (zero parquet re-scans, asserted informally
+    # by the count: 6 exchanges before materialization)
+    "unigram_surprisal_scores": (3, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
