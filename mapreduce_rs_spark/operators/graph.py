@@ -257,6 +257,110 @@ def pagerank_trade_flows(tables: dict[str, DataFrame]) -> DataFrame:
     ).select("n_name", "rank_fp", "rank")
 
 
+def triangle_counts(
+    tables: dict[str, DataFrame],
+    min_orders: int = 2,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph, by
+    degree-ordered wedge join — the scale-correct triangle algorithm.
+
+    Graph: nodes are parts; an undirected edge (u,v) exists when the
+    pair was bought together in >= ``min_orders`` distinct orders (the
+    same candidate-edge grain as ``relational.copurchase_pairs``).
+    Building the edge list is the data-sized half: one distinct
+    projection of lineitem and one self-equi-join on l_orderkey.
+
+    The naive triangle join (edges ⋈ edges ⋈ edges) explodes on hubs:
+    a degree-d node generates d² wedges. The standard fix (Schank &
+    Wagner's forward algorithm / "rank ordering") orients every edge
+    from the LOWER endpoint to the HIGHER under the total order
+    (degree, id). Every node's OUT-degree is then O(sqrt(E)) for any
+    graph, so the wedge join generates at most O(E^1.5) candidates —
+    the best possible bound, hub-proof — and each triangle is found
+    exactly once, at its minimum-rank apex. Three bounded equi-joins,
+    no driver-side state; the edge table is materialized once and
+    reused (``persist_dir=`` switches localCheckpoint to durable
+    parquet, operators/materialize.py).
+
+    The oracle recomputes the same triangle set from the simpler
+    id-ordered 3-way self-join (fine at oracle scale) — agreement
+    proves the orientation trick changes the plan, not the answer.
+
+    Returns (partkey, n_triangles) for every part in >= 1 triangle.
+    """
+    li = tables["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        persist_dir,
+        "tri_edges",
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    annotated = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")), "u"
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")), "v"
+        )
+    )
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    # Oriented edge low->high under (deg, id); carry the destination's
+    # rank key so the wedge join can order its two spokes.
+    oriented = materialize(
+        annotated.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("dst_deg"),
+        ),
+        persist_dir,
+        "tri_oriented",
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dst_deg") < F.col("o2.dst_deg"))
+            | (
+                (F.col("o1.dst_deg") == F.col("o2.dst_deg"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    ).select(
+        F.col("o1.src").alias("apex"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    triangles = wedges.join(
+        o3, (F.col("v") == F.col("o3.src")) & (F.col("w") == F.col("o3.dst"))
+    ).select("apex", "v", "w")
+    roles = (
+        triangles.select(F.col("apex").alias("partkey"))
+        .union(triangles.select(F.col("v").alias("partkey")))
+        .union(triangles.select(F.col("w").alias("partkey")))
+    )
+    return roles.groupBy("partkey").agg(F.count("*").alias("n_triangles"))
+
+
 def dedup_components(df: DataFrame, persist_dir: str | None = None) -> DataFrame:
     """Near-duplicate CLUSTERS from MinHash-LSH candidate pairs:
     transitive closure over the pair graph, then per-doc component

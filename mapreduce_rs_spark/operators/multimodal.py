@@ -501,6 +501,172 @@ def bmp_decode_stats(df: DataFrame) -> DataFrame:
     )
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(sample_rate: int, n_channels: int, frames: bytes) -> bytes:
+    """Minimal PCM WAV encoder (16-bit little-endian). ``frames`` is the
+    raw interleaved int16 sample bytes. Emits a spec-valid RIFF/WAVE
+    file (RIFF header + fmt chunk + data chunk) any player opens —
+    used to synthesize real audio payloads for the pipeline tests."""
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    block_align = n_channels * 2
+    if len(frames) % block_align:
+        raise ValueError(
+            f"frame bytes ({len(frames)}) not a multiple of block align ({block_align})"
+        )
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return WAV_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Decode a 16-bit PCM WAV: (n_frames, n_channels, sample_rate,
+    sum of absolute sample amplitudes). Pure Python: RIFF chunk walk
+    (word-aligned per spec — odd-size chunks carry a pad byte) → fmt
+    validation (PCM, 16-bit, consistent block align / byte rate) →
+    int16 sample unpack. Raises loudly on anything else so the pipeline
+    can quarantine corrupt rows."""
+    if not payload.startswith(WAV_MAGIC):
+        raise ValueError("not a RIFF payload")
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated WAV: RIFF size exceeds payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag, (length,) = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])
+        chunk = payload[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError(f"truncated WAV: chunk {tag!r} short")
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = chunk
+        elif tag == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits} "
+                         "(only 16-bit PCM supported)")
+    if block_align != n_channels * 2 or byte_rate != sample_rate * block_align:
+        raise ValueError("corrupt WAV: inconsistent fmt chunk")
+    if len(data) % block_align:
+        raise ValueError("corrupt WAV: data not a whole number of frames")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return len(data) // block_align, n_channels, sample_rate, sum(abs(s) for s in samples)
+
+
+def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid 16-bit PCM WAV payloads (samples
+    derived deterministically from the document text) — the audio twin
+    of attach_png_payload. Channel count, frame count, and sample rate
+    all derive from the text length; sample i is ``(byte[i % len] -
+    128) * 256`` (all-negative int16 values for ASCII text, so
+    signedness is genuinely exercised)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "payload", "n_frames", "n_channels", "sample_rate")
+        out: dict[str, list] = {k: [] for k in cols}
+        for batch in batches:
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                data = text.encode("utf-8")
+                n = len(data)
+                ch = n % 2 + 1
+                n_frames = n % 48 + 1
+                rate = 8000 * (n % 3 + 1)
+                total = n_frames * ch
+                vals = [((data[i % n] - 128) * 256 if n else 0) for i in range(total)]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_wav(rate, ch, struct.pack(f"<{total}h", *vals)))
+                out["n_frames"].append(n_frames)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in cols}
+
+    encoded = df.select("doc_id", text_col).mapInPandas(
+        run,
+        schema="doc_id long, payload binary, n_frames int, n_channels int, sample_rate int",
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("content_type"),
+            F.col("n_frames"),
+            F.col("n_channels"),
+            F.col("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_frames int, n_channels int, sample_rate int, "
+    "n_samples long, sum_amplitude long, mean_amplitude double, duration_ms long"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode stage over (doc_id, payload) rows —
+    the audio counterpart of extract_features. Every stat comes from
+    the DECODED samples (metadata is not trusted): frame/channel/rate
+    from the parsed fmt chunk, amplitude sums from the unpacked int16
+    data. Narrow — no shuffle; memory bounded per Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_frames", "n_channels", "sample_rate",
+                "n_samples", "sum_amplitude", "mean_amplitude", "duration_ms",
+            )}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames, ch, rate, sum_abs = decode_wav(bytes(payload))
+                n_samples = n_frames * ch
+                rows["doc_id"].append(doc_id)
+                rows["n_frames"].append(n_frames)
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n_samples)
+                rows["sum_amplitude"].append(sum_abs)
+                rows["mean_amplitude"].append(sum_abs / n_samples)
+                rows["duration_ms"].append(n_frames * 1000 // rate)
+            df_out = pd.DataFrame(rows)
+            df_out["n_frames"] = df_out["n_frames"].astype("int32")
+            df_out["n_channels"] = df_out["n_channels"].astype("int32")
+            df_out["sample_rate"] = df_out["sample_rate"].astype("int32")
+            yield df_out
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def wav_decode_stats(df: DataFrame) -> DataFrame:
+    """Oracle-checkable WAV decode round-trip — the audio member of the
+    real-codec family (PNG even doc_ids, BMP odd, WAV all).
+
+    Synthesize spec-valid 16-bit PCM WAVs from every document
+    (attach_wav_payload: channels = len % 2 + 1, frames = len % 48 + 1,
+    rate = 8000·(len % 3 + 1), sample i = (byte[i % len] - 128)·256),
+    decode with the FULL codec (RIFF chunk walk → fmt validation →
+    int16 unpack), and emit per-document stats the synthesis rules make
+    SQL-predictable. The DuckDB oracle recomputes everything from the
+    raw text with NO RIFF machinery (|sample| = (128 - ascii)·256 for
+    ASCII text, tiled like the PNG oracle) — agreement proves the
+    encode→decode round-trip, fmt plumbing included, is lossless."""
+    return extract_audio_features(attach_wav_payload(df)).select(
+        "doc_id", "n_frames", "n_channels", "sample_rate", "n_samples",
+        "sum_amplitude", "mean_amplitude", "duration_ms",
+    )
+
+
 def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python

@@ -1405,6 +1405,36 @@ QUERIES: dict[str, QuerySpec] = {
         "nation trade graph; Spark loop vs unrolled-CTE oracle, bit-exact "
         "because every step is integral",
     ),
+    "triangle_counts": QuerySpec(
+        _tables(graph.triangle_counts),
+        """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT CAST(a.l_partkey AS BIGINT) AS u,
+                   CAST(b.l_partkey AS BIGINT) AS v
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), tri AS (
+            -- id-ordered enumeration (a < b < c): each triangle once.
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), roles AS (
+            SELECT a AS partkey FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT partkey, count(*) AS n_triangles
+        FROM roles GROUP BY partkey ORDER BY partkey
+        """,
+        "degree-ordered wedge-join triangle counting (Spark, hub-proof "
+        "O(E^1.5)) vs naive id-ordered 3-way self-join (oracle): the "
+        "orientation trick changes the plan, not the answer",
+    ),
     "lsh_dedup_eval": QuerySpec(
         _docs(dedup.lsh_dedup_eval),
         f"""
@@ -2311,6 +2341,38 @@ QUERIES: dict[str, QuerySpec] = {
         "BMP decode round-trip vs a pure-text oracle: the second real codec "
         "(24-bit BI_RGB; bottom-up rows, BGR, padding) externally verified",
     ),
+    "wav_decode_stats": QuerySpec(
+        _docs(multimodal.wav_decode_stats),
+        """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 2 + 1 AS INTEGER) AS n_channels,
+                   CAST(length(text) % 48 + 1 AS INTEGER) AS n_frames,
+                   CAST(8000 * (length(text) % 3 + 1) AS INTEGER) AS sample_rate
+            FROM documents
+        ), sums AS (
+            -- |sample i| = (128 - ascii(byte[i % len])) * 256 for ASCII
+            -- text (every sample is negative by construction); tiled
+            -- sum = full_reps * whole-text sum + prefix sum, with the
+            -- same empty-text zero-collapse guards as png_decode_stats.
+            SELECT doc_id, n_frames, n_channels, sample_rate,
+                   CAST(n_frames * n_channels AS BIGINT) AS n_samples,
+                   CASE WHEN len = 0 THEN 0 ELSE (n_frames * n_channels) // len END AS full_reps,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> (128 - ascii(substr(text, CAST(i AS INTEGER), 1))) * 256), 'sum') AS BIGINT), 0) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE (n_frames * n_channels) % len END + 1),
+                        i -> (128 - ascii(substr(text, CAST(i AS INTEGER), 1))) * 256), 'sum') AS BIGINT), 0) AS prefix_sum
+            FROM base
+        )
+        SELECT doc_id, n_frames, n_channels, sample_rate, n_samples,
+               CAST(full_reps * all_sum + prefix_sum AS BIGINT) AS sum_amplitude,
+               CAST(full_reps * all_sum + prefix_sum AS DOUBLE) / n_samples AS mean_amplitude,
+               CAST((n_frames * 1000) // sample_rate AS BIGINT) AS duration_ms
+        FROM sums ORDER BY doc_id
+        """,
+        "WAV decode round-trip vs a pure-text oracle: the third real codec "
+        "(16-bit PCM RIFF/WAVE; chunk walk, fmt validation, int16 unpack) externally verified",
+    ),
     "multimodal_features": QuerySpec(
         _docs(multimodal.multimodal_features),
         None,
@@ -2943,6 +3005,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "source_extraction": ("src_num",),
     "png_decode_stats": ("doc_id",),
     "bmp_decode_stats": ("doc_id",),
+    "wav_decode_stats": ("doc_id",),
+    "triangle_counts": ("partkey",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3015,6 +3079,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "latest_event_state",
     "png_decode_stats",
     "bmp_decode_stats",      # NEW this round: second real codec
+    "wav_decode_stats",      # NEW this round: third real codec (audio)
+    "triangle_counts",       # NEW this round: degree-ordered triangles
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3038,8 +3104,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 15 of 26; the
-    # remaining eleven (topk_expensive_orders, set_ops_segments,
+    # (c) stalest external rows (last green r01) — first 13 of 26; the
+    # remaining thirteen (window_functions_battery,
+    # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
     # percentiles_by_priority, grouping_sets_returns,
     # customers_above_nation_avg, date_functions_showcase,
@@ -3058,8 +3125,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "join_anti_customers_without_orders",
     "rollup_returns",
     "window_price_delta",
-    "window_functions_battery",
-    "min_cost_part_supplier",
 )
 
 QUERIES = {

@@ -50,6 +50,7 @@ DOC_QUERIES = (
     "lsh_dedup_eval",
     "png_decode_stats",
     "bmp_decode_stats",
+    "wav_decode_stats",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
 )

@@ -233,3 +233,49 @@ def test_pq_assign_recovers_exact_codebook_vectors(spark):
     df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
     row = pq_assign(df).collect()[0]
     assert [row[f"code_{s}"] for s in range(PQ_M)] == chosen
+
+
+def _lineitem_from_edges(spark, edges, repeats=2):
+    """Synthesize a lineitem table whose co-purchase graph (pair
+    co-occurrence >= min_orders) is EXACTLY the given edge list: each
+    edge becomes `repeats` two-part orders."""
+    rows, orderkey = [], 0
+    for (u, v) in edges:
+        for _ in range(repeats):
+            orderkey += 1
+            rows.append((orderkey, u))
+            rows.append((orderkey, v))
+    return spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+
+
+def test_triangle_counts_k4_plus_pendant_and_star(spark):
+    from mapreduce_rs_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: 4 triangles, each vertex in C(3,2)=3 of them.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # Pendant edge (4,5): node 5 joins no triangle -> absent from output.
+    # Star hub 10 with leaves 11..16: a high-degree node with ZERO
+    # triangles — the case the degree-ordered orientation exists for.
+    star = [(10, leaf) for leaf in range(11, 17)]
+    li = _lineitem_from_edges(spark, k4 + [(4, 5)] + star)
+    got = {
+        r["partkey"]: r["n_triangles"]
+        for r in triangle_counts({"lineitem": li}).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_threshold_prunes_weak_edges(spark):
+    from mapreduce_rs_spark.operators.graph import triangle_counts
+
+    # Triangle {1,2,3} but edge (2,3) co-occurs only once: below the
+    # min_orders=2 support threshold the triangle must disappear.
+    strong = _lineitem_from_edges(spark, [(1, 2), (1, 3)], repeats=2)
+    weak = _lineitem_from_edges(spark, [(2, 3)], repeats=1)
+    li = strong.union(
+        weak.select(
+            (weak.l_orderkey + 1000).alias("l_orderkey"), "l_partkey"
+        )
+    )
+    assert triangle_counts({"lineitem": li}).count() == 0
+    assert triangle_counts({"lineitem": li}, min_orders=1).count() == 3

@@ -348,3 +348,132 @@ def test_extract_features_decodes_real_bmps(docs):
         assert r["n_channels"] == 3
         assert 1 <= r["width"] <= 12 and 1 <= r["height"] <= 8
         assert 0 <= r["mean_intensity"] <= 255
+
+
+# ---------------------------------------------------------------------------
+# WAV: the third real codec (16-bit PCM RIFF/WAVE) — audio modality.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact_sum():
+    import struct
+
+    from mapreduce_rs_spark.operators.multimodal import decode_wav, encode_wav
+
+    vals = [-32768, -1, 0, 1, 32767, -256]  # 6 samples, stereo -> 3 frames
+    n_frames, ch, rate, sum_abs = decode_wav(
+        encode_wav(44100, 2, struct.pack("<6h", *vals))
+    )
+    assert (n_frames, ch, rate) == (3, 2, 44100)
+    assert sum_abs == sum(abs(v) for v in vals)
+
+
+def test_wav_layout_is_little_endian_interleaved():
+    """The stored data chunk must be the spec's layout (int16 LE,
+    channel-interleaved): slice the payload by hand and compare."""
+    import struct
+
+    from mapreduce_rs_spark.operators.multimodal import encode_wav
+
+    frames = struct.pack("<4h", 0x0102, 0x0304, -2, 259)
+    payload = encode_wav(8000, 2, frames)
+    # header: RIFF(12) + 'fmt '+len(8) + fmt(16) + 'data'+len(8) = 44
+    assert payload[36:40] == b"data"
+    assert payload[44:] == frames
+    assert payload[44:46] == b"\x02\x01"  # little-endian byte order
+    # fmt chunk fields land where the spec says
+    assert struct.unpack("<H", payload[22:24])[0] == 2       # channels
+    assert struct.unpack("<I", payload[24:28])[0] == 8000    # rate
+    assert struct.unpack("<I", payload[28:32])[0] == 32000   # byte rate
+    assert struct.unpack("<H", payload[32:34])[0] == 4       # block align
+
+
+def test_wav_chunk_walk_skips_odd_sized_chunks():
+    """RIFF chunks are word-aligned: an odd-size LIST chunk before data
+    carries a pad byte the walker must skip to stay aligned."""
+    import struct
+
+    from mapreduce_rs_spark.operators.multimodal import decode_wav, encode_wav
+
+    base = encode_wav(8000, 1, struct.pack("<2h", 7, -7))
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = (
+        base[:4]
+        + struct.pack("<I", len(base) - 8 + len(extra))
+        + base[8:36]
+        + extra
+        + base[36:]
+    )
+    assert decode_wav(patched) == (2, 1, 8000, 14)
+
+
+def test_wav_rejects_garbage_and_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce_rs_spark.operators.multimodal import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not audio")
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"AVI ")  # not WAVE
+    good = bytearray(encode_wav(8000, 1, struct.pack("<2h", 1, 2)))
+    bad_fmt = bytearray(good)
+    struct.pack_into("<H", bad_fmt, 20, 3)  # IEEE float format
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad_fmt))
+    bad_bits = bytearray(good)
+    struct.pack_into("<H", bad_bits, 34, 8)  # 8-bit samples
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad_bits))
+    bad_align = bytearray(good)
+    struct.pack_into("<H", bad_align, 32, 6)  # block align != ch*2
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad_align))
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(good[:30]))  # truncated mid-chunk
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ch=st.integers(1, 4),
+    n_frames=st.integers(1, 32),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_random(ch, n_frames, rate, data):
+    import struct
+
+    from mapreduce_rs_spark.operators.multimodal import decode_wav, encode_wav
+
+    vals = data.draw(
+        st.lists(
+            st.integers(-32768, 32767),
+            min_size=n_frames * ch,
+            max_size=n_frames * ch,
+        )
+    )
+    payload = encode_wav(rate, ch, struct.pack(f"<{len(vals)}h", *vals))
+    assert decode_wav(payload) == (n_frames, ch, rate, sum(abs(v) for v in vals))
+
+
+def test_extract_audio_features_decodes_real_wavs(docs):
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+
+    feats = extract_audio_features(attach_wav_payload(docs)).collect()
+    assert len(feats) == 50
+    for r in feats:
+        # Decoded stats come from the parsed fmt chunk + samples; the
+        # synthesis rules bound every field.
+        assert r["n_channels"] in (1, 2)
+        assert 1 <= r["n_frames"] <= 48
+        assert r["sample_rate"] in (8000, 16000, 24000)
+        assert r["n_samples"] == r["n_frames"] * r["n_channels"]
+        # ASCII text -> every sample is (b-128)*256 in [-32768, -256],
+        # except zero-padded empty docs.
+        assert 0 <= r["mean_amplitude"] <= 32768
+        assert r["duration_ms"] == r["n_frames"] * 1000 // r["sample_rate"]

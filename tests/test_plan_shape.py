@@ -187,6 +187,13 @@ _SCALE_GUARDS = {
     # whole point of mapInPandas for megabyte payloads
     "png_decode_stats": (0, 0),
     "bmp_decode_stats": (0, 0),
+    "wav_decode_stats": (0, 0),
+    # degree-ordered triangles: deg agg + deg-annotation joins + wedge
+    # join + closure join + role agg, every one an equi-exchange on a
+    # node/edge key over the two checkpointed tables (never a wide row,
+    # never a cartesian); measured 13 at sf0.001 with SMJ on all joins —
+    # at real scale AQE may broadcast the deg side, only lowering it.
+    "triangle_counts": (13, 0),
     # round-3 batch 2:
     # pagerank's visible plan is the post-loop fragment (each iteration
     # localCheckpoints, truncating lineage by design — the per-round

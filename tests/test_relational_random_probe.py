@@ -62,6 +62,7 @@ REL_QUERIES = (
     "q12_priority_by_returnflag",
     "q22_dormant_customers",
     "copurchase_pairs",
+    "triangle_counts",
     "referential_audit",
     "pagerank_trade_flows",
 )

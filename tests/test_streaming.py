@@ -22,19 +22,30 @@ def stream_dirs(spark, sf_dir, tmp_path_factory):
 
 def test_stream_matches_batch_for_closed_windows(spark, sf_dir, stream_dirs):
     _, outp, _ = stream_dirs
+    events = load_table(spark, sf_dir, "events")
     streamed = spark.read.parquet(outp)
     batch = (
-        load_table(spark, sf_dir, "events")
+        events
         .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
         .agg(F.count("*").alias("n_events"))
     )
     s = {(r["window_start"], r["event_type"]): r["n_events"] for r in streamed.collect()}
     b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
-    # Append mode withholds windows newer than the watermark; every
-    # emitted window must match batch exactly, and most windows emit.
+    # Append mode withholds exactly the windows NOT finalized at the
+    # final watermark (max event time - 2h): a 1h window emits iff
+    # window_start + 1h <= max(ts) - 2h. Derived, not a magic slack —
+    # if the testdata's tail-hour distribution drifts, the expected set
+    # drifts with it and the assertion stays exact.
+    import datetime
+
     assert s
     assert all(b[k] == v for k, v in s.items())
-    assert len(s) >= len(b) - 10
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - datetime.timedelta(hours=2)
+    emitted_expected = {
+        k for k in b if k[0] + datetime.timedelta(hours=1) <= final_wm
+    }
+    assert set(s) == emitted_expected
 
 
 def test_stream_restart_is_exactly_once(spark, stream_dirs):
