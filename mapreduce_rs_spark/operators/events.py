@@ -86,6 +86,46 @@ def sessionize(t: dict[str, DataFrame], gap_min: int = SESSION_GAP_MIN) -> DataF
     )
 
 
+def session_window_stats(
+    t: dict[str, DataFrame], gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE ``session_window`` —
+    the built-in API twin of ``sessionize``'s lag→flag→cumsum chain.
+
+    Semantics worth pinning (test_event_analysis does): the native form
+    merges TOUCHING [ts, ts+gap) intervals, so its predicate is the
+    same ``diff > gap`` as ``sessionize`` — but evaluated on EXACT
+    microseconds, where ``sessionize``'s ``unix_timestamp`` diff is
+    floored to whole seconds. A gap of ``gap + 0.5s`` therefore splits
+    here and merges there; the oracle uses ``epoch_us`` to match.
+
+    Why both operators exist: the lag-cumsum chain gives a per-EVENT
+    session index (needed when downstream logic tags individual rows);
+    the native form is ONE hash-exchange + session-merge aggregation —
+    no window functions at all — and is the exact groupBy Structured
+    Streaming accepts for streaming sessionization with watermark-based
+    state eviction (streaming/stateful.py). session_window.start is the
+    session's min event time; .end is last event + gap (both engines
+    compute the same interval arithmetic on exact microseconds).
+    """
+    ev = t["events"]
+    sw = F.session_window("ts", f"{gap_min} minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum(money("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def json_props_agg(t: dict[str, DataFrame]) -> DataFrame:
     """Semi-structured path: extract a JSON field from ``props`` and
     aggregate on it — JSON parsing stays JVM-side (get_json_object)."""

@@ -1729,6 +1729,38 @@ QUERIES: dict[str, QuerySpec] = {
         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx
         """,
     ),
+    "session_window_stats": QuerySpec(
+        _tables(events.session_window_stats),
+        f"""
+        WITH flagged AS (
+            -- Native session_window merges TOUCHING [ts, ts+gap)
+            -- intervals (pinned in test_event_analysis), so diff > gap
+            -- starts a session — same predicate as sessionize — but on
+            -- EXACT microseconds, not the floored seconds
+            -- unix_timestamp gives the lag-cumsum twin.
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {events.SESSION_GAP_MIN * 60 * 1_000_000}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {events.SESSION_GAP_MIN} MINUTE AS session_end,
+               count(*) AS n_events,
+               {_stable_sum(_money('value'))} AS sum_value
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start
+        """,
+        "Spark-native session_window (one exchange, no window functions) vs "
+        "the lag-cumsum chain on exact-microsecond gaps (oracle)",
+    ),
     "json_props_agg": QuerySpec(
         _tables(events.json_props_agg),
         # json_valid guard: DuckDB's json_extract_string THROWS on
@@ -2982,6 +3014,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "tumbling_window": ("window_start", "event_type"),
     "sliding_window": ("window_start",),
     "sessionize": ("user_id", "session_idx"),
+    "session_window_stats": ("user_id", "session_start"),
     "json_props_agg": ("event_type",),
     "asof_last_click_before_purchase": ("user_id", "event_id"),
     "multi_resolution_rollup": ("resolution", "bucket_ts", "event_type"),
@@ -3081,6 +3114,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bmp_decode_stats",      # NEW this round: second real codec
     "wav_decode_stats",      # NEW this round: third real codec (audio)
     "triangle_counts",       # NEW this round: degree-ordered triangles
+    "session_window_stats",  # NEW this round: native session windows
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3104,8 +3138,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 13 of 26; the
-    # remaining thirteen (window_functions_battery,
+    # (c) stalest external rows (last green r01) — first 12 of 26; the
+    # remaining fourteen (window_price_delta, window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
     # percentiles_by_priority, grouping_sets_returns,
@@ -3124,7 +3158,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "join_semi_recent_customers",
     "join_anti_customers_without_orders",
     "rollup_returns",
-    "window_price_delta",
 )
 
 QUERIES = {

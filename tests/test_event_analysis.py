@@ -127,3 +127,39 @@ def test_referential_audit_counts_orphans(spark):
     }
     assert got["nation->region"] == (3, 2, 1)
     assert got["lineitem->orders"] == (0, 0, 0)
+
+
+def test_session_window_gap_semantics_vs_sessionize(spark):
+    """Pin the native session_window semantics the oracle encodes:
+    (a) TOUCHING intervals merge — a gap of exactly gap_min does NOT
+    split (same `diff > gap` predicate as sessionize);
+    (b) the diff is EXACT microseconds — gap + 0.5s splits natively
+    but merges under sessionize's floored-second unix_timestamp diff;
+    (c) window end = last event ts + gap."""
+    from mapreduce_rs_spark.operators.events import (
+        SESSION_GAP_MIN,
+        session_window_stats,
+        sessionize,
+    )
+
+    gap = dt.timedelta(minutes=SESSION_GAP_MIN)
+    half_s = dt.timedelta(milliseconds=500)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 1.0),
+        (2, base + gap, 1, "click", 1.0),          # exactly the gap: merges
+        (3, base + gap + gap + half_s, 1, "click", 1.0),  # gap+0.5s: splits
+    ]
+    t = {"events": _ev(spark, rows)}
+    native = session_window_stats(t).collect()
+    lag_based = sessionize(t).collect()
+    # Native: {1,2} merge (touching), 3 splits (diff 0.5s beyond gap).
+    assert sorted(r["n_events"] for r in native) == [1, 2]
+    # Lag-cumsum: floor-second diff of event 3 is exactly gap -> one
+    # session of all 3 (the documented precision divergence).
+    assert [r["n_events"] for r in lag_based] == [3]
+    by_start = {r["session_start"]: r for r in native}
+    assert by_start[base]["n_events"] == 2
+    assert by_start[base]["session_end"] == base + gap + gap
+    last = base + gap + gap + half_s
+    assert by_start[last]["session_end"] == last + gap

@@ -28,6 +28,7 @@ EVENT_QUERIES = (
     "tumbling_window",
     "sliding_window",
     "sessionize",
+    "session_window_stats",
     "json_props_agg",
     "asof_last_click_before_purchase",
     "multi_resolution_rollup",

@@ -130,6 +130,9 @@ _SCALE_GUARDS = {
     "minhash_signatures": (1, 0),
     "knn_bruteforce": (2, 0),             # parallelism spread + top-k window
     "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
+    # native session_window: partial agg -> ONE exchange on user_id ->
+    # local sort -> MergingSessions -> final agg; no window functions
+    "session_window_stats": (1, 0),
     "tumbling_window": (1, 0),
     "minhash_lsh_pairs": (1, 0),          # banded self-join over the checkpointed sigs
     "jaccard_pairs": (3, 0),              # df agg + pair agg + sizes joins
