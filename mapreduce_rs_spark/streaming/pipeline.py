@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from mapreduce_rs_spark.operators.relational import money, stable_sum
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -170,6 +171,56 @@ def run_windowed_stream(
     agg = streaming_tumbling_counts(stream)
     (
         agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def streaming_sessions(
+    stream: DataFrame, *, watermark: str = "2 hours", gap_min: int = 30
+) -> DataFrame:
+    """Streaming sessionization with the NATIVE session_window — the
+    stream form of ``operators/events.session_window_stats`` (same
+    groupBy expression, verbatim). State per (user, open session) lives
+    until the watermark passes the session's gap-extended end, then the
+    session is finalized, emitted once (append mode), and evicted —
+    unbounded-stream sessionization at bounded memory, which the
+    lag-cumsum batch formulation fundamentally can't express (window
+    functions aren't allowed in streaming aggs)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_min} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # Decimal accumulation (the repo-wide money rule): exact and
+            # order-independent, so streamed sessions match the batch
+            # twin bit-for-bit regardless of micro-batch splits.
+            stable_sum(money("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain-and-stop session stream over a file source (availableNow),
+    append mode: only watermark-finalized sessions are emitted, each
+    exactly once via the checkpoint."""
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    (
+        streaming_sessions(stream)
+        .writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)

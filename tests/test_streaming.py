@@ -232,3 +232,36 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
         k for k in b if k[0] + datetime.timedelta(hours=1) <= final_wm
     }
     assert set(s) == emitted_expected
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Native session_window through the REAL streaming engine must
+    equal the batch operator (same groupBy expression, decimal sums)
+    for every watermark-finalized session; the withheld set is derived
+    from the final watermark, not a slack constant."""
+    import datetime
+
+    from mapreduce_rs_spark.operators.events import session_window_stats
+    from mapreduce_rs_spark.streaming.pipeline import run_session_stream
+
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    events = load_table(spark, sf_dir, "events")
+    events.write.parquet(inp)
+    run_session_stream(spark, inp, outp, ckpt)
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    s = {
+        key(r): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    b = {
+        key(r): (r["session_end"], r["n_events"], r["sum_value"])
+        for r in session_window_stats({"events": events}).collect()
+    }
+    assert s, "stream emitted nothing"
+    assert all(b[k] == v for k, v in s.items())
+    # Append mode finalizes a session when the watermark passes its
+    # gap-extended end: emitted iff session_end <= max(ts) - 2h.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - datetime.timedelta(hours=2)
+    emitted_expected = {k for k, v in b.items() if v[0] <= final_wm}
+    assert set(s) == emitted_expected
