@@ -36,7 +36,7 @@ from mapreduce_rs_spark.functions.hashing import (
     h64_sql,
     text_fingerprint_sql,
 )
-from mapreduce_rs_spark.operators import curation, dedup, events, graph, multimodal, relational, similarity
+from mapreduce_rs_spark.operators import bloom, curation, dedup, events, graph, multimodal, relational, similarity
 from mapreduce_rs_spark.operators.histogram_model import EQUI_DEPTH_CUTS
 from mapreduce_rs_spark.operators import text_analysis as ta
 from mapreduce_rs_spark.operators import sampling
@@ -1404,6 +1404,60 @@ QUERIES: dict[str, QuerySpec] = {
         "fixed-point integer PageRank (5 iterations) on the symmetrized "
         "nation trade graph; Spark loop vs unrolled-CTE oracle, bit-exact "
         "because every step is integral",
+    ),
+    "bloom_prefilter_stats": QuerySpec(
+        _tables(bloom.bloom_prefilter_stats),
+        f"""
+        WITH dimk AS (
+            SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ), contrib AS (
+            SELECT (pos // 32) AS word,
+                   (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS mask
+            FROM (
+                SELECT ({h32_sql("CAST(k AS VARCHAR)", seed=0)} % 1024) AS pos FROM dimk
+                UNION ALL
+                SELECT ({h32_sql("CAST(k AS VARCHAR)", seed=1)} % 1024) FROM dimk
+                UNION ALL
+                SELECT ({h32_sql("CAST(k AS VARCHAR)", seed=2)} % 1024) FROM dimk
+            )
+        ), bloom AS (
+            -- bit_or fold: associative, so identical to Spark's
+            -- partition-parallel fold and to the driver's dense array.
+            SELECT word, bit_or(mask) AS mask FROM contrib GROUP BY word
+        ), probe AS (
+            SELECT o_orderpriority, o_custkey,
+                   ({h32_sql("CAST(o_custkey AS VARCHAR)", seed=0)} % 1024) AS p0,
+                   ({h32_sql("CAST(o_custkey AS VARCHAR)", seed=1)} % 1024) AS p1,
+                   ({h32_sql("CAST(o_custkey AS VARCHAR)", seed=2)} % 1024) AS p2
+            FROM orders
+        ), tested AS (
+            SELECT pr.o_orderpriority, pr.o_custkey,
+                   ((COALESCE(b0.mask, 0) & (CAST(1 AS BIGINT) << CAST(pr.p0 % 32 AS INTEGER))) != 0
+                    AND (COALESCE(b1.mask, 0) & (CAST(1 AS BIGINT) << CAST(pr.p1 % 32 AS INTEGER))) != 0
+                    AND (COALESCE(b2.mask, 0) & (CAST(1 AS BIGINT) << CAST(pr.p2 % 32 AS INTEGER))) != 0
+                   ) AS bloom_pass
+            FROM probe pr
+            LEFT JOIN bloom b0 ON b0.word = pr.p0 // 32
+            LEFT JOIN bloom b1 ON b1.word = pr.p1 // 32
+            LEFT JOIN bloom b2 ON b2.word = pr.p2 // 32
+        ), final AS (
+            SELECT t.o_orderpriority, t.bloom_pass,
+                   (dk.k IS NOT NULL) AS is_match
+            FROM tested t LEFT JOIN dimk dk ON dk.k = t.o_custkey
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE bloom_pass) AS n_bloom_pass,
+               count(*) FILTER (WHERE is_match) AS n_match,
+               count(*) FILTER (WHERE bloom_pass AND NOT is_match) AS n_false_pos,
+               count(*) FILTER (WHERE is_match AND NOT bloom_pass) AS n_false_neg
+        FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "runtime Bloom-filter join prefiltering as an evaluation harness: "
+        "the portable-h32 bit set is rebuilt bit-for-bit by the oracle, so "
+        "pass/false-positive accounting (and the zero-false-negative "
+        "theorem) are oracle-checked per priority group",
     ),
     "triangle_counts": QuerySpec(
         _tables(graph.triangle_counts),
@@ -3040,6 +3094,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bmp_decode_stats": ("doc_id",),
     "wav_decode_stats": ("doc_id",),
     "triangle_counts": ("partkey",),
+    "bloom_prefilter_stats": ("o_orderpriority",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3115,6 +3170,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "wav_decode_stats",      # NEW this round: third real codec (audio)
     "triangle_counts",       # NEW this round: degree-ordered triangles
     "session_window_stats",  # NEW this round: native session windows
+    "bloom_prefilter_stats", # NEW this round: runtime-filter harness
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3138,8 +3194,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 12 of 26; the
-    # remaining fourteen (window_price_delta, window_functions_battery,
+    # (c) stalest external rows (last green r01) — first 11 of 26; the
+    # remaining fifteen (rollup_returns, window_price_delta,
+    # window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
     # percentiles_by_priority, grouping_sets_returns,
@@ -3157,7 +3214,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "join_left_order_counts",
     "join_semi_recent_customers",
     "join_anti_customers_without_orders",
-    "rollup_returns",
 )
 
 QUERIES = {

@@ -191,6 +191,11 @@ _SCALE_GUARDS = {
     "png_decode_stats": (0, 0),
     "bmp_decode_stats": (0, 0),
     "wav_decode_stats": (0, 0),
+    # bloom runtime-filter harness: the PROBE is a pure narrow
+    # expression on the orders scan (no join/shuffle below it — the
+    # property a runtime filter needs); exchanges are the dim distinct
+    # + final agg, truth join broadcasts.
+    "bloom_prefilter_stats": (2, 0),
     # degree-ordered triangles: deg agg + deg-annotation joins + wedge
     # join + closure join + role agg, every one an equi-exchange on a
     # node/edge key over the two checkpointed tables (never a wide row,

@@ -63,6 +63,7 @@ REL_QUERIES = (
     "q22_dormant_customers",
     "copurchase_pairs",
     "triangle_counts",
+    "bloom_prefilter_stats",
     "referential_audit",
     "pagerank_trade_flows",
 )
