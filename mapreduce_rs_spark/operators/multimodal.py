@@ -6,15 +6,23 @@ resize / frame-sample as Arrow-batched Python stages (``mapInPandas``) —
 the one place imperative Python is the right tool, because codecs aren't
 column expressions.
 
-Three decode paths:
+FOUR real codecs — one per modality class — plus a stub fallback:
 
-* ``image/png`` — a REAL codec: a pure-Python PNG decoder (zlib +
-  struct, no PIL needed) handling 8-bit grayscale/RGB/RGBA with all
-  five scanline filters. Dimensions and mean intensity come from the
-  decoded pixels, not the metadata (decode *validates* metadata).
-* ``image/bmp`` — a second REAL codec: 24-bit uncompressed (BI_RGB)
-  Windows BMP — BITMAPFILEHEADER/BITMAPINFOHEADER walk, bottom-up row
-  order, 4-byte row padding, BGR channel order all handled.
+* ``image/png`` — pure-Python PNG decoder (zlib + struct, no PIL)
+  handling 8-bit grayscale/RGB/RGBA with all five scanline filters.
+  Dimensions and mean intensity come from the decoded pixels, not the
+  metadata (decode *validates* metadata).
+* ``image/bmp`` — 24-bit uncompressed (BI_RGB) Windows BMP:
+  BITMAPFILEHEADER/BITMAPINFOHEADER walk, bottom-up row order, 4-byte
+  row padding, BGR channel order all handled.
+* ``audio/wav`` — 16-bit PCM RIFF/WAVE: word-aligned chunk walk, fmt
+  validation, int16 LE sample unpack; frames/channels/rate/amplitudes
+  all from the parsed file.
+* ``image/gif`` (video-class: animated, 1:N frame expansion) — full
+  GIF89a container walk + a real GIF-variant LZW codec (dynamic
+  9→12-bit codes, CLEAR resets, LSB-first packing, hand-packed spec
+  vector pinned in tests); per-frame delays from Graphic Control
+  Extensions.
 * anything else — a clearly-marked deterministic STUB (the container
   has no general codecs); the Spark-side contract (schema, batch
   iteration, partitioning, UDF signature) is identical on all paths,
@@ -665,6 +673,327 @@ def wav_decode_stats(df: DataFrame) -> DataFrame:
         "doc_id", "n_frames", "n_channels", "sample_rate", "n_samples",
         "sum_amplitude", "mean_amplitude", "duration_ms",
     )
+
+
+GIF_MAGIC = b"GIF89a"
+_GIF_MAX_CODE = 1 << 12  # LZW codes are at most 12 bits in GIF
+
+
+class _BitPacker:
+    """LSB-first bit packer (the GIF LZW stream order)."""
+
+    def __init__(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+        self._out = bytearray()
+
+    def put(self, code: int, width: int) -> None:
+        self._acc |= code << self._nbits
+        self._nbits += width
+        while self._nbits >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def finish(self) -> bytes:
+        if self._nbits:
+            self._out.append(self._acc & 0xFF)
+        return bytes(self._out)
+
+
+def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression (dynamic 9→12-bit codes, LSB-first).
+
+    Width-change timing mirrors the canonical decoder schedule: the
+    decoder grows its table one entry per code AFTER the first, so its
+    counter runs two behind the encoder's — hence the encoder bumps the
+    code width just before emitting when its next_code reaches
+    2^width + 1, and emits CLEAR when the table fills at 4096.
+    """
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    packer = _BitPacker()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        packer.put(code, width)
+
+    emit(clear)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < _GIF_MAX_CODE:
+            table[wc] = next_code
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    return packer.finish()
+
+
+def lzw_decode(blob: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW decompression — the canonical decoder: table
+    reset on CLEAR, the `code == next_code` self-referential case
+    (cScSc pattern), width growth when the table hits 2^width."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width, prev = min_code_size + 1, None
+    out = bytearray()
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(blob):
+                raise ValueError("truncated LZW stream: no EOI code")
+            acc |= blob[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width, prev = min_code_size + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt LZW stream: first code {code} undefined")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+        out += entry
+        if len(table) < _GIF_MAX_CODE:
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+def _gif_sub_blocks(data: bytes) -> bytes:
+    """Chop a byte stream into GIF data sub-blocks (<=255 bytes each,
+    length-prefixed, zero terminator)."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, frames: list[bytes], delays_cs: list[int]) -> bytes:
+    """Minimal animated GIF89a encoder: 8-bit grayscale (global 256-gray
+    palette, pixel value == intensity), one full-size image per frame,
+    each preceded by a Graphic Control Extension carrying its delay in
+    centiseconds. Real LZW compression — the output is a spec-valid
+    file any viewer plays."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("need one delay per frame and at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(f"each frame needs {width * height} pixel bytes")
+    out = bytearray(GIF_MAGIC)
+    # Logical screen descriptor: global color table, 256 entries.
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):  # grayscale ramp: index == intensity
+        out += bytes([i, i, i])
+    for frame, delay in zip(frames, delays_cs):
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", delay) + bytes([0x00, 0x00])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height) + bytes([0x00])
+        out += bytes([8]) + _gif_sub_blocks(lzw_encode(frame, 8))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[tuple[bytes, int]]]:
+    """Decode an 8-bit grayscale animated GIF: (width, height,
+    [(frame_pixels, delay_cs), ...]). Full container walk — logical
+    screen descriptor, global color table, extension blocks (delays
+    read from Graphic Control Extensions, unknown extensions skipped by
+    sub-block structure), image descriptors with LZW-compressed data.
+    Raises loudly on anything that isn't the baseline shape (local
+    color tables, interlace, partial-canvas frames are out of scope)."""
+    if not payload.startswith(GIF_MAGIC[:3]) or payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: missing screen descriptor")
+    width, height, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if packed & 0x80:  # global color table
+        gct_len = 3 * (2 << (packed & 0x07))
+        pos += gct_len
+    frames: list[tuple[bytes, int]] = []
+    delay_cs = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return width, height, frames
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: packed, delay, transp
+                size = payload[pos]
+                if size != 4:
+                    raise ValueError("corrupt GIF: bad GCE size")
+                (delay_cs,) = struct.unpack("<H", payload[pos + 2 : pos + 4])
+                pos += 1 + size
+            while True:  # drain remaining sub-blocks (any extension)
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                pos += size
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            if (left, top, iw, ih) != (0, 0, width, height):
+                raise ValueError("unsupported GIF: partial-canvas frame")
+            if ipacked & 0xC0:
+                raise ValueError("unsupported GIF: local color table / interlace")
+            min_code = payload[pos]
+            pos += 1
+            blob = bytearray()
+            while True:
+                size = payload[pos]
+                pos += 1
+                if size == 0:
+                    break
+                blob += payload[pos : pos + size]
+                pos += size
+            pixels = lzw_decode(bytes(blob), min_code)
+            if len(pixels) != width * height:
+                raise ValueError("corrupt GIF: frame pixel count mismatch")
+            frames.append((pixels, delay_cs))
+            delay_cs = 0
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+    raise ValueError("truncated GIF: missing trailer")
+
+
+def attach_gif_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid animated GIFs (1-4 grayscale frames,
+    LZW-compressed, per-frame delays) from document text — the video
+    twin of attach_png_payload. Frame f's pixels continue the tiled
+    byte stream where frame f-1 stopped (global pixel g = byte[g % len]),
+    and its delay is (len + f) % 100 centiseconds, so every frame stat
+    is SQL-predictable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "payload", "width", "height", "n_frames")
+        out: dict[str, list] = {k: [] for k in cols}
+        for batch in batches:
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                data = text.encode("utf-8")
+                n = len(data)
+                w, h, n_frames = n % 10 + 1, n % 6 + 1, n % 4 + 1
+                npix = w * h
+                stream = bytes(
+                    data[g % n] if n else 0 for g in range(n_frames * npix)
+                )
+                frames = [
+                    stream[f * npix : (f + 1) * npix] for f in range(n_frames)
+                ]
+                delays = [(n + f) % 100 for f in range(n_frames)]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_gif(w, h, frames, delays))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n_frames)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in cols}
+
+    encoded = df.select("doc_id", text_col).mapInPandas(
+        run,
+        schema="doc_id long, payload binary, width int, height int, n_frames int",
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/gif").alias("content_type"),
+            F.col("width"),
+            F.col("height"),
+            F.col("n_frames"),
+        ).alias("meta"),
+    )
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, n_pixels long, "
+    "sum_intensity long, mean_intensity double, delay_ms long"
+)
+
+
+def extract_gif_frames(df: DataFrame) -> DataFrame:
+    """Arrow-batched 1:N frame extraction over (doc_id, payload) rows —
+    ``sample_video_frames`` with a REAL container+codec instead of the
+    stub: each GIF decodes (container walk + LZW) into one output row
+    per frame, with stats computed from the DECODED pixels and the
+    delay from the parsed Graphic Control Extension. Expansion happens
+    inside the generator, so memory stays bounded per Arrow batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "frame_idx", "width", "height",
+            "n_pixels", "sum_intensity", "mean_intensity", "delay_ms",
+        )
+        for batch in batches:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, frames = decode_gif(bytes(payload))
+                npix = w * h
+                for idx, (pixels, delay_cs) in enumerate(frames):
+                    total = sum(pixels)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_pixels"].append(npix)
+                    rows["sum_intensity"].append(total)
+                    rows["mean_intensity"].append(total / npix)
+                    rows["delay_ms"].append(delay_cs * 10)
+            df_out = pd.DataFrame(rows)
+            for c in ("frame_idx", "width", "height"):
+                df_out[c] = df_out[c].astype("int32")
+            yield df_out
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+def gif_frame_stats(df: DataFrame) -> DataFrame:
+    """Oracle-checkable GIF decode round-trip — the VIDEO member of the
+    real-codec family, and the only one exercising 1:N expansion
+    (frame sampling) plus real compression (LZW) end to end.
+
+    Synthesize spec-valid animated GIFs from every document
+    (attach_gif_payload), decode with the FULL pipeline (container walk
+    → per-frame LZW inflate → pixel stats + GCE delays), one output row
+    per frame. The DuckDB oracle recomputes everything from the raw
+    text with NO GIF machinery: frame f's pixel sum is the tiled-byte
+    window sum over [f·w·h, (f+1)·w·h), expressed with prefix sums over
+    the ascii values — agreement proves the LZW encode→decode and the
+    container round-trip lossless for every frame independently."""
+    return extract_gif_frames(attach_gif_payload(df))
 
 
 def multimodal_features(df: DataFrame) -> DataFrame:

@@ -2459,6 +2459,48 @@ QUERIES: dict[str, QuerySpec] = {
         "WAV decode round-trip vs a pure-text oracle: the third real codec "
         "(16-bit PCM RIFF/WAVE; chunk walk, fmt validation, int16 unpack) externally verified",
     ),
+    "gif_frame_stats": QuerySpec(
+        _docs(multimodal.gif_frame_stats),
+        """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 10 + 1 AS INTEGER) AS width,
+                   CAST(length(text) % 6 + 1 AS INTEGER) AS height,
+                   CAST(length(text) % 4 + 1 AS INTEGER) AS n_frames
+            FROM documents
+        ), per_frame AS (
+            SELECT b.doc_id, b.text, b.len, b.width, b.height,
+                   CAST(fr.f AS INTEGER) AS frame_idx,
+                   b.width * b.height AS npix,
+                   fr.f * b.width * b.height AS a,
+                   (fr.f + 1) * b.width * b.height AS bnd
+            FROM base b
+            CROSS JOIN (VALUES (0), (1), (2), (3)) AS fr(f)
+            WHERE fr.f < b.n_frames
+        ), sums AS (
+            -- Frame f's pixels are the tiled byte stream over
+            -- [f*npix, (f+1)*npix): window sum = whole-repetition count
+            -- times the full-text sum plus a prefix-sum difference.
+            SELECT doc_id, frame_idx, width, height, npix, len, a, bnd,
+                   CASE WHEN len = 0 THEN 0 ELSE (bnd // len - a // len) END AS reps,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE bnd % len END + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS pre_b,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE a % len END + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS pre_a
+            FROM per_frame
+        )
+        SELECT doc_id, frame_idx, width, height,
+               CAST(npix AS BIGINT) AS n_pixels,
+               CAST(reps * all_sum + pre_b - pre_a AS BIGINT) AS sum_intensity,
+               CAST(reps * all_sum + pre_b - pre_a AS DOUBLE) / npix AS mean_intensity,
+               CAST(((len + frame_idx) % 100) * 10 AS BIGINT) AS delay_ms
+        FROM sums ORDER BY doc_id, frame_idx
+        """,
+        "animated-GIF decode round-trip vs a pure-text oracle: the fourth real codec "
+        "(LZW + container walk, 1:N frame expansion, GCE delays) externally verified per frame",
+    ),
     "multimodal_features": QuerySpec(
         _docs(multimodal.multimodal_features),
         None,
@@ -3095,6 +3137,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "wav_decode_stats": ("doc_id",),
     "triangle_counts": ("partkey",),
     "bloom_prefilter_stats": ("o_orderpriority",),
+    "gif_frame_stats": ("doc_id", "frame_idx"),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3171,6 +3214,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "triangle_counts",       # NEW this round: degree-ordered triangles
     "session_window_stats",  # NEW this round: native session windows
     "bloom_prefilter_stats", # NEW this round: runtime-filter harness
+    "gif_frame_stats",       # NEW this round: fourth real codec (video)
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3194,9 +3238,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 11 of 26; the
-    # remaining fifteen (rollup_returns, window_price_delta,
-    # window_functions_battery,
+    # (c) stalest external rows (last green r01) — first 10 of 26; the
+    # remaining sixteen (join_anti_customers_without_orders,
+    # rollup_returns, window_price_delta, window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
     # percentiles_by_priority, grouping_sets_returns,
@@ -3213,7 +3257,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "filter_project",
     "join_left_order_counts",
     "join_semi_recent_customers",
-    "join_anti_customers_without_orders",
 )
 
 QUERIES = {

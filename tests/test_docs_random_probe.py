@@ -51,6 +51,7 @@ DOC_QUERIES = (
     "png_decode_stats",
     "bmp_decode_stats",
     "wav_decode_stats",
+    "gif_frame_stats",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
 )

@@ -477,3 +477,113 @@ def test_extract_audio_features_decodes_real_wavs(docs):
         # except zero-padded empty docs.
         assert 0 <= r["mean_amplitude"] <= 32768
         assert r["duration_ms"] == r["n_frames"] * 1000 // r["sample_rate"]
+
+
+# ---------------------------------------------------------------------------
+# GIF: the fourth real codec (LZW + animated container) — video modality.
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_hand_packed_spec_vector():
+    """External pin of the LZW bit layout (not just self-consistency):
+    the single-pixel stream 'A' must pack to codes [CLEAR=256, 65,
+    EOI=257] at 9 bits, LSB-first -> bytes 00 83 04 04, both ways."""
+    from mapreduce_rs_spark.operators.multimodal import lzw_decode, lzw_encode
+
+    hand = bytes([0x00, 0x83, 0x04, 0x04])
+    assert lzw_encode(b"A") == hand
+    assert lzw_decode(hand) == b"A"
+
+
+def test_lzw_roundtrip_width_growth_and_clears():
+    """Long low-entropy and structured streams force code-width growth
+    to 12 bits and full-table CLEAR resets; all must round-trip."""
+    import random
+
+    from mapreduce_rs_spark.operators.multimodal import lzw_decode, lzw_encode
+
+    rng = random.Random(99)
+    cases = [
+        b"",
+        b"\x00",
+        bytes(rng.randrange(256) for _ in range(60_000)),
+        b"a" * 70_000,
+        b"abab" * 20_000,
+        bytes(range(256)) * 300,
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048))
+def test_lzw_roundtrip_random(data):
+    from mapreduce_rs_spark.operators.multimodal import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 8),
+    nf=st.integers(1, 4),
+    data=st.data(),
+)
+def test_gif_roundtrip_random(w, h, nf, data):
+    from mapreduce_rs_spark.operators.multimodal import decode_gif, encode_gif
+
+    frames = [
+        bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+        )
+        for _ in range(nf)
+    ]
+    delays = data.draw(st.lists(st.integers(0, 99), min_size=nf, max_size=nf))
+    dw, dh, out = decode_gif(encode_gif(w, h, frames, delays))
+    assert (dw, dh) == (w, h)
+    assert [p for p, _ in out] == frames
+    assert [d for _, d in out] == delays
+
+
+def test_gif_rejects_garbage_and_unsupported():
+    import pytest as _pytest
+
+    from mapreduce_rs_spark.operators.multimodal import decode_gif, encode_gif
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF89a")  # truncated: no screen descriptor
+    good = bytearray(encode_gif(2, 2, [bytes(4)], [5]))
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(good[:-1]))  # trailer gone
+    interlaced = bytearray(good)
+    # image descriptor starts after 13-byte header + 768-byte GCT + 8-byte
+    # GCE; its packed byte is at offset +9 of the descriptor
+    id_off = 13 + 768 + 8
+    assert interlaced[id_off] == 0x2C
+    interlaced[id_off + 9] = 0x40  # interlace flag
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(interlaced))
+
+
+def test_extract_gif_frames_expands_1_to_n(docs):
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_gif_payload,
+        extract_gif_frames,
+    )
+
+    rows = extract_gif_frames(attach_gif_payload(docs)).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 50
+    for doc_rows in by_doc.values():
+        idxs = sorted(r["frame_idx"] for r in doc_rows)
+        assert idxs == list(range(len(doc_rows)))  # dense frame indices
+        assert 1 <= len(doc_rows) <= 4
+        for r in doc_rows:
+            assert r["n_pixels"] == r["width"] * r["height"]
+            assert 0 <= r["mean_intensity"] <= 255
+            assert r["delay_ms"] % 10 == 0 and 0 <= r["delay_ms"] <= 990

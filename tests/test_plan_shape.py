@@ -191,6 +191,7 @@ _SCALE_GUARDS = {
     "png_decode_stats": (0, 0),
     "bmp_decode_stats": (0, 0),
     "wav_decode_stats": (0, 0),
+    "gif_frame_stats": (0, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
