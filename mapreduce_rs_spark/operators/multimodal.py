@@ -381,6 +381,72 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+QUARANTINE_SCHEMA = FEATURE_SCHEMA + ", decode_error string"
+
+
+def extract_features_quarantined(df: DataFrame) -> DataFrame:
+    """``extract_features`` with the failure policy a 100 TB job needs:
+    one corrupt payload must neither kill the job (a raised exception
+    fails the task, and after ``spark.task.maxFailures`` the whole job)
+    nor silently vanish. Each row decodes inside a per-row guard; rows
+    that fail carry ``decode_error`` (and NULL stats) so the caller
+    splits the SAME one-pass output into a clean stream and a
+    quarantine sink:
+
+        feats = extract_features_quarantined(payloads)
+        good  = feats.where("decode_error IS NULL").drop("decode_error")
+        bad   = feats.where("decode_error IS NOT NULL")
+
+    The split is two filters over one narrow stage — no second decode
+    pass, no driver round-trip. ``good`` is schema-compatible with
+    ``extract_features`` output by construction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            meta = pd.DataFrame(list(batch["meta"]))
+            cols: dict[str, list] = {
+                "width": [], "height": [], "n_channels": [],
+                "mean_intensity": [], "decode_error": [],
+            }
+            for p, ct, w, h, c in zip(
+                batch["payload"],
+                meta["content_type"],
+                meta["width"],
+                meta["height"],
+                meta["n_channels"],
+            ):
+                try:
+                    if p[: len(PNG_MAGIC)] == PNG_MAGIC:
+                        dw, dh, dc, mean = decode_png(bytes(p))
+                    elif ct == "image/bmp" and p[: len(BMP_MAGIC)] == BMP_MAGIC:
+                        dw, dh, dc, mean = decode_bmp(bytes(p))
+                    else:
+                        dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
+                    err = None
+                except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
+                    dw = dh = dc = mean = None
+                    err = f"{type(e).__name__}: {e}"
+                cols["width"].append(dw)
+                cols["height"].append(dh)
+                cols["n_channels"].append(dc)
+                cols["mean_intensity"].append(mean)
+                cols["decode_error"].append(err)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "modality": meta["content_type"],
+                    "n_bytes": batch["payload"].map(len),
+                    "width": pd.Series(cols["width"], dtype="Int32"),
+                    "height": pd.Series(cols["height"], dtype="Int32"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="Int32"),
+                    "mean_intensity": cols["mean_intensity"],
+                    "decode_error": cols["decode_error"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=QUARANTINE_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int, n_channels int"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
 

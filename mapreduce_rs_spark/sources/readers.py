@@ -99,10 +99,23 @@ def read_json(
     return reader.json(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, *, merge_schema: bool = False
+) -> DataFrame:
     """Parquet source — the primary format: columnar, splittable, with
-    predicate pushdown and column pruning reaching the scan."""
-    return spark.read.parquet(path)
+    predicate pushdown and column pruning reaching the scan.
+
+    ``merge_schema=True`` unions the footer schemas of every file in
+    the path (Spark's schema-evolution read): columns added by newer
+    writers surface as nullable, old files fill them with NULL. Off by
+    default because footer merging is an extra per-file metadata pass —
+    a long-lived 100 TB table should evolve through an explicit catalog
+    schema instead, but an append-only landing zone written by multiple
+    producer versions needs exactly this."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

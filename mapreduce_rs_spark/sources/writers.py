@@ -49,3 +49,32 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    target_file_rows: int,
+    mode: str = "overwrite",
+) -> None:
+    """Small-file compaction — the maintenance job every streaming/
+    incremental sink eventually needs: micro-batches and per-task
+    writers leave thousands of KB-sized files, and at 100 TB the
+    resulting scan-planning and open() overhead dominates (the classic
+    small-files problem; NameNode/listing pressure on real storage).
+
+    Two controls compose: ``repartition(ceil(n / target))`` bounds the
+    number of write tasks (one file each here), and
+    ``maxRecordsPerFile`` caps rows per file so a future append-heavy
+    caller can't silently produce monster files either. The count() to
+    size the repartition is one cheap parquet-metadata job.
+    """
+    n = df.count()
+    n_files = max(1, -(-n // target_file_rows))
+    (
+        df.repartition(n_files)
+        .write.option("maxRecordsPerFile", target_file_rows)
+        .mode(mode)
+        .parquet(path)
+    )

@@ -587,3 +587,39 @@ def test_extract_gif_frames_expands_1_to_n(docs):
             assert r["n_pixels"] == r["width"] * r["height"]
             assert 0 <= r["mean_intensity"] <= 255
             assert r["delay_ms"] % 10 == 0 and 0 <= r["delay_ms"] <= 990
+
+
+def test_quarantine_splits_corrupt_rows_without_killing_job(docs):
+    """One corrupt payload must not fail the task: the quarantined
+    decode emits per-row errors; good rows match extract_features
+    exactly, bad rows carry the codec's message."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_png_payload,
+        extract_features_quarantined,
+    )
+
+    good = attach_png_payload(docs)
+    # Corrupt half the payloads: truncate to 12 bytes (valid magic,
+    # truncated chunks) — the PNG decoder must raise per row.
+    mixed = good.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("payload")
+        ).otherwise(F.expr("substring(payload, 1, 12)")).alias("payload"),
+        "meta",
+    )
+    feats = extract_features_quarantined(mixed)
+    rows = feats.collect()
+    assert len(rows) == 50
+    ok = [r for r in rows if r["decode_error"] is None]
+    bad = [r for r in rows if r["decode_error"] is not None]
+    assert all(r["doc_id"] % 2 == 0 for r in ok)
+    assert all(r["doc_id"] % 2 == 1 for r in bad)
+    assert all(r["width"] is None and r["mean_intensity"] is None for r in bad)
+    assert all("PNG" in r["decode_error"] or "truncated" in r["decode_error"] for r in bad)
+    # Clean stream is byte-equal to the throwing decoder on good rows.
+    clean = feats.where("decode_error IS NULL").drop("decode_error")
+    reference = extract_features(good.where(F.col("doc_id") % 2 == 0))
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, reference.collect()))

@@ -80,10 +80,39 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     spark.createDataFrame(
         [(2, "b", 9.5)], ["id", "name", "score"]
     ).write.mode("append").parquet(path)
-    back = spark.read.option("mergeSchema", True).parquet(path)
+    from mapreduce_rs_spark.sources.readers import read_parquet
+
+    back = read_parquet(spark, path, merge_schema=True)
     assert set(back.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_compact_parquet_bounds_file_count(spark, tmp_path):
+    # Small-files maintenance: 64 micro-batch-sized files compact to
+    # ceil(n/target) files, data byte-identical; maxRecordsPerFile also
+    # caps the other direction (one huge partition can't make one huge
+    # file).
+    import glob
+
+    from mapreduce_rs_spark.sources.writers import compact_parquet
+
+    src_path, out_path = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(src_path)
+    assert len(glob.glob(src_path + "/part-*")) == 64
+
+    small = spark.read.parquet(src_path)
+    compact_parquet(small, out_path, target_file_rows=4_000)
+    files = glob.glob(out_path + "/part-*")
+    assert len(files) == 3  # ceil(10000/4000)
+    back = spark.read.parquet(out_path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id"), F.sum("k")).collect() == df.agg(
+        F.sum("id"), F.sum("k")
+    ).collect()
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
