@@ -54,6 +54,12 @@ HEADLINE = (
     "minhash_lsh_pairs",         # banded LSH self-join over checkpointed sigs
     "knn_ivf",                   # IVF nprobe=1 over the KMV query sample
     "curation_yield",            # gate→dedup→yield capstone
+    # round-4 second extension (BASELINE.md): the session's new operator
+    # families. The 9-query core and 12-query r04 suite remain
+    # comparable prefixes; compare totals only within one definition.
+    "session_window_stats",      # native MergingSessions aggregation
+    "bloom_prefilter_stats",     # narrow bloom probe + broadcast truth join
+    "gif_frame_stats",           # Python codec stage: LZW encode+decode, 1:N
 )
 
 

@@ -778,7 +778,9 @@ def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
     """
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     packer = _BitPacker()
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    # (prefix_code, next_byte) -> code: the standard GIF encoder table.
+    # Root codes ARE the byte values, so no per-symbol bytes allocation.
+    table: dict[tuple[int, int], int] = {}
     next_code, width = eoi + 1, min_code_size + 1
 
     def emit(code: int) -> None:
@@ -788,23 +790,27 @@ def lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         packer.put(code, width)
 
     emit(clear)
-    w = b""
-    for byte in data:
-        wc = w + bytes([byte])
-        if wc in table:
-            w = wc
+    it = iter(data)
+    w = next(it, None)
+    if w is None:
+        emit(eoi)
+        return packer.finish()
+    for byte in it:
+        key = (w, byte)
+        code = table.get(key)
+        if code is not None:
+            w = code
             continue
-        emit(table[w])
+        emit(w)
         if next_code < _GIF_MAX_CODE:
-            table[wc] = next_code
+            table[key] = next_code
             next_code += 1
         else:
             emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
+            table.clear()
             next_code, width = eoi + 1, min_code_size + 1
-        w = bytes([byte])
-    if w:
-        emit(table[w])
+        w = byte
+    emit(w)
     emit(eoi)
     return packer.finish()
 
