@@ -329,3 +329,58 @@ def mixture_sample(df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame, train_pm: int = 900, val_pm: int = 50
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates CANNOT straddle —
+    the leakage guard naive per-document hashing lacks.
+
+    Hashing doc_ids sends ~10% of each near-dup cluster's members into
+    val/test while their siblings train: the model is then evaluated on
+    paraphrases of its training data and the held-out loss lies. The
+    fix is to draw the split from the near-dup CLUSTER id (MinHash-LSH
+    pairs → connected components, the same machinery as
+    ``dedup_components``): every member of a cluster shares the
+    component id, hence the draw, hence the split — leakage-free by
+    construction, not by post-hoc filtering. Singleton documents use
+    their own id (identical distribution).
+
+    The draw is the engine-portable integer form (h32 per-mille, the
+    ``mixture_sample`` discipline): deterministic under any
+    partitioning, identical in the DuckDB oracle, and stable across
+    runs — a re-ingested corpus reproduces the same split, which is
+    what makes downstream eval numbers comparable between pipeline
+    versions.
+
+    Returns per-split accounting: (split, n_docs, n_components,
+    total_chars). The component-never-straddles invariant is structural
+    (split is a pure function of component); tests/test_curation.py
+    additionally asserts it row-by-row.
+    """
+    from mapreduce_rs_spark.operators.graph import dedup_components
+
+    if not 0 < train_pm + 2 * val_pm <= 1000:
+        raise ValueError("split per-milles must fit in 1000")
+    comps = dedup_components(df)
+    labeled = (
+        df.select("doc_id", "n_chars")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+    draw = h32(F.concat(F.col("component").cast("string"), F.lit("|split"))) % 1000
+    split = (
+        F.when(draw < train_pm, "train")
+        .when(draw < train_pm + val_pm, "val")
+        .otherwise("test")
+    )
+    return labeled.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component").alias("n_components"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1398,6 +1398,42 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
     ),
+    "leakage_safe_splits": QuerySpec(
+        _docs(curation.leakage_safe_splits),
+        f"""
+        WITH RECURSIVE pairs AS (
+            {_minhash_pairs_sql()}
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(doc_id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+        ), comp AS (
+            SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
+        ), labeled AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        ), drawn AS (
+            SELECT n_chars, component,
+                   {h32_sql("(CAST(component AS VARCHAR) || '|split')")} % 1000 AS draw
+            FROM labeled
+        )
+        SELECT CASE WHEN draw < 900 THEN 'train'
+                    WHEN draw < 950 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               count(DISTINCT component) AS n_components,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM drawn GROUP BY 1 ORDER BY split
+        """,
+        "leakage-safe train/val/test: the split draw hashes the near-dup "
+        "CLUSTER id (LSH pairs -> transitive closure), so paraphrase "
+        "siblings can never straddle train and eval",
+    ),
     "pagerank_trade_flows": QuerySpec(
         _tables(graph.pagerank_trade_flows),
         _pagerank_trade_sql(),
@@ -3138,6 +3174,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "triangle_counts": ("partkey",),
     "bloom_prefilter_stats": ("o_orderpriority",),
     "gif_frame_stats": ("doc_id", "frame_idx"),
+    "leakage_safe_splits": ("split",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3215,6 +3252,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "session_window_stats",  # NEW this round: native session windows
     "bloom_prefilter_stats", # NEW this round: runtime-filter harness
     "gif_frame_stats",       # NEW this round: fourth real codec (video)
+    "leakage_safe_splits",   # NEW this round: cluster-hashed splits
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3238,8 +3276,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 10 of 26; the
-    # remaining sixteen (join_anti_customers_without_orders,
+    # (c) stalest external rows (last green r01) — first 9 of 26; the
+    # remaining seventeen (join_semi_recent_customers,
+    # join_anti_customers_without_orders,
     # rollup_returns, window_price_delta, window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
@@ -3256,7 +3295,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "language_id",
     "filter_project",
     "join_left_order_counts",
-    "join_semi_recent_customers",
 )
 
 QUERIES = {

@@ -106,3 +106,31 @@ def test_decontaminate_flags_planted_overlap_only(spark):
         for r in decontaminate(df, eval_source="eval_set").collect()
     }
     assert out == {"en": (3, 1)}
+
+
+def test_leakage_safe_splits_components_never_straddle(spark, sf_dir):
+    """The invariant the operator exists for, asserted row-by-row:
+    every near-dup component lands in exactly one split."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.functions.hashing import h32
+    from mapreduce_rs_spark.operators.graph import dedup_components
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = dedup_components(docs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    draw = h32(F.concat(F.col("component").cast("string"), F.lit("|split"))) % 1000
+    split = (
+        F.when(draw < 900, "train").when(draw < 950, "val").otherwise("test")
+    )
+    per_component = labeled.select("component", split.alias("split")).groupBy(
+        "component"
+    ).agg(F.countDistinct("split").alias("n_splits"))
+    assert per_component.where(F.col("n_splits") > 1).count() == 0
+    # and clusters exist at this SF, so the guarantee is non-vacuous
+    assert comps.groupBy("component").count().where("count > 1").count() > 0

@@ -52,6 +52,7 @@ DOC_QUERIES = (
     "bmp_decode_stats",
     "wav_decode_stats",
     "gif_frame_stats",
+    "leakage_safe_splits",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
 )

@@ -192,6 +192,9 @@ _SCALE_GUARDS = {
     "bmp_decode_stats": (0, 0),
     "wav_decode_stats": (0, 0),
     "gif_frame_stats": (0, 0),
+    # cluster-hashed splits: post-CC plan is the docs⋈labels join +
+    # count-distinct double agg; the iterative CC rounds checkpoint out
+    "leakage_safe_splits": (4, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
