@@ -1509,3 +1509,88 @@ def referential_audit(tables: dict[str, DataFrame]) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic marketing-analytics rollup — built the scale-correct way.
+
+    The textbook formulation scores each metric with a global
+    ``ntile(5)``: one SinglePartition sort of every customer, the exact
+    shuffle a 100 TB table cannot pay. Instead the quintile CUTPOINTS
+    are a 1-row exact-percentile aggregate (the ``percentiles_by_
+    priority`` precedent: Spark ``percentile`` == DuckDB quantile_cont
+    bit-for-bit; swap to percentile_approx at real scale) broadcast
+    back over the per-customer metrics, and scores are range
+    comparisons — no global sort, ties resolved identically in both
+    engines because a comparison against a shared cutpoint has no
+    order-dependence at all (unlike ntile, whose tie handling depends
+    on sort stability).
+
+    Metrics: recency = days since the customer's last order relative to
+    the corpus max date (1-row broadcast, the q15 max-over-view
+    pattern); frequency = order count; monetary = exact-decimal sum of
+    o_totalprice. Scores are 1-5 (5 best: most recent / most frequent /
+    highest spend). Output: per (r_score, f_score, m_score) cell,
+    customer count + pixel-weighted total monetary — the segment-size
+    table a campaign query reads.
+    """
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    o = t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        stable_sum(money("o_totalprice")).alias("monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    # Materialized once: the customer-grain aggregate is the data-sized
+    # half and feeds BOTH the cutpoint fit and the scoring pass — left
+    # as lineage it would recompute (two full shuffles of orders).
+    metrics = materialize(
+        per_cust.join(F.broadcast(ref)).select(
+            "o_custkey",
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        ),
+        None,
+        "rfm_metrics",
+    )
+    cuts = metrics.agg(
+        *[
+            F.percentile("recency_days", q).alias(f"r{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+        *[
+            F.percentile("frequency", q).alias(f"f{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+        *[
+            F.percentile("monetary", q).alias(f"m{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), 1)
+        ],
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> Column:
+        # quintile by cutpoint comparison; recency inverts (small = good)
+        c = F.col(col)
+        expr = (
+            F.when(c <= F.col(f"{prefix}1"), 1)
+            .when(c <= F.col(f"{prefix}2"), 2)
+            .when(c <= F.col(f"{prefix}3"), 3)
+            .when(c <= F.col(f"{prefix}4"), 4)
+            .otherwise(5)
+        )
+        return (F.lit(6) - expr) if invert else expr
+
+    scored = metrics.join(F.broadcast(cuts)).select(
+        score("recency_days", "r", invert=True).alias("r_score"),
+        score("frequency", "f", invert=False).alias("f_score"),
+        score("monetary", "m", invert=False).alias("m_score"),
+        money("monetary").alias("monetary_dec"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        stable_sum(F.col("monetary_dec")).alias("total_monetary"),
+    )

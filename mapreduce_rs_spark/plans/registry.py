@@ -1398,6 +1398,51 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
     ),
+    "rfm_segments": QuerySpec(
+        _tables(relational.rfm_segments),
+        f"""
+        WITH per_cust AS (
+            SELECT o_custkey, max(o_orderdate) AS last_order,
+                   count(*) AS frequency,
+                   {_stable_sum(_money('o_totalprice'))} AS monetary
+            FROM orders GROUP BY o_custkey
+        ), ref AS (
+            SELECT max(o_orderdate) AS ref_date FROM orders
+        ), metrics AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_order, ref_date) AS INTEGER) AS recency_days,
+                   frequency, monetary
+            FROM per_cust, ref
+        ), cuts AS (
+            SELECT quantile_cont(recency_days, 0.2) AS r1, quantile_cont(recency_days, 0.4) AS r2,
+                   quantile_cont(recency_days, 0.6) AS r3, quantile_cont(recency_days, 0.8) AS r4,
+                   quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+                   quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+                   quantile_cont(monetary, 0.2) AS m1, quantile_cont(monetary, 0.4) AS m2,
+                   quantile_cont(monetary, 0.6) AS m3, quantile_cont(monetary, 0.8) AS m4
+            FROM metrics
+        ), scored AS (
+            SELECT 6 - (CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+                             WHEN recency_days <= r3 THEN 3 WHEN recency_days <= r4 THEN 4
+                             ELSE 5 END) AS r_score,
+                   CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                        WHEN frequency <= f3 THEN 3 WHEN frequency <= f4 THEN 4
+                        ELSE 5 END AS f_score,
+                   CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                        WHEN monetary <= m3 THEN 3 WHEN monetary <= m4 THEN 4
+                        ELSE 5 END AS m_score,
+                   monetary
+            FROM metrics, cuts
+        )
+        SELECT r_score, f_score, m_score,
+               count(*) AS n_customers,
+               {_stable_sum(_money('monetary'))} AS total_monetary
+        FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+        """,
+        "RFM segmentation by broadcast quintile cutpoints (exact percentiles, "
+        "the percentile_approx swap at scale) — no global ntile sort, "
+        "tie handling order-independent by construction",
+    ),
     "leakage_safe_splits": QuerySpec(
         _docs(curation.leakage_safe_splits),
         f"""
@@ -3175,6 +3220,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bloom_prefilter_stats": ("o_orderpriority",),
     "gif_frame_stats": ("doc_id", "frame_idx"),
     "leakage_safe_splits": ("split",),
+    "rfm_segments": ("r_score", "f_score", "m_score"),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3253,6 +3299,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bloom_prefilter_stats", # NEW this round: runtime-filter harness
     "gif_frame_stats",       # NEW this round: fourth real codec (video)
     "leakage_safe_splits",   # NEW this round: cluster-hashed splits
+    "rfm_segments",          # NEW this round: cutpoint-broadcast RFM
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3276,9 +3323,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 9 of 26; the
-    # remaining seventeen (join_semi_recent_customers,
-    # join_anti_customers_without_orders,
+    # (c) stalest external rows (last green r01) — first 8 of 26; the
+    # remaining eighteen (join_left_order_counts,
+    # join_semi_recent_customers, join_anti_customers_without_orders,
     # rollup_returns, window_price_delta, window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
@@ -3294,7 +3341,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "quality_score",
     "language_id",
     "filter_project",
-    "join_left_order_counts",
 )
 
 QUERIES = {

@@ -195,6 +195,10 @@ _SCALE_GUARDS = {
     # cluster-hashed splits: post-CC plan is the docs⋈labels join +
     # count-distinct double agg; the iterative CC rounds checkpoint out
     "leakage_safe_splits": (4, 0),
+    # cutpoint-broadcast RFM: the customer-grain aggregate materializes
+    # once (no rescan), cuts broadcast back, the only live exchange is
+    # the 125-cell segment agg — no global ntile sort anywhere
+    "rfm_segments": (1, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct

@@ -64,6 +64,7 @@ REL_QUERIES = (
     "copurchase_pairs",
     "triangle_counts",
     "bloom_prefilter_stats",
+    "rfm_segments",
     "referential_audit",
     "pagerank_trade_flows",
 )
