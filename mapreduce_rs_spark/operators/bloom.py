@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.hashing import h32
+from mapreduce_rs_spark.functions.hashing import h32_lane_from_digest
 
 # Words are 32-bit (stored in longs): every shift stays positive and
 # well-defined in BOTH engines (a 1<<63 long would hit engine-specific
@@ -39,9 +39,12 @@ K_HASHES = 3
 
 
 def bloom_words(keys: DataFrame, key_col: str, n_bits: int = DEFAULT_BITS) -> list[int]:
-    """Fit the bloom: k=3 h32-family positions per key, OR-folded into
-    ``n_bits/32`` 32-bit words. Returns the dense word list (driver-side,
-    HARD-BOUNDED at n_bits/32 entries regardless of key count).
+    """Fit the bloom: k=3 positions per key from the LANES of ONE md5
+    digest (the MinHash 4-lane trick — md5 is the dominant cost of the
+    probe, so one digest instead of three is a ~3x cut of the hot
+    narrow stage), OR-folded into ``n_bits/32`` 32-bit words. Returns
+    the dense word list (driver-side, HARD-BOUNDED at n_bits/32 entries
+    regardless of key count).
 
     In production the same aggregation ships as Spark's built-in
     BloomFilterAggregate; this explicit form exists so the filter is
@@ -49,11 +52,13 @@ def bloom_words(keys: DataFrame, key_col: str, n_bits: int = DEFAULT_BITS) -> li
     """
     if n_bits % WORD_BITS:
         raise ValueError(f"n_bits must be a multiple of {WORD_BITS}")
-    kstr = F.col(key_col).cast("string")
+    digest = keys.select(
+        F.md5(F.col(key_col).cast("string")).alias("digest")
+    )
     contribs = None
-    for seed in range(K_HASHES):
-        pos = h32(kstr, seed=seed) % n_bits
-        c = keys.select(
+    for lane in range(K_HASHES):
+        pos = h32_lane_from_digest("digest", lane) % n_bits
+        c = digest.select(
             (pos / WORD_BITS).cast("int").alias("word"),
             (pos % WORD_BITS).cast("int").alias("bit"),
         ).select("word", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"))
@@ -74,9 +79,12 @@ def _probe_pass_sql(key_expr: str, words: list[int], n_bits: int) -> str:
     the IVF/PQ centroid families — see SCALE.md round 4)."""
     arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
     tests = []
-    for seed in range(K_HASHES):
+    # ONE md5 per probe; lane L = hex digits [8L+1, 8L+8) of the digest
+    # (h32_lane_from_digest's scheme, kept in lockstep with the fit).
+    digest = f"md5({key_expr})"
+    for lane in range(K_HASHES):
         pos = (
-            f"(CAST(conv(substring(md5(concat('{seed}|', {key_expr})), 1, 8), 16, 10) "
+            f"(CAST(conv(substring({digest}, {lane * 8 + 1}, 8), 16, 10) "
             f"AS BIGINT) % {n_bits})"
         )
         tests.append(

@@ -1496,11 +1496,13 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT (pos // 32) AS word,
                    (CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS mask
             FROM (
-                SELECT ({h32_sql("CAST(k AS VARCHAR)", seed=0)} % 1024) AS pos FROM dimk
+                -- k=3 positions from the LANES of ONE md5 (the MinHash
+                -- 4-lane trick), matching bloom.py's fit and probe.
+                SELECT ({h32_lane_sql("CAST(k AS VARCHAR)", 0)} % 1024) AS pos FROM dimk
                 UNION ALL
-                SELECT ({h32_sql("CAST(k AS VARCHAR)", seed=1)} % 1024) FROM dimk
+                SELECT ({h32_lane_sql("CAST(k AS VARCHAR)", 1)} % 1024) FROM dimk
                 UNION ALL
-                SELECT ({h32_sql("CAST(k AS VARCHAR)", seed=2)} % 1024) FROM dimk
+                SELECT ({h32_lane_sql("CAST(k AS VARCHAR)", 2)} % 1024) FROM dimk
             )
         ), bloom AS (
             -- bit_or fold: associative, so identical to Spark's
@@ -1508,9 +1510,9 @@ QUERIES: dict[str, QuerySpec] = {
             SELECT word, bit_or(mask) AS mask FROM contrib GROUP BY word
         ), probe AS (
             SELECT o_orderpriority, o_custkey,
-                   ({h32_sql("CAST(o_custkey AS VARCHAR)", seed=0)} % 1024) AS p0,
-                   ({h32_sql("CAST(o_custkey AS VARCHAR)", seed=1)} % 1024) AS p1,
-                   ({h32_sql("CAST(o_custkey AS VARCHAR)", seed=2)} % 1024) AS p2
+                   ({h32_lane_sql("CAST(o_custkey AS VARCHAR)", 0)} % 1024) AS p0,
+                   ({h32_lane_sql("CAST(o_custkey AS VARCHAR)", 1)} % 1024) AS p1,
+                   ({h32_lane_sql("CAST(o_custkey AS VARCHAR)", 2)} % 1024) AS p2
             FROM orders
         ), tested AS (
             SELECT pr.o_orderpriority, pr.o_custkey,
