@@ -857,3 +857,82 @@ def unigram_surprisal_scores(
             ),
         )
     )
+
+
+# PII patterns — RE2-safe by construction (the oracle runs RE2): no
+# backreferences, no lookaround, explicit [0-9] instead of \d (Java \d
+# is ASCII-only by default but explicit classes remove the question),
+# and \b word boundaries, which both dialects support identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_URL = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._%/-]*)?"
+
+
+def pii_scrub_stats(df: DataFrame) -> DataFrame:
+    """PII detection + redaction accounting — the scrub pass every
+    training-data pipeline runs before text leaves curation.
+
+    The test corpus is PII-free word soup, so (exactly like the codec
+    queries synthesize payloads) the operator PLANTS deterministic PII
+    instances first: every third document gains a doc_id-derived email
+    and IPv4, every second document's source becomes a URL — then the
+    scrub runs on the planted text. Both halves of the claim get
+    exercised: the patterns find every planted instance (and the
+    redaction length arithmetic must agree with the oracle exactly)
+    AND they false-positive on none of the surrounding natural text.
+
+    Emails and IPv4 literals are redacted from text (fixed tokens
+    [EMAIL], [IP] — no digits or dots, so redactions can't create new
+    matches), URLs from source. Per language: document and match
+    counts plus ``chars_redacted``, the exact total length change. All
+    built-in expressions: narrow scan → one aggregation exchange; at
+    100 TB this runs at I/O speed.
+    """
+    did = F.col("doc_id")
+    text = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail.example from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    source = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/d/"), did.cast("string")
+        ),
+    ).otherwise(F.col("source"))
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0))
+    n_urls = F.size(F.regexp_extract_all(source, F.lit(PII_URL), 0))
+    red_text = F.regexp_replace(
+        F.regexp_replace(text, F.lit(PII_EMAIL), F.lit("[EMAIL]")),
+        F.lit(PII_IPV4),
+        F.lit("[IP]"),
+    )
+    red_source = F.regexp_replace(source, F.lit(PII_URL), F.lit("[URL]"))
+    delta = (
+        F.length(text) - F.length(red_text)
+        + F.length(source) - F.length(red_source)
+    )
+    return (
+        df.select(
+            "lang",
+            n_emails.alias("n_emails"),
+            n_ips.alias("n_ips"),
+            n_urls.alias("n_urls"),
+            delta.alias("delta"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_ips").alias("total_ips"),
+            F.sum("n_urls").alias("total_urls"),
+            F.sum("delta").alias("chars_redacted"),
+        )
+    )

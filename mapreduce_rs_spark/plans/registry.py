@@ -1398,6 +1398,39 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
     ),
+    "pii_scrub_stats": QuerySpec(
+        _docs(ta.pii_scrub_stats),
+        f"""
+        WITH planted AS (
+            -- deterministic PII synthesis, mirrored from the operator:
+            -- every 3rd doc gains an email + IPv4, every 2nd source a URL.
+            SELECT lang,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail.example from 10.'
+                             || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                        'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+                        ELSE source END AS source
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '{ta.PII_EMAIL}'))) AS BIGINT) AS total_emails,
+               CAST(sum(len(regexp_extract_all(text, '{ta.PII_IPV4}'))) AS BIGINT) AS total_ips,
+               CAST(sum(len(regexp_extract_all(source, '{ta.PII_URL}'))) AS BIGINT) AS total_urls,
+               CAST(sum(
+                   length(text) - length(regexp_replace(regexp_replace(text,
+                        '{ta.PII_EMAIL}', '[EMAIL]', 'g'), '{ta.PII_IPV4}', '[IP]', 'g'))
+                 + length(source) - length(regexp_replace(source, '{ta.PII_URL}', '[URL]', 'g'))
+               ) AS BIGINT) AS chars_redacted
+        FROM planted GROUP BY lang ORDER BY lang
+        """,
+        "PII scrub accounting: email/IPv4/URL detection + redaction with "
+        "RE2-safe portable patterns; chars_redacted pins the replacement "
+        "arithmetic, not just match counts",
+    ),
     "rfm_segments": QuerySpec(
         _tables(relational.rfm_segments),
         f"""
@@ -3223,6 +3256,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "gif_frame_stats": ("doc_id", "frame_idx"),
     "leakage_safe_splits": ("split",),
     "rfm_segments": ("r_score", "f_score", "m_score"),
+    "pii_scrub_stats": ("lang",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3302,6 +3336,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "gif_frame_stats",       # NEW this round: fourth real codec (video)
     "leakage_safe_splits",   # NEW this round: cluster-hashed splits
     "rfm_segments",          # NEW this round: cutpoint-broadcast RFM
+    "pii_scrub_stats",       # NEW this round: PII scrub accounting
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3325,8 +3360,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 8 of 26; the
-    # remaining eighteen (join_left_order_counts,
+    # (c) stalest external rows (last green r01) — first 7 of 26; the
+    # remaining nineteen (filter_project, join_left_order_counts,
     # join_semi_recent_customers, join_anti_customers_without_orders,
     # rollup_returns, window_price_delta, window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
@@ -3342,7 +3377,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "token_count",
     "quality_score",
     "language_id",
-    "filter_project",
 )
 
 QUERIES = {

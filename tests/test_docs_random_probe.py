@@ -53,6 +53,7 @@ DOC_QUERIES = (
     "wav_decode_stats",
     "gif_frame_stats",
     "leakage_safe_splits",
+    "pii_scrub_stats",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
 )

@@ -199,6 +199,9 @@ _SCALE_GUARDS = {
     # once (no rescan), cuts broadcast back, the only live exchange is
     # the 125-cell segment agg — no global ntile sort anywhere
     "rfm_segments": (1, 0),
+    # PII scrub: narrow plant+detect+redact expressions over the scan;
+    # the per-language aggregate is the only exchange
+    "pii_scrub_stats": (1, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
