@@ -126,3 +126,37 @@ def test_skipgram_pmi_window_semantics(spark):
         for r in skipgram_pmi(docs, min_pair=1).collect()
     }
     assert got == {("a", "b"): 3, ("b", "c"): 3, ("a", "c"): 3}
+
+
+def test_rfm_scores_on_separated_customers(spark):
+    """Five customers with cleanly separated recency/frequency/monetary
+    ladders must score (r, f, m) = (k, k, k) for rank k — the semantic
+    golden the oracle-parity check can't provide (both engines agreeing
+    on the wrong quintiles would still be parity-green)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.operators.relational import rfm_segments
+
+    base = dt.date(2024, 6, 1)
+    rows = []
+    okey = 0
+    # customer c: frequency = c orders, last order (5-c)*30 days before
+    # base, each order worth c*1000.00 -> best customer = 5 on all axes.
+    for c in range(1, 6):
+        for i in range(c):
+            okey += 1
+            rows.append(
+                (okey, c, base - dt.timedelta(days=(5 - c) * 30 + i), float(c) * 1000.0, "1-URGENT")
+            )
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    )
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (r["n_customers"], r["total_monetary"])
+        for r in rfm_segments({"orders": orders}).collect()
+    }
+    assert got == {
+        (k, k, k): (1, float(k) * 1000.0 * k) for k in range(1, 6)
+    }
