@@ -78,3 +78,39 @@ def test_attempt_number_actually_retried(spark):
     df = spark.range(0, 64, 1, 4).mapInPandas(report_attempt, "id long, attempt int")
     attempts = {r["attempt"] for r in df.collect()}
     assert attempts == {1}
+
+
+def test_codec_stage_failure_recovers_byte_identical(spark, sf_dir):
+    """The fault story extended to the CODEC path: kill every task's
+    first attempt INSIDE the GIF decode stage (after payload synthesis,
+    mid-pipeline) and the retried job must produce frame stats
+    byte-identical to the failure-free run — decode stages are pure
+    functions of their input partitions, so re-execution is safe by
+    construction, and this proves it end to end."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_gif_payload,
+        extract_gif_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    payloads = attach_gif_payload(docs).localCheckpoint()  # same inputs both runs
+
+    def flaky_identity(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected failure in the decode pipeline, attempt 0")
+        yield from batches
+
+    flaky_payloads = payloads.mapInPandas(
+        flaky_identity, schema="doc_id long, payload binary, meta struct<content_type:string,width:int,height:int,n_frames:int>"
+    )
+    got = sorted(map(tuple, extract_gif_frames(flaky_payloads).collect()))
+    expected = sorted(map(tuple, extract_gif_frames(payloads).collect()))
+    assert got == expected
+    assert len(got) >= 80  # 1:N expansion happened
