@@ -48,6 +48,10 @@ def _bits(df) -> list[tuple]:
         relational.q8_market_share,
         relational.q15_top_supplier,
         relational.q6_forecast_revenue,
+        # round-4 continuation: percentile CUTPOINTS feeding score
+        # comparisons (rfm — interpolated quantiles must not move with
+        # partition count), and the native session-window decimal sums.
+        relational.rfm_segments,
     ],
 )
 def test_money_aggregates_partition_invariant(spark, sf_dir, query):
@@ -120,3 +124,36 @@ def test_stats_battery_constant_group_is_defined(spark):
     assert r["var_qty"] == 0.0 and r["stddev_qty"] == 0.0
     assert r["var_price"] == 0.0 and r["covar_qty_price"] == 0.0
     assert r["corr_qty_price"] is None
+
+
+def test_session_new_ops_partition_invariant(spark, sf_dir):
+    """Round-4 continuation ops pinned bitwise under the partition
+    sweep: native session windows (decimal sums across merge orders),
+    the bloom fold + probe (associative bit_or, hash positions), the
+    leakage split draw (hash of CC labels — the iterative loop must
+    converge to the same labels at any parallelism), and PII redaction
+    arithmetic."""
+    from mapreduce_rs_spark.operators.curation import leakage_safe_splits
+    from mapreduce_rs_spark.operators.bloom import bloom_prefilter_stats
+    from mapreduce_rs_spark.operators.events import session_window_stats
+    from mapreduce_rs_spark.operators.text_analysis import pii_scrub_stats
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tables = load_tables(spark, sf_dir)
+    queries = [
+        lambda: session_window_stats(tables),
+        lambda: bloom_prefilter_stats(tables),
+        lambda: leakage_safe_splits(docs),
+        lambda: pii_scrub_stats(docs),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for q in queries:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            low = _bits(q())
+            spark.conf.set("spark.sql.shuffle.partitions", "31")
+            high = _bits(q())
+            assert low == high
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
