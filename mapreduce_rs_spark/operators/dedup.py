@@ -461,3 +461,57 @@ def lsh_dedup_eval(
             ),
         )
     )
+
+
+def incremental_ingest_dedup(df: DataFrame) -> DataFrame:
+    """Exact dedup in its CONTINUOUS-INGESTION shape: a new batch
+    arrives and must be admitted only where it is novel against the
+    standing corpus AND within itself — the nightly crawl-merge every
+    production corpus runs, where re-fingerprinting the whole corpus
+    per batch would be quadratic over time.
+
+    The deterministic split (doc_id % 10 >= 8 is "the incoming batch",
+    the rest "the standing corpus") stands in for the two tables a real
+    pipeline has. Admission plan, in scale order:
+
+    * corpus side is touched ONLY as (fingerprint) — a narrow
+      projection feeding a left ANTI join keyed on the fingerprint; the
+      corpus text never moves (the ``decontaminate`` discipline);
+    * within-batch winners via min-doc_id per fingerprint over the
+      batch alone (batch-sized, not corpus-sized state);
+    * a batch row is admitted iff it wins its batch group AND its
+      fingerprint misses the corpus.
+
+    Returns per-language accounting: batch size, duplicates rejected
+    against the corpus, within-batch echoes rejected, rows admitted —
+    the ingest report a crawler dashboard shows per cycle.
+    """
+    fp = text_fingerprint("text")
+    corpus_fps = (
+        df.where(F.col("doc_id") % 10 < 8).select(fp.alias("fingerprint")).distinct()
+    )
+    batch = df.where(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "lang", fp.alias("fingerprint")
+    )
+    batch_winners = batch.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    flagged = (
+        batch.join(
+            corpus_fps.select("fingerprint", F.lit(1).alias("in_corpus")),
+            "fingerprint",
+            "left",
+        )
+        .join(batch_winners, "fingerprint")
+        .select(
+            "lang",
+            F.col("in_corpus").isNotNull().alias("dup_corpus"),
+            (F.col("doc_id") != F.col("keep_doc_id")).alias("dup_batch"),
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_batch"),
+        F.count_if(F.col("dup_corpus")).alias("n_dup_vs_corpus"),
+        F.count_if(~F.col("dup_corpus") & F.col("dup_batch")).alias("n_dup_in_batch"),
+        F.count_if(~F.col("dup_corpus") & ~F.col("dup_batch")).alias("n_admitted"),
+    )

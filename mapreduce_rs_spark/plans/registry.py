@@ -1398,6 +1398,38 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
     ),
+    "incremental_ingest_dedup": QuerySpec(
+        _docs(dedup.incremental_ingest_dedup),
+        f"""
+        WITH fps AS (
+            SELECT doc_id, lang, {text_fingerprint_sql('text')} AS fingerprint
+            FROM documents
+        ), corpus AS (
+            SELECT DISTINCT fingerprint FROM fps WHERE doc_id % 10 < 8
+        ), batch AS (
+            SELECT doc_id, lang, fingerprint FROM fps WHERE doc_id % 10 >= 8
+        ), winners AS (
+            SELECT fingerprint, min(doc_id) AS keep_doc_id
+            FROM batch GROUP BY fingerprint
+        ), flagged AS (
+            SELECT b.lang,
+                   (c.fingerprint IS NOT NULL) AS dup_corpus,
+                   (b.doc_id != w.keep_doc_id) AS dup_batch
+            FROM batch b
+            LEFT JOIN corpus c ON b.fingerprint = c.fingerprint
+            JOIN winners w ON b.fingerprint = w.fingerprint
+        )
+        SELECT lang,
+               count(*) AS n_batch,
+               count(*) FILTER (WHERE dup_corpus) AS n_dup_vs_corpus,
+               count(*) FILTER (WHERE NOT dup_corpus AND dup_batch) AS n_dup_in_batch,
+               count(*) FILTER (WHERE NOT dup_corpus AND NOT dup_batch) AS n_admitted
+        FROM flagged GROUP BY lang ORDER BY lang
+        """,
+        "continuous-ingestion exact dedup: batch admitted only where novel vs "
+        "the standing corpus (fingerprints-only anti join — corpus text never "
+        "moves) and within itself",
+    ),
     "pii_scrub_stats": QuerySpec(
         _docs(ta.pii_scrub_stats),
         f"""
@@ -3257,6 +3289,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "leakage_safe_splits": ("split",),
     "rfm_segments": ("r_score", "f_score", "m_score"),
     "pii_scrub_stats": ("lang",),
+    "incremental_ingest_dedup": ("lang",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),
@@ -3337,6 +3370,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "leakage_safe_splits",   # NEW this round: cluster-hashed splits
     "rfm_segments",          # NEW this round: cutpoint-broadcast RFM
     "pii_scrub_stats",       # NEW this round: PII scrub accounting
+    "incremental_ingest_dedup",  # NEW this round: ingest-cycle dedup
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
@@ -3360,9 +3394,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 7 of 26; the
-    # remaining nineteen (filter_project, join_left_order_counts,
-    # join_semi_recent_customers, join_anti_customers_without_orders,
+    # (c) stalest external rows (last green r01) — first 6 of 26; the
+    # remaining twenty (language_id, filter_project,
+    # join_left_order_counts, join_semi_recent_customers,
+    # join_anti_customers_without_orders,
     # rollup_returns, window_price_delta, window_functions_battery,
     # min_cost_part_supplier, topk_expensive_orders, set_ops_segments,
     # scalar_functions_showcase, set_ops_multiset, nations_in_region,
@@ -3376,7 +3411,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "top_terms_per_lang",
     "token_count",
     "quality_score",
-    "language_id",
 )
 
 QUERIES = {

@@ -54,6 +54,7 @@ DOC_QUERIES = (
     "gif_frame_stats",
     "leakage_safe_splits",
     "pii_scrub_stats",
+    "incremental_ingest_dedup",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
 )
@@ -97,6 +98,14 @@ def _random_documents() -> pd.DataFrame:
     # Empty and whitespace-only documents.
     rows.append((N_DOCS + 10, "", "en", sources[0], 0))
     rows.append((N_DOCS + 11, " \t\n\x0b ", "de", sources[1], 6))
+    # Incremental-ingest shapes (incremental_ingest_dedup splits on
+    # doc_id % 10: >= 8 is "the incoming batch"): a batch-resident copy
+    # of a corpus doc (id 138 dups id 3 -> n_dup_vs_corpus), and two
+    # batch-resident copies of each other (ids 158/168 ->
+    # n_dup_in_batch + one admitted winner).
+    rows.append((138, rows[3][1], rows[3][2], rows[3][3], rows[3][4]))
+    rows.append((158, rows[7][1] + " echo", rows[7][2], rows[7][3], len(rows[7][1]) + 5))
+    rows.append((168, rows[7][1] + " echo", rows[7][2], rows[7][3], len(rows[7][1]) + 5))
     return pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )

@@ -202,6 +202,10 @@ _SCALE_GUARDS = {
     # PII scrub: narrow plant+detect+redact expressions over the scan;
     # the per-language aggregate is the only exchange
     "pii_scrub_stats": (1, 0),
+    # ingest dedup: fingerprint projections + corpus distinct + batch
+    # winners agg + the two admission joins + final lang agg — all
+    # keyed on the 16-byte fingerprint, never document text
+    "incremental_ingest_dedup": (7, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
