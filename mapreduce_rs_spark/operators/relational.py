@@ -1594,3 +1594,139 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         F.count("*").alias("n_customers"),
         stable_sum(F.col("monetary_dec")).alias("total_monetary"),
     )
+
+
+def q11_important_stock(
+    t: dict[str, DataFrame], region: str = "EUROPE", threshold_den: int = 1000
+) -> DataFrame:
+    """TPC-H Q11 shape: "important stock" — parts whose inventory value
+    within one region exceeds a fixed fraction (1/threshold_den) of the
+    regional total. The schema has no partsupp table, so inventory
+    value is proxied by shipped l_extendedprice per part, restricted to
+    suppliers in the region (reference: no relational surface,
+    SURVEY.md §2 — this is blueprint-extension coverage like q1-q22).
+
+    Scale shape: the region→nation→supplier chain collapses to a
+    broadcast of ≤|suppliers-in-region| keys, so lineitem never
+    shuffles for the dim side; the per-part aggregate is the single
+    fact shuffle. The global total is a 1-row aggregate OVER the
+    per-part result (identical subplan → Catalyst ReuseExchange feeds
+    both sides from one shuffle) broadcast back as a cross join — the
+    decorrelated form of Q11's scalar subquery.
+
+    Determinism: the threshold compare is pure decimal — value·den >
+    total — never a double fraction, so boundary parts cannot flip on
+    float representation (verify SKILL "thresholds → integer
+    cross-multiply").
+    """
+    region_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(t["region"].where(F.col("r_name") == region)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        t["lineitem"]
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(money("l_extendedprice")).alias("value_dec"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") * threshold_den > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("stock_value"),
+            "n_lines",
+        )
+    )
+
+
+def q16_supplier_part_types(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can furnish parts
+    of each (brand, type, size) combo, excluding one brand, one type
+    family, and "complaint" suppliers (negative-balance proxy — the
+    schema has no comment column). partsupp is proxied by the observed
+    supplier↔part edges in lineitem.
+
+    Scale shape: both exclusions are pushed scan filters; part is a
+    broadcast dim; the supplier blacklist is a broadcast ANTI join (at
+    any scale the negative-balance supplier set is |suppliers|-bounded,
+    and TPC-H's own Q16 treats it as a subquery-driven NOT IN). The
+    count-distinct aggregates on the (brand,type,size) grid — Spark
+    expands to a two-phase partial-distinct plan, so the shuffle
+    carries at most one row per (combo, suppkey), not raw lineitems.
+    """
+    good_parts = t["part"].where(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(3, 7, 14, 23, 36, 45, 49, 1)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaint = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(good_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaint),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("int").alias("supplier_cnt"))
+    )
+
+
+def q20_surplus_suppliers(
+    t: dict[str, DataFrame], prefix: str = "red", year: int = 1997
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding "surplus" of one part family —
+    here, suppliers for whom some `{prefix}…` part concentrated more
+    than half its lifetime shipped quantity into a single year
+    (availqty>½·shipped with availqty proxied by total shipped, since
+    the schema has no partsupp).
+
+    Scale shape: the part-name filter broadcasts a pruned partkey set,
+    so lineitem's only shuffle is the (suppkey, partkey) aggregate; the
+    qualifying supplier set is ≤|suppliers| and broadcast into a
+    LEFT SEMI join against the supplier dim — the decorrelated form of
+    Q20's nested EXISTS chain. The half-threshold is exact decimal
+    (qty_year·2 > qty_total): no double fraction, no boundary flips.
+    """
+    parts = t["part"].where(F.col("p_name").startswith(prefix)).select("p_partkey")
+    zero = F.lit("0").cast(MONEY)
+    qty = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == year, money("l_quantity")).otherwise(zero)
+            ).alias("qty_year"),
+            F.sum(money("l_quantity")).alias("qty_total"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    # Singleton (supplier, part) groups pass the half-threshold trivially
+    # (one line in-year == 100% concentration), so "surplus" requires a
+    # multi-shipment history — this keeps the predicate discriminating.
+    surplus = (
+        qty.where((F.col("n_lines") >= 3) & (F.col("qty_year") * 2 > F.col("qty_total")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(surplus), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

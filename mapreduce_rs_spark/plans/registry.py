@@ -3190,6 +3190,71 @@ QUERIES: dict[str, QuerySpec] = {
         "TPC-H Q22 shape: global-scalar threshold + anti-join on recent orders, "
         "grouped by segment (no phone country code in schema)",
     ),
+    "q11_important_stock": QuerySpec(
+        _tables(relational.q11_important_stock),
+        f"""
+        WITH region_supp AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), vals AS (
+            SELECT l_partkey,
+                   sum({_money('l_extendedprice')}) AS value_dec,
+                   CAST(count(*) AS INTEGER) AS n_lines
+            FROM lineitem JOIN region_supp ON l_suppkey = s_suppkey
+            GROUP BY l_partkey
+        ), total AS (
+            SELECT sum(value_dec) AS total_dec FROM vals
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(value_dec AS DOUBLE) AS stock_value,
+               n_lines
+        FROM vals, total
+        WHERE value_dec * 1000 > total_dec
+        """,
+        "TPC-H Q11 shape: decorrelated scalar-subquery threshold, pure-decimal "
+        "value*den > total compare (no double fraction)",
+    ),
+    "q16_supplier_part_types": QuerySpec(
+        _tables(relational.q16_supplier_part_types),
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS INTEGER) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          AND p_size IN (3, 7, 14, 23, 36, 45, 49, 1)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """,
+        "TPC-H Q16 shape: broadcast-anti supplier blacklist + two-phase "
+        "count-distinct over the (brand,type,size) grid",
+    ),
+    "q20_surplus_suppliers": QuerySpec(
+        _tables(relational.q20_surplus_suppliers),
+        f"""
+        WITH red_parts AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        ), qty AS (
+            SELECT l_suppkey,
+                   sum(CASE WHEN year(l_shipdate) = 1997
+                            THEN {_money('l_quantity')}
+                            ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_year,
+                   sum({_money('l_quantity')}) AS qty_total,
+                   count(*) AS n_lines
+            FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM qty WHERE n_lines >= 3 AND qty_year * 2 > qty_total
+        )
+        """,
+        "TPC-H Q20 shape: decorrelated EXISTS chain -> broadcast semi-join; "
+        "exact-decimal half-threshold (qty*2 > total)",
+    ),
 }
 
 
@@ -3301,6 +3366,9 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q9_profit_by_nation": ("n_name", "o_year"),
     "q13_customer_distribution": ("c_count",),
     "q22_dormant_customers": ("c_mktsegment",),
+    "q11_important_stock": ("p_partkey",),
+    "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
+    "q20_surplus_suppliers": ("s_suppkey",),
     "q5_local_supplier_volume": ("n_name",),
     "latest_event_state": ("latest_event_type",),
     "decontaminate": ("lang",),
@@ -3341,7 +3409,12 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-4 window (50 slots). (a) NEVER driver-checked — the
+    # ---- round-4 window (50 slots). (0) NEW: the battery-completing
+    # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
+    "q11_important_stock",
+    "q16_supplier_part_types",
+    "q20_surplus_suppliers",
+    # (a) NEVER driver-checked — the
     # r03 verdict's #2 ask: close union coverage to 125/125. The 16
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
     # BMP codec query:
@@ -3394,8 +3467,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
-    # (c) stalest external rows (last green r01) — first 6 of 26; the
-    # remaining twenty (language_id, filter_project,
+    # (c) stalest external rows (last green r01) — first 3 of 26; the
+    # remaining (top_terms_per_lang, token_count, quality_score,
+    # language_id, filter_project,
     # join_left_order_counts, join_semi_recent_customers,
     # join_anti_customers_without_orders,
     # rollup_returns, window_price_delta, window_functions_battery,
@@ -3408,9 +3482,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "wordcount_topk",
     "wordcount_mapreduce_udf",
     "doc_stats",
-    "top_terms_per_lang",
-    "token_count",
-    "quality_score",
 )
 
 QUERIES = {

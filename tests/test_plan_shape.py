@@ -159,6 +159,13 @@ _SCALE_GUARDS = {
     # sf0.01 the quarter side broadcasts; cap leaves AQE demote room)
     "q4_order_priority_checking": (3, 0),
     "q12_priority_by_returnflag": (1, 0),  # orders side broadcasts; one agg
+    # battery completers: q11 is per-part agg + the 1-row total's
+    # SinglePartition (uncounted, bounded by construction); q16 is the
+    # two-phase count-distinct pair (grid+suppkey, then grid); q20 is
+    # the (supp,part) agg + the qualifying-supplier distinct
+    "q11_important_stock": (2, 0),
+    "q16_supplier_part_types": (2, 0),
+    "q20_surplus_suppliers": (2, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —

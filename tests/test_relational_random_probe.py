@@ -58,6 +58,9 @@ REL_QUERIES = (
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q21_sole_late_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_types",
+    "q20_surplus_suppliers",
     "q4_order_priority_checking",
     "q12_priority_by_returnflag",
     "q22_dormant_customers",
