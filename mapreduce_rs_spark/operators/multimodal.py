@@ -360,6 +360,9 @@ def extract_features(df: DataFrame) -> DataFrame:
                     dw, dh, dc, mean = decode_png(bytes(p))
                 elif ct == "image/bmp" and p[: len(BMP_MAGIC)] == BMP_MAGIC:
                     dw, dh, dc, mean = decode_bmp(bytes(p))
+                elif ct == "image/jpeg" and p[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+                    dw, dh, px = decode_jpeg_gray(bytes(p))
+                    dc, mean = 1, (sum(px) / len(px)) if px else 0.0
                 else:
                     dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
                 widths.append(dw)
@@ -420,6 +423,9 @@ def extract_features_quarantined(df: DataFrame) -> DataFrame:
                         dw, dh, dc, mean = decode_png(bytes(p))
                     elif ct == "image/bmp" and p[: len(BMP_MAGIC)] == BMP_MAGIC:
                         dw, dh, dc, mean = decode_bmp(bytes(p))
+                    elif ct == "image/jpeg" and p[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+                        dw, dh, px = decode_jpeg_gray(bytes(p))
+                        dc, mean = 1, (sum(px) / len(px)) if px else 0.0
                     else:
                         dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
                     err = None
@@ -1087,4 +1093,423 @@ def multimodal_features(df: DataFrame) -> DataFrame:
             F.max("width").alias("max_width"),
         )
         .orderBy("modality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, grayscale) — the fifth REAL codec, and the first
+# lossy one. The full baseline decode path is implemented: marker walk,
+# DQT/DHT/SOF0/SOS parsing, canonical Huffman decode, DC prediction,
+# AC run-length (ZRL/EOB), dequantization, zigzag -> natural order,
+# float IDCT, level shift + clamp, edge-block crop. Pure Python + numpy
+# (the container ships no image libraries; the reference has no
+# multimodal surface at all — src/mr/worker.rs:95, text only).
+#
+# Exactness for the oracle: the synthesis path emits images whose 8x8
+# blocks are CONSTANT-valued. A constant block's DCT is DC-only
+# (DC = 8·(v-128), every AC = 0), the all-ones quantization table the
+# encoder declares keeps the rounded DC exact, and the DC-only IDCT is
+# v ± ~2^-50 — far inside the round-to-nearest window. So decode is
+# bit-exact for these payloads even though the codec is honestly lossy
+# for general images (test_multimodal pins the ±1 bound on the AC path).
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Standard Huffman tables (JPEG spec Annex K.3.3, luminance): public
+# constants every baseline encoder may use; the decoder does NOT assume
+# them — it builds decode tables from whatever DHT declares.
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _dct_basis():
+    """Orthonormal 8x8 DCT-II matrix C: coeff = C @ block @ C.T."""
+    import math
+
+    import numpy as np
+
+    c = np.empty((8, 8))
+    for k in range(8):
+        scale = math.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            c[k, n] = scale * math.cos((2 * n + 1) * k * math.pi / 16)
+    return c
+
+
+def _huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via canonical code assignment (spec C.2)."""
+    table, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[idx]] = (code, length)
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing inside entropy data
+                self.out.append(0x00)
+
+    def finish(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec F.1.2.3
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, bits) for a DC diff / AC value per spec F.1.2.1."""
+    size = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Baseline JFIF grayscale encoder: level shift -> 8x8 float DCT ->
+    all-ones quantization (declared in DQT, so decoders need no special
+    knowledge) -> standard-table Huffman entropy coding. Edge blocks
+    replicate the last row/column, and the decoder crops them back."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).astype(np.float64)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    c = _dct_basis()
+    dc_tab = _huff_encode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_encode_table(_AC_BITS, _AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = c @ block @ c.T
+            q = np.rint(coef).astype(np.int64)  # quant table is all ones
+            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+            size, bits = _magnitude(zz[0] - pred)
+            pred = zz[0]
+            code, ln = dc_tab[size]
+            w.put(code, ln)
+            if size:
+                w.put(bits, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zrl, ln = ac_tab[0xF0]
+                    w.put(zrl, ln)
+                    run -= 16
+                size, bits = _magnitude(zz[i])
+                code, ln = ac_tab[(run << 4) | size]
+                w.put(code, ln)
+                w.put(bits, size)
+                run = 0
+            if last_nz < 63:
+                eob, ln = ac_tab[0x00]
+                w.put(eob, ln)
+    entropy = w.finish()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00" + bytes([0, 63, 0]))
+    return JPEG_MAGIC + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(bits, vals):
+    """(code, length) -> symbol lookup, canonical order (spec C.2)."""
+    table, code, idx = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(reader: _JpegBitReader, table) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Full baseline grayscale decode: returns (width, height, pixels).
+
+    General within its declared scope — any 8-bit single-component
+    baseline (SOF0) stream with any DQT/DHT tables and no restart
+    intervals decodes correctly; progressive/multi-component/RST inputs
+    raise ValueError rather than mis-decode."""
+    import numpy as np
+
+    if payload[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_qtab = comp_dc = comp_ac = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG: no SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[pos + 1]
+        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported (baseline)")
+                qtables[tid] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) JPEG supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+            comp_qtab = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/extended) unsupported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                if b + 17 + nvals > len(body):
+                    raise ValueError("truncated DHT values")
+                vals = list(body[b + 17 : b + 17 + nvals])
+                htables[(cls, tid)] = _huff_decode_table(bits, vals)
+                b += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS: header then entropy data to EOI
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
+            if body[0] != 1:
+                raise ValueError("only single-component scans supported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            break
+        # APPn/COM and other segments: skipped
+    if width is None or comp_qtab not in qtables:
+        raise ValueError("missing SOF0 or quantization table")
+    dc_tab = htables.get((0, comp_dc))
+    ac_tab = htables.get((1, comp_ac))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("missing Huffman tables")
+    quant = np.array(qtables[comp_qtab], dtype=np.float64)
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("missing EOI marker")
+    reader = _JpegBitReader(payload[pos:end])
+    c = _dct_basis()
+    bw, bh = -(-width // 8), -(-height // 8)
+    img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            size = _huff_read(reader, dc_tab)
+            pred += _extend(reader.bits(size), size)
+            zz[0] = pred
+            i = 1
+            while i < 64:
+                sym = _huff_read(reader, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid AC symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[i] = _extend(reader.bits(size), size)
+                i += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[list(_ZIGZAG)] = zz * quant
+            block = c.T @ coef.reshape(8, 8) @ c + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return width, height, img[:height, :width].tobytes()
+
+
+def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid baseline grayscale JPEGs. Dimensions
+    derive from the utf-8 byte length (w = 8·(len%4+1), h = 8·(len%3+1)
+    — whole 8x8 blocks), and each block is CONSTANT-valued: block b's
+    intensity is the text's b-th byte, tiled. Constant blocks make the
+    lossy codec exact (DC-only spectrum, all-ones quant table — see the
+    JPEG section header), which is what lets the DuckDB oracle verify
+    the decode with no JPEG machinery."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
+        for batch in batches:
+            for doc_id, text in zip(batch["doc_id"], batch[text_col]):
+                data = text.encode("utf-8")
+                bw = len(data) % 4 + 1
+                bh = len(data) % 3 + 1
+                w, h = bw * 8, bh * 8
+                n_blocks = bw * bh
+                vals = (data * (n_blocks // max(len(data), 1) + 1))[:n_blocks]
+                if len(vals) < n_blocks:  # empty text: zero blocks
+                    vals = vals + b"\x00" * (n_blocks - len(vals))
+                px = bytearray(w * h)
+                for y in range(h):
+                    row_base = (y // 8) * bw
+                    for x in range(w):
+                        px[y * w + x] = vals[row_base + x // 8]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(encode_jpeg_gray(w, h, bytes(px)))
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    encoded = df.select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id long, payload binary, width int, height int"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("content_type"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(1).alias("n_channels"),
+        ).alias("meta"),
+    )
+
+
+def jpeg_decode_stats(df: DataFrame) -> DataFrame:
+    """Oracle-checkable JPEG decode round-trip — the fifth real codec,
+    and the first LOSSY one made exact by construction (constant 8x8
+    blocks -> DC-only spectrum -> all-ones quantization, see
+    attach_jpeg_payload).
+
+    Synthesize baseline JPEGs from every document, decode with the FULL
+    baseline pipeline (marker walk -> DHT Huffman decode -> DC
+    prediction -> AC run-length -> dequant -> zigzag -> IDCT -> clamp),
+    and emit per-document stats the synthesis rules make
+    SQL-predictable: each block contributes 64·byte, so sum_intensity =
+    64 · (tiled byte sum over n_blocks). The DuckDB oracle recomputes
+    that from the raw text with NO JPEG machinery — agreement proves
+    the entropy coding, prediction, and transform round-trip exact."""
+    feats = extract_features(attach_jpeg_payload(df))
+    n_pixels = F.col("width") * F.col("height")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        ((F.col("width") / 8) * (F.col("height") / 8)).cast("int").alias("n_blocks"),
+        n_pixels.alias("n_pixels"),
+        # exact integer <= 255·32·24; mean carries ~1e-13 relative
+        # error, so round() reconstructs it exactly.
+        F.round(F.col("mean_intensity") * n_pixels).cast("long").alias("sum_intensity"),
+        "mean_intensity",
     )

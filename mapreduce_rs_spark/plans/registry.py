@@ -2575,6 +2575,37 @@ QUERIES: dict[str, QuerySpec] = {
         "BMP decode round-trip vs a pure-text oracle: the second real codec "
         "(24-bit BI_RGB; bottom-up rows, BGR, padding) externally verified",
     ),
+    "jpeg_decode_stats": QuerySpec(
+        _docs(multimodal.jpeg_decode_stats),
+        """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST((length(text) % 4 + 1) * 8 AS INTEGER) AS width,
+                   CAST((length(text) % 3 + 1) * 8 AS INTEGER) AS height,
+                   CAST((length(text) % 4 + 1) * (length(text) % 3 + 1) AS INTEGER) AS n_blocks
+            FROM documents
+        ), sums AS (
+            -- each constant 8x8 block contributes 64 * its byte value;
+            -- block values are the text bytes tiled over n_blocks.
+            -- empty-text guards as in png_decode_stats.
+            SELECT doc_id, width, height, n_blocks,
+                   width * height AS n_pixels,
+                   CASE WHEN len = 0 THEN 0 ELSE n_blocks // len END AS full_reps,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE n_blocks % len END + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS prefix_sum
+            FROM base
+        )
+        SELECT doc_id, width, height, n_blocks, n_pixels,
+               CAST(64 * (full_reps * all_sum + prefix_sum) AS BIGINT) AS sum_intensity,
+               CAST(64 * (full_reps * all_sum + prefix_sum) AS DOUBLE) / n_pixels AS mean_intensity
+        FROM sums ORDER BY doc_id
+        """,
+        "JPEG decode round-trip vs a pure-text oracle: the fifth real codec — full "
+        "baseline pipeline (Huffman, DC prediction, AC run-length, dequant, IDCT) made "
+        "exact by DC-only construction, externally verified",
+    ),
     "wav_decode_stats": QuerySpec(
         _docs(multimodal.wav_decode_stats),
         """
@@ -3347,6 +3378,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "source_extraction": ("src_num",),
     "png_decode_stats": ("doc_id",),
     "bmp_decode_stats": ("doc_id",),
+    "jpeg_decode_stats": ("doc_id",),
     "wav_decode_stats": ("doc_id",),
     "triangle_counts": ("partkey",),
     "bloom_prefilter_stats": ("o_orderpriority",),
@@ -3440,6 +3472,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "session_window_stats",  # NEW this round: native session windows
     "bloom_prefilter_stats", # NEW this round: runtime-filter harness
     "gif_frame_stats",       # NEW this round: fourth real codec (video)
+    "jpeg_decode_stats",     # NEW this round: fifth real codec (lossy, baseline JPEG)
     "leakage_safe_splits",   # NEW this round: cluster-hashed splits
     "rfm_segments",          # NEW this round: cutpoint-broadcast RFM
     "pii_scrub_stats",       # NEW this round: PII scrub accounting
@@ -3481,7 +3514,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     # since r01) rotate in next round:
     "wordcount_topk",
     "wordcount_mapreduce_udf",
-    "doc_stats",
 )
 
 QUERIES = {

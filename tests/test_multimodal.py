@@ -623,3 +623,120 @@ def test_quarantine_splits_corrupt_rows_without_killing_job(docs):
     clean = feats.where("decode_error IS NULL").drop("decode_error")
     reference = extract_features(good.where(F.col("doc_id") % 2 == 0))
     assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, reference.collect()))
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the fifth real codec (baseline DCT grayscale, lossy in general,
+# exact for constant-per-block images — the oracle-checkable path).
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """Constant 8x8 blocks -> DC-only spectrum -> all-ones quant: the
+    decode must be BIT-exact (this is what jpeg_decode_stats' oracle
+    verifies externally)."""
+    from mapreduce_rs_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    bw, bh = 4, 3
+    w, h = bw * 8, bh * 8
+    vals = [7, 255, 0, 128, 64, 200, 1, 99, 250, 33, 180, 17]
+    px = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            px[y * w + x] = vals[(y // 8) * bw + (x // 8)]
+    dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, bytes(px)))
+    assert (dw, dh) == (w, h)
+    assert out == bytes(px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=st.integers(1, 3), h=st.integers(1, 3), data=st.data())
+def test_jpeg_constant_blocks_roundtrip_random(w, h, data):
+    from mapreduce_rs_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    vals = data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    W, H = w * 8, h * 8
+    px = bytes(vals[(y // 8) * w + (x // 8)] for y in range(H) for x in range(W))
+    dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(W, H, px))
+    assert (dw, dh, out) == (W, H, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(2, 24), h=st.integers(2, 20), data=st.data())
+def test_jpeg_arbitrary_pixels_within_one(w, h, data):
+    """General images exercise the AC run-length path (nonzero ACs, ZRL,
+    EOB) and the edge-block crop; with all-ones quantization the only
+    loss is coefficient rounding, bounded at +-1 per pixel."""
+    from mapreduce_rs_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
+    dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
+    assert (dw, dh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+def test_jpeg_rejects_garbage_and_truncation():
+    """Every prefix truncation must raise ValueError — a codec that
+    silently decodes a truncated stream poisons the quarantine split."""
+    from mapreduce_rs_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(16, 8, bytes(range(128)))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"not a jpeg")
+    for i in range(2, len(good) - 1, 3):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(good[:i])
+
+
+def test_jpeg_rejects_progressive_and_multicomponent():
+    from mapreduce_rs_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    good = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected
+    i = bytes(good).find(b"\xff\xc0")
+    prog = good[:]
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(prog))
+    # declare 3 components in SOF0: must be rejected (grayscale only)
+    multi = good[:]
+    multi[i + 9] = 3
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(multi))
+
+
+def test_extract_features_decodes_real_jpegs(docs):
+    """The Spark dispatch path: image/jpeg payloads hit the real decoder
+    and the decoded mean equals the tiled-block prediction."""
+    from mapreduce_rs_spark.operators.multimodal import attach_jpeg_payload
+
+    feats = extract_features(attach_jpeg_payload(docs)).collect()
+    rows = {r.doc_id: r for r in feats}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    for doc_id, text in texts.items():
+        data = text.encode("utf-8")
+        bw, bh = len(data) % 4 + 1, len(data) % 3 + 1
+        n_blocks = bw * bh
+        if data:
+            tiled = (data * (n_blocks // len(data) + 1))[:n_blocks]
+        else:
+            tiled = b"\x00" * n_blocks
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_channels) == (bw * 8, bh * 8, 1)
+        assert r.mean_intensity == sum(tiled) / n_blocks

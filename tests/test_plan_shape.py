@@ -197,6 +197,7 @@ _SCALE_GUARDS = {
     # whole point of mapInPandas for megabyte payloads
     "png_decode_stats": (0, 0),
     "bmp_decode_stats": (0, 0),
+    "jpeg_decode_stats": (0, 0),
     "wav_decode_stats": (0, 0),
     "gif_frame_stats": (0, 0),
     # cluster-hashed splits: post-CC plan is the docs⋈labels join +
