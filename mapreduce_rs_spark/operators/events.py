@@ -794,3 +794,75 @@ def hourly_percentile_bands(t: dict[str, DataFrame]) -> DataFrame:
             F.percentile("value", 0.99).alias("p99"),
         )
     )
+
+
+# Rebase epoch for trend fits: event time as integer MICROSECONDS since
+# 2024-01-01 UTC (the corpus origin). Rebasing keeps every closed-form
+# regression sum inside DECIMAL(38)/HUGEINT headroom: |x| <= ~2.6e12 for
+# the one-month window, so n*Sxx ~ n^2 * x^2 stays < 1e38 up to ~2e6
+# events per user (documented bound; raise the rebase granularity to
+# seconds if a deployment exceeds it).
+TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def user_value_trend(t: dict[str, DataFrame], min_events: int = 3) -> DataFrame:
+    """Per-user OLS trend of event value over time — closed-form simple
+    regression computed entirely from five distributive sums, i.e. the
+    map-side-combinable aggregate shape (one partial→final groupBy,
+    shuffle volume = |users|, never events).
+
+    Determinism discipline (verify SKILL toolbox): x (rebased µs) and
+    y (money-cast value) accumulate in exact DECIMAL, the five sums and
+    the numerator/denominator cross-products stay exact integers/
+    decimals, and only the FINAL slope/intercept/r² divisions happen in
+    double — both engines divide the same exact numbers, so results are
+    bit-identical under any partitioning. slope_per_day rescales the
+    per-µs slope by 86400e6 in double (same single op both sides).
+
+    At 100 TB: this is the textbook "aggregate-only model fit" — no
+    iteration, no driver collect, no window. Skew-safe: the partial agg
+    bounds any hot user's shuffle contribution to one row per task.
+    """
+    # x: rebased µs in DECIMAL(19,0) (38-digit headroom for x²); y:
+    # integer CENTS in DECIMAL(20,0) (the oracle uses HUGEINT — same
+    # exact-integer universe; DuckDB decimal multiply caps at p1+p2<=38,
+    # so cents-as-integers is the cross-engine-safe form).
+    x = (F.unix_micros(F.col("ts")) - F.lit(TREND_EPOCH_US)).cast("decimal(19,0)")
+    y = (money("value") * 100).cast("decimal(20,0)")
+    sums = (
+        t["events"]
+        .select(F.col("user_id"), x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n_dec = F.col("n").cast("decimal(18,0)")
+    num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    inum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    ssy = (n_dec * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        sums.where(
+            (F.col("n") >= min_events)
+            & (n_dec * F.col("sxx") != F.col("sx") * F.col("sx"))
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("int").alias("n_events"),
+            # cents/µs -> value/day: one multiply, one divide, in double,
+            # in this exact order on both sides.
+            (num / den * F.lit(86400000000.0) / F.lit(100.0)).alias("slope_per_day"),
+            (inum / den / F.lit(100.0)).alias("intercept"),
+            # ssy == 0 (constant y) with den != 0 is a perfect horizontal
+            # fit: residuals are zero, define r² = 1.
+            F.when(ssy == F.lit(0.0), F.lit(1.0))
+            .otherwise(num * num / (den * ssy))
+            .alias("r2"),
+        )
+    )

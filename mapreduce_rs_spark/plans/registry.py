@@ -3286,6 +3286,37 @@ QUERIES: dict[str, QuerySpec] = {
         "TPC-H Q20 shape: decorrelated EXISTS chain -> broadcast semi-join; "
         "exact-decimal half-threshold (qty*2 > total)",
     ),
+    "user_value_trend": QuerySpec(
+        _tables(events.user_value_trend),
+        f"""
+        WITH base AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) - {events.TREND_EPOCH_US} AS HUGEINT) AS x,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS y
+            FROM events
+        ), sums AS (
+            SELECT user_id, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+            FROM base GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n AS INTEGER) AS n_events,
+               CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                   * 86400000000.0 / 100.0 AS slope_per_day,
+               CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                   / 100.0 AS intercept,
+               CASE WHEN n * syy - sy * sy = 0 THEN 1.0
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+               END AS r2
+        FROM sums
+        WHERE n >= 3 AND n * sxx <> sx * sx
+        """,
+        "Per-user OLS value trend: closed-form regression from five distributive "
+        "exact-integer sums (one partial->final groupBy); only the final "
+        "slope/intercept/r2 divisions are double",
+    ),
 }
 
 
@@ -3399,6 +3430,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q13_customer_distribution": ("c_count",),
     "q22_dormant_customers": ("c_mktsegment",),
     "q11_important_stock": ("p_partkey",),
+    "user_value_trend": ("user_id",),
     "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
     "q20_surplus_suppliers": ("s_suppkey",),
     "q5_local_supplier_volume": ("n_name",),
@@ -3446,6 +3478,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q11_important_stock",
     "q16_supplier_part_types",
     "q20_surplus_suppliers",
+    "user_value_trend",      # NEW: closed-form per-user OLS trend
     # (a) NEVER driver-checked — the
     # r03 verdict's #2 ask: close union coverage to 125/125. The 16
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
@@ -3513,7 +3546,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     # winnow_fingerprints, array_functions_showcase — all untouched
     # since r01) rotate in next round:
     "wordcount_topk",
-    "wordcount_mapreduce_udf",
 )
 
 QUERIES = {

@@ -163,3 +163,37 @@ def test_session_window_gap_semantics_vs_sessionize(spark):
     assert by_start[base]["session_end"] == base + gap + gap
     last = base + gap + gap + half_s
     assert by_start[last]["session_end"] == last + gap
+
+
+def test_user_value_trend_recovers_planted_line(spark):
+    """Semantic golden for the closed-form OLS: a user whose value is
+    EXACTLY linear in time must come back with that slope, the planted
+    intercept at the rebase epoch, and r² = 1; a constant-value user
+    gets slope 0 / r² = 1 (perfect horizontal fit); noisy-but-sloped
+    data gets 0 < r² < 1; single/two-event users are excluded (n >= 3)."""
+    from mapreduce_rs_spark.operators.events import user_value_trend
+
+    def hour(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    rows = (
+        # user 1: value = 20.00 + 0.24 * hours  ->  5.76/day, r²=1
+        [(i, hour(i), 1, "click", round(20.0 + 0.24 * i, 2)) for i in range(10)]
+        # user 2: constant 7.25  ->  slope 0, r²=1 by convention
+        + [(100 + i, hour(i), 2, "view", 7.25) for i in range(5)]
+        # user 3: sloped with one off-line point  ->  0 < r² < 1
+        + [(200 + i, hour(i), 3, "buy", [1.0, 2.0, 9.0, 4.0][i]) for i in range(4)]
+        # user 4: two events only -> excluded
+        + [(300, hour(0), 4, "x", 1.0), (301, hour(1), 4, "x", 2.0)]
+    )
+    got = {
+        r["user_id"]: r
+        for r in user_value_trend({"events": _ev(spark, rows)}).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert math.isclose(got[1]["slope_per_day"], 5.76, rel_tol=1e-12)
+    assert math.isclose(got[1]["intercept"], 20.0, rel_tol=1e-12)
+    assert math.isclose(got[1]["r2"], 1.0, rel_tol=1e-12)
+    assert got[2]["slope_per_day"] == 0.0
+    assert got[2]["r2"] == 1.0
+    assert 0.0 < got[3]["r2"] < 1.0

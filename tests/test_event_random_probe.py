@@ -34,6 +34,7 @@ EVENT_QUERIES = (
     "multi_resolution_rollup",
     "kmv_distinct_users",
     "out_of_order_stats",
+    "user_value_trend",
     "value_histogram",
     "user_activity_stats",
     "range_window_revenue",

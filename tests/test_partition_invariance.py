@@ -16,7 +16,7 @@ import struct
 
 import pytest
 
-from mapreduce_rs_spark.operators import relational
+from mapreduce_rs_spark.operators import events, relational
 from mapreduce_rs_spark.sources.catalog import load_tables
 
 
@@ -52,6 +52,11 @@ def _bits(df) -> list[tuple]:
         # comparisons (rfm — interpolated quantiles must not move with
         # partition count), and the native session-window decimal sums.
         relational.rfm_segments,
+        # round-4: the closed-form OLS (five distributive sums feeding
+        # three double divisions — the archetypal order-sensitive shape
+        # if any sum were double), and q11's decimal threshold compare.
+        events.user_value_trend,
+        relational.q11_important_stock,
     ],
 )
 def test_money_aggregates_partition_invariant(spark, sf_dir, query):

@@ -166,6 +166,8 @@ _SCALE_GUARDS = {
     "q11_important_stock": (2, 0),
     "q16_supplier_part_types": (2, 0),
     "q20_surplus_suppliers": (2, 0),
+    # closed-form OLS: five distributive sums, ONE user_id exchange
+    "user_value_trend": (1, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
