@@ -936,3 +936,98 @@ def pii_scrub_stats(df: DataFrame) -> DataFrame:
             F.sum("delta").alias("chars_redacted"),
         )
     )
+
+
+# DSIR hashed-feature space: fixed bucket count keeps BOTH n-gram models
+# broadcast-sized at ANY corpus scale — bounded model size is the point
+# of hashed importance resampling (Xie et al. 2023, public method).
+DSIR_BUCKETS = 512
+
+
+def dsir_importance_weights(
+    df: DataFrame, target_lang: str = "en", persist_dir: str | None = None
+) -> DataFrame:
+    """DSIR-style importance weights: score every document by how much
+    more likely its hashed n-gram bag is under the TARGET distribution
+    (here: the ``target_lang`` slice, standing in for "wiki-quality"
+    data) than under the RAW corpus distribution. High-weight documents
+    are the resampling candidates a curation pass keeps.
+
+    Features are unigrams + bigrams hashed into ``DSIR_BUCKETS``
+    buckets (portable h32, so the oracle reproduces the bucketing
+    bit-for-bit). Both bag-of-buckets models are add-one smoothed;
+    log w(doc) = Σ_b count_doc[b]·(ln p_target[b] − ln p_raw[b]).
+
+    Float discipline (the unigram_surprisal_scores contract): the
+    per-bucket log-ratio is QUANTIZED to integer centinats — one
+    floor'd float expression per DISTINCT BUCKET (512 rows) — so the
+    per-document aggregation is an exact integer sum, independent of
+    partition count and engine; the only other float step is the final
+    exact-int / exact-int mean division.
+
+    Scale shape: the gram stream collapses to (doc_id, bucket) counts
+    in ONE exchange; the bucket model is a 512-row aggregate broadcast
+    back onto that table (materialized once — it feeds both the fit
+    and the scoring join); the per-doc sum is the second real exchange.
+    The raw token stream is never joined or re-shuffled. At 100 TB the
+    model stays 512 rows regardless of corpus size — this operator's
+    whole reason to exist.
+    """
+    from mapreduce_rs_spark.functions.hashing import h32
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    grams = F.concat(toks, token_ngrams("text", 2))
+    tf = materialize(
+        df.select(
+            "doc_id",
+            (F.col("lang") == target_lang).alias("is_target"),
+            F.explode(grams).alias("gram"),
+        )
+        .withColumn("bucket", h32("gram") % DSIR_BUCKETS)
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        persist_dir,
+        "dsir_tf",
+    )
+    buckets = tf.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt_raw"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cnt_t"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_raw").cast("long").alias("total_raw"),
+        F.sum("cnt_t").cast("long").alias("total_t"),
+    )
+    lr = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            SURPRISAL_SCALE
+            * (
+                F.log(F.col("cnt_t") + 1)
+                - F.log(F.col("total_t") + DSIR_BUCKETS)
+                - F.log(F.col("cnt_raw") + 1)
+                + F.log(F.col("total_raw") + DSIR_BUCKETS)
+            )
+        )
+        .cast("long")
+        .alias("lr_cn"),
+    )
+    return (
+        tf.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("is_target").cast("int")).alias("is_target"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lr_cn")).cast("long").alias("logw_cn"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            "n_feats",
+            "logw_cn",
+            (F.col("logw_cn").cast("double") / F.col("n_feats")).alias("avg_logw_cn"),
+            (F.col("logw_cn") > 0).cast("int").alias("selected"),
+        )
+    )

@@ -3317,6 +3317,53 @@ QUERIES: dict[str, QuerySpec] = {
         "exact-integer sums (one partial->final groupBy); only the final "
         "slope/intercept/r2 divisions are double",
     ),
+    "dsir_importance_weights": QuerySpec(
+        _docs(ta.dsir_importance_weights),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_target, {TOKENS_SQL} AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, is_target, unnest(tk) AS gram FROM toks
+            UNION ALL
+            SELECT doc_id, is_target,
+                   unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> array_to_string(tk[i:i + 1], ' '))) AS gram
+            FROM toks
+        ), tf AS (
+            SELECT doc_id, is_target,
+                   {h32_sql('gram')} % {ta.DSIR_BUCKETS} AS bucket,
+                   count(*) AS cnt
+            FROM grams GROUP BY 1, 2, 3
+        ), buckets AS (
+            SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt_raw,
+                   CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t
+            FROM tf GROUP BY bucket
+        ), totals AS (
+            SELECT CAST(sum(cnt_raw) AS BIGINT) AS total_raw,
+                   CAST(sum(cnt_t) AS BIGINT) AS total_t
+            FROM buckets
+        ), lr AS (
+            SELECT bucket,
+                   CAST(floor({ta.SURPRISAL_SCALE} * (
+                        ln(CAST(cnt_t + 1 AS DOUBLE))
+                        - ln(CAST(total_t + {ta.DSIR_BUCKETS} AS DOUBLE))
+                        - ln(CAST(cnt_raw + 1 AS DOUBLE))
+                        + ln(CAST(total_raw + {ta.DSIR_BUCKETS} AS DOUBLE)))) AS BIGINT) AS lr_cn
+            FROM buckets CROSS JOIN totals
+        )
+        SELECT doc_id,
+               CAST(max(CASE WHEN is_target THEN 1 ELSE 0 END) AS INTEGER) AS is_target,
+               CAST(sum(cnt) AS BIGINT) AS n_feats,
+               CAST(sum(cnt * lr_cn) AS BIGINT) AS logw_cn,
+               CAST(sum(cnt * lr_cn) AS DOUBLE) / sum(cnt) AS avg_logw_cn,
+               CAST(CASE WHEN sum(cnt * lr_cn) > 0 THEN 1 ELSE 0 END AS INTEGER) AS selected
+        FROM tf JOIN lr USING (bucket)
+        GROUP BY doc_id
+        """,
+        "DSIR hashed-ngram importance weights: 512-bucket target/raw models, "
+        "centinat-quantized log-ratios, exact-integer per-doc sums",
+    ),
 }
 
 
@@ -3431,6 +3478,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q22_dormant_customers": ("c_mktsegment",),
     "q11_important_stock": ("p_partkey",),
     "user_value_trend": ("user_id",),
+    "dsir_importance_weights": ("doc_id",),
     "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
     "q20_surplus_suppliers": ("s_suppkey",),
     "q5_local_supplier_volume": ("n_name",),
@@ -3479,6 +3527,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q16_supplier_part_types",
     "q20_surplus_suppliers",
     "user_value_trend",      # NEW: closed-form per-user OLS trend
+    "dsir_importance_weights",  # NEW: hashed-ngram importance resampling
     # (a) NEVER driver-checked — the
     # r03 verdict's #2 ask: close union coverage to 125/125. The 16
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
@@ -3545,7 +3594,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     # customers_above_nation_avg, date_functions_showcase,
     # winnow_fingerprints, array_functions_showcase — all untouched
     # since r01) rotate in next round:
-    "wordcount_topk",
 )
 
 QUERIES = {

@@ -57,6 +57,8 @@ DOC_QUERIES = (
     "incremental_ingest_dedup",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
+    "jpeg_decode_stats",
+    "dsir_importance_weights",
 )
 
 SEED = 813

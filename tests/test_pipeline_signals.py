@@ -228,3 +228,31 @@ def test_semdedup_drops_near_identical_keeps_first(spark):
         if r["n_dropped"]:
             # The near-identical pair shares one cluster: 2 in, 1 kept.
             assert r["n_vectors"] == 2 and r["drop_ratio"] == pytest.approx(0.5)
+
+
+def test_dsir_weights_separate_target_like_from_alien_text(spark):
+    """Intent test for DSIR: documents written in the target slice's
+    vocabulary must score HIGHER than documents from a disjoint
+    vocabulary, and a non-target doc written in target-like language
+    must still be selected (that's importance resampling's whole point
+    — it scores CONTENT, not the label)."""
+    from mapreduce_rs_spark.operators.text_analysis import dsir_importance_weights
+
+    target_text = "the cat sat on the mat and the dog ran to the cat"
+    alien_text = "zq xv wk jj qq vv zz xx kk ww zq xv wk jj qq"
+    rows = (
+        # target slice: consistent English-like vocabulary
+        [(i, target_text, "en", "wiki", len(target_text)) for i in range(10)]
+        # non-target, same vocabulary: should be SELECTED anyway
+        + [(100, target_text, "de", "web", len(target_text))]
+        # non-target, alien vocabulary: should score clearly lower
+        + [(200 + i, alien_text, "de", "web", len(alien_text)) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r["doc_id"]: r for r in dsir_importance_weights(df).collect()}
+    target_avg = sum(got[i]["avg_logw_cn"] for i in range(10)) / 10
+    alien_avg = sum(got[200 + i]["avg_logw_cn"] for i in range(5)) / 5
+    assert target_avg > alien_avg
+    assert got[100]["selected"] == 1        # content wins over label
+    assert got[100]["is_target"] == 0
+    assert all(got[200 + i]["selected"] == 0 for i in range(5))

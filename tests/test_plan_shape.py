@@ -168,6 +168,9 @@ _SCALE_GUARDS = {
     "q20_surplus_suppliers": (2, 0),
     # closed-form OLS: five distributive sums, ONE user_id exchange
     "user_value_trend": (1, 0),
+    # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
+    # the bucket model broadcasts back, raw grams never re-shuffle
+    "dsir_importance_weights": (3, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
