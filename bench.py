@@ -60,6 +60,12 @@ HEADLINE = (
     "session_window_stats",      # native MergingSessions aggregation
     "bloom_prefilter_stats",     # narrow bloom probe + broadcast truth join
     "gif_frame_stats",           # Python codec stage: LZW encode+decode, 1:N
+    # round-4 third extension (BASELINE.md): the session's additions.
+    # Prior suite definitions (9 / 12 / 15 queries) remain comparable
+    # PREFIXES; compare totals only within one definition.
+    "q9_profit_by_nation",       # largest multi-join of the TPC-H battery
+    "dsir_importance_weights",   # hashed-ngram curation scoring, 2-agg chain
+    "jpeg_decode_stats",         # Python codec stage: Huffman+IDCT per block
 )
 
 

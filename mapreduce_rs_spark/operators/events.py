@@ -866,3 +866,36 @@ def user_value_trend(t: dict[str, DataFrame], min_events: int = 3) -> DataFrame:
             .alias("r2"),
         )
     )
+
+
+def state_intervals(t: dict[str, DataFrame]) -> DataFrame:
+    """Gaps-and-islands: collapse each user's event stream into maximal
+    runs of the SAME event type — the SCD2-style validity intervals a
+    warehouse derives from a changelog (valid_from/valid_to per state
+    run), via the classic double-row_number island key
+    (rn_overall − rn_within_type is constant exactly along a run).
+
+    Scale shape: both row_numbers share the user_id partitioning, so
+    ONE exchange serves the window pass; the interval aggregate groups
+    on (user, type, island) — output is state-CHANGE-sized, not
+    event-sized. Total order within a user is (ts, event_id), the
+    repo-standard deterministic tie-break (same-timestamp events can't
+    reorder between engines or runs).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = t["events"].select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w) - F.row_number().over(w_type)).alias("island"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+        )
+        .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
+    )

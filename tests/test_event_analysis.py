@@ -197,3 +197,32 @@ def test_user_value_trend_recovers_planted_line(spark):
     assert got[2]["slope_per_day"] == 0.0
     assert got[2]["r2"] == 1.0
     assert 0.0 < got[3]["r2"] < 1.0
+
+
+def test_state_intervals_island_semantics(spark):
+    """Semantic golden for gaps-and-islands: A A B A collapses to THREE
+    intervals (the second A-run is separate — islands are maximal
+    CONSECUTIVE runs, not per-type groups), ties on ts break by
+    event_id, and interval bounds are the run's min/max ts."""
+    from mapreduce_rs_spark.operators.events import state_intervals
+
+    rows = [
+        (1, _t(0), 1, "a", 0.0),
+        (2, _t(10), 1, "a", 0.0),
+        (3, _t(20), 1, "b", 0.0),
+        (4, _t(30), 1, "a", 0.0),
+        # user 2: same-ts tie — event_id order makes it a,b -> 2 islands
+        (10, _t(0), 2, "a", 0.0),
+        (11, _t(0), 2, "b", 0.0),
+    ]
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["n_events"])
+        for r in state_intervals({"events": _ev(spark, rows)}).collect()
+    )
+    assert got == [
+        (1, "a", _t(0), _t(10), 2),
+        (1, "a", _t(30), _t(30), 1),
+        (1, "b", _t(20), _t(20), 1),
+        (2, "a", _t(0), _t(0), 1),
+        (2, "b", _t(0), _t(0), 1),
+    ]

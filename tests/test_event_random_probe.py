@@ -35,6 +35,7 @@ EVENT_QUERIES = (
     "kmv_distinct_users",
     "out_of_order_stats",
     "user_value_trend",
+    "state_intervals",
     "value_histogram",
     "user_activity_stats",
     "range_window_revenue",

@@ -256,3 +256,22 @@ def test_dsir_weights_separate_target_like_from_alien_text(spark):
     assert got[100]["selected"] == 1        # content wins over label
     assert got[100]["is_target"] == 0
     assert all(got[200 + i]["selected"] == 0 for i in range(5))
+
+
+def test_entity_match_resolves_planted_typos_with_perfect_precision(spark, sf_dir):
+    """Intent test for blocked ER: every resolved match must point at
+    the dirty record's true source (the planted typo construction makes
+    distance 1 to self, >= 2 to everyone else), and the only unmatched
+    dirty records are those with NO rare blocking gram (all-common
+    digit grams) — blocking's recall trade, never a wrong match."""
+    from mapreduce_rs_spark.operators.relational import entity_match_customers
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    got = entity_match_customers(t).collect()
+    assert got, "no matches resolved"
+    for r in got:
+        assert r["matched_custkey"] == r["dirty_id"] - 1_000_000
+        assert r["edit_dist"] == 1
+    n_dirty = t["customer"].where("c_custkey % 3 = 0").count()
+    assert len(got) >= n_dirty * 0.9  # blocking recall floor

@@ -171,6 +171,14 @@ _SCALE_GUARDS = {
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),
+    # gaps-and-islands: ONE user_id exchange serves BOTH row_number
+    # windows AND the (user,type,island) aggregate (partitioning on a
+    # subset of the group keys satisfies the clustered distribution)
+    "state_intervals": (1, 0),
+    # blocked ER: gram distincts + df agg + candidate distinct + the
+    # winner window — every exchange keyed on gram/pair/dirty_id over
+    # dim-sized data; blocking bounds candidates, never |dirty|x|clean|
+    "entity_match_customers": (6, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
