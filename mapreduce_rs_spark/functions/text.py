@@ -80,14 +80,14 @@ def tokens(col: Column | str, *, unicode: bool = False) -> Column:
     )
 
 
-def token_ngrams(col: Column | str, n: int) -> Column:
-    """Token n-gram array (space-joined) via sequence+slice over the
-    token array — a narrow per-row expression: NO shuffle, NO self-join.
-    This is the scale-correct n-gram shape; a positional self-join over
-    the exploded token stream would shuffle the whole corpus once per
-    extra gram. Empty tokens are filtered before sliding so n-grams
-    never contain the '' artifact of a leading-whitespace split."""
-    toks = F.filter(tokens(col), lambda t: t != "")
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Token n-gram array (space-joined) from an ALREADY-TOKENIZED array
+    column. Use this form whenever a plan needs more than one gram
+    family from the same text: interpreted higher-order functions get
+    no common-subexpression elimination, so every ``token_ngrams(text)``
+    call re-runs the regex tokenizer — hoist the token array into one
+    projection and slide over it (measured 2-3x on multi-family plans:
+    dsir_importance_weights, skipgram_pmi)."""
     n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     return F.when(
         n_grams > 0,
@@ -96,6 +96,17 @@ def token_ngrams(col: Column | str, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def token_ngrams(col: Column | str, n: int) -> Column:
+    """Token n-gram array (space-joined) via sequence+slice over the
+    token array — a narrow per-row expression: NO shuffle, NO self-join.
+    This is the scale-correct n-gram shape; a positional self-join over
+    the exploded token stream would shuffle the whole corpus once per
+    extra gram. Empty tokens are filtered before sliding so n-grams
+    never contain the '' artifact of a leading-whitespace split.
+    Single-family plans only — see ngrams_of for the hoisted form."""
+    return ngrams_of(F.filter(tokens(col), lambda t: t != ""), n)
 
 
 def bpe_ish_tokens(col: Column | str) -> Column:
@@ -107,13 +118,9 @@ def bpe_ish_tokens(col: Column | str) -> Column:
     )
 
 
-def token_pairs_at_distance(col: Column | str, d: int) -> Column:
-    """Ordered token pairs exactly ``d`` positions apart, space-joined —
-    the skip-gram generator. Same narrow sequence+element_at slide as
-    token_ngrams: each row produces its pairs without leaving the row,
-    so a window-W skip-gram corpus is W narrow expressions, never a
-    positional self-join of the exploded token stream."""
-    toks = F.filter(tokens(col), lambda t: t != "")
+def pairs_at_distance_of(toks: Column, d: int) -> Column:
+    """Ordered token pairs exactly ``d`` apart from an ALREADY-TOKENIZED
+    array column (the hoisted form — see ngrams_of rationale)."""
     n_pairs = F.greatest(F.size(toks) - d, F.lit(0))
     return F.when(
         n_pairs > 0,
@@ -124,3 +131,13 @@ def token_pairs_at_distance(col: Column | str, d: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def token_pairs_at_distance(col: Column | str, d: int) -> Column:
+    """Ordered token pairs exactly ``d`` positions apart, space-joined —
+    the skip-gram generator. Same narrow sequence+element_at slide as
+    token_ngrams: each row produces its pairs without leaving the row,
+    so a window-W skip-gram corpus is W narrow expressions, never a
+    positional self-join of the exploded token stream. Single-family
+    plans only — multi-distance plans hoist via pairs_at_distance_of."""
+    return pairs_at_distance_of(F.filter(tokens(col), lambda t: t != ""), d)
