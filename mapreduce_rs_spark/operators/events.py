@@ -823,15 +823,26 @@ def user_value_trend(t: dict[str, DataFrame], min_events: int = 3) -> DataFrame:
     iteration, no driver collect, no window. Skew-safe: the partial agg
     bounds any hot user's shuffle contribution to one row per task.
     """
-    # x: rebased µs in DECIMAL(19,0) (38-digit headroom for x²); y:
-    # integer CENTS in DECIMAL(20,0) (the oracle uses HUGEINT — same
-    # exact-integer universe; DuckDB decimal multiply caps at p1+p2<=38,
-    # so cents-as-integers is the cross-engine-safe form).
+    return trend_from_sums(trend_sums(t["events"]), min_events=min_events)
+
+
+def trend_sums(events: DataFrame) -> DataFrame:
+    """The five distributive OLS sums per user — the part of the trend
+    fit that is a plain (streamable, map-side-combinable) aggregation.
+
+    x: rebased µs in DECIMAL(19,0) (38-digit headroom for x²); y:
+    integer CENTS in DECIMAL(20,0) (the oracle uses HUGEINT — same
+    exact-integer universe; DuckDB decimal multiply caps at p1+p2<=38,
+    so cents-as-integers is the cross-engine-safe form). Because every
+    sum is exact decimal, the SAME groupBy runs under Structured
+    Streaming and the maintained state is independent of micro-batch
+    boundaries — streaming/pipeline.streaming_user_trend reuses this
+    function verbatim.
+    """
     x = (F.unix_micros(F.col("ts")) - F.lit(TREND_EPOCH_US)).cast("decimal(19,0)")
     y = (money("value") * 100).cast("decimal(20,0)")
-    sums = (
-        t["events"]
-        .select(F.col("user_id"), x.alias("x"), y.alias("y"))
+    return (
+        events.select(F.col("user_id"), x.alias("x"), y.alias("y"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -842,6 +853,12 @@ def user_value_trend(t: dict[str, DataFrame], min_events: int = 3) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).alias("syy"),
         )
     )
+
+
+def trend_from_sums(sums: DataFrame, min_events: int = 3) -> DataFrame:
+    """Derive slope/intercept/r² from the five exact sums — shared by
+    the batch and streaming forms so the formula exists ONCE (the
+    evaluation-harness rule: never hand-copy a formula into a twin)."""
     n_dec = F.col("n").cast("decimal(18,0)")
     num = (n_dec * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (n_dec * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")

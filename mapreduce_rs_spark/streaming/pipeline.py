@@ -281,3 +281,51 @@ def run_ohlc_stream(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_user_trend(stream: DataFrame) -> DataFrame:
+    """Streaming per-user OLS trend state: the five exact-decimal sums
+    of ``operators/events.trend_sums`` maintained incrementally — the
+    online-model-refresh pattern (a dashboard reads current
+    slope/intercept without ever re-scanning history).
+
+    The groupBy is trend_sums VERBATIM (shared code, not a copy): every
+    sum is a distributive exact-decimal aggregate, so the maintained
+    state is byte-identical whatever the micro-batch boundaries — the
+    property that makes the closed-form fit streamable where an
+    iterative fit would not be. No watermark: this is an all-time
+    running aggregate (state is O(|users|), bounded by the key space,
+    not by time), so it runs in update/complete mode; the finished fit
+    is derived from the latest sums with the SAME trend_from_sums the
+    batch query uses."""
+    from mapreduce_rs_spark.operators.events import trend_sums
+
+    return trend_sums(stream)
+
+
+def run_trend_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain-and-stop trend-state stream over a file source
+    (availableNow), complete mode into an in-memory table named
+    ``query_name`` — the harness the stream-equals-batch test drives.
+    ``max_files_per_trigger`` forces multiple micro-batches so the test
+    exercises real cross-batch state maintenance."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    (
+        streaming_user_trend(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -265,3 +265,35 @@ def test_streaming_sessions_match_batch(spark, sf_dir, tmp_path):
     final_wm = max_ts - datetime.timedelta(hours=2)
     emitted_expected = {k for k, v in b.items() if v[0] <= final_wm}
     assert set(s) == emitted_expected
+
+
+def test_streaming_trend_state_matches_batch_bitwise(spark, sf_dir, tmp_path):
+    """The streamed five-sum OLS state, drained across MULTIPLE
+    micro-batches (input split into 4 files), must equal the batch
+    trend fit BIT-FOR-BIT: the sums are exact decimals, so micro-batch
+    boundaries cannot perturb them — the property that makes the
+    closed-form fit incrementally maintainable online."""
+    import struct as _struct
+
+    from mapreduce_rs_spark.operators.events import trend_from_sums, user_value_trend
+    from mapreduce_rs_spark.streaming.pipeline import run_trend_stream
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(inp)  # several input files
+    run_trend_stream(spark, inp, ckpt, "trend_state", max_files_per_trigger=1)
+    streamed_fit = trend_from_sums(spark.table("trend_state"))
+    batch_fit = user_value_trend({"events": events})
+
+    def bits(df):
+        return sorted(
+            tuple(
+                _struct.pack("<d", v).hex() if isinstance(v, float) else v
+                for v in row
+            )
+            for row in df.collect()
+        )
+
+    s, b = bits(streamed_fit), bits(batch_fit)
+    assert s, "stream produced no state"
+    assert s == b
