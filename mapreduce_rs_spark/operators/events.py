@@ -769,30 +769,42 @@ def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def hourly_percentile_bands(t: dict[str, DataFrame]) -> DataFrame:
+def hourly_percentile_bands(
+    t: dict[str, DataFrame], approx_accuracy: int | None = None
+) -> DataFrame:
     """SLO-style percentile bands over time: per (hour, event_type) the
     p50/p95/p99 of the value distribution plus count — the latency-band
     dashboard query every monitoring stack renders.
 
-    Exact interpolated percentiles (Spark ``percentile`` == ANSI
-    percentile_cont == DuckDB quantile_cont — the established
-    cross-engine pair from percentiles_by_priority); groups are
-    (hour, type) so the per-group sort is bounded by the hour's
-    traffic. At 100 TB the same query swaps in percentile_approx
-    (mergeable t-digest, map-side partials) — kept exact here because
-    the oracle must agree bit-for-bit.
+    Default (``approx_accuracy=None``): exact interpolated percentiles
+    (Spark ``percentile`` == ANSI percentile_cont == DuckDB
+    quantile_cont — the established cross-engine pair from
+    percentiles_by_priority); groups are (hour, type) so the per-group
+    sort is bounded by the hour's traffic.
+
+    ``approx_accuracy=N`` is the 100 TB path, A REAL CODE PATH not a
+    comment: ``percentile_approx`` (mergeable sketch, map-side
+    partials, memory O(accuracy) per group instead of holding the
+    group's values). The oracled registry entry stays exact (the oracle
+    must agree bit-for-bit); tests pin the approx path's rank error
+    against the exact answer so the swap is verified safe, not assumed.
     """
     ev = t["events"]
+    if approx_accuracy is None:
+        pct = [
+            F.percentile("value", q).alias(name)
+            for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+        ]
+    else:
+        pct = [
+            F.percentile_approx("value", q, approx_accuracy).alias(name)
+            for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+        ]
     return (
         ev.groupBy(
             F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
         )
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_events"),
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.95).alias("p95"),
-            F.percentile("value", 0.99).alias("p99"),
-        )
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"), *pct)
     )
 
 

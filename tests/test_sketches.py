@@ -120,3 +120,35 @@ def test_misra_gries_heavy_hitters_guarantees(spark):
             assert exact[w] - est <= err_bound, (parts, w, est, exact[w])
         missing = heavy - set(got)
         assert not missing, (parts, missing)
+
+
+def test_percentile_approx_swap_is_rank_accurate(spark, sf_dir):
+    """The documented 100 TB swap for the SLO bands — exact percentile →
+    percentile_approx — verified, not assumed: for every (hour, type)
+    group, the approx pX must be an actual group value whose RANK is
+    within 1/accuracy of the target quantile (the percentile_approx
+    contract), at accuracy=1000 over the real event data."""
+    from mapreduce_rs_spark.operators.events import hourly_percentile_bands
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    acc = 1000
+    approx = {
+        (r["bucket_ts"], r["event_type"]): (r["p50"], r["p95"], r["p99"])
+        for r in hourly_percentile_bands(t, approx_accuracy=acc).collect()
+    }
+    groups: dict = {}
+    for r in t["events"].select("ts", "event_type", "value").collect():
+        key = (r["ts"].replace(minute=0, second=0, microsecond=0), r["event_type"])
+        groups.setdefault(key, []).append(r["value"])
+    assert set(approx) == set(groups)
+    for key, (a50, a95, a99) in approx.items():
+        vals = sorted(groups[key])
+        n = len(vals)
+        for q, a in ((0.5, a50), (0.95, a95), (0.99, a99)):
+            assert a in groups[key], f"{key}: approx p{q} not a group value"
+            # rank window: target quantile +- 1/accuracy (plus one index
+            # slot for duplicates at the boundary)
+            lo = max(0, int((q - 1.0 / acc) * n) - 1)
+            hi = min(n - 1, int((q + 1.0 / acc) * n) + 1)
+            assert vals[lo] <= a <= vals[hi], f"{key} p{q}: {a} outside rank window"
