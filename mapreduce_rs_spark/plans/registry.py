@@ -3400,9 +3400,8 @@ QUERIES: dict[str, QuerySpec] = {
                               i -> substr(c_name, CAST(i AS INTEGER), 3))) AS gram
                 FROM clean
             )
-        ), rare AS (
-            SELECT gram FROM cgrams GROUP BY gram
-            HAVING count(DISTINCT c_custkey) <= 25
+        ), dfreq AS (
+            SELECT gram, count(DISTINCT c_custkey) AS df FROM cgrams GROUP BY gram
         ), dgrams AS (
             SELECT DISTINCT dirty_id, dirty_name, gram FROM (
                 SELECT dirty_id, dirty_name,
@@ -3410,9 +3409,16 @@ QUERIES: dict[str, QuerySpec] = {
                               i -> substr(dirty_name, CAST(i AS INTEGER), 3))) AS gram
                 FROM dirty
             )
+        ), block_keys AS (
+            SELECT dirty_id, dirty_name, gram FROM (
+                SELECT dirty_id, dirty_name, gram,
+                       row_number() OVER (PARTITION BY dirty_id ORDER BY df, gram) AS rk
+                FROM dgrams JOIN dfreq USING (gram)
+                WHERE df <= 1000
+            ) WHERE rk <= 3
         ), cand AS (
             SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name
-            FROM dgrams JOIN rare USING (gram) JOIN cgrams USING (gram)
+            FROM block_keys JOIN cgrams USING (gram)
         ), verified AS (
             SELECT dirty_id, c_custkey,
                    levenshtein(dirty_name, c_name) AS edit_dist
@@ -3430,8 +3436,8 @@ QUERIES: dict[str, QuerySpec] = {
                CAST(n_candidates AS INTEGER) AS n_candidates
         FROM ranked WHERE rn = 1
         """,
-        "Blocked fuzzy entity resolution: rare-3-gram blocking (df cutoff), "
-        "Levenshtein verify on candidates only, deterministic (dist, key) winner",
+        "Blocked fuzzy entity resolution: per-record rarest-K 3-gram blocking "
+        "(df-capped), Levenshtein verify on candidates only, deterministic winner",
     ),
 }
 

@@ -261,9 +261,11 @@ def test_dsir_weights_separate_target_like_from_alien_text(spark):
 def test_entity_match_resolves_planted_typos_with_perfect_precision(spark, sf_dir):
     """Intent test for blocked ER: every resolved match must point at
     the dirty record's true source (the planted typo construction makes
-    distance 1 to self, >= 2 to everyone else), and the only unmatched
-    dirty records are those with NO rare blocking gram (all-common
-    digit grams) — blocking's recall trade, never a wrong match."""
+    distance 1 to self, >= 2 to everyone else), and recall stays near
+    total under the per-record rarest-K blocking (the fixed global df
+    cutoff this replaced matched only 67% at sf0.1) — the only
+    unmatched records are those whose every gram exceeds the df cap
+    (all-common digit patterns), never a wrong match."""
     from mapreduce_rs_spark.operators.relational import entity_match_customers
     from mapreduce_rs_spark.sources.catalog import load_tables
 
@@ -274,4 +276,4 @@ def test_entity_match_resolves_planted_typos_with_perfect_precision(spark, sf_di
         assert r["matched_custkey"] == r["dirty_id"] - 1_000_000
         assert r["edit_dist"] == 1
     n_dirty = t["customer"].where("c_custkey % 3 = 0").count()
-    assert len(got) >= n_dirty * 0.9  # blocking recall floor
+    assert len(got) >= n_dirty * 0.98  # adaptive-blocking recall floor

@@ -175,9 +175,10 @@ _SCALE_GUARDS = {
     # windows AND the (user,type,island) aggregate (partitioning on a
     # subset of the group keys satisfies the clustered distribution)
     "state_intervals": (1, 0),
-    # blocked ER: gram distincts + df agg + candidate distinct + the
-    # winner window — every exchange keyed on gram/pair/dirty_id over
-    # dim-sized data; blocking bounds candidates, never |dirty|x|clean|
+    # blocked ER: gram distincts + df agg + rarest-K window + candidate
+    # distinct + winner window — every exchange keyed on gram/dirty_id
+    # over dim-sized data; per-record df-capped blocking bounds
+    # candidates at |dirty|·k·cap, never |dirty|x|clean|
     "entity_match_customers": (6, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
