@@ -1830,3 +1830,72 @@ def entity_match_customers(
             "n_candidates",
         )
     )
+
+
+def orders_merge_upsert(t: dict[str, DataFrame]) -> DataFrame:
+    """MERGE INTO (SCD1 upsert) semantics as a single full-outer join —
+    the warehouse table-maintenance primitive (Delta/Iceberg MERGE's
+    relational core), oracle-checked end to end.
+
+    The corpus has no change feed, so the source batch is PLANTED
+    deterministically (the codec/PII synthesis discipline): every 7th
+    order arrives UPDATED (totalprice repriced +10%, exact decimal),
+    and every 97th order is cloned as a NEW order under a shifted key.
+    MERGE semantics: matched rows take the source version (SCD1
+    overwrite), unmatched source rows insert, unmatched target rows
+    persist.
+
+    Scale shape: ONE shuffle join on the merge key (full outer — both
+    sides hash-partition once), then the audit aggregate. No window, no
+    driver collect; the merged table itself would stream to the sink at
+    100 TB, so the query returns the per-status audit the pipeline
+    would log: row counts, exact-decimal totals, and inserted/updated/
+    carried counts (which must reconcile: inserted + updated + carried
+    = rows).
+    """
+    # Repriced values carry 4 exact decimals (x.xx * 1.10): the merged
+    # price lane is DECIMAL(16,4) on BOTH sides so no cast ever rounds —
+    # a (12,2) re-cast would hit engine-specific tie-rounding (Spark
+    # HALF_UP vs DuckDB round-half-even) on the .xx5 boundary.
+    ten_pct = F.lit("1.10").cast("decimal(3,2)")
+    price4 = "decimal(16,4)"
+    target = t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        money("o_totalprice").cast(price4).alias("o_totalprice"),
+    )
+    updates = target.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * ten_pct).cast(price4).alias("o_totalprice"),
+    )
+    inserts = target.where(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    source = updates.unionByName(inserts)
+    s = source.select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_orderstatus").alias("s_status"),
+        F.col("o_totalprice").alias("s_price"),
+    )
+    merged = (
+        target.join(s, F.col("o_orderkey") == F.col("s_key"), "full_outer")
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("s_key")).alias("key"),
+            F.coalesce(F.col("s_status"), F.col("o_orderstatus")).alias("status"),
+            F.coalesce(F.col("s_price"), F.col("o_totalprice")).alias("price"),
+            F.when(F.col("o_orderkey").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("ins"),
+            F.when(
+                F.col("o_orderkey").isNotNull() & F.col("s_key").isNotNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("upd"),
+        )
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        stable_sum(F.col("price")).alias("total_price"),
+        F.sum("ins").cast("int").alias("n_inserted"),
+        F.sum("upd").cast("int").alias("n_updated"),
+        (F.count(F.lit(1)) - F.sum("ins") - F.sum("upd")).cast("int").alias("n_carried"),
+    )

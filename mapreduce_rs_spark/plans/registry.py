@@ -3439,6 +3439,39 @@ QUERIES: dict[str, QuerySpec] = {
         "Blocked fuzzy entity resolution: per-record rarest-K 3-gram blocking "
         "(df-capped), Levenshtein verify on candidates only, deterministic winner",
     ),
+    "orders_merge_upsert": QuerySpec(
+        _tables(relational.orders_merge_upsert),
+        f"""
+        WITH target AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST({_money('o_totalprice')} AS DECIMAL(16,4)) AS o_totalprice
+            FROM orders
+        ), source AS (
+            SELECT o_orderkey AS s_key, o_orderstatus AS s_status,
+                   CAST(o_totalprice * CAST(1.10 AS DECIMAL(3,2)) AS DECIMAL(16,4)) AS s_price
+            FROM target WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+            FROM target WHERE o_orderkey % 97 = 0
+        ), merged AS (
+            SELECT COALESCE(s.s_status, t.o_orderstatus) AS status,
+                   COALESCE(s.s_price, t.o_totalprice) AS price,
+                   CASE WHEN t.o_orderkey IS NULL THEN 1 ELSE 0 END AS ins,
+                   CASE WHEN t.o_orderkey IS NOT NULL AND s.s_key IS NOT NULL
+                        THEN 1 ELSE 0 END AS upd
+            FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.s_key
+        )
+        SELECT status,
+               CAST(count(*) AS INTEGER) AS n_rows,
+               CAST(sum(price) AS DOUBLE) AS total_price,
+               CAST(sum(ins) AS INTEGER) AS n_inserted,
+               CAST(sum(upd) AS INTEGER) AS n_updated,
+               CAST(count(*) - sum(ins) - sum(upd) AS INTEGER) AS n_carried
+        FROM merged GROUP BY status
+        """,
+        "MERGE INTO (SCD1 upsert) as ONE full-outer shuffle join + audit aggregate; "
+        "planted update/insert batches, exact-decimal repricing",
+    ),
 }
 
 
@@ -3556,6 +3589,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "dsir_importance_weights": ("doc_id",),
     "state_intervals": ("user_id", "event_type", "valid_from"),
     "entity_match_customers": ("dirty_id",),
+    "orders_merge_upsert": ("status",),
     "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
     "q20_surplus_suppliers": ("s_suppkey",),
     "q5_local_supplier_volume": ("n_name",),
@@ -3607,6 +3641,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dsir_importance_weights",  # NEW: hashed-ngram importance resampling
     "state_intervals",       # NEW: gaps-and-islands SCD2 intervals
     "entity_match_customers",  # NEW: blocked fuzzy entity resolution
+    "orders_merge_upsert",   # NEW: MERGE INTO (SCD1) audit
     # (a) NEVER driver-checked — the
     # r03 verdict's #2 ask: close union coverage to 125/125. The 16
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
@@ -3655,12 +3690,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ivf_histogram",
     "semdedup",
     "embedding_near_dup",
-    "pq_code_histogram",
-    # (mixture_sample and zorder_locality were displaced from this
-    # window by the two newest queries: their round-4 modifications are
-    # value-preserving — integer-threshold refactor verified
-    # bit-identical locally, presentation-sort-only — and both hold
-    # green r03 external rows on the same values.)
+    # (mixture_sample, zorder_locality and pq_code_histogram were
+    # displaced from this window by the newest queries: their round-4
+    # modifications are value-preserving — integer-threshold refactor /
+    # presentation-sort-only / cast-hoisting, each verified
+    # bit-identical locally — and all hold green r03 external rows on
+    # the same values.)
     "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter

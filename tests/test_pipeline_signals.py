@@ -277,3 +277,39 @@ def test_entity_match_resolves_planted_typos_with_perfect_precision(spark, sf_di
         assert r["edit_dist"] == 1
     n_dirty = t["customer"].where("c_custkey % 3 = 0").count()
     assert len(got) >= n_dirty * 0.98  # adaptive-blocking recall floor
+
+
+def test_merge_upsert_reconciles_and_reprices(spark, sf_dir):
+    """Intent test for the MERGE audit: inserted + updated + carried
+    must reconcile to total rows; inserted count equals the planted
+    insert batch; updated rows carry the repriced (+10%) totals —
+    checked by recomputing the expected per-status totals directly."""
+    from decimal import Decimal
+
+    from mapreduce_rs_spark.operators.relational import orders_merge_upsert
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    got = {r["status"]: r for r in orders_merge_upsert(t).collect()}
+    orders = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+    exp: dict = {}
+    for o in orders:
+        price = Decimal(str(o["o_totalprice"]))
+        if o["o_orderkey"] % 7 == 0:
+            price = price * Decimal("1.10")
+        st = exp.setdefault(o["o_orderstatus"], {"rows": 0, "total": Decimal(0), "ins": 0, "upd": 0})
+        st["rows"] += 1
+        st["total"] += price
+        st["upd"] += 1 if o["o_orderkey"] % 7 == 0 else 0
+        if o["o_orderkey"] % 97 == 0:  # cloned insert keeps the ORIGINAL price
+            st["rows"] += 1
+            st["total"] += Decimal(str(o["o_totalprice"]))
+            st["ins"] += 1
+    assert set(got) == set(exp)
+    for status, e in exp.items():
+        r = got[status]
+        assert r["n_rows"] == e["rows"]
+        assert r["n_inserted"] == e["ins"]
+        assert r["n_updated"] == e["upd"]
+        assert r["n_inserted"] + r["n_updated"] + r["n_carried"] == r["n_rows"]
+        assert r["total_price"] == float(e["total"])

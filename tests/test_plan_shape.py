@@ -180,6 +180,10 @@ _SCALE_GUARDS = {
     # over dim-sized data; per-record df-capped blocking bounds
     # candidates at |dirty|·k·cap, never |dirty|x|clean|
     "entity_match_customers": (6, 0),
+    # MERGE upsert: both sides of ONE full-outer hash-partition on the
+    # merge key + the 3-row audit agg (source derives from the target
+    # scan, so its exchange is the second of the pair)
+    "orders_merge_upsert": (3, 0),
     # ann_recall composes the exact + 4 approximate knn pipelines into
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —

@@ -62,6 +62,7 @@ REL_QUERIES = (
     "q16_supplier_part_types",
     "q20_surplus_suppliers",
     "entity_match_customers",
+    "orders_merge_upsert",
     "q4_order_priority_checking",
     "q12_priority_by_returnflag",
     "q22_dormant_customers",
