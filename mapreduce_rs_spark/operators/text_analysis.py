@@ -1047,3 +1047,67 @@ def dsir_importance_weights(
             (F.col("logw_cn") > 0).cast("int").alias("selected"),
         )
     )
+
+
+def bpe_train_merges(df: DataFrame, n_merges: int = 6) -> DataFrame:
+    """FULL iterative BPE training for ``n_merges`` rounds — the
+    tokenizer-trainer loop itself, not just the first-merge statistic
+    (bpe_merge_candidates). Each round counts adjacent SYMBOL pairs
+    over the vocabulary (frequency-weighted), picks the argmax
+    (ties by pair string — deterministic), and applies the merge to
+    every word; returns the learned merge table (round, pair, count).
+
+    Representation that makes the merge a built-in expression: each
+    word's symbol sequence is a string with every symbol separated by
+    EXACTLY TWO spaces (and two at each end). A merge of pair (a, b)
+    is then the plain literal replace of " a  b " with " ab " — and the
+    invariant self-heals: each replacement contributes one space per
+    edge, the untouched neighbor's remaining one completes the two, so
+    chained and adjacent merges stay correct, and a symbol ending in
+    "a" can never false-match (the pattern requires a space before
+    "a"). Left-to-right non-overlapping replace IS BPE's merge order
+    (validated against a pure-Python reference in tests).
+
+    Scale shape (the pagerank discipline for iterative algorithms):
+    the corpus-scale stage is the ONE word-count aggregate; every round
+    after runs on the VOCABULARY (dictionary-sized), localCheckpointed
+    per round so lineage stays flat, and the only driver transfer is
+    the 1-row argmax per round (bounded like the kmeans fit collect).
+    The oracle unrolls the same rounds as chained CTEs (the pagerank
+    precedent) — both engines pick identical argmaxes because counts
+    are exact integers with a total tie-break.
+    """
+    vocab = (
+        explode_tokens(df)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")
+            ).alias("s"),
+        )
+    )
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        syms = F.filter(F.split("s", "  "), lambda x: x != "")
+        pairs = (
+            vocab.select("freq", F.explode(ngrams_of(syms, 2)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        a, b = pair.split(" ")
+        merges.append((r, pair, cnt))
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_round int, pair string, cnt long"
+    )

@@ -3472,7 +3472,62 @@ QUERIES: dict[str, QuerySpec] = {
         "MERGE INTO (SCD1 upsert) as ONE full-outer shuffle join + audit aggregate; "
         "planted update/insert batches, exact-decimal repricing",
     ),
+    "bpe_train_merges": QuerySpec(
+        _docs(ta.bpe_train_merges),
+        None,  # replaced below by the unrolled-CTE builder
+        "FULL iterative BPE training (6 rounds): vocabulary-sized state, "
+        "double-space symbol strings make each merge a literal replace; "
+        "oracle = the same rounds unrolled as chained CTEs (pagerank precedent)",
+    ),
 }
+
+
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    """Unrolled-CTE oracle for bpe_train_merges: round r computes pair
+    counts over v{r-1}, picks the argmax b{r} (cnt DESC, pair — the
+    exact tie-break the Spark trainer collects), and applies the
+    double-space literal replace to form v{r} (see the operator
+    docstring for why left-to-right replace IS the BPE merge)."""
+    parts = [
+        f"""
+        WITH wc AS (
+            SELECT word, count(*) AS freq FROM (
+                SELECT unnest({TOKENS_SQL}) AS word FROM documents
+            ) GROUP BY word
+        ), v0 AS (
+            SELECT freq, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS s
+            FROM wc
+        )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f""", p{r} AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq, unnest(list_transform(range(1, greatest(len(syms) - 1, 0) + 1),
+                       i -> syms[i] || ' ' || syms[i + 1])) AS pair
+                FROM (SELECT freq, list_filter(string_split(s, '  '), x -> x <> '') AS syms
+                      FROM v{r - 1})
+            ) GROUP BY pair
+        ), b{r} AS (
+            SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+        ), v{r} AS (
+            SELECT freq,
+                   replace(s, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
+                              ' ' || replace(pair, ' ', '') || ' ') AS s
+            FROM v{r - 1} CROSS JOIN b{r}
+        )"""
+        )
+    unions = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_round, pair, cnt FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n        SELECT * FROM ({unions}) ORDER BY merge_round")
+    return "".join(parts)
+
+
+QUERIES["bpe_train_merges"] = dataclasses.replace(
+    QUERIES["bpe_train_merges"], oracle=_bpe_merges_sql()
+)
 
 
 # ---------------------------------------------------------------------------
@@ -3590,6 +3645,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "state_intervals": ("user_id", "event_type", "valid_from"),
     "entity_match_customers": ("dirty_id",),
     "orders_merge_upsert": ("status",),
+    "bpe_train_merges": ("merge_round",),
     "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
     "q20_surplus_suppliers": ("s_suppkey",),
     "q5_local_supplier_volume": ("n_name",),
@@ -3642,6 +3698,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "state_intervals",       # NEW: gaps-and-islands SCD2 intervals
     "entity_match_customers",  # NEW: blocked fuzzy entity resolution
     "orders_merge_upsert",   # NEW: MERGE INTO (SCD1) audit
+    "bpe_train_merges",      # NEW: full iterative BPE trainer
     # (a) NEVER driver-checked — the
     # r03 verdict's #2 ask: close union coverage to 125/125. The 16
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
@@ -3682,11 +3739,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     # thresholds, zorder presentation sort:
     "knn_bruteforce",
     "knn_lsh",
+    # (lsh_buckets displaced like mixture_sample below: it profiles the
+    # CORPUS bucketing, which the KMV query-set bound did not touch —
+    # its r03 external row is on unchanged values; knn_lsh externally
+    # exercises the same bucket-assignment expression this round.)
     "knn_ivf",
     "knn_ivf_multiprobe",
     "knn_pq",
     "ann_recall",
-    "lsh_buckets",
     "ivf_histogram",
     "semdedup",
     "embedding_near_dup",

@@ -59,6 +59,7 @@ DOC_QUERIES = (
     "unigram_surprisal_scores",
     "jpeg_decode_stats",
     "dsir_importance_weights",
+    "bpe_train_merges",
 )
 
 SEED = 813

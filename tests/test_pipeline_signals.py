@@ -313,3 +313,51 @@ def test_merge_upsert_reconciles_and_reprices(spark, sf_dir):
         assert r["n_updated"] == e["upd"]
         assert r["n_inserted"] + r["n_updated"] + r["n_carried"] == r["n_rows"]
         assert r["total_price"] == float(e["total"])
+
+
+def test_bpe_train_merges_matches_pure_python_bpe(spark):
+    """The double-space replace scheme must implement EXACT BPE merge
+    semantics (left-to-right non-overlapping, merged symbols compose in
+    later rounds). Verified against a transparent pure-Python BPE
+    trainer on a fixture where round 2 merges a MULTI-char symbol."""
+    import collections
+
+    from mapreduce_rs_spark.operators.text_analysis import bpe_train_merges
+
+    rows = [
+        (1, "banana bandana banana", "en", "s", 0),
+        (2, "ana banana nab aaa", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = [
+        (r["merge_round"], r["pair"], r["cnt"])
+        for r in bpe_train_merges(df, n_merges=4).collect()
+    ]
+
+    vocab = collections.Counter()
+    for _, text, *_ in rows:
+        for w in text.split():
+            vocab[tuple(w)] += 1
+    expected = []
+    for rnd in range(1, 5):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+        expected.append((rnd, f"{a} {b}", cnt))
+        new: collections.Counter = collections.Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += c
+        vocab = new
+    assert got == expected
+    # the fixture must actually exercise multi-char composition
+    assert any(len(p.replace(" ", "")) > 2 for _, p, _ in expected)
