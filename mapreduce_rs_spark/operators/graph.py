@@ -373,3 +373,90 @@ def dedup_components(df: DataFrame, persist_dir: str | None = None) -> DataFrame
     and each CC round (operators/materialize.py)."""
     edges = minhash_lsh_pairs(df, persist_dir=persist_dir).select("doc_a", "doc_b")
     return connected_components(edges, persist_dir=persist_dir)
+
+
+def kcore_decomposition(
+    tables: dict[str, DataFrame],
+    k: int = 3,
+    rounds: int = 14,
+    min_orders: int = 2,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """k-core of the co-purchase graph: the maximal subgraph where every
+    node keeps degree >= k — the standard dense-community extractor
+    (recommendation cores, spam rings, influence backbones). Same node/
+    edge grain as ``triangle_counts``.
+
+    Algorithm: iterative peeling. Each round computes degrees over the
+    SURVIVING edge set and drops nodes below k; removing a node can
+    push neighbors below k, hence the iteration. Peeling reaches the
+    (unique) k-core fixed point; ``rounds`` bounds the unrolling and a
+    LOUD assert verifies convergence (one extra degree pass: every
+    remaining node >= k), so an under-unrolled run fails rather than
+    returning a superset. Per round: one dictionary-sized degree
+    aggregate + two semi-joins — edges are localCheckpointed
+    (``persist_dir=`` for the durable parquet path) so lineage stays
+    flat (the pagerank/BPE iterative discipline).
+
+    The oracle unrolls the same ``rounds`` as chained CTEs; extra
+    rounds after the fixed point are no-ops on BOTH sides, so the fixed
+    unroll count is safe.
+
+    Returns (partkey, core_degree) for k-core members.
+    """
+    li = tables["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        persist_dir,
+        "kcore_edges",
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    n_edges = edges.count()
+    for r in range(rounds):
+        keep = degrees(edges).where(F.col("deg") >= k).select("node")
+        # No broadcast hint: the survivor set is node-scale (could be
+        # billions at 100 TB) — plain semi-joins let AQE broadcast only
+        # when the set actually shrinks below the threshold.
+        edges = materialize(
+            edges.join(
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
+            ).join(
+                keep.select(F.col("node").alias("v")), "v", "left_semi"
+            ).select("u", "v"),
+            persist_dir,
+            f"kcore_round_{r}",
+        )
+        n_after = edges.count()
+        if n_after == n_edges:
+            # Fixed point: the oracle's remaining unrolled rounds are
+            # no-ops, so early exit cannot diverge from it.
+            break
+        n_edges = n_after
+    final = degrees(edges)
+    below = final.where(F.col("deg") < k).count()
+    if below:
+        raise AssertionError(
+            f"k-core peeling did not converge in {rounds} rounds "
+            f"({below} nodes still below k={k}) — raise rounds"
+        )
+    return final.select("node", F.col("deg").alias("core_degree")).withColumnsRenamed(
+        {"node": "partkey"}
+    )

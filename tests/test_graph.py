@@ -279,3 +279,41 @@ def test_triangle_counts_threshold_prunes_weak_edges(spark):
     )
     assert triangle_counts({"lineitem": li}).count() == 0
     assert triangle_counts({"lineitem": li}, min_orders=1).count() == 3
+
+
+def test_kcore_peels_pendant_chain_keeps_clique(spark):
+    """Hand graph for k-core: K4 on {1,2,3,4} plus a pendant chain
+    4-5-6. Peeling must take TWO rounds (drop 5 → 6 orphaned) and the
+    3-core is exactly the clique with every core degree = 3."""
+    from mapreduce_rs_spark.operators.graph import kcore_decomposition
+
+    clique = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+    edges = clique + [(4, 5), (5, 6)]
+    rows = []
+    for i, (u, v) in enumerate(edges):
+        for o in (2 * i, 2 * i + 1):  # two shared orders -> min_orders=2
+            rows.append((o, u))
+            rows.append((o, v))
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {
+        r["partkey"]: r["core_degree"]
+        for r in kcore_decomposition({"lineitem": li}).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_raises_when_round_budget_too_small(spark):
+    """An under-unrolled peel must fail loudly, never return a superset
+    of the core: a 7-node path needs several rounds to dissolve under
+    k=2."""
+    from mapreduce_rs_spark.operators.graph import kcore_decomposition
+
+    path = [(i, i + 1) for i in range(1, 7)]
+    rows = []
+    for i, (u, v) in enumerate(path):
+        for o in (2 * i, 2 * i + 1):
+            rows.append((o, u))
+            rows.append((o, v))
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    with pytest.raises(AssertionError, match="did not converge"):
+        kcore_decomposition({"lineitem": li}, k=2, rounds=1)

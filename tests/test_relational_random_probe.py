@@ -68,6 +68,7 @@ REL_QUERIES = (
     "q22_dormant_customers",
     "copurchase_pairs",
     "triangle_counts",
+    "kcore_decomposition",
     "bloom_prefilter_stats",
     "rfm_segments",
     "referential_audit",
