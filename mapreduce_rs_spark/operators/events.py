@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mapreduce_rs_spark.functions.hashing import h32
+from mapreduce_rs_spark.functions.hashing import h32, h64
 from mapreduce_rs_spark.operators.relational import money, stable_avg, stable_sum
 
 SESSION_GAP_MIN = 30
@@ -258,6 +258,103 @@ def kmv_distinct_users(t: dict[str, DataFrame], k: int = 64) -> DataFrame:
         .alias("kmv_estimate"),
         "n_distinct_exact",
     )
+
+
+# HyperLogLog parameters: p = 6 bucket bits over the 60-bit portable
+# hash → m = 64 registers, 54 value bits, max rank 55. The scale
+# constant alpha_m * m^2 * 2^54+1 is computed ONCE in Python and embedded
+# as the same double literal in both engines (registry embeds repr(),
+# which round-trips exactly), so the only float op in the estimate is a
+# single IEEE division — bit-deterministic cross-engine, unlike ln/pow.
+HLL_P_BITS = 6
+HLL_M = 1 << HLL_P_BITS
+_HLL_W_BITS = 60 - HLL_P_BITS
+HLL_MAX_RANK = _HLL_W_BITS + 1
+HLL_SCALE = (
+    0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << HLL_MAX_RANK)
+)
+
+
+def hll_distinct_users(t: dict[str, DataFrame], corrected: bool = False) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event_type — the mergeable
+    register-max complement of kmv_distinct_users (KMV needs the k
+    smallest hashes shipped; HLL state is a fixed 64-byte register
+    vector, mergeable with elementwise max, the shape every production
+    engine uses for approx_count_distinct at 100 TB).
+
+    Registers: bucket = h64 % m, rank = leading-zeros of the remaining
+    54 bits + 1 (via ``55 - length(bin(w))`` — exact integer arithmetic,
+    identical in Spark and DuckDB), register = max(rank) per bucket.
+    The indicator sum Z = Σ 2^-M_j is kept EXACT by scaling to integers:
+    indicator_s = Σ 2^(55 - M_j) as BIGINT (≤ 64·2^55 = 2^61, no
+    overflow), empty buckets contributing 2^55 each. The estimate
+    alpha·m²/Z is then one double division from exact integers —
+    deterministic, so the oracle reproduces it bit-for-bit.
+
+    ``corrected=True`` applies the standard small-range linear-counting
+    correction (m·ln(m/V) when raw ≤ 2.5m and V empty buckets remain).
+    ln() is transcendental — libm rounding may differ across engines —
+    so the oracle-checked registry form keeps ``corrected=False`` and
+    the correction is pytest-verified against math.log instead.
+
+    Scale shape: one narrow hash projection, one (event_type, bucket)
+    partial-agg shuffle of at most types×64 rows, one types-sized final
+    agg. The exact count (reported alongside for evaluation) is the only
+    distinct-shuffle; production at 100 TB would drop that column and
+    ship registers only."""
+    ev = t["events"]
+    m, wbits, rmax = HLL_M, _HLL_W_BITS, HLL_MAX_RANK
+    hashed = ev.select(
+        "event_type", h64(F.col("user_id").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        (F.col("h") % m).alias("bucket"),
+        F.shiftright("h", HLL_P_BITS).alias("w"),
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            "bucket",
+            F.when(F.col("w") == 0, rmax)
+            .otherwise(rmax - F.length(F.bin("w")))
+            .cast("int")
+            .alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_nonzero_buckets"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)"))
+            + (m - F.count(F.lit(1))) * F.lit(1 << rmax)
+        )
+        .cast("long")
+        .alias("indicator_s"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
+    out = sums.join(exact, "event_type").select(
+        "event_type",
+        "n_nonzero_buckets",
+        "indicator_s",
+        (F.lit(HLL_SCALE) / F.col("indicator_s").cast("double")).alias(
+            "hll_estimate"
+        ),
+        "n_distinct_exact",
+    )
+    if corrected:
+        raw = F.lit(HLL_SCALE) / F.col("indicator_s").cast("double")
+        empty = F.lit(m) - F.col("n_nonzero_buckets")
+        out = out.withColumn(
+            "hll_estimate",
+            F.when(
+                (raw <= 2.5 * m) & (empty > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+            ).otherwise(raw),
+        )
+    return out
 
 
 def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:

@@ -408,6 +408,45 @@ def _kmv_sql(k: int = 64) -> str:
         """
 
 
+def _hll_sql() -> str:
+    """Oracle twin of events.hll_distinct_users — m, the rank formula
+    and the scale literal all derive from the operator's constants, so
+    the two sides cannot drift. repr(HLL_SCALE) round-trips the double
+    exactly; the estimate is then ONE division from exact integers,
+    bit-identical across engines (ln/pow would not be)."""
+    m, rmax = events.HLL_M, events.HLL_MAX_RANK
+    return f"""
+        WITH hashed AS (
+            SELECT event_type, h % {m} AS bucket, h // {m} AS w FROM (
+                SELECT event_type,
+                       {h64_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events
+            )
+        ), regs AS (
+            SELECT event_type, bucket,
+                   max(CASE WHEN w = 0 THEN {rmax}
+                            ELSE {rmax} - length(bin(w)) END) AS reg
+            FROM hashed GROUP BY event_type, bucket
+        ), sums AS (
+            SELECT event_type,
+                   CAST(count(*) AS INTEGER) AS n_nonzero_buckets,
+                   CAST(sum(CAST(1 AS BIGINT) << ({rmax} - reg))
+                        + ({m} - count(*)) * (CAST(1 AS BIGINT) << {rmax})
+                        AS BIGINT) AS indicator_s
+            FROM regs GROUP BY event_type
+        ), exact AS (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_distinct_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_nonzero_buckets, indicator_s,
+               {events.HLL_SCALE!r} / CAST(indicator_s AS DOUBLE) AS hll_estimate,
+               CAST(n_distinct_exact AS BIGINT) AS n_distinct_exact
+        FROM sums JOIN exact USING (event_type)
+        ORDER BY event_type
+        """
+
+
 _PLANES = similarity.hyperplanes()
 _CENTROIDS = similarity.centroids()
 
@@ -2018,6 +2057,13 @@ QUERIES: dict[str, QuerySpec] = {
         _tables(events.kmv_distinct_users),
         _kmv_sql(),
     ),
+    "hll_distinct_users": QuerySpec(
+        _tables(events.hll_distinct_users),
+        None,  # replaced below by _hll_sql() — parameter-derived twin
+        "HyperLogLog registers (m=64) per event_type: exact-integer "
+        "indicator sum, one IEEE division for the estimate — "
+        "deterministic cross-engine (no ln/pow in the oracled form)",
+    ),
     "range_window_revenue": QuerySpec(
         _tables(events.range_window_revenue),
         f"""
@@ -3529,6 +3575,10 @@ QUERIES["bpe_train_merges"] = dataclasses.replace(
     QUERIES["bpe_train_merges"], oracle=_bpe_merges_sql()
 )
 
+QUERIES["hll_distinct_users"] = dataclasses.replace(
+    QUERIES["hll_distinct_users"], oracle=_hll_sql()
+)
+
 
 def _kcore_sql(k: int = 3, rounds: int = 14) -> str:
     """Unrolled-CTE oracle for kcore_decomposition: round r drops nodes
@@ -3650,6 +3700,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "asof_last_click_before_purchase": ("user_id", "event_id"),
     "multi_resolution_rollup": ("resolution", "bucket_ts", "event_type"),
     "kmv_distinct_users": ("event_type",),
+    "hll_distinct_users": ("event_type",),
     "range_window_revenue": ("user_id", "event_id"),
     "cohort_retention": ("cohort_day", "day_offset"),
     "out_of_order_stats": ("user_id",),
@@ -3739,7 +3790,10 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-4 window (50 slots). (0) NEW: the battery-completing
+    # ---- round-4 window (50 slots). (00) NEW in the second round-4
+    # session — never externally checked:
+    "hll_distinct_users",
+    # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
     "q16_supplier_part_types",
@@ -3799,7 +3853,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "knn_ivf_multiprobe",
     "knn_pq",
     "ann_recall",
-    "ivf_histogram",
+    # (ivf_histogram displaced by hll_distinct_users: its round-4 k
+    # refit is externally exercised through knn_ivf/semdedup, which
+    # join against the same refitted assignment table.)
     "semdedup",
     # (mixture_sample, zorder_locality, pq_code_histogram,
     # embedding_near_dup and lsh_buckets were displaced from this

@@ -226,3 +226,32 @@ def test_state_intervals_island_semantics(spark):
         (2, "a", _t(0), _t(0), 1),
         (2, "b", _t(0), _t(0), 1),
     ]
+
+
+def test_hll_estimate_accuracy_and_corrected_path(spark):
+    """HLL semantics: (a) on a cardinality well above the small-range
+    regime the raw estimate lands within the standard-error envelope
+    (sigma = 1.04/sqrt(64) = 13%; assert 3 sigma); (b) corrected=True
+    applies linear counting m*ln(m/V) in the small-range regime and
+    matches math.log computed in pure Python; (c) the estimate only
+    depends on the distinct user set (duplicates don't move registers)."""
+    from mapreduce_rs_spark.operators.events import HLL_M, hll_distinct_users
+
+    big = [(i, _t(0), i, "click", 1.0) for i in range(2000)]
+    row = hll_distinct_users({"events": _ev(spark, big)}).collect()[0]
+    assert row["n_distinct_exact"] == 2000
+    assert abs(row["hll_estimate"] - 2000) / 2000 < 3 * 1.04 / math.sqrt(HLL_M)
+
+    small = [(i, _t(0), i % 7, "click", 1.0) for i in range(50)]
+    srow = hll_distinct_users({"events": _ev(spark, small)}, corrected=True).collect()[0]
+    v_empty = HLL_M - srow["n_nonzero_buckets"]
+    assert v_empty > 0
+    assert srow["hll_estimate"] == HLL_M * math.log(HLL_M / v_empty)
+
+    dup = big + [(100000 + i, _t(1), i, "view", 2.0) for i in range(2000)]
+    drow = (
+        hll_distinct_users({"events": _ev(spark, dup)})
+        .where("event_type = 'click'")
+        .collect()[0]
+    )
+    assert drow["indicator_s"] == row["indicator_s"]

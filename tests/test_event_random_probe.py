@@ -33,6 +33,7 @@ EVENT_QUERIES = (
     "asof_last_click_before_purchase",
     "multi_resolution_rollup",
     "kmv_distinct_users",
+    "hll_distinct_users",
     "out_of_order_stats",
     "user_value_trend",
     "state_intervals",

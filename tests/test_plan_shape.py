@@ -303,6 +303,11 @@ _SCALE_GUARDS = {
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
+    # HLL: (type,bucket) register agg + type-level sums + the exact
+    # countDistinct pair (kept for evaluation; production ships
+    # registers only) — at most types×64 rows ever cross an exchange
+    # past the first partial agg
+    "hll_distinct_users": (4, 0),
 }
 
 
