@@ -1077,17 +1077,39 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 6) -> DataFrame:
     precedent) — both engines pick identical argmaxes because counts
     are exact integers with a total tie-break.
     """
-    vocab = (
+    vocab = _bpe_vocab(df)
+    _, merges = _bpe_fit(vocab, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges, "merge_round int, pair string, cnt long"
+    )
+
+
+def _bpe_vocab(df: DataFrame) -> DataFrame:
+    """(word, freq, s): the frequency-weighted word vocabulary with each
+    word expanded to its double-space symbol string — the single state
+    representation both the trainer and the encoder fit over."""
+    return (
         explode_tokens(df)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             "freq",
             F.concat(
                 F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")
             ).alias("s"),
         )
     )
+
+
+def _bpe_fit(
+    vocab: DataFrame, n_merges: int
+) -> tuple[DataFrame, list[tuple[int, str, int]]]:
+    """The BPE training loop shared by bpe_train_merges (which returns
+    the merge table) and bpe_encode_stats (which consumes the FINAL
+    vocabulary state — each word's symbol string after all merges).
+    One definition so the trainer and the encoder can never disagree on
+    merge semantics. Columns other than freq/s ride along untouched."""
     merges: list[tuple[int, str, int]] = []
     for r in range(1, n_merges + 1):
         syms = F.filter(F.split("s", "  "), lambda x: x != "")
@@ -1102,12 +1124,52 @@ def bpe_train_merges(df: DataFrame, n_merges: int = 6) -> DataFrame:
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         a, b = pair.split(" ")
         merges.append((r, pair, cnt))
-        vocab = vocab.select(
-            "freq",
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
+        vocab = vocab.withColumn(
+            "s", F.replace(F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
         ).localCheckpoint(eager=True)
-    return df.sparkSession.createDataFrame(
-        merges, "merge_round int, pair string, cnt long"
+    return vocab, merges
+
+
+def bpe_encode_stats(df: DataFrame, n_merges: int = 6) -> DataFrame:
+    """ENCODE with the trained tokenizer — the apply half bpe_train_merges
+    is the fit half of. Trains the same ``n_merges`` rounds, then maps
+    every document through word → subword-token count and aggregates per
+    document: words, BPE tokens, characters, tokens/word and chars/token
+    (the fertility/compression numbers a tokenizer eval reports).
+
+    Word-level encoding needs no per-document work at all: BPE encoding
+    is a pure function of the word, so the corpus path is one
+    vocabulary-sized broadcast join onto the token stream — at 100 TB
+    the encoder cost is the word-count aggregate (already paid by the
+    trainer) plus a narrow joined aggregate; document text is never
+    re-tokenized per merge round. Ratios are single IEEE divisions of
+    exact integers — bit-deterministic cross-engine (no transcendentals).
+    """
+    toks = explode_tokens(df, "text", "doc_id")
+    final_vocab, _ = _bpe_fit(_bpe_vocab(df), n_merges)
+    word_toks = final_vocab.select(
+        "word",
+        F.size(F.filter(F.split("s", "  "), lambda x: x != "")).alias("n_sub"),
+        F.length("word").alias("n_chr"),
+    )
+    return (
+        toks.join(F.broadcast(word_toks), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_tokens"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words")).alias(
+                "tokens_per_word"
+            ),
+            (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
     )

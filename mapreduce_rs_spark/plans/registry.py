@@ -3525,15 +3525,25 @@ QUERIES: dict[str, QuerySpec] = {
         "double-space symbol strings make each merge a literal replace; "
         "oracle = the same rounds unrolled as chained CTEs (pagerank precedent)",
     ),
+    "bpe_encode_stats": QuerySpec(
+        _docs(ta.bpe_encode_stats),
+        None,  # replaced below — shares _bpe_rounds_ctes with the trainer
+        "ENCODE with the trained BPE: per-document token/fertility stats "
+        "via ONE vocabulary-sized broadcast join onto the token stream — "
+        "text is never re-tokenized per merge round",
+    ),
 }
 
 
-def _bpe_merges_sql(n_merges: int = 6) -> str:
-    """Unrolled-CTE oracle for bpe_train_merges: round r computes pair
-    counts over v{r-1}, picks the argmax b{r} (cnt DESC, pair — the
-    exact tie-break the Spark trainer collects), and applies the
-    double-space literal replace to form v{r} (see the operator
-    docstring for why left-to-right replace IS the BPE merge)."""
+def _bpe_rounds_ctes(n_merges: int = 6) -> str:
+    """The shared unrolled BPE CTE chain (leading WITH included): round
+    r computes pair counts over v{r-1}, picks the argmax b{r} (cnt DESC,
+    pair — the exact tie-break the Spark trainer collects), and applies
+    the double-space literal replace to form v{r} (see the operator
+    docstring for why left-to-right replace IS the BPE merge). Both the
+    trainer oracle (reads the b{r}s) and the encoder oracle (reads the
+    final v{n}) build on THIS chain — one definition of merge semantics,
+    the ann_recall/lsh_dedup_eval shared-builder rule."""
     parts = [
         f"""
         WITH wc AS (
@@ -3541,7 +3551,7 @@ def _bpe_merges_sql(n_merges: int = 6) -> str:
                 SELECT unnest({TOKENS_SQL}) AS word FROM documents
             ) GROUP BY word
         ), v0 AS (
-            SELECT freq, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS s
+            SELECT word, freq, '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS s
             FROM wc
         )"""
     ]
@@ -3557,18 +3567,53 @@ def _bpe_merges_sql(n_merges: int = 6) -> str:
         ), b{r} AS (
             SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
         ), v{r} AS (
-            SELECT freq,
+            SELECT word, freq,
                    replace(s, ' ' || split_part(pair, ' ', 1) || '  ' || split_part(pair, ' ', 2) || ' ',
                               ' ' || replace(pair, ' ', '') || ' ') AS s
             FROM v{r - 1} CROSS JOIN b{r}
         )"""
         )
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    """Trainer oracle: the argmax rows b1..bn off the shared chain."""
     unions = "\n            UNION ALL ".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_round, pair, cnt FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f"\n        SELECT * FROM ({unions}) ORDER BY merge_round")
-    return "".join(parts)
+    return (
+        _bpe_rounds_ctes(n_merges)
+        + f"\n        SELECT * FROM ({unions}) ORDER BY merge_round"
+    )
+
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    """Encoder oracle: per-word subword counts from the FINAL vocabulary
+    state v{n}, joined onto the document token stream. Ratios are single
+    divisions of exact integers (deterministic; see hll rationale)."""
+    return (
+        _bpe_rounds_ctes(n_merges)
+        + f""", wtok AS (
+            SELECT word,
+                   len(list_filter(string_split(s, '  '), x -> x <> '')) AS n_sub,
+                   length(word) AS n_chr
+            FROM v{n_merges}
+        ), doctoks AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest({TOKENS_SQL}) AS word FROM documents
+            ) WHERE word <> ''
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chr) AS BIGINT) AS n_chars,
+               CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS BIGINT) AS tokens_per_word,
+               CAST(sum(n_chr) AS DOUBLE) / CAST(sum(n_sub) AS BIGINT) AS chars_per_token
+        FROM doctoks JOIN wtok USING (word)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    )
 
 
 QUERIES["bpe_train_merges"] = dataclasses.replace(
@@ -3577,6 +3622,10 @@ QUERIES["bpe_train_merges"] = dataclasses.replace(
 
 QUERIES["hll_distinct_users"] = dataclasses.replace(
     QUERIES["hll_distinct_users"], oracle=_hll_sql()
+)
+
+QUERIES["bpe_encode_stats"] = dataclasses.replace(
+    QUERIES["bpe_encode_stats"], oracle=_bpe_encode_sql()
 )
 
 
@@ -3747,6 +3796,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "entity_match_customers": ("dirty_id",),
     "orders_merge_upsert": ("status",),
     "bpe_train_merges": ("merge_round",),
+    "bpe_encode_stats": ("doc_id",),
     "kcore_decomposition": ("partkey",),
     "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
     "q20_surplus_suppliers": ("s_suppkey",),
@@ -3793,6 +3843,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # ---- round-4 window (50 slots). (00) NEW in the second round-4
     # session — never externally checked:
     "hll_distinct_users",
+    "bpe_encode_stats",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -3853,10 +3904,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "knn_ivf_multiprobe",
     "knn_pq",
     "ann_recall",
-    # (ivf_histogram displaced by hll_distinct_users: its round-4 k
-    # refit is externally exercised through knn_ivf/semdedup, which
-    # join against the same refitted assignment table.)
-    "semdedup",
+    # (ivf_histogram and semdedup displaced by the second-session NEW
+    # queries: their round-4 k refit is externally exercised through
+    # knn_ivf / knn_ivf_multiprobe, which join against the same
+    # refitted centroid model and assignment table.)
     # (mixture_sample, zorder_locality, pq_code_histogram,
     # embedding_near_dup and lsh_buckets were displaced from this
     # window by the newest queries: their round-4 modifications are

@@ -60,6 +60,7 @@ DOC_QUERIES = (
     "jpeg_decode_stats",
     "dsir_importance_weights",
     "bpe_train_merges",
+    "bpe_encode_stats",
 )
 
 SEED = 813

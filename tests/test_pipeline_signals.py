@@ -322,7 +322,10 @@ def test_bpe_train_merges_matches_pure_python_bpe(spark):
     trainer on a fixture where round 2 merges a MULTI-char symbol."""
     import collections
 
-    from mapreduce_rs_spark.operators.text_analysis import bpe_train_merges
+    from mapreduce_rs_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
 
     rows = [
         (1, "banana bandana banana", "en", "s", 0),
@@ -333,6 +336,10 @@ def test_bpe_train_merges_matches_pure_python_bpe(spark):
         (r["merge_round"], r["pair"], r["cnt"])
         for r in bpe_train_merges(df, n_merges=4).collect()
     ]
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in bpe_encode_stats(df, n_merges=4).collect()
+    }
 
     vocab = collections.Counter()
     for _, text, *_ in rows:
@@ -361,3 +368,30 @@ def test_bpe_train_merges_matches_pure_python_bpe(spark):
     assert got == expected
     # the fixture must actually exercise multi-char composition
     assert any(len(p.replace(" ", "")) > 2 for _, p, _ in expected)
+
+    # The ENCODER must apply those same merges in rank order: per-doc
+    # token counts equal a transparent pure-Python merge-by-merge encode.
+    def py_encode(word):
+        syms = list(word)
+        for _, pair, _ in expected:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    exp_enc = {}
+    for doc_id, text, *_ in rows:
+        words = text.split()
+        exp_enc[doc_id] = (
+            len(words),
+            sum(len(py_encode(w)) for w in words),
+            sum(len(w) for w in words),
+        )
+    assert enc == exp_enc

@@ -308,6 +308,11 @@ _SCALE_GUARDS = {
     # registers only) — at most types×64 rows ever cross an exchange
     # past the first partial agg
     "hll_distinct_users": (4, 0),
+    # BPE encode: the merge rounds checkpoint out (vocabulary-sized);
+    # the visible plan is ONE parquet scan -> token stream -> broadcast
+    # join with the encoded vocabulary -> per-doc agg (the 1 exchange).
+    # Document text is never re-tokenized per merge round.
+    "bpe_encode_stats": (1, 0),
 }
 
 
