@@ -716,6 +716,11 @@ def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
         .unionByName(
             knn_pq(df, k).select("q_id", "vec_id").withColumn("method", F.lit("pq"))
         )
+        .unionByName(
+            knn_ivfpq(df, k)
+            .select("q_id", "vec_id")
+            .withColumn("method", F.lit("ivfpq"))
+        )
     )
     per_q = (
         approx.join(exact, ["q_id", "vec_id"])
@@ -723,7 +728,7 @@ def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("ivf_mp2",), ("pq",)], ["method"]
+        [("lsh",), ("ivf",), ("ivf_mp2",), ("pq",), ("ivfpq",)], ["method"]
     )
     grid = exact.select("q_id").distinct().crossJoin(F.broadcast(methods))
     filled = grid.join(per_q, ["method", "q_id"], "left").select(
@@ -912,6 +917,80 @@ def knn_pq(df: DataFrame, k: int = 10) -> DataFrame:
     scored = assigned.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).select(
         "q_id", "vec_id", adc.alias("adc_sim")
     )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "adc_sim", "rnk")
+    )
+
+
+def knn_ivfpq(df: DataFrame, k: int = 10) -> DataFrame:
+    """IVF-PQ: the two indexes COMPOSED the way a production 100-TB ANN
+    deployment actually stores its corpus — inverted lists (IVF) whose
+    entries are PQ codes, not floats. knn_ivf prunes candidates but
+    ships 256-byte vectors; knn_pq compresses to 8 bytes but scans the
+    whole corpus per query. This tier does both: candidates come from
+    the query's inverted list only (equi-join on centroid_id), and each
+    candidate costs 4 LUT lookups + 3 adds (ADC), reading nothing but
+    (centroid_id, code_0..3) per corpus vector.
+
+    The corpus pass computes the centroid assignment and the 4 PQ codes
+    in ONE narrow projection chain (cast and subvector slices hoisted
+    once per row); at scale that projection is the INDEX BUILD, written
+    out partitioned by centroid_id so probes prune at the scan. Scoring
+    reuses knn_pq's per-query LUTs and knn_ivf's probe-selection
+    expression verbatim — and the oracle composes those tiers' own CTE
+    builders, so this tier cannot drift from the two it composes."""
+    cents = centroids()
+    books = _pq_codebooks()
+    corpus = (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", F.col("embedding").cast(_DBL).alias("_embd"))
+        .select(
+            "vec_id",
+            _nearest_centroid_expr("_embd", cents).alias("centroid_id"),
+            *[
+                F.expr(_subvec_sql("_embd", sub)).alias(f"_sub{sub}")
+                for sub in range(len(books))
+            ],
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            *[
+                _pq_code_expr(f"_sub{sub}", book).alias(f"code_{sub}")
+                for sub, book in enumerate(books)
+            ],
+        )
+    )
+    luts = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _dot_lit_sql(_subvec_sql(_Q_EMBD_SQL, sub), c) for c in book
+            )
+            + ")"
+            for sub, book in enumerate(books)
+        )
+        + ")"
+    )
+    q = _query_set(df).select(
+        "q_id",
+        luts.alias("luts"),
+        _nearest_centroid_expr(_Q_EMBD_SQL, cents).alias("q_centroid"),
+    )
+
+    def term(sub: int) -> F.Column:
+        return F.element_at(F.col("luts")[sub], F.col(f"code_{sub}") + 1)
+
+    adc = term(0) + term(1) + term(2) + term(3)
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("q_centroid") == F.col("centroid_id"))
+        & (F.col("q_id") != F.col("vec_id")),
+    ).select("q_id", "vec_id", adc.alias("adc_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -585,6 +585,33 @@ def _knn_pq_sql(k: int = 10) -> str:
         """
 
 
+def _knn_ivfpq_sql(k: int = 10) -> str:
+    """Oracle twin of similarity.knn_ivfpq — composed from the SAME CTE
+    builders as the knn_ivf and knn_pq oracles (shared-builder rule):
+    candidates restricted to the query's inverted list, scored by ADC."""
+    joins = " ".join(
+        f"JOIN pcode{s} USING (vec_id)" for s in range(similarity.PQ_M)
+    )
+    return f"""{_ivf_assigned_cte()}, {_pq_codes_ctes(with_v=False)}, codes AS (
+            SELECT a.vec_id, a.centroid_id, code_0, code_1, code_2, code_3
+            FROM assigned a {joins}
+        ), {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, centroid_id AS q_centroid
+            FROM assigned WHERE {_QFILTER}
+        ), scored AS (
+            SELECT q.q_id, pc.vec_id, {_pq_adc_terms("q.q_emb", "pc")} AS adc_sim
+            FROM q JOIN codes pc
+              ON q.q_centroid = pc.centroid_id AND q.q_id <> pc.vec_id
+        )
+        SELECT q_id, vec_id, adc_sim, rnk FROM (
+            SELECT q_id, vec_id, adc_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY adc_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        ) r WHERE rnk <= {k}
+        """
+
+
 def _ann_recall_sql(k: int = 10) -> str:
     """Oracle twin of similarity.ann_recall: every approximate index's
     top-k reproduced exactly as its own registry oracle does it, then
@@ -648,11 +675,24 @@ def _ann_recall_sql(k: int = 10) -> str:
                        row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rnk
                 FROM pq_scored
             ) s WHERE rnk <= {k}
+        ), ivfpq_scored AS (
+            SELECT iq.q_id, pc.vec_id, {_pq_adc_terms("iq.q_emb", "pc")} AS adc_sim
+            FROM iq JOIN (
+                SELECT pq_codes.*, a.centroid_id
+                FROM pq_codes JOIN assigned a USING (vec_id)
+            ) pc ON iq.q_centroid = pc.centroid_id AND iq.q_id <> pc.vec_id
+        ), ivfpq_topk AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rnk
+                FROM ivfpq_scored
+            ) s WHERE rnk <= {k}
         ), approx AS (
             SELECT 'lsh' AS method, q_id, vec_id FROM lsh_topk
             UNION ALL SELECT 'ivf' AS method, q_id, vec_id FROM ivf_topk
             UNION ALL SELECT 'ivf_mp2' AS method, q_id, vec_id FROM mp_topk
             UNION ALL SELECT 'pq' AS method, q_id, vec_id FROM pq_topk
+            UNION ALL SELECT 'ivfpq' AS method, q_id, vec_id FROM ivfpq_topk
         ), hits AS (
             SELECT method, a.q_id, count(*) AS n_hits
             FROM approx a JOIN exact_topk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
@@ -660,7 +700,7 @@ def _ann_recall_sql(k: int = 10) -> str:
         ), grid AS (
             SELECT method, q_id
             FROM (SELECT DISTINCT q_id FROM exact_topk) qs
-            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'ivf_mp2', 'pq']) AS method) m
+            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'ivf_mp2', 'pq', 'ivfpq']) AS method) m
         ), filled AS (
             SELECT g.method, g.q_id, COALESCE(h.n_hits, 0) AS n_hits
             FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
@@ -1798,6 +1838,13 @@ QUERIES: dict[str, QuerySpec] = {
         _pq_histogram_sql(),
         "PQ codebook-balance check: code usage per subspace (PQ analog "
         "of ivf_histogram); encode is narrow per-row expressions",
+    ),
+    "knn_ivfpq": QuerySpec(
+        _emb(lambda df: similarity.knn_ivfpq(df, 10)),
+        _knn_ivfpq_sql(),
+        "IVF-PQ composed tier: inverted lists of 8-byte PQ codes — list "
+        "pruning AND compressed ADC scoring, the production ANN layout; "
+        "oracle composes the knn_ivf + knn_pq CTE builders",
     ),
     "knn_pq": QuerySpec(
         _emb(lambda df: similarity.knn_pq(df, 10)),
@@ -3709,6 +3756,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "knn_bruteforce": ("q_id", "rnk"),
     "pq_code_histogram": ("subspace", "code"),
     "knn_pq": ("q_id", "rnk"),
+    "knn_ivfpq": ("q_id", "rnk"),
     "lsh_buckets": ("bucket",),
     "knn_lsh": ("q_id", "rnk"),
     "ivf_histogram": ("centroid_id",),
@@ -3844,6 +3892,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # session — never externally checked:
     "hll_distinct_users",
     "bpe_encode_stats",
+    "knn_ivfpq",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -3916,7 +3965,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     # locally), and none touch the KMV query set (they profile or pair
     # the CORPUS side) — all hold green r02/r03 external rows on the
     # same values.)
-    "lsh_dedup_eval",        # KMV query sample replaces the %10 fraction
+    # (lsh_dedup_eval displaced by knn_ivfpq: its round-4 change is the
+    # same KMV bounded-sample definition knn_bruteforce/knn_lsh
+    # externally exercise this window — one shared _query_set/_qids_cte.)
     "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
     # (c) stalest external rows: the round-4 additions displaced all of

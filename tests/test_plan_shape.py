@@ -272,6 +272,10 @@ _SCALE_GUARDS = {
     "pq_code_histogram": (2, 0),
     # broadcast query LUTs over the code table + top-k window
     "knn_pq": (2, 0),
+    # IVF-PQ composed tier: same two exchanges (parallelism spread +
+    # top-k window); candidates come from the query's inverted list
+    # via the broadcast equi-join, the corpus ships only codes
+    "knn_ivfpq": (2, 0),
     # pair agg + unigram agg + marginal joins (broadcast at test scale)
     "skipgram_pmi": (6, 0),
     # word-count agg + the target window; the SinglePartition windows
