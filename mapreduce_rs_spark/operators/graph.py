@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_rs_spark.functions.hashing import h32
 from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
 from mapreduce_rs_spark.operators.materialize import materialize
 
@@ -459,4 +460,77 @@ def kcore_decomposition(
         )
     return final.select("node", F.col("deg").alias("core_degree")).withColumnsRenamed(
         {"node": "partkey"}
+    )
+
+
+def bfs_hops(
+    tables: dict[str, DataFrame],
+    n_seeds: int = 4,
+    max_hops: int = 4,
+    min_orders: int = 2,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph (same node/edge grain
+    as kcore_decomposition / triangle_counts): shortest hop distance
+    from a seed set to every reachable node within ``max_hops`` — the
+    path-search member of the graph family (reachability, influence
+    radius, "products within two recommendation hops").
+
+    Seeds are the ``n_seeds`` nodes with the smallest portable hash
+    h32(node) — the KMV bounded-sample discipline (_query_set
+    precedent), so the seed set is deterministic, engine-portable, and
+    O(n_seeds) regardless of graph size.
+
+    Algorithm: frontier expansion with min-hop labels. Round r joins the
+    round-(r-1) FRONTIER (nodes first reached at r-1, i.e. min-hop =
+    r-1 — each node expands exactly once) against the bidirectional
+    edge list and min-merges into the label table, which is
+    materialized per round (localCheckpoint; ``persist_dir=`` for the
+    durable parquet path) so lineage stays flat. Early exit on an empty
+    frontier cannot diverge from the oracle: its remaining unrolled
+    rounds are no-ops. Per round: one edge-sized equi-join + one
+    label-sized min aggregate — the Pregel shape, never all-pairs.
+
+    Returns (partkey, hop) for every node within max_hops of a seed.
+    """
+    li = tables["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        persist_dir,
+        "bfs_edges",
+    )
+    bi = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = (
+        bi.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy(h32(F.col("node").cast("string")), "node")
+        .limit(n_seeds)
+    )
+    labels = seeds.select("node", F.lit(0).alias("hop"))
+    for r in range(1, max_hops + 1):
+        frontier = labels.where(F.col("hop") == r - 1).select("node")
+        if frontier.isEmpty():
+            break
+        nxt = frontier.join(bi, frontier.node == bi.src).select(
+            F.col("dst").alias("node"), F.lit(r).alias("hop")
+        )
+        labels = materialize(
+            labels.union(nxt).groupBy("node").agg(F.min("hop").alias("hop")),
+            persist_dir,
+            f"bfs_round_{r}",
+        )
+    return labels.select(
+        F.col("node").alias("partkey"), F.col("hop").cast("int").alias("hop")
     )

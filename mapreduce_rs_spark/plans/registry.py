@@ -3726,6 +3726,61 @@ QUERIES["kcore_decomposition"] = QuerySpec(
 )
 
 
+def _bfs_sql(n_seeds: int = 4, max_hops: int = 4) -> str:
+    """Unrolled-CTE oracle for graph.bfs_hops: the same co-purchase edge
+    construction as _kcore_sql, the same KMV seed rule as _qids_cte, and
+    one min-merge CTE per BFS round (rounds past an empty frontier are
+    no-ops on both engines)."""
+    parts = [
+        f"""
+        WITH op AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS MATERIALIZED (
+            SELECT CAST(a.l_partkey AS BIGINT) AS u,
+                   CAST(b.l_partkey AS BIGINT) AS v
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), bi AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM e0
+            UNION ALL SELECT v AS src, u AS dst FROM e0
+        ), seeds AS MATERIALIZED (
+            SELECT node FROM (SELECT DISTINCT src AS node FROM bi)
+            ORDER BY {h32_sql("CAST(node AS VARCHAR)")}, node LIMIT {n_seeds}
+        ), l0 AS MATERIALIZED (
+            SELECT node, 0 AS hop FROM seeds
+        )"""
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+            SELECT node, min(hop) AS hop FROM (
+                SELECT node, hop FROM l{r - 1}
+                UNION ALL
+                SELECT bi.dst AS node, {r} AS hop
+                FROM (SELECT node FROM l{r - 1} WHERE hop = {r - 1}) f
+                JOIN bi ON bi.src = f.node
+            ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node AS partkey, CAST(hop AS INTEGER) AS hop
+        FROM l{max_hops} ORDER BY partkey"""
+    )
+    return "".join(parts)
+
+
+QUERIES["bfs_hops"] = QuerySpec(
+    _tables(graph.bfs_hops),
+    _bfs_sql(),
+    "multi-source BFS min-hop labels from a KMV-bounded seed set: "
+    "per-round frontier equi-join + min merge over checkpointed labels; "
+    "oracle = the same rounds unrolled as chained CTEs",
+)
+
+
 # ---------------------------------------------------------------------------
 # Presentation ordering (QuerySpec.sort rationale): the deterministic
 # total order each driver-facing query carries on top of its operator.
@@ -3846,6 +3901,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bpe_train_merges": ("merge_round",),
     "bpe_encode_stats": ("doc_id",),
     "kcore_decomposition": ("partkey",),
+    "bfs_hops": ("partkey",),
     "q16_supplier_part_types": ("p_brand", "p_type", "p_size"),
     "q20_surplus_suppliers": ("s_suppkey",),
     "q5_local_supplier_volume": ("n_name",),
@@ -3893,6 +3949,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "hll_distinct_users",
     "bpe_encode_stats",
     "knn_ivfpq",
+    "bfs_hops",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -3950,7 +4007,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # its r03 external row is on unchanged values; knn_lsh externally
     # exercises the same bucket-assignment expression this round.)
     "knn_ivf",
-    "knn_ivf_multiprobe",
+    # (knn_ivf_multiprobe displaced by bfs_hops: its only expression not
+    # already covered by knn_ivf — nprobe probe selection — is
+    # externally exercised through ann_recall's mp_topk leg, which the
+    # oracle builds from the same CTE builders.)
     "knn_pq",
     "ann_recall",
     # (ivf_histogram and semdedup displaced by the second-session NEW

@@ -317,3 +317,52 @@ def test_kcore_raises_when_round_budget_too_small(spark):
     li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
     with pytest.raises(AssertionError, match="did not converge"):
         kcore_decomposition({"lineitem": li}, k=2, rounds=1)
+
+
+def test_bfs_hops_min_hop_on_hand_graph(spark):
+    """Hand graph for BFS: seed chosen by the same portable hash rule
+    (computed here with hashlib so the test derives, not assumes, the
+    seed), a diamond offering a 1-hop and a 2-hop path to the same node
+    (min must win), a chain that exceeds max_hops (unreached nodes
+    excluded), and a disconnected island (never reached)."""
+    import hashlib
+
+    from mapreduce_rs_spark.operators.graph import bfs_hops
+
+    #   1 - 2 - 4 - 5 - 6 - 7   and 1 - 3 - 4 (diamond 1-2-4 / 1-3-4)
+    #   island: 8 - 9
+    edges = [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7), (8, 9)]
+    rows = []
+    for i, (u, v) in enumerate(edges):
+        for o in (2 * i, 2 * i + 1):  # two shared orders -> min_orders=2
+            rows.append((o, u))
+            rows.append((o, v))
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nodes = sorted({n for e in edges for n in e})
+    seed = min(nodes, key=lambda n: (h32_py(str(n)), n))
+
+    # pure-Python BFS from the derived seed
+    adj: dict[int, set] = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected, frontier, hop = {seed: 0}, {seed}, 0
+    while frontier and hop < 3:
+        hop += 1
+        frontier = {
+            m for n in frontier for m in adj[n] if m not in expected
+        }
+        for m in frontier:
+            expected[m] = hop
+
+    got = {
+        r["partkey"]: r["hop"]
+        for r in bfs_hops({"lineitem": li}, n_seeds=1, max_hops=3).collect()
+    }
+    assert got == expected
+    # the fixture must actually exercise the min-hop merge and a cutoff
+    assert len(expected) < len(nodes)

@@ -317,6 +317,10 @@ _SCALE_GUARDS = {
     # join with the encoded vocabulary -> per-doc agg (the 1 exchange).
     # Document text is never re-tokenized per merge round.
     "bpe_encode_stats": (1, 0),
+    # BFS: every round materializes (pagerank discipline) — the visible
+    # post-loop plan is the checkpointed label table alone; per-round
+    # plans are one frontier equi-join + one label-sized min agg
+    "bfs_hops": (0, 0),
 }
 
 
