@@ -2229,6 +2229,28 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "deterministic hash-systematic sampling: the oracle reproduces the exact sample",
     ),
+    "weighted_sample": QuerySpec(
+        _docs(sampling.weighted_sample),
+        f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+                   round(ln(({h32_sql("(CAST(doc_id AS VARCHAR) || '|ws')")} + 1) / 4294967296.0)
+                         / len({TOKENS_SQL}), 9) AS es_key
+            FROM documents WHERE len({TOKENS_SQL}) > 0
+        ), top AS (
+            SELECT doc_id, lang, n_tokens, es_key
+            FROM scored ORDER BY es_key DESC, doc_id LIMIT {sampling.WEIGHTED_SAMPLE_K}
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INTEGER) AS rnk
+        FROM top ORDER BY doc_id
+        """,
+        "Efraimidis-Spirakis weighted sampling WITHOUT replacement: "
+        "deterministic per-doc uniform from the portable hash, key "
+        "ln(u)/w rounded for rank portability, TakeOrdered top-k — "
+        "P(selection) proportional to token mass, no global sort",
+    ),
     "funnel_conversion": QuerySpec(
         _tables(events.funnel_conversion),
         """
@@ -3844,6 +3866,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "stats_battery": ("l_returnflag",),
     "fuzzy_nation_pairs": ("name_a", "name_b"),
     "stratified_sample_summary": ("lang",),
+    "weighted_sample": ("doc_id",),
     "tumbling_window": ("window_start", "event_type"),
     "sliding_window": ("window_start",),
     "sessionize": ("user_id", "session_idx"),
@@ -3950,6 +3973,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bpe_encode_stats",
     "knn_ivfpq",
     "bfs_hops",
+    "weighted_sample",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -4011,7 +4035,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # already covered by knn_ivf — nprobe probe selection — is
     # externally exercised through ann_recall's mp_topk leg, which the
     # oracle builds from the same CTE builders.)
-    "knn_pq",
+    # (knn_pq displaced by weighted_sample: its round-4 changes — the
+    # KMV query set and the ADC scoring family — are externally
+    # exercised through knn_bruteforce (same _query_set) and knn_ivfpq /
+    # ann_recall's pq leg (same codebooks and _pq_adc_terms builder).)
     "ann_recall",
     # (ivf_histogram and semdedup displaced by the second-session NEW
     # queries: their round-4 k refit is externally exercised through

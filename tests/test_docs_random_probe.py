@@ -61,6 +61,7 @@ DOC_QUERIES = (
     "dsir_importance_weights",
     "bpe_train_merges",
     "bpe_encode_stats",
+    "weighted_sample",
 )
 
 SEED = 813

@@ -321,6 +321,10 @@ _SCALE_GUARDS = {
     # post-loop plan is the checkpointed label table alone; per-round
     # plans are one frontier equi-join + one label-sized min agg
     "bfs_hops": (0, 0),
+    # ES weighted sampling: narrow score projection + TakeOrdered top-k
+    # (cap-row heap per partition, O(k) driver merge) — no exchange at
+    # all; the rank window runs over the k-row result
+    "weighted_sample": (0, 0),
 }
 
 
