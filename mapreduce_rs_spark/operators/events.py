@@ -275,6 +275,35 @@ HLL_SCALE = (
 )
 
 
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg): the HLL register table. max(rank) is
+    a DISTRIBUTIVE aggregate, so this groupBy is the sketch's merge
+    operation itself — it runs verbatim as a Structured Streaming
+    stateful aggregate (streaming/pipeline.streaming_hll), with state
+    bounded at types×64 rows forever and the maintained registers
+    byte-identical whatever the micro-batch boundaries."""
+    m, rmax = HLL_M, HLL_MAX_RANK
+    hashed = ev.select(
+        "event_type", h64(F.col("user_id").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        (F.col("h") % m).alias("bucket"),
+        F.shiftright("h", HLL_P_BITS).alias("w"),
+    )
+    return (
+        hashed.select(
+            "event_type",
+            "bucket",
+            F.when(F.col("w") == 0, rmax)
+            .otherwise(rmax - F.length(F.bin("w")))
+            .cast("int")
+            .alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
 def hll_distinct_users(t: dict[str, DataFrame], corrected: bool = False) -> DataFrame:
     """HyperLogLog distinct-count sketch per event_type — the mergeable
     register-max complement of kmv_distinct_users (KMV needs the k
@@ -303,27 +332,8 @@ def hll_distinct_users(t: dict[str, DataFrame], corrected: bool = False) -> Data
     distinct-shuffle; production at 100 TB would drop that column and
     ship registers only."""
     ev = t["events"]
-    m, wbits, rmax = HLL_M, _HLL_W_BITS, HLL_MAX_RANK
-    hashed = ev.select(
-        "event_type", h64(F.col("user_id").cast("string")).alias("h")
-    ).select(
-        "event_type",
-        (F.col("h") % m).alias("bucket"),
-        F.shiftright("h", HLL_P_BITS).alias("w"),
-    )
-    regs = (
-        hashed.select(
-            "event_type",
-            "bucket",
-            F.when(F.col("w") == 0, rmax)
-            .otherwise(rmax - F.length(F.bin("w")))
-            .cast("int")
-            .alias("rank"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rank").alias("reg"))
-    )
-    sums = regs.groupBy("event_type").agg(
+    m, rmax = HLL_M, HLL_MAX_RANK
+    sums = hll_registers(ev).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("int").alias("n_nonzero_buckets"),
         (
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)"))

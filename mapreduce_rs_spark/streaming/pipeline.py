@@ -303,6 +303,47 @@ def streaming_user_trend(stream: DataFrame) -> DataFrame:
     return trend_sums(stream)
 
 
+def streaming_hll(stream: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog registers: operators/events.hll_registers
+    VERBATIM (shared code, not a copy) under readStream — the
+    incremental distinct-count sketch every metrics pipeline maintains.
+    max(rank) is distributive, so cross-batch state maintenance IS the
+    sketch merge; state is bounded at types×64 rows FOREVER (no
+    watermark needed — the sketch, not time, bounds it), and the
+    maintained registers are byte-identical to the batch sketch
+    whatever the micro-batch boundaries. A dashboard derives the
+    estimate from current registers without rescanning history."""
+    from mapreduce_rs_spark.operators.events import hll_registers
+
+    return hll_registers(stream)
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain-and-stop HLL register stream over a file source
+    (availableNow), complete mode into an in-memory table — the harness
+    for the stream-equals-batch register test."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    (
+        streaming_hll(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_trend_stream(
     spark: SparkSession,
     input_dir: str,

@@ -297,3 +297,25 @@ def test_streaming_trend_state_matches_batch_bitwise(spark, sf_dir, tmp_path):
     s, b = bits(streamed_fit), bits(batch_fit)
     assert s, "stream produced no state"
     assert s == b
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The streamed HLL register table, drained across MULTIPLE
+    micro-batches (input split into 4 files), must equal the batch
+    registers EXACTLY: max(rank) is distributive, so cross-batch state
+    maintenance IS the sketch merge and micro-batch boundaries cannot
+    perturb a register. Register equality implies the derived estimate
+    (a pure function of the registers) matches the batch sketch
+    bit-for-bit — the oracle-checked hll_distinct_users covers that
+    arithmetic."""
+    from mapreduce_rs_spark.operators.events import hll_registers
+    from mapreduce_rs_spark.streaming.pipeline import run_hll_stream
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(inp)
+    run_hll_stream(spark, inp, ckpt, "hll_regs", max_files_per_trigger=1)
+    streamed = sorted(map(tuple, spark.table("hll_regs").collect()))
+    batch = sorted(map(tuple, hll_registers(events).collect()))
+    assert streamed, "stream produced no registers"
+    assert streamed == batch
