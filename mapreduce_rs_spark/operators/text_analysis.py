@@ -429,6 +429,102 @@ def heavy_hitters_mg(df: DataFrame, k: int = 32, text_col: str = "text") -> Data
     )
 
 
+CMS_W = 256   # counters per hash row (production-shaped default)
+CMS_D = 4     # hash rows — the four md5 lanes (h32_lane scheme)
+CMS_TOP = 20
+# The registry/oracle form uses a deliberately TIGHT width: the test
+# vocabulary (~31 words) never collides in 256 columns, which would
+# leave every overcount 0 and the min-over-rows logic vacuously checked
+# (the pii/codec non-vacuous-check discipline). At w=8 collisions are
+# guaranteed, so the sketch's defining behavior — overcount = colliding
+# mass, minimized across rows — is what the oracle actually verifies.
+CMS_W_AUDIT = 8
+
+
+def cms_word_counts(
+    df: DataFrame,
+    w: int = CMS_W,
+    top: int = CMS_TOP,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Count-Min Sketch over the token stream, with its accuracy
+    audit — the sketch family's frequency-query member (KMV/HLL answer
+    "how many distinct", Misra-Gries "which are heavy", CMS "how often
+    is THIS one"): d×w integer counters, point estimate = min over the
+    d counters a word hashes to. Never undercounts; overcounts by
+    colliding mass only (E[over] ≤ N/w per row, min over d rows).
+
+    Everything is exact integer arithmetic over the portable hash — so
+    unlike textbook CMS with random seeds, the ENTIRE sketch and its
+    estimates are reproduced bit-for-bit by the DuckDB oracle (the
+    KMV/HLL determinism discipline).
+
+    Scale shape: the sketch is built from the AGGREGATED word counts,
+    not the raw token stream — counter[l][c] = Σ cnt over words with
+    h_l(word) % w = c is the same sum as per-occurrence increments, but
+    the heavy stage is the one word-count aggregate (already the
+    wordcount plan) and everything after is vocabulary-sized. The
+    d=4 hash rows come from ONE md5 digest via the 4-lane scheme
+    (bloom/minhash precedent — one crypto hash, four independent rows).
+    The word-count table is materialized once (localCheckpoint;
+    ``persist_dir=`` for the durable path) because the sketch build and
+    the truth top-``top`` both consume it.
+
+    Returns the exact top-``top`` words with true count, CMS estimate
+    and overcount — the audit a pipeline runs before trusting the
+    sketch at query time.
+    """
+    from mapreduce_rs_spark.functions.hashing import h32_lane_from_digest
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    wc = materialize(
+        explode_tokens(df)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        persist_dir,
+        "cms_wordcounts",
+    )
+    with_cols = wc.select(
+        "word", "cnt", F.md5("word").alias("dg")
+    ).select(
+        "word",
+        "cnt",
+        *[
+            (h32_lane_from_digest("dg", lane) % w).alias(f"c{lane}")
+            for lane in range(CMS_D)
+        ],
+    )
+    sketch = (
+        with_cols.select(
+            "cnt",
+            F.posexplode(F.array(*[f"c{lane}" for lane in range(CMS_D)])).alias(
+                "lane", "col"
+            ),
+        )
+        .groupBy("lane", "col")
+        .agg(F.sum("cnt").cast("long").alias("counter"))
+    )
+    truth = with_cols.orderBy(F.col("cnt").desc(), "word").limit(top)
+    probes = truth.select(
+        "word",
+        "cnt",
+        F.posexplode(F.array(*[f"c{lane}" for lane in range(CMS_D)])).alias(
+            "lane", "col"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["lane", "col"])
+        .groupBy("word", "cnt")
+        .agg(F.min("counter").alias("est_cnt"))
+    )
+    return est.select(
+        "word",
+        F.col("cnt").alias("true_cnt"),
+        "est_cnt",
+        (F.col("est_cnt") - F.col("cnt")).alias("overcount"),
+    )
+
+
 BOILERPLATE_N = 3
 BOILERPLATE_MIN_DOCS = 3
 

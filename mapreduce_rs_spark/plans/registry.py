@@ -408,6 +408,45 @@ def _kmv_sql(k: int = 64) -> str:
         """
 
 
+def _cms_sql() -> str:
+    """Oracle twin of ta.cms_word_counts — the w/d/top parameters and
+    the 4-lane hash scheme derive from the operator's constants. Uses
+    CMS_W_AUDIT so collisions (the behavior under test) actually occur
+    on the test vocabulary — see the constant's rationale."""
+    w, d, top = ta.CMS_W_AUDIT, ta.CMS_D, ta.CMS_TOP
+    cell_legs = "\n            UNION ALL ".join(
+        f"SELECT {lane} AS lane, {h32_lane_sql('word', lane)} % {w} AS col, cnt FROM wc"
+        for lane in range(d)
+    )
+    probe_legs = "\n            UNION ALL ".join(
+        f"SELECT word, cnt, {lane} AS lane, {h32_lane_sql('word', lane)} % {w} AS col FROM top_words"
+        for lane in range(d)
+    )
+    return f"""
+        WITH wc AS MATERIALIZED (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest({TOKENS_SQL}) AS word FROM documents
+            ) GROUP BY word
+        ), cells AS (
+            {cell_legs}
+        ), sketch AS (
+            SELECT lane, col, CAST(sum(cnt) AS BIGINT) AS counter
+            FROM cells GROUP BY lane, col
+        ), top_words AS (
+            SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {top}
+        ), probes AS (
+            {probe_legs}
+        ), est AS (
+            SELECT p.word, p.cnt, min(s.counter) AS est_cnt
+            FROM probes p JOIN sketch s ON p.lane = s.lane AND p.col = s.col
+            GROUP BY p.word, p.cnt
+        )
+        SELECT word, CAST(cnt AS BIGINT) AS true_cnt, est_cnt,
+               CAST(est_cnt - cnt AS BIGINT) AS overcount
+        FROM est ORDER BY true_cnt DESC, word
+        """
+
+
 def _hll_sql() -> str:
     """Oracle twin of events.hll_distinct_users — m, the rank formula
     and the scale literal all derive from the operator's constants, so
@@ -2104,6 +2143,16 @@ QUERIES: dict[str, QuerySpec] = {
         _tables(events.kmv_distinct_users),
         _kmv_sql(),
     ),
+    "cms_word_counts": QuerySpec(
+        _docs(lambda df: ta.cms_word_counts(df, w=ta.CMS_W_AUDIT)),
+        None,  # replaced below by _cms_sql() — parameter-derived twin
+        "Count-Min Sketch + accuracy audit: d=4 rows from one md5 via "
+        "the 4-lane scheme, integer counters built from the AGGREGATED "
+        "word counts (vocabulary-sized after the one heavy agg); "
+        "min-over-rows estimates for the exact top-20 — all integer, "
+        "oracle reproduces the sketch bit-for-bit (w=CMS_W_AUDIT so "
+        "collisions non-vacuously exercise the min)",
+    ),
     "hll_distinct_users": QuerySpec(
         _tables(events.hll_distinct_users),
         None,  # replaced below by _hll_sql() — parameter-derived twin
@@ -3693,6 +3742,10 @@ QUERIES["hll_distinct_users"] = dataclasses.replace(
     QUERIES["hll_distinct_users"], oracle=_hll_sql()
 )
 
+QUERIES["cms_word_counts"] = dataclasses.replace(
+    QUERIES["cms_word_counts"], oracle=_cms_sql()
+)
+
 QUERIES["bpe_encode_stats"] = dataclasses.replace(
     QUERIES["bpe_encode_stats"], oracle=_bpe_encode_sql()
 )
@@ -3876,6 +3929,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "multi_resolution_rollup": ("resolution", "bucket_ts", "event_type"),
     "kmv_distinct_users": ("event_type",),
     "hll_distinct_users": ("event_type",),
+    "cms_word_counts": ("word",),
     "range_window_revenue": ("user_id", "event_id"),
     "cohort_retention": ("cohort_day", "day_offset"),
     "out_of_order_stats": ("user_id",),
@@ -3974,6 +4028,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "knn_ivfpq",
     "bfs_hops",
     "weighted_sample",
+    "cms_word_counts",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -4025,7 +4080,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # locally — the external row closes it), integer mixture
     # thresholds, zorder presentation sort:
     "knn_bruteforce",
-    "knn_lsh",
+    # (knn_lsh displaced by cms_word_counts: its round-4 change is the
+    # shared KMV query set — externally exercised via knn_bruteforce —
+    # and its unique bucket expression is exercised via ann_recall's
+    # lsh leg, built from the same _bucket_sql builder.)
     # (lsh_buckets displaced like mixture_sample below: it profiles the
     # CORPUS bucketing, which the KMV query-set bound did not touch —
     # its r03 external row is on unchanged values; knn_lsh externally

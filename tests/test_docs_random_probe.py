@@ -62,6 +62,7 @@ DOC_QUERIES = (
     "bpe_train_merges",
     "bpe_encode_stats",
     "weighted_sample",
+    "cms_word_counts",
 )
 
 SEED = 813

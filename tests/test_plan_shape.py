@@ -325,6 +325,10 @@ _SCALE_GUARDS = {
     # (cap-row heap per partition, O(k) driver merge) — no exchange at
     # all; the rank window runs over the k-row result
     "weighted_sample": (0, 0),
+    # CMS: the heavy word-count agg checkpoints out (zero parquet
+    # re-scans); the visible plan is the vocabulary-sized sketch agg
+    # (1 exchange), TakeOrdered truth, broadcast probe join, 80-row min
+    "cms_word_counts": (1, 0),
 }
 
 

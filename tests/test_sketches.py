@@ -152,3 +152,41 @@ def test_percentile_approx_swap_is_rank_accurate(spark, sf_dir):
             lo = max(0, int((q - 1.0 / acc) * n) - 1)
             hi = min(n - 1, int((q + 1.0 / acc) * n) + 1)
             assert vals[lo] <= a <= vals[hi], f"{key} p{q}: {a} outside rank window"
+
+
+def test_cms_matches_pure_python_sketch_and_never_undercounts(spark):
+    """cms_word_counts must equal a transparent pure-Python CMS built
+    with the same 4-lane md5 hashing — including nonzero overcounts
+    from forced collisions (w=4 over a 40-word vocabulary) — and the
+    defining CMS guarantee must hold: estimates never undercount."""
+    import collections
+    import hashlib
+
+    from mapreduce_rs_spark.operators.text_analysis import cms_word_counts
+
+    words = [f"w{i:02d}" for i in range(40)]
+    text = " ".join(w for i, w in enumerate(words) for _ in range(1 + i))
+    df = spark.createDataFrame([(1, text, "en", "s", 0)],
+                               ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {
+        r["word"]: (r["true_cnt"], r["est_cnt"], r["overcount"])
+        for r in cms_word_counts(df, w=4, top=10).collect()
+    }
+
+    def lanes(word: str) -> list[int]:
+        dg = hashlib.md5(word.encode()).hexdigest()
+        return [int(dg[8 * l : 8 * l + 8], 16) % 4 for l in range(4)]
+
+    true = collections.Counter(text.split())
+    sketch = [[0] * 4 for _ in range(4)]
+    for w_, c in true.items():
+        for lane, col in enumerate(lanes(w_)):
+            sketch[lane][col] += c
+    top10 = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = {}
+    for w_, c in top10:
+        est = min(sketch[lane][col] for lane, col in enumerate(lanes(w_)))
+        expected[w_] = (c, est, est - c)
+    assert got == expected
+    assert all(over >= 0 for _, _, over in got.values())
+    assert any(over > 0 for _, _, over in got.values()), "no collision exercised"
