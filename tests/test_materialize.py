@@ -54,3 +54,27 @@ def test_semdedup_parquet_path_byte_identical(spark, sf_dir, tmp_path):
     durable = _rows(semdedup(emb, persist_dir=persist), "centroid_id")
     assert durable == base
     assert os.path.isdir(os.path.join(persist, "ivf_assign"))
+
+
+def test_bfs_hops_parquet_path_byte_identical(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.operators.graph import bfs_hops
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    base = _rows(bfs_hops(tables), "partkey")
+    persist = str(tmp_path / "bfs")
+    durable = _rows(bfs_hops(tables, persist_dir=persist), "partkey")
+    assert durable == base
+    assert os.path.isdir(os.path.join(persist, "bfs_edges"))
+    assert os.path.isdir(os.path.join(persist, "bfs_round_1"))
+
+
+def test_cms_parquet_path_byte_identical(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.operators.text_analysis import cms_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _rows(cms_word_counts(docs), "word")
+    persist = str(tmp_path / "cms")
+    durable = _rows(cms_word_counts(docs, persist_dir=persist), "word")
+    assert durable == base
+    assert os.path.isdir(os.path.join(persist, "cms_wordcounts"))
