@@ -230,6 +230,46 @@ def mixture_weights(
     )
 
 
+def temperature_mixture(df: DataFrame) -> DataFrame:
+    """Temperature-scaled (α=0.5) language sampling shares — the
+    XLM-R/mBERT multilingual recipe: p_l ∝ n_l^α upweights low-resource
+    languages relative to their natural token share without going fully
+    uniform (mixture_weights' default). Reports, per language: token
+    mass, natural share, temperature share, and the boost factor
+    (temp/natural > 1 exactly for below-average-mass languages).
+
+    Float-determinism design (the toolbox's new member): n^0.5 = sqrt —
+    an IEEE-754 CORRECTLY-ROUNDED op in both engines (unlike ln/pow) —
+    then the irrational q_l = sqrt(n_l) is ROUNDED TO 6 DECIMALS AND
+    ACCUMULATED AS DECIMAL(38,6), so the denominator Σq is exact and
+    order-independent (a double Σ of irrationals would depend on
+    accumulation order — the hazard the decimal detour removes). The
+    shares are then single double divisions of exactly-agreed values.
+
+    Scale shape: one partial→final aggregate to the language grain;
+    the window sums run over that languages-sized result (the
+    mixture_weights precedent)."""
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    langs = (
+        df.withColumn("n_tokens", F.size(toks))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    qdec = F.round(F.sqrt(F.col("n_tokens")), 6).cast("decimal(38,6)")
+    total = F.sum("n_tokens").over(w)
+    qsum = F.sum(qdec).over(w)
+    natural = F.col("n_tokens").cast("double") / total
+    temp = qdec.cast("double") / qsum.cast("double")
+    return langs.select(
+        "lang",
+        "n_tokens",
+        natural.alias("natural_share"),
+        temp.alias("temp_share"),
+        (temp / natural).alias("boost"),
+    )
+
+
 def curation_yield_neardup(df: DataFrame) -> DataFrame:
     """Capstone v2: the full near-dup-aware curation pipeline —
     quality gates → language allowlist → EXACT dedup → NEAR-dup cluster

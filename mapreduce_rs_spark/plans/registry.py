@@ -3193,6 +3193,31 @@ QUERIES: dict[str, QuerySpec] = {
         "C4/RefinedWeb-style cross-document boilerplate: fraction of 3-gram positions "
         "recurring in >= 3 distinct docs",
     ),
+    "temperature_mixture": QuerySpec(
+        _docs(curation.temperature_mixture),
+        f"""
+        WITH lt AS (
+            SELECT lang, CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        ), q AS (
+            SELECT lang, n_tokens,
+                   CAST(round(sqrt(n_tokens), 6) AS DECIMAL(38,6)) AS qdec,
+                   CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+                   sum(CAST(round(sqrt(n_tokens), 6) AS DECIMAL(38,6))) OVER () AS qsum
+            FROM lt
+        )
+        SELECT lang, n_tokens,
+               CAST(n_tokens AS DOUBLE) / total AS natural_share,
+               CAST(qdec AS DOUBLE) / CAST(qsum AS DOUBLE) AS temp_share,
+               (CAST(qdec AS DOUBLE) / CAST(qsum AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / total) AS boost
+        FROM q ORDER BY lang
+        """,
+        "XLM-R alpha=0.5 temperature sampling shares: sqrt is IEEE "
+        "correctly-rounded (unlike ln/pow), the irrational q values are "
+        "rounded to 6 decimals and accumulated as DECIMAL so the "
+        "denominator is exact and order-independent",
+    ),
     "mixture_weights": QuerySpec(
         _docs(curation.mixture_weights),
         f"""
@@ -3930,6 +3955,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "kmv_distinct_users": ("event_type",),
     "hll_distinct_users": ("event_type",),
     "cms_word_counts": ("word",),
+    "temperature_mixture": ("lang",),
     "range_window_revenue": ("user_id", "event_id"),
     "cohort_retention": ("cohort_day", "day_offset"),
     "out_of_order_stats": ("user_id",),
@@ -4029,6 +4055,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bfs_hops",
     "weighted_sample",
     "cms_word_counts",
+    "temperature_mixture",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -4113,7 +4140,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # (lsh_dedup_eval displaced by knn_ivfpq: its round-4 change is the
     # same KMV bounded-sample definition knn_bruteforce/knn_lsh
     # externally exercise this window — one shared _query_set/_qids_cte.)
-    "bpe_merge_candidates",  # NEW this round: BPE trainer first merge
+    # (bpe_merge_candidates displaced by temperature_mixture: its pair-
+    # count-over-vocabulary expression family is externally exercised
+    # through bpe_train_merges round 1 (same shape, same argmax basis)
+    # and bpe_encode_stats, both in this window.)
     "unigram_surprisal_scores",  # NEW this round: perplexity-proxy filter
     # (c) stalest external rows: the round-4 additions displaced all of
     # them from this window — the 26 r01-era stragglers

@@ -134,3 +134,23 @@ def test_leakage_safe_splits_components_never_straddle(spark, sf_dir):
     assert per_component.where(F.col("n_splits") > 1).count() == 0
     # and clusters exist at this SF, so the guarantee is non-vacuous
     assert comps.groupBy("component").count().where("count > 1").count() > 0
+
+
+def test_temperature_mixture_boosts_low_resource_langs(spark):
+    """alpha=0.5 semantics: a low-mass language's temperature share
+    exceeds its natural share (boost > 1) and a high-mass language's
+    shrinks (boost < 1); both share columns sum to ~1; shares follow
+    sqrt proportions exactly."""
+    import math
+
+    from mapreduce_rs_spark.operators.curation import temperature_mixture
+
+    rows = [(1, " ".join(["a"] * 100), "lo", "s", 0),
+            (2, " ".join(["b"] * 10000), "hi", "s", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r["lang"]: r for r in temperature_mixture(df).collect()}
+    assert out["lo"]["boost"] > 1 > out["hi"]["boost"]
+    assert abs(out["lo"]["natural_share"] + out["hi"]["natural_share"] - 1) < 1e-12
+    assert abs(out["lo"]["temp_share"] + out["hi"]["temp_share"] - 1) < 1e-12
+    expect_lo = math.sqrt(100) / (math.sqrt(100) + math.sqrt(10000))
+    assert abs(out["lo"]["temp_share"] - expect_lo) < 1e-6

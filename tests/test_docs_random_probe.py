@@ -63,6 +63,7 @@ DOC_QUERIES = (
     "bpe_encode_stats",
     "weighted_sample",
     "cms_word_counts",
+    "temperature_mixture",
 )
 
 SEED = 813

@@ -329,6 +329,10 @@ _SCALE_GUARDS = {
     # re-scans); the visible plan is the vocabulary-sized sketch agg
     # (1 exchange), TakeOrdered truth, broadcast probe join, 80-row min
     "cms_word_counts": (1, 0),
+    # alpha-sampling: one partial->final agg to the language grain; the
+    # window sums run on a SinglePartition exchange of that tiny
+    # aggregate (mixture_weights precedent)
+    "temperature_mixture": (1, 0),
 }
 
 
