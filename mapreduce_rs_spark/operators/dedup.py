@@ -515,3 +515,72 @@ def incremental_ingest_dedup(df: DataFrame) -> DataFrame:
         F.count_if(~F.col("dup_corpus") & F.col("dup_batch")).alias("n_dup_in_batch"),
         F.count_if(~F.col("dup_corpus") & ~F.col("dup_batch")).alias("n_admitted"),
     )
+
+
+SPAN_N = 5  # token n-gram grain for exact substring-span detection
+
+
+def duplicate_spans(df: DataFrame, n: int = SPAN_N, min_docs: int = 2) -> DataFrame:
+    """Exact duplicate-SUBSTRING accounting per document — the
+    span-level dedup statistic of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): instead of judging
+    whole documents (dedup_exact) or fuzzy neighbors (MinHash), find
+    the exact token RANGES that recur across documents (boilerplate
+    headers, license blocks, quoted passages) so a pipeline can excise
+    the span and keep the document.
+
+    Algorithm, all relational: (1) one narrow slide emits (doc, pos,
+    n-gram hash); (2) grams seen in >= ``min_docs`` DISTINCT documents
+    are the duplicated grain; (3) flagged positions merge into MAXIMAL
+    spans by gaps-and-islands — two flagged positions belong to one
+    span when their gram windows overlap or touch (pos gap <= n),
+    island id = running sum of breaks, span token range =
+    [min pos, max pos + n - 1]; (4) per-document rollup with zero rows
+    preserved (a doc with no duplicated span still reports 0 /
+    dup_fraction 0).
+
+    Scale shape: the gram stream is the heavy stage (|tokens| rows of
+    (doc_id, pos, 8-byte hash) — narrow, like minhash's shingle
+    stage); the duplicated-gram set aggregates it ONCE and comes back
+    as a LEFT SEMI equi-join on the hash; the islands window and both
+    rollups run partitioned by doc_id (one exchange serves all three).
+    Never all-pairs, never a self-join on text. All arithmetic integer
+    except the final dup_fraction division.
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    base = df.select(
+        "doc_id", F.size(toks).alias("n_tokens"), F.col("text")
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(token_ngrams("text", n)).alias("pos", "gram"),
+    ).select("doc_id", "pos", h64("gram").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    flagged = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    islands = flagged.withColumn(
+        "brk", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    ).withColumn("island", F.sum("brk").over(w))
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + n - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        F.try_divide(
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).cast("double"),
+            F.col("n_tokens"),
+        ).alias("dup_fraction"),
+    )

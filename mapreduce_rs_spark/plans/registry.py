@@ -3193,6 +3193,45 @@ QUERIES: dict[str, QuerySpec] = {
         "C4/RefinedWeb-style cross-document boilerplate: fraction of 3-gram positions "
         "recurring in >= 3 distinct docs",
     ),
+    "duplicate_spans": QuerySpec(
+        _docs(dedup.duplicate_spans),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), pos_grams AS (
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   {h64_sql(f"array_to_string(tk[i:i + {dedup.SPAN_N - 1}], ' ')")} AS gh
+            FROM (SELECT doc_id, tk,
+                         unnest(range(1, greatest(len(tk) - {dedup.SPAN_N - 1}, 0) + 1)) AS i
+                  FROM toks)
+        ), dup AS (
+            SELECT gh FROM pos_grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+        ), islands AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev IS NULL OR pos - prev > {dedup.SPAN_N} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                  FROM pos_grams WHERE gh IN (SELECT gh FROM dup))
+        ), spans AS (
+            SELECT doc_id, island, min(pos) AS s, max(pos) + {dedup.SPAN_N - 1} AS e
+            FROM islands GROUP BY doc_id, island
+        ), per_doc AS (
+            SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+               coalesce(p.n_spans, 0) AS n_spans,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / NULLIF(len(tk), 0) AS dup_fraction
+        FROM toks t LEFT JOIN per_doc p USING (doc_id) ORDER BY t.doc_id
+        """,
+        "Lee-et-al exact duplicate-substring spans: positional n-gram "
+        "hashes, cross-doc duplicated grain, gaps-and-islands merge into "
+        "maximal spans, per-doc excisable-token accounting — never a "
+        "text self-join",
+    ),
     "temperature_mixture": QuerySpec(
         _docs(curation.temperature_mixture),
         f"""
@@ -3892,6 +3931,7 @@ QUERIES["bfs_hops"] = QuerySpec(
 _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "wordcount_salted": ("word",),
     "dedup_exact": ("keep_doc_id",),
+    "duplicate_spans": ("doc_id",),
     "minhash_signatures": ("doc_id",),
     "minhash_lsh_pairs": ("doc_a", "doc_b"),
     "simhash_signatures": ("doc_id",),
@@ -4056,6 +4096,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "weighted_sample",
     "cms_word_counts",
     "temperature_mixture",
+    "duplicate_spans",
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
     "q11_important_stock",
@@ -4115,7 +4156,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # CORPUS bucketing, which the KMV query-set bound did not touch —
     # its r03 external row is on unchanged values; knn_lsh externally
     # exercises the same bucket-assignment expression this round.)
-    "knn_ivf",
+    # (knn_ivf displaced by duplicate_spans: its round-4 changes — the
+    # KMV query set and the refit centroid model — are externally
+    # exercised via knn_bruteforce (same _query_set) and knn_ivfpq +
+    # ann_recall's ivf leg (same centroid literals and assignment
+    # expression, same _ivf_assigned_cte builder).)
     # (knn_ivf_multiprobe displaced by bfs_hops: its only expression not
     # already covered by knn_ivf — nprobe probe selection — is
     # externally exercised through ann_recall's mp_topk leg, which the

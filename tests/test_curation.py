@@ -154,3 +154,35 @@ def test_temperature_mixture_boosts_low_resource_langs(spark):
     assert abs(out["lo"]["temp_share"] + out["hi"]["temp_share"] - 1) < 1e-12
     expect_lo = math.sqrt(100) / (math.sqrt(100) + math.sqrt(10000))
     assert abs(out["lo"]["temp_share"] - expect_lo) < 1e-6
+
+
+def test_duplicate_spans_merges_overlaps_and_ignores_intra_doc_repeats(spark):
+    """Span semantics on a hand corpus (n=3, min_docs=2):
+    * docs 1 and 2 share an 8-token passage -> ONE maximal span of 8
+      tokens in each (overlapping flagged gram positions merge);
+    * doc 3 repeats a 3-gram internally but shares nothing -> no span
+      (the duplicated grain requires >= 2 DISTINCT docs);
+    * doc 4 shares nothing -> zero row preserved with dup_fraction 0;
+    * docs 1 and 5 ALSO share a separate isolated 3-gram far from the
+      passage -> doc 1 reports TWO spans (no bridge across the gap)."""
+    from mapreduce_rs_spark.operators.dedup import duplicate_spans
+
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+    iso = "q1 q2 q3"
+    rows = [
+        (1, f"{passage} x1 x2 x3 x4 {iso}", "en", "s", 0),
+        (2, f"y1 y2 {passage} y3", "en", "s", 0),
+        (3, "r1 r2 r3 z1 z2 r1 r2 r3", "en", "s", 0),
+        (4, "solo tokens only here", "en", "s", 0),
+        (5, f"w1 {iso} w2", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["n_tokens"])
+        for r in duplicate_spans(df, n=3, min_docs=2).collect()
+    }
+    assert out[1] == (2, 11, 15)   # 8-token passage + 3-token iso
+    assert out[2] == (1, 8, 11)
+    assert out[3] == (0, 0, 8)     # intra-doc repeat not flagged
+    assert out[4] == (0, 0, 4)
+    assert out[5] == (1, 3, 5)

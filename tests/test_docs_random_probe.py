@@ -64,6 +64,7 @@ DOC_QUERIES = (
     "weighted_sample",
     "cms_word_counts",
     "temperature_mixture",
+    "duplicate_spans",
 )
 
 SEED = 813

@@ -333,6 +333,11 @@ _SCALE_GUARDS = {
     # window sums run on a SinglePartition exchange of that tiny
     # aggregate (mixture_weights precedent)
     "temperature_mixture": (1, 0),
+    # span dedup: gram-hash dfreq agg + the doc_id exchange shared by
+    # the islands window and span/doc rollups + the base join-back;
+    # flagged positions come back via a left-semi equi-join on the
+    # 8-byte hash — never a text self-join
+    "duplicate_spans": (3, 0),
 }
 
 
