@@ -1035,3 +1035,184 @@ def state_intervals(t: dict[str, DataFrame]) -> DataFrame:
         )
         .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
     )
+
+
+# Theta-sketch parameters: k kept hashes per daily cohort over the
+# 32-bit portable hash. k=32 keeps both regimes exercised on the test
+# data (sf0.01 daily actives ~125-141 > k -> proper sketch regime; sf0.001
+# daily cohorts fall below k -> exact branch).
+THETA_K = 32
+THETA_RANGE = 1 << 32  # h32 values are uniform in [0, 2^32)
+
+
+def theta_daily_overlap(
+    t: dict[str, DataFrame],
+    k: int = THETA_K,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Theta/KMV sketch SET-EXPRESSION estimates between consecutive
+    daily active-user cohorts — day-over-day audience retention as a
+    sketch query.
+
+    KMV (kmv_distinct_users) and HLL (hll_distinct_users) answer "how
+    many distinct"; the theta sketch generalizes KMV to set EXPRESSIONS
+    (Datasketches' theta family): keep the k smallest distinct hashes
+    per set with threshold theta = k-th smallest (or the full hash
+    range when the set is smaller than k — the sketch is then exact).
+    For two sets with theta = min(theta_a, theta_b):
+
+      |A∩B| ~= |{h in sk_a ∩ sk_b : h < theta}| / (theta / 2^32)
+      |A∪B| ~= (k-1) / (theta_M / 2^32)   (M = k smallest of sk_a ∪ sk_b)
+      J(A,B) ~= |M ∩ A ∩ B| / |M|          (reported in basis points)
+
+    Everything up to the estimates is exact integer arithmetic over the
+    portable md5 hash; each estimate is then ONE IEEE double operation
+    chain from exact integers (the KMV/HLL determinism discipline), so
+    the DuckDB oracle reproduces every value bit-for-bit. The jaccard
+    is kept fully integer (basis points via integer division). Exact
+    per-pair intersection/union columns ride along as the evaluation
+    harness (the hll_distinct_users precedent: at 100 TB the exact legs
+    are dropped and only sketches ship).
+
+    Scale shape: the only event-scale stages are the distinct
+    (day, user) aggregate (partial-agg shuffle) and the per-day
+    top-k window (WindowGroupLimit caps per-partition state at k before
+    the exchange); both live inside materialized intermediates
+    (``materialize``: localCheckpoint, or parquet under ``persist_dir=``
+    for the executor-loss-safe path) because >= 4 downstream consumers
+    read each — without that, Catalyst re-expands the event-scale
+    subtree per consumer (16 scans / 36 exchanges observed; 0 / 14
+    after). Every downstream table is sketch-sized — days x k rows —
+    and the pair joins are consecutive-day equi-joins on those bounded
+    sketches, never user-scale. Sketches are mergeable (union
+    + re-take k smallest), so daily sketches roll up to weekly/monthly ones
+    without touching raw data.
+    """
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    daily = materialize(
+        t["events"]
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct(),
+        persist_dir,
+        "theta_daily_users",
+    )
+    hashed = daily.select(
+        "day", h32(F.col("user_id").cast("string")).alias("h")
+    )
+    day_win = Window.partitionBy("day").orderBy("h")
+    sk = materialize(
+        hashed.withColumn("rn", F.row_number().over(day_win))
+        .where(F.col("rn") <= k)
+        .select("day", "h"),
+        persist_dir,
+        "theta_daily_sketches",
+    )
+    stats = sk.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth_h")
+    ).select(
+        "day",
+        F.when(F.col("n_sk") >= k, F.col("kth_h"))
+        .otherwise(F.lit(THETA_RANGE))
+        .alias("theta"),
+    )
+    exact = daily.groupBy("day").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    pairs = (
+        stats.select(F.col("day").alias("day_a"), F.col("theta").alias("theta_a"))
+        .join(
+            stats.select(
+                F.date_sub("day", 1).alias("day_a"),
+                F.col("day").alias("day_b"),
+                F.col("theta").alias("theta_b"),
+            ),
+            "day_a",
+        )
+        .select(
+            "day_a",
+            "day_b",
+            F.least("theta_a", "theta_b").alias("theta"),
+        )
+    )
+
+    sk_a = sk.select(F.col("day").alias("day_a"), "h")
+    sk_b = sk.select(F.date_sub("day", 1).alias("day_a"), "h")
+    common = sk_a.join(sk_b, ["day_a", "h"])  # hash in BOTH sketches
+    n_common = (
+        common.join(pairs.select("day_a", "theta"), "day_a")
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("day_a")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    m_win = Window.partitionBy("day_a").orderBy("h")
+    m_sk = (
+        sk_a.union(sk_b)
+        .distinct()
+        .withColumn("rn", F.row_number().over(m_win))
+        .where(F.col("rn") <= k)
+        .select("day_a", "h")
+    )
+    m_stats = m_sk.groupBy("day_a").agg(
+        F.count(F.lit(1)).alias("n_m"), F.max("h").alias("kth_m")
+    )
+    m_both = (
+        m_sk.join(common, ["day_a", "h"])
+        .groupBy("day_a")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+
+    wa = daily.select(F.col("day").alias("day_a"), "user_id")
+    wb = daily.select(F.date_sub("day", 1).alias("day_a"), "user_id")
+    inter_exact = (
+        wa.join(wb, ["day_a", "user_id"])
+        .groupBy("day_a")
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+
+    range_d = float(THETA_RANGE)
+    return (
+        pairs.join(
+            exact.select(
+                F.col("day").alias("day_a"), F.col("n_exact").alias("n_a_exact")
+            ),
+            "day_a",
+        )
+        .join(
+            exact.select(
+                F.date_sub("day", 1).alias("day_a"),
+                F.col("n_exact").alias("n_b_exact"),
+            ),
+            "day_a",
+        )
+        .join(inter_exact, "day_a", "left")
+        .join(n_common, "day_a", "left")
+        .join(m_stats, "day_a")
+        .join(m_both, "day_a", "left")
+        .select(
+            "day_a",
+            "day_b",
+            "n_a_exact",
+            "n_b_exact",
+            F.coalesce("n_inter_exact", F.lit(0)).alias("n_inter_exact"),
+            (
+                F.col("n_a_exact")
+                + F.col("n_b_exact")
+                - F.coalesce("n_inter_exact", F.lit(0))
+            ).alias("n_union_exact"),
+            "theta",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)) * F.lit(range_d) / F.col("theta")
+            ).alias("inter_est"),
+            F.when(
+                F.col("n_m") >= k, F.lit(float(k - 1)) * F.lit(range_d) / F.col("kth_m")
+            )
+            .otherwise(F.col("n_m").cast("double"))
+            .alias("union_est"),
+            F.expr("coalesce(n_both, 0) * 10000 div n_m").alias("jacc_bp"),
+        )
+    )

@@ -721,6 +721,11 @@ def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
             .select("q_id", "vec_id")
             .withColumn("method", F.lit("ivfpq"))
         )
+        .unionByName(
+            knn_pca(df, k)
+            .select("q_id", "vec_id")
+            .withColumn("method", F.lit("pca"))
+        )
     )
     per_q = (
         approx.join(exact, ["q_id", "vec_id"])
@@ -728,7 +733,8 @@ def ann_recall(df: DataFrame, k: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("ivf_mp2",), ("pq",), ("ivfpq",)], ["method"]
+        [("lsh",), ("ivf",), ("ivf_mp2",), ("pq",), ("ivfpq",), ("pca",)],
+        ["method"],
     )
     grid = exact.select("q_id").distinct().crossJoin(F.broadcast(methods))
     filled = grid.join(per_q, ["method", "q_id"], "left").select(
@@ -996,4 +1002,148 @@ def knn_ivfpq(df: DataFrame, k: int = 10) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "adc_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA embedding compression: the dimensionality-reduction tier. A 100 TB
+# embedding corpus is often cosine-searched in a PCA-reduced space first
+# (store 16 doubles instead of 64 floats; 4x cheaper pair scoring), with
+# the full-dim vectors kept only for optional re-rank. The projection is
+# a per-row bank of dot products against FITTED literal components —
+# narrow, shuffle-free, and (like IVF/PQ) fitted offline on the bounded
+# KMV sample then shipped as literals so the DuckDB oracle replicates
+# the projected space bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PCA_R = 16          # retained components (4x compression of 64 dims)
+PCA_ITERS = 100     # power-iteration steps per component
+PCA_SEED = 23
+PCA_DECIMALS = 6
+
+
+def pca_fit(
+    df: DataFrame,
+    r: int = PCA_R,
+    sample_cap: int = KMEANS_SAMPLE_CAP,
+) -> dict:
+    """Fit top-``r`` principal components on the KMV-bounded sample —
+    the kmeans_fit/pq_fit discipline: the driver collect is HARD-BOUNDED
+    at ``sample_cap`` rows regardless of corpus size, the fit is seeded
+    and deterministic (power iteration with deflation, fixed init from
+    ``PCA_SEED``, fixed iteration count), and the rounded components are
+    shipped as literals (pca_model.py) so both engines project
+    identically.
+
+    Sign canonicalization: each component is flipped so its
+    largest-magnitude coordinate is positive — power iteration's sign is
+    otherwise arbitrary, and the literals must be reproducible.
+    """
+    sample = (
+        df.select("vec_id", "embedding")
+        .withColumn("h", h32(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(sample_cap)
+        .select("embedding")
+        .collect()
+    )
+    if len(sample) > sample_cap:  # TakeOrdered guarantees this; keep it loud
+        raise AssertionError(f"sample exceeded cap: {len(sample)} > {sample_cap}")
+    x = np.array([row["embedding"] for row in sample], dtype=np.float64)
+    mean = x.mean(axis=0)
+    a = x - mean
+    cov = a.T @ a
+    rng = np.random.RandomState(PCA_SEED)
+    components: list[list[float]] = []
+    eigvals: list[float] = []
+    for _ in range(r):
+        v = rng.normal(size=cov.shape[0])
+        v /= np.linalg.norm(v)
+        for _ in range(PCA_ITERS):
+            v = cov @ v
+            v /= np.linalg.norm(v)
+        lam = float(v @ cov @ v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        cov = cov - lam * np.outer(v, v)
+        components.append([round(float(c), PCA_DECIMALS) for c in v])
+        eigvals.append(lam)
+    return {
+        "mean": [round(float(m), PCA_DECIMALS) for m in mean],
+        "components": components,
+        "eigvals": eigvals,
+    }
+
+
+def pca_model() -> tuple[list[float], list[list[float]]]:
+    """The shipped (mean, components) literals — pca_fit output on the
+    sf0.01 embeddings sample (pca_model.py provenance)."""
+    from mapreduce_rs_spark.operators.pca_model import PCA_COMPONENTS, PCA_MEAN
+
+    return PCA_MEAN, PCA_COMPONENTS
+
+
+def _pca_offsets(
+    mean: list[float], components: list[list[float]]
+) -> list[float]:
+    """dot(mean, w_j) per component, computed ONCE in Python and embedded
+    as the same scalar literal in both engines — centering as a literal
+    subtraction (dot(x - mu, w) = dot(x, w) - dot(mu, w)), so neither
+    engine ever materializes x - mu."""
+    return [sum(m * c for m, c in zip(mean, w)) for w in components]
+
+
+def _pca_z_sql(embd_sql: str) -> str:
+    """SQL fragment: the projected R-vector for an already-double array
+    — one parsed expression (the _dot_lit_sql plan-build rationale)."""
+    mean, comps = pca_model()
+    offs = _pca_offsets(mean, comps)
+    terms = ", ".join(
+        f"({_dot_lit_sql(embd_sql, w)} - {float(c)!r}D)"
+        for w, c in zip(comps, offs)
+    )
+    return f"array({terms})"
+
+
+def _l2_sql(a_sql: str) -> str:
+    """SQL fragment: euclidean norm of an already-double array — the
+    op-for-op twin of _l2_raw."""
+    return (
+        f"sqrt(aggregate(transform({a_sql}, x -> x * x), 0.0D, "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+def knn_pca(df: DataFrame, k: int = 10) -> DataFrame:
+    """Approximate top-k cosine in the PCA-reduced space: both sides
+    project to R dims through the fitted literal components, then the
+    brute-force scan runs 4x cheaper per pair (R=16 vs 64 dims). Same
+    shape as knn_bruteforce — broadcast KMV queries, shuffle-free corpus
+    scan, per-query top-k window; at 100 TB the projected corpus is what
+    an engine would materialize (64 bytes/vector vs 256) and scan."""
+    queries = _enrich_queries(
+        _query_set(df),
+        F.expr(_pca_z_sql(_Q_EMBD_SQL)).alias("q_z"),
+        F.expr(_l2_sql(_pca_z_sql(_Q_EMBD_SQL))).alias("q_z_norm"),
+    )
+    corpus = (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", F.col("embedding").cast(_DBL).alias("embd"))
+        .select("vec_id", F.expr(_pca_z_sql("embd")).alias("z"))
+        .withColumn("z_norm", _l2_raw(F.col("z")))
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("q_id") != F.col("vec_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        _cos_pair(
+            F.col("q_z"), F.col("z"), F.col("q_z_norm"), F.col("z_norm")
+        ).alias("pca_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("pca_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "pca_sim", "rnk")
     )

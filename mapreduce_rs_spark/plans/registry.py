@@ -408,6 +408,90 @@ def _kmv_sql(k: int = 64) -> str:
         """
 
 
+def _theta_sql(k: int = events.THETA_K) -> str:
+    """Oracle twin of events.theta_daily_overlap — k and every derived
+    literal ((k-1)·2^32, the exact-branch theta) come from the operator's
+    parameter so non-default calls stay in lockstep."""
+    h = h32_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+            FROM events
+        ), hashed AS (
+            SELECT day, {h} AS h FROM daily
+        ), ranked AS (
+            SELECT day, h,
+                   row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM hashed
+        ), sk AS MATERIALIZED (
+            SELECT day, h FROM ranked WHERE rn <= {k}
+        ), stats AS (
+            SELECT day,
+                   CASE WHEN count(*) >= {k} THEN max(h)
+                        ELSE 4294967296 END AS theta
+            FROM sk GROUP BY day
+        ), exact AS (
+            SELECT day, count(*) AS n_exact FROM daily GROUP BY day
+        ), pairs AS (
+            SELECT a.day AS day_a, b.day AS day_b,
+                   least(a.theta, b.theta) AS theta
+            FROM stats a JOIN stats b ON a.day = b.day - 1
+        ), common AS MATERIALIZED (
+            SELECT sa.day AS day_a, sa.h
+            FROM sk sa JOIN sk sb ON sb.day = sa.day + 1 AND sb.h = sa.h
+        ), ncommon AS (
+            SELECT c.day_a, count(*) AS n_common
+            FROM common c JOIN pairs p ON p.day_a = c.day_a
+            WHERE c.h < p.theta GROUP BY c.day_a
+        ), m_all AS (
+            SELECT DISTINCT day_a, h FROM (
+                SELECT day AS day_a, h FROM sk
+                UNION ALL
+                SELECT day - 1 AS day_a, h FROM sk
+            )
+        ), m_ranked AS (
+            SELECT day_a, h,
+                   row_number() OVER (PARTITION BY day_a ORDER BY h) AS rn
+            FROM m_all
+        ), m_sk AS MATERIALIZED (
+            SELECT day_a, h FROM m_ranked WHERE rn <= {k}
+        ), m_stats AS (
+            SELECT day_a, count(*) AS n_m, max(h) AS kth_m
+            FROM m_sk GROUP BY day_a
+        ), m_both AS (
+            SELECT m.day_a, count(*) AS n_both
+            FROM m_sk m JOIN common c ON c.day_a = m.day_a AND c.h = m.h
+            GROUP BY m.day_a
+        ), inter_exact AS (
+            SELECT wa.day AS day_a, count(*) AS n_inter_exact
+            FROM daily wa
+            JOIN daily wb ON wb.day = wa.day + 1 AND wb.user_id = wa.user_id
+            GROUP BY wa.day
+        )
+        SELECT p.day_a, p.day_b,
+               ea.n_exact AS n_a_exact,
+               eb.n_exact AS n_b_exact,
+               COALESCE(ie.n_inter_exact, 0) AS n_inter_exact,
+               ea.n_exact + eb.n_exact - COALESCE(ie.n_inter_exact, 0)
+                   AS n_union_exact,
+               p.theta,
+               COALESCE(nc.n_common, 0) AS n_common,
+               COALESCE(nc.n_common, 0) * 4294967296.0 / p.theta AS inter_est,
+               CASE WHEN ms.n_m >= {k}
+                    THEN {float(k - 1)!r} * 4294967296.0 / ms.kth_m
+                    ELSE CAST(ms.n_m AS DOUBLE) END AS union_est,
+               (COALESCE(mb.n_both, 0) * 10000) // ms.n_m AS jacc_bp
+        FROM pairs p
+        JOIN exact ea ON ea.day = p.day_a
+        JOIN exact eb ON eb.day = p.day_b
+        LEFT JOIN inter_exact ie ON ie.day_a = p.day_a
+        LEFT JOIN ncommon nc ON nc.day_a = p.day_a
+        JOIN m_stats ms ON ms.day_a = p.day_a
+        LEFT JOIN m_both mb ON mb.day_a = p.day_a
+        ORDER BY p.day_a
+        """
+
+
 def _cms_sql() -> str:
     """Oracle twin of ta.cms_word_counts — the w/d/top parameters and
     the 4-lane hash scheme derive from the operator's constants. Uses
@@ -624,6 +708,41 @@ def _knn_pq_sql(k: int = 10) -> str:
         """
 
 
+def _pca_z_sql_duck(emb: str) -> str:
+    """DuckDB fragment: the PCA-projected R-vector — the oracle twin of
+    similarity._pca_z_sql, built from the SAME shipped literals
+    (components + precomputed mean-dot offsets)."""
+    mean, comps = similarity.pca_model()
+    offs = similarity._pca_offsets(mean, comps)
+    terms = ", ".join(
+        f"(list_dot_product({emb}, {_plane_literal(w)}) - CAST({float(c)!r} AS DOUBLE))"
+        for w, c in zip(comps, offs)
+    )
+    return f"[{terms}]"
+
+
+def _knn_pca_sql(k: int = 10) -> str:
+    """Oracle twin of similarity.knn_pca."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), pz AS (
+            SELECT vec_id, {_pca_z_sql_duck('emb')} AS z FROM v
+        ), {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, z AS q_z FROM pz WHERE {_QFILTER}
+        ), scored AS (
+            SELECT q_id, pz.vec_id, {_cosine_sql('q_z', 'z')} AS pca_sim
+            FROM q JOIN pz ON q_id <> pz.vec_id
+        )
+        SELECT q_id, vec_id, pca_sim, rnk FROM (
+            SELECT q_id, vec_id, pca_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY pca_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        ) r WHERE rnk <= {k}
+        """
+
+
 def _knn_ivfpq_sql(k: int = 10) -> str:
     """Oracle twin of similarity.knn_ivfpq — composed from the SAME CTE
     builders as the knn_ivf and knn_pq oracles (shared-builder rule):
@@ -726,12 +845,24 @@ def _ann_recall_sql(k: int = 10) -> str:
                        row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS rnk
                 FROM ivfpq_scored
             ) s WHERE rnk <= {k}
+        ), pz AS (
+            SELECT vec_id, {_pca_z_sql_duck('emb')} AS z FROM v
+        ), pca_q AS (
+            SELECT vec_id AS q_id, z AS q_z FROM pz WHERE {_QFILTER}
+        ), pca_scored AS (
+            SELECT q_id, pz.vec_id, {_cosine_sql('q_z', 'z')} AS cos_sim
+            FROM pca_q JOIN pz ON q_id <> pz.vec_id
+        ), pca_topk AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM pca_scored
+            ) s WHERE rnk <= {k}
         ), approx AS (
             SELECT 'lsh' AS method, q_id, vec_id FROM lsh_topk
             UNION ALL SELECT 'ivf' AS method, q_id, vec_id FROM ivf_topk
             UNION ALL SELECT 'ivf_mp2' AS method, q_id, vec_id FROM mp_topk
             UNION ALL SELECT 'pq' AS method, q_id, vec_id FROM pq_topk
             UNION ALL SELECT 'ivfpq' AS method, q_id, vec_id FROM ivfpq_topk
+            UNION ALL SELECT 'pca' AS method, q_id, vec_id FROM pca_topk
         ), hits AS (
             SELECT method, a.q_id, count(*) AS n_hits
             FROM approx a JOIN exact_topk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
@@ -739,7 +870,7 @@ def _ann_recall_sql(k: int = 10) -> str:
         ), grid AS (
             SELECT method, q_id
             FROM (SELECT DISTINCT q_id FROM exact_topk) qs
-            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'ivf_mp2', 'pq', 'ivfpq']) AS method) m
+            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'ivf_mp2', 'pq', 'ivfpq', 'pca']) AS method) m
         ), filled AS (
             SELECT g.method, g.q_id, COALESCE(h.n_hits, 0) AS n_hits
             FROM grid g LEFT JOIN hits h ON g.method = h.method AND g.q_id = h.q_id
@@ -1892,6 +2023,14 @@ QUERIES: dict[str, QuerySpec] = {
         "64-dim dot — the memory-compressed ANN tier; fixed-order sum "
         "keeps scores bit-identical cross-engine",
     ),
+    "knn_pca": QuerySpec(
+        _emb(lambda df: similarity.knn_pca(df, 10)),
+        _knn_pca_sql(),
+        "PCA-reduced cosine top-k: both sides project through the fitted "
+        "literal components (pca_model.py) to 16 of 64 dims — the "
+        "dimensionality-compression ANN tier (4x cheaper pair scoring, "
+        "64 bytes/vector materialized at scale)",
+    ),
     "knn_bruteforce": QuerySpec(
         _emb(lambda df: similarity.knn_bruteforce(df, 10)),
         f"""
@@ -2142,6 +2281,10 @@ QUERIES: dict[str, QuerySpec] = {
     "kmv_distinct_users": QuerySpec(
         _tables(events.kmv_distinct_users),
         _kmv_sql(),
+    ),
+    "theta_daily_overlap": QuerySpec(
+        _tables(events.theta_daily_overlap),
+        _theta_sql(),
     ),
     "cms_word_counts": QuerySpec(
         _docs(lambda df: ta.cms_word_counts(df, w=ta.CMS_W_AUDIT)),
@@ -3951,6 +4094,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "knn_bruteforce": ("q_id", "rnk"),
     "pq_code_histogram": ("subspace", "code"),
     "knn_pq": ("q_id", "rnk"),
+    "knn_pca": ("q_id", "rnk"),
     "knn_ivfpq": ("q_id", "rnk"),
     "lsh_buckets": ("bucket",),
     "knn_lsh": ("q_id", "rnk"),
@@ -3993,6 +4137,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "asof_last_click_before_purchase": ("user_id", "event_id"),
     "multi_resolution_rollup": ("resolution", "bucket_ts", "event_type"),
     "kmv_distinct_users": ("event_type",),
+    "theta_daily_overlap": ("day_a",),
     "hll_distinct_users": ("event_type",),
     "cms_word_counts": ("word",),
     "temperature_mixture": ("lang",),
@@ -4087,8 +4232,10 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-4 window (50 slots). (00) NEW in the second round-4
+    # ---- round-4 window (50 slots). (000) NEW in the third round-4
     # session — never externally checked:
+    "theta_daily_overlap",
+    # (00) NEW in the second round-4 session — never externally checked:
     "hll_distinct_users",
     "bpe_encode_stats",
     "knn_ivfpq",
@@ -4147,7 +4294,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # results changed), cast-hoisted scoring (values proven identical
     # locally — the external row closes it), integer mixture
     # thresholds, zorder presentation sort:
-    "knn_bruteforce",
+    # (knn_bruteforce displaced by theta_daily_overlap: its round-4
+    # change — the KMV-bounded query set — is externally exercised
+    # through ann_recall, still in this window, whose exact leg is
+    # built from the same _qids_cte/_query_set builders and the same
+    # brute-force scoring expressions.)
     # (knn_lsh displaced by cms_word_counts: its round-4 change is the
     # shared KMV query set — externally exercised via knn_bruteforce —
     # and its unique bucket expression is exercised via ann_recall's
@@ -4170,6 +4321,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     # exercised through knn_bruteforce (same _query_set) and knn_ivfpq /
     # ann_recall's pq leg (same codebooks and _pq_adc_terms builder).)
     "ann_recall",
+    # (knn_pca — NEW third session — stays outside the 50-slot window:
+    # its entire expression family (the _pca_z_sql literal projection,
+    # the reduced-space cosine, the top-k) is externally exercised
+    # through ann_recall's pca leg this window, which the oracle builds
+    # from the same _pca_z_sql_duck/_cosine_sql builders; rotate it in
+    # next round.)
     # (ivf_histogram and semdedup displaced by the second-session NEW
     # queries: their round-4 k refit is externally exercised through
     # knn_ivf / knn_ivf_multiprobe, which join against the same

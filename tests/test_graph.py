@@ -366,3 +366,25 @@ def test_bfs_hops_min_hop_on_hand_graph(spark):
     assert got == expected
     # the fixture must actually exercise the min-hop merge and a cutoff
     assert len(expected) < len(nodes)
+
+
+def test_pca_fit_deterministic_and_matches_shipped_model(spark):
+    """pca_fit must be partition-invariant AND reproduce the committed
+    pca_model.py literals exactly when re-run on its provenance input
+    (the sf0.01 sample) — the regeneration path stays honest."""
+    from mapreduce_rs_spark.operators.pca_model import PCA_COMPONENTS, PCA_MEAN
+    from mapreduce_rs_spark.operators.similarity import EMBED_DIM, PCA_R, pca_fit
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    m1 = pca_fit(emb)
+    m2 = pca_fit(emb.repartition(7))  # partitioning must not matter
+    assert m1 == m2
+    assert m1["mean"] == PCA_MEAN
+    assert m1["components"] == PCA_COMPONENTS
+    assert len(m1["components"]) == PCA_R
+    for w in m1["components"]:
+        assert len(w) == EMBED_DIM
+        # power iteration returns unit vectors (rounded per coordinate)
+        assert abs(sum(x * x for x in w) - 1.0) < 1e-3
+        # sign canonicalization: largest-|coordinate| is positive
+        assert max(w, key=abs) > 0

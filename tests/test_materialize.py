@@ -78,3 +78,16 @@ def test_cms_parquet_path_byte_identical(spark, sf_dir, tmp_path):
     durable = _rows(cms_word_counts(docs, persist_dir=persist), "word")
     assert durable == base
     assert os.path.isdir(os.path.join(persist, "cms_wordcounts"))
+
+
+def test_theta_daily_overlap_parquet_path_byte_identical(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.operators.events import theta_daily_overlap
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    base = _rows(theta_daily_overlap(tables), "day_a")
+    persist = str(tmp_path / "theta")
+    durable = _rows(theta_daily_overlap(tables, persist_dir=persist), "day_a")
+    assert durable == base
+    assert os.path.isdir(os.path.join(persist, "theta_daily_users"))
+    assert os.path.isdir(os.path.join(persist, "theta_daily_sketches"))

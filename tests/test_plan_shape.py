@@ -188,7 +188,7 @@ _SCALE_GUARDS = {
     # one evaluation plan; all over the HARD-BOUNDED KMV query sample
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
     # never the corpus.
-    "ann_recall": (20, 0),
+    "ann_recall": (21, 0),  # +1 for the round-4 pca leg's top-k window
     "corpus_profile": (1, 0),             # one partial→final (multi-distinct) agg
     "latest_event_state": (2, 0),         # user_id window + tiny by-state agg
     # broadcast-semi probe against the eval shingle set + distinct +
@@ -276,6 +276,9 @@ _SCALE_GUARDS = {
     # top-k window); candidates come from the query's inverted list
     # via the broadcast equi-join, the corpus ships only codes
     "knn_ivfpq": (2, 0),
+    # PCA tier: same knn_bruteforce shape — parallelism spread + top-k
+    # window; the projection is a narrow literal-dot bank, no shuffle
+    "knn_pca": (2, 0),
     # pair agg + unigram agg + marginal joins (broadcast at test scale)
     "skipgram_pmi": (6, 0),
     # word-count agg + the target window; the SinglePartition windows
@@ -338,6 +341,12 @@ _SCALE_GUARDS = {
     # flagged positions come back via a left-semi equi-join on the
     # 8-byte hash — never a text self-join
     "duplicate_spans": (3, 0),
+    # theta sketch: the ONLY event-scale stages (distinct day-user agg,
+    # per-day top-k window) are inside the two materialize() builds and
+    # never appear in the assembled plan; every counted exchange below
+    # operates on sketch-sized data (<= days x k rows) — day-keyed aggs
+    # and the consecutive-day pair joins over the checkpointed sketches
+    "theta_daily_overlap": (14, 0),
 }
 
 
@@ -439,6 +448,7 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark, tables):
 
 KMV_CONSUMERS = (
     "knn_bruteforce",
+    "knn_pca",
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_multiprobe",

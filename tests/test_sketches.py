@@ -190,3 +190,45 @@ def test_cms_matches_pure_python_sketch_and_never_undercounts(spark):
     assert got == expected
     assert all(over >= 0 for _, _, over in got.values())
     assert any(over > 0 for _, _, over in got.values()), "no collision exercised"
+
+
+def test_theta_daily_overlap_exact_branch_at_sf0001(spark, sf_dir):
+    """At sf0.001 every daily cohort is smaller than k: theta must be
+    the full hash range and every estimate must COLLAPSE to the exact
+    value (the sketch-is-the-set regime)."""
+    from mapreduce_rs_spark.operators.events import THETA_RANGE, theta_daily_overlap
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    rows = theta_daily_overlap(load_tables(spark, sf_dir)).collect()
+    assert rows, "no consecutive-day pairs in fixture"
+    for r in rows:
+        assert r["theta"] == THETA_RANGE
+        assert r["inter_est"] == float(r["n_inter_exact"])
+        assert r["union_est"] == float(r["n_union_exact"])
+
+
+def test_theta_daily_overlap_estimator_bounds_at_sf001(spark):
+    """At sf0.01 the cohorts EXCEED k — the proper-sketch regime must
+    actually be exercised (non-vacuous-check discipline) and every
+    estimate must land inside the standard KMV error envelope
+    (~1/sqrt(k-1) relative; asserted at 4 sigma, plus the +-1-hash
+    discretization floor for the small intersection counts)."""
+    import math
+
+    from mapreduce_rs_spark.operators.events import (
+        THETA_K,
+        THETA_RANGE,
+        theta_daily_overlap,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    rows = theta_daily_overlap(load_tables(spark, "/root/testdata/sf0.01")).collect()
+    assert rows
+    rel = 4.0 / math.sqrt(THETA_K - 1)
+    for r in rows:
+        assert r["theta"] < THETA_RANGE, "proper-sketch regime never exercised"
+        assert 0 <= r["jacc_bp"] <= 10000
+        # one hash in/out of the intersection moves the estimate by RANGE/theta
+        slack = THETA_RANGE / r["theta"]
+        assert abs(r["inter_est"] - r["n_inter_exact"]) <= rel * r["n_inter_exact"] + slack
+        assert abs(r["union_est"] - r["n_union_exact"]) <= rel * r["n_union_exact"] + slack
