@@ -1899,3 +1899,132 @@ def orders_merge_upsert(t: dict[str, DataFrame]) -> DataFrame:
         F.sum("upd").cast("int").alias("n_updated"),
         (F.count(F.lit(1)) - F.sum("ins") - F.sum("upd")).cast("int").alias("n_carried"),
     )
+
+
+# Join-size sketch: keys kept per side. k=128 exercises the proper-
+# sketch regime at sf0.01 (15k orderkeys >> k) while sf0.001's smaller
+# key sets still exceed k; the exact branch is exercised by the
+# random-probe fixture's tiny key domain.
+JOIN_SKETCH_K = 128
+_H32_RANGE = 1 << 32
+
+
+def join_size_estimate(
+    t: dict[str, "DataFrame"],
+    k: int = JOIN_SKETCH_K,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Sketch-based JOIN CARDINALITY estimation — the optimizer
+    statistic that decides broadcast-vs-shuffle and partition counts
+    BEFORE paying for a 100 TB fact⋈fact shuffle:
+
+        |A ⋈ B| = Σ_{common keys} f_A(key) · f_B(key)
+
+    estimated from per-side KMV key sketches (the theta_daily_overlap
+    machinery pointed at join planning): per side, aggregate per-key
+    frequencies (partial-agg shuffle — the only key-scale stage), keep
+    the k keys with the smallest portable hash (TakeOrderedAndProject:
+    per-partition k-row heaps, driver merge — O(k) whatever the key
+    count), then sum f_A·f_B over SAMPLED common keys below
+    theta = min(theta_A, theta_B) and scale by 2^32/theta. Because both
+    sides sample keys with the SAME hash, common keys are sampled
+    together (correlated sampling — a uniform row sample of each side
+    would almost never sample the same key twice and systematically
+    miss the join).
+
+    Everything up to the estimate is exact integer arithmetic; the
+    estimate is one double chain from exact integers (KMV/HLL
+    discipline) — so the oracle reproduces the ESTIMATE bit-for-bit.
+    The exact join size rides along as the evaluation column, computed
+    key-grain (Σ f_A·f_B over the full frequency join) — at 100 TB that
+    eval leg is itself a distinct-key-scale join and is what this
+    operator exists to avoid paying blind.
+    """
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    # Each frequency table feeds three consumers (its sketch, the exact
+    # eval join, the key count) and each sketch feeds two (theta, the
+    # sampled sum) — materialize all four or Catalyst re-runs the
+    # key-scale aggregate per consumer (measured: 6 TakeOrdered / 10
+    # exchanges before, 2 / 4 after; the sketches are k-row frames, so
+    # their checkpoints are trivial).
+    fa = materialize(
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f_a")),
+        persist_dir,
+        "joinsize_freq_a",
+    )
+    fb = materialize(
+        t["orders"]
+        .groupBy(F.col("o_orderkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f_b")),
+        persist_dir,
+        "joinsize_freq_b",
+    )
+
+    def sketch(freq: DataFrame, fcol: str, name: str) -> DataFrame:
+        from mapreduce_rs_spark.functions.hashing import h32
+
+        return materialize(
+            freq.select(
+                "key", fcol, h32(F.col("key").cast("string")).alias("h")
+            )
+            .orderBy("h", "key")
+            .limit(k),
+            persist_dir,
+            name,
+        )
+
+    sk_a = sketch(fa, "f_a", "joinsize_sketch_a")
+    sk_b = sketch(fb, "f_b", "joinsize_sketch_b")
+
+    def theta_of(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("kth_h")
+        ).select(
+            F.when(F.col("n_sk") >= k, F.col("kth_h"))
+            .otherwise(F.lit(_H32_RANGE))
+            .alias(name)
+        )
+
+    theta = (
+        theta_of(sk_a, "theta_a")
+        .crossJoin(theta_of(sk_b, "theta_b"))
+        .select(F.least("theta_a", "theta_b").alias("theta"))
+    )
+    sampled = (
+        sk_a.select("key", "f_a", "h")
+        .join(sk_b.select("key", "f_b"), "key")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("theta"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common_sampled"),
+            F.coalesce(F.sum(F.col("f_a") * F.col("f_b")), F.lit(0))
+            .cast("long")
+            .alias("sampled_join_rows"),
+        )
+    )
+    exact = (
+        fa.join(fb, "key")
+        .agg(F.sum(F.col("f_a") * F.col("f_b")).cast("long").alias("exact_join_rows"))
+    )
+    counts = fa.agg(F.count(F.lit(1)).cast("long").alias("n_keys_a")).crossJoin(
+        fb.agg(F.count(F.lit(1)).cast("long").alias("n_keys_b"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(sampled))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_keys_a",
+            "n_keys_b",
+            "theta",
+            "n_common_sampled",
+            "sampled_join_rows",
+            (
+                F.col("sampled_join_rows") * F.lit(float(_H32_RANGE)) / F.col("theta")
+            ).alias("est_join_rows"),
+            "exact_join_rows",
+        )
+    )

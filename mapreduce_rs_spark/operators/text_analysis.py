@@ -961,6 +961,99 @@ def unigram_surprisal_scores(
     )
 
 
+def bigram_surprisal_scores(
+    df: DataFrame, persist_dir: str | None = None
+) -> DataFrame:
+    """Interpolated BIGRAM perplexity-proxy quality scores — the
+    next-order member of the unigram_surprisal_scores family: per
+    document, the mean surprisal of each adjacent token pair under a
+    Jelinek-Mercer half-half interpolation of the corpus's own bigram
+    MLE and add-one-smoothed unigram model:
+
+        p(w2 | w1) = 0.5 * c(w1 w2)/c(w1) + 0.5 * (c(w2)+1)/(T+V)
+
+    Context counts use the full unigram count c(w1) (the standard
+    history~unigram MLE shortcut; applied identically in both engines,
+    so it is part of the model's contract, not an approximation
+    hazard). Bigram context separates fluent word ORDER from merely
+    common words — a shuffled-word document scores near its unigram
+    surprisal but far above its bigram-fluent twin (pinned in
+    tests/test_text_edge_cases.py).
+
+    Float discipline: as in unigram_surprisal_scores, the per-PAIR-TYPE
+    surprisal is quantized to integer centinats by ONE fixed float
+    expression per distinct bigram (floor(SCALE * -ln(p)) — a single
+    ln per type against the 0.01-nat grid), then all per-document
+    aggregation is exact integer arithmetic.
+
+    Scale shape: pair tf is materialized once (it feeds the corpus
+    bigram counts AND the scoring join), and so is the unigram count
+    table (three consumers — both model join sides and the totals —
+    would otherwise each re-tokenize the corpus); the model join is a plain
+    equi-join on the pair — deliberately NOT broadcast: a bigram
+    vocabulary grows with corpus scale (unlike the unigram/DSIR models,
+    which stay dictionary-/bucket-sized), so at 100 TB this is a
+    co-partitioned shuffle join on the pair key. Unigram counts and the
+    two 1-row totals broadcast as usual.
+    """
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    pair_tf = materialize(
+        df.select("doc_id", F.explode(token_ngrams("text", 2)).alias("pair"))
+        .groupBy("doc_id", "pair")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        persist_dir,
+        "bigram_pair_tf",
+    )
+    bi = pair_tf.groupBy("pair").agg(F.sum("tf").cast("long").alias("c_pair"))
+    uni = materialize(
+        explode_tokens(df)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w")),
+        persist_dir,
+        "bigram_uni",
+    )
+    totals = uni.agg(
+        F.sum("c_w").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("v_size"),
+    )
+    model = (
+        bi.withColumn("w1", F.split("pair", " ").getItem(0))
+        .withColumn("w2", F.split("pair", " ").getItem(1))
+        .join(uni.select(F.col("word").alias("w1"), F.col("c_w").alias("c_prev")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("c_w").alias("c_cur")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "pair",
+            F.expr(
+                f"CAST(floor({SURPRISAL_SCALE} * -ln("
+                "0.5 * (CAST(c_pair AS DOUBLE) / CAST(c_prev AS DOUBLE))"
+                " + 0.5 * ((CAST(c_cur AS DOUBLE) + 1.0)"
+                " / (CAST(total AS DOUBLE) + CAST(v_size AS DOUBLE)))"
+                ")) AS BIGINT)"
+            ).alias("surp_cn"),
+        )
+    )
+    return (
+        pair_tf.join(model, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_pairs"),
+            F.sum(F.col("tf") * F.col("surp_cn")).cast("long").alias(
+                "sum_surprisal_cn"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "sum_surprisal_cn",
+            (F.col("sum_surprisal_cn").cast("double") / F.col("n_pairs")).alias(
+                "mean_surprisal_cn"
+            ),
+        )
+    )
+
+
 # PII patterns — RE2-safe by construction (the oracle runs RE2): no
 # backreferences, no lookaround, explicit [0-9] instead of \d (Java \d
 # is ASCII-only by default but explicit classes remove the question),

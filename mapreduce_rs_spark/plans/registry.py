@@ -1979,6 +1979,57 @@ QUERIES: dict[str, QuerySpec] = {
         "centinats so per-doc aggregation is an exact integer sum "
         "(pagerank fixed-point precedent); vocab broadcasts",
     ),
+    "bigram_surprisal_scores": QuerySpec(
+        _docs(ta.bigram_surprisal_scores),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                          i -> array_to_string(tk[i:i + 1], ' '))) AS pair
+            FROM toks
+        ), pair_tf AS (
+            SELECT doc_id, pair, count(*) AS tf FROM grams GROUP BY 1, 2
+        ), bi AS (
+            SELECT pair, CAST(sum(tf) AS BIGINT) AS c_pair
+            FROM pair_tf GROUP BY pair
+        ), words AS (
+            SELECT unnest(tk) AS word FROM toks
+        ), uni AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS c_w FROM words GROUP BY word
+        ), totals AS (
+            SELECT CAST(sum(c_w) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS v_size
+            FROM uni
+        ), model AS (
+            SELECT pair,
+                   CAST(floor({ta.SURPRISAL_SCALE} * -ln(
+                       0.5 * (CAST(c_pair AS DOUBLE) / CAST(c_prev AS DOUBLE))
+                       + 0.5 * ((CAST(c_cur AS DOUBLE) + 1.0)
+                       / (CAST(total AS DOUBLE) + CAST(v_size AS DOUBLE)))
+                   )) AS BIGINT) AS surp_cn
+            FROM (
+                SELECT pair, c_pair,
+                       ua.c_w AS c_prev, ub.c_w AS c_cur
+                FROM bi
+                JOIN uni ua ON split_part(pair, ' ', 1) = ua.word
+                JOIN uni ub ON split_part(pair, ' ', 2) = ub.word
+            ) b CROSS JOIN totals
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_pairs,
+               CAST(sum(tf * surp_cn) AS BIGINT) AS sum_surprisal_cn,
+               CAST(sum(tf * surp_cn) AS DOUBLE) / sum(tf) AS mean_surprisal_cn
+        FROM pair_tf JOIN model USING (pair)
+        GROUP BY doc_id ORDER BY doc_id
+        """,
+        "interpolated bigram perplexity proxy: Jelinek-Mercer half-half "
+        "of bigram MLE and add-one unigram, per-pair-type surprisal "
+        "quantized to integer centinats (one ln per distinct bigram), "
+        "exact integer per-doc sums; the model join is a plain pair "
+        "equi-join (bigram vocabularies outgrow broadcast at scale)",
+    ),
     "bpe_merge_candidates": QuerySpec(
         _docs(lambda df: ta.bpe_merge_candidates(df, 20)),
         f"""{WORDS_CTE.replace("SELECT doc_id, lang,", "SELECT")}, wc AS (
@@ -2632,6 +2683,52 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "TSDB gap-fill: generated dense (hour x type) grid left-joins the "
         "sparse aggregate; grid cardinality independent of event volume",
+    ),
+    "join_size_estimate": QuerySpec(
+        _tables(relational.join_size_estimate),
+        f"""
+        WITH fa AS MATERIALIZED (
+            SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS f_a
+            FROM lineitem GROUP BY 1
+        ), fb AS MATERIALIZED (
+            SELECT o_orderkey AS key, CAST(count(*) AS BIGINT) AS f_b
+            FROM orders GROUP BY 1
+        ), ska AS MATERIALIZED (
+            SELECT key, f_a, {h32_sql('CAST(key AS VARCHAR)')} AS h
+            FROM fa ORDER BY h, key LIMIT {relational.JOIN_SKETCH_K}
+        ), skb AS MATERIALIZED (
+            SELECT key, f_b, {h32_sql('CAST(key AS VARCHAR)')} AS h
+            FROM fb ORDER BY h, key LIMIT {relational.JOIN_SKETCH_K}
+        ), ta AS (
+            SELECT CASE WHEN count(*) >= {relational.JOIN_SKETCH_K}
+                        THEN max(h) ELSE 4294967296 END AS theta_a FROM ska
+        ), tb AS (
+            SELECT CASE WHEN count(*) >= {relational.JOIN_SKETCH_K}
+                        THEN max(h) ELSE 4294967296 END AS theta_b FROM skb
+        ), th AS (
+            SELECT least(theta_a, theta_b) AS theta FROM ta CROSS JOIN tb
+        ), sampled AS (
+            SELECT count(*) AS n_common_sampled,
+                   CAST(COALESCE(sum(f_a * f_b), 0) AS BIGINT) AS sampled_join_rows
+            FROM ska JOIN skb USING (key) CROSS JOIN th
+            WHERE ska.h < th.theta
+        ), ex AS (
+            SELECT CAST(sum(f_a * f_b) AS BIGINT) AS exact_join_rows
+            FROM fa JOIN fb USING (key)
+        ), counts AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM fa) AS n_keys_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM fb) AS n_keys_b
+        )
+        SELECT n_keys_a, n_keys_b, theta, n_common_sampled, sampled_join_rows,
+               sampled_join_rows * 4294967296.0 / theta AS est_join_rows,
+               exact_join_rows
+        FROM counts CROSS JOIN th CROSS JOIN sampled CROSS JOIN ex
+        """,
+        "sketch-based join cardinality estimate: correlated KMV key "
+        "sampling (same hash both sides) over per-key frequency "
+        "aggregates — the optimizer statistic that prices a fact-fact "
+        "join before shuffling it; estimate is one double chain from "
+        "exact integers, oracle-reproduced bit-for-bit",
     ),
     "referential_audit": QuerySpec(
         _tables(relational.referential_audit),
@@ -4204,6 +4301,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "zorder_locality": ("layout",),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
+    "bigram_surprisal_scores": ("doc_id",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -4235,6 +4333,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     # ---- round-4 window (50 slots). (000) NEW in the third round-4
     # session — never externally checked:
     "theta_daily_overlap",
+    "bigram_surprisal_scores",
+    "join_size_estimate",
     # (00) NEW in the second round-4 session — never externally checked:
     "hll_distinct_users",
     "bpe_encode_stats",
@@ -4274,7 +4374,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q22_dormant_customers",
     "decontaminate",
     "corpus_profile",
-    "latest_event_state",
+    # (latest_event_state displaced by bigram_surprisal_scores: its
+    # per-key latest-wins compaction is the row_number-over-(ts,
+    # event_id) total-order family externally green this round via
+    # ohlc_bars (r03) and state_intervals (this window); rotate it in
+    # next round.)
     "png_decode_stats",
     "bmp_decode_stats",      # NEW this round: second real codec
     "wav_decode_stats",      # NEW this round: third real codec (audio)
@@ -4286,7 +4390,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     "leakage_safe_splits",   # NEW this round: cluster-hashed splits
     "rfm_segments",          # NEW this round: cutpoint-broadcast RFM
     "pii_scrub_stats",       # NEW this round: PII scrub accounting
-    "incremental_ingest_dedup",  # NEW this round: ingest-cycle dedup
+    # (incremental_ingest_dedup displaced by join_size_estimate: its
+    # fingerprint left-anti admission joins are the text_fingerprint
+    # family externally green via dedup_exact (r03) and decontaminate
+    # (this window); the random probe plants every branch locally.
+    # Rotate it in next round.)
     "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
     "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +

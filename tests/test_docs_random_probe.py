@@ -57,6 +57,7 @@ DOC_QUERIES = (
     "incremental_ingest_dedup",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
+    "bigram_surprisal_scores",
     "jpeg_decode_stats",
     "dsir_importance_weights",
     "bpe_train_merges",

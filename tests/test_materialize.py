@@ -91,3 +91,29 @@ def test_theta_daily_overlap_parquet_path_byte_identical(spark, sf_dir, tmp_path
     assert durable == base
     assert os.path.isdir(os.path.join(persist, "theta_daily_users"))
     assert os.path.isdir(os.path.join(persist, "theta_daily_sketches"))
+
+
+def test_bigram_surprisal_parquet_path_byte_identical(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.operators.text_analysis import bigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _rows(bigram_surprisal_scores(docs), "doc_id")
+    persist = str(tmp_path / "bigram")
+    durable = _rows(bigram_surprisal_scores(docs, persist_dir=persist), "doc_id")
+    assert durable == base
+    assert os.path.isdir(os.path.join(persist, "bigram_pair_tf"))
+    assert os.path.isdir(os.path.join(persist, "bigram_uni"))
+
+
+def test_join_size_estimate_parquet_path_byte_identical(spark, sf_dir, tmp_path):
+    from mapreduce_rs_spark.operators.relational import join_size_estimate
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    base = _rows(join_size_estimate(tables), "n_keys_a")
+    persist = str(tmp_path / "joinsize")
+    durable = _rows(join_size_estimate(tables, persist_dir=persist), "n_keys_a")
+    assert durable == base
+    for artifact in ("joinsize_freq_a", "joinsize_freq_b",
+                     "joinsize_sketch_a", "joinsize_sketch_b"):
+        assert os.path.isdir(os.path.join(persist, artifact))

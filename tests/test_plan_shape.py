@@ -159,6 +159,11 @@ _SCALE_GUARDS = {
     # sf0.01 the quarter side broadcasts; cap leaves AQE demote room)
     "q4_order_priority_checking": (3, 0),
     "q12_priority_by_returnflag": (1, 0),  # orders side broadcasts; one agg
+    # join-size sketch: every stage lives in the four materialize()
+    # builds (freq aggs, k-row sketches); the assembled plan joins
+    # checkpointed frames only — caps leave AQE room for the exact-eval
+    # key join to demote its broadcast at scale
+    "join_size_estimate": (2, 0),
     # battery completers: q11 is per-part agg + the 1-row total's
     # SinglePartition (uncounted, bounded by construction); q16 is the
     # two-phase count-distinct pair (grid+suppkey, then grid); q20 is
@@ -307,6 +312,10 @@ _SCALE_GUARDS = {
     # feeds both consumers (zero parquet re-scans, asserted informally
     # by the count: 6 exchanges before materialization)
     "unigram_surprisal_scores": (3, 0),
+    # bigram LM: pair-tf and unigram tables both materialized (their
+    # builds carry the corpus stages); the visible exchanges are the
+    # pair-keyed model join side + the per-doc integer sum
+    "bigram_surprisal_scores": (2, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),

@@ -28,6 +28,7 @@ REL_QUERIES = (
     "priority_line_counts",
     "disjunctive_filter_revenue",
     "join_revenue_by_nation",
+    "join_size_estimate",
     "q3_shipping_priority",
     "join_left_order_counts",
     "join_semi_recent_customers",

@@ -232,3 +232,22 @@ def test_theta_daily_overlap_estimator_bounds_at_sf001(spark):
         slack = THETA_RANGE / r["theta"]
         assert abs(r["inter_est"] - r["n_inter_exact"]) <= rel * r["n_inter_exact"] + slack
         assert abs(r["union_est"] - r["n_union_exact"]) <= rel * r["n_union_exact"] + slack
+
+
+def test_join_size_estimate_accuracy_and_regime(spark):
+    """Correlated KMV sampling must actually sample common keys (the
+    property uniform row sampling lacks) in the proper-sketch regime,
+    and the estimate must land inside the KMV error envelope."""
+    import math
+
+    from mapreduce_rs_spark.operators.relational import (
+        JOIN_SKETCH_K,
+        join_size_estimate,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    row = join_size_estimate(load_tables(spark, "/root/testdata/sf0.01")).collect()[0]
+    assert row["theta"] < (1 << 32), "proper-sketch regime never exercised"
+    assert row["n_common_sampled"] > JOIN_SKETCH_K // 2  # correlated, not missed
+    rel = 4.0 / math.sqrt(JOIN_SKETCH_K - 1)
+    assert abs(row["est_join_rows"] - row["exact_join_rows"]) <= rel * row["exact_join_rows"]

@@ -126,3 +126,31 @@ def test_unicode_mode_whitespace_is_unicode(spark):
     assert uni == {"alpha": 1, "beta": 1}
     ascii_mode = {r["word"]: r["cnt"] for r in word_count(df).collect()}
     assert ascii_mode == {"alphabeta": 1}
+
+
+def test_bigram_surprisal_separates_word_order_not_word_choice(spark):
+    """A document with the SAME token multiset as fluent twins but
+    shuffled order must score (a) identically under the unigram model
+    (order-blind by construction) and (b) strictly higher under the
+    bigram model — word ORDER is exactly what the bigram context adds."""
+    from mapreduce_rs_spark.operators.text_analysis import (
+        bigram_surprisal_scores,
+        unigram_surprisal_scores,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    words = fluent.split()
+    # deterministic adjacency-destroying permutation of the same
+    # multiset (a rotation would PRESERVE all but one bigram)
+    shuffled = " ".join(sorted(words))
+    assert sorted(shuffled.split()) == sorted(words)
+    rows = [(i, fluent, "en") for i in range(8)] + [(99, shuffled, "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    uni = {r["doc_id"]: r["mean_surprisal_cn"]
+           for r in unigram_surprisal_scores(df).collect()}
+    assert uni[99] == uni[0]  # same multiset -> identical unigram score
+
+    bi = {r["doc_id"]: r["mean_surprisal_cn"]
+          for r in bigram_surprisal_scores(df).collect()}
+    assert bi[99] > bi[0], (bi[99], bi[0])
