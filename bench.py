@@ -66,6 +66,12 @@ HEADLINE = (
     "q9_profit_by_nation",       # largest multi-join of the TPC-H battery
     "dsir_importance_weights",   # hashed-ngram curation scoring, 2-agg chain
     "jpeg_decode_stats",         # Python codec stage: Huffman+IDCT per block
+    # round-4 fourth extension (BASELINE.md): the fifth-session
+    # operators. Prior definitions (9 / 12 / 15 / 18) remain comparable
+    # PREFIXES; compare totals only within one definition.
+    "theta_daily_overlap",       # theta sketch: distinct agg + day top-k + pair joins
+    "bigram_surprisal_scores",   # bigram LM: pair tf + shuffle-joined model
+    "join_size_estimate",        # correlated KMV join-cardinality sketch
 )
 
 

@@ -1147,3 +1147,107 @@ def knn_pca(df: DataFrame, k: int = 10) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("q_id", "vec_id", "pca_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation: recall@k (ann_recall) says WHETHER the
+# true neighbors were returned; MRR and NDCG say WHERE they landed.
+# Both are made oracle-exact by quantizing the per-rank discounts to
+# integer micro-units computed ONCE in Python and embedded as the same
+# literals in both engines — no transcendental evaluates per row in
+# either engine, so the metrics are exact integer sums + one final
+# division (the KMV/HLL determinism discipline applied to IR metrics).
+# ---------------------------------------------------------------------------
+
+NDCG_SCALE = 1_000_000
+
+
+def _dcg_weights(k: int) -> list[int]:
+    """floor(SCALE / log2(r+1)) for ranks 1..k — computed driver-side,
+    shipped as literals (so the log2 never runs in either engine)."""
+    import math
+
+    return [int(NDCG_SCALE / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ann_ranking_metrics(df: DataFrame, k: int = 10) -> DataFrame:
+    """MRR and NDCG@k of one representative index per ANN family —
+    lsh (bucketed), ivf (partitioned), pca (compressed) — against the
+    exact brute-force top-k (recall@k for all six tiers lives in
+    ann_recall; this adds the rank-position-sensitive view an IR
+    deployment actually tunes on).
+
+    Relevance is binary (approx hit ∈ exact top-k). Per (method,
+    query): DCG = Σ w[rank] over hits with w = the integer micro-unit
+    discount table; IDCG = prefix[min(k, |exact|)]; MRR numerator =
+    floor(SCALE / first-hit-rank). Queries an index misses entirely
+    contribute zeros through the same grid fill as ann_recall. The
+    reported ndcg_at_k / mrr are micro-averaged: ONE division of exact
+    integer sums each — bit-deterministic cross-engine.
+
+    Scale shape: identical inputs to ann_recall (the exact side is the
+    amortized expensive leg; everything downstream is methods x
+    n_queries x k rows).
+    """
+    spark = df.sparkSession
+    w = _dcg_weights(k)
+    prefix = [sum(w[:m]) for m in range(k + 1)]  # prefix[m] = Σ w[1..m]
+    mrr_w = [NDCG_SCALE // r for r in range(1, k + 1)]
+    w_arr = F.array(*[F.lit(x) for x in w])
+    mrr_arr = F.array(*[F.lit(x) for x in mrr_w])
+    prefix_arr = F.array(*[F.lit(x) for x in prefix[1:]])  # 1-indexed by m
+
+    exact = knn_bruteforce(df, k).select("q_id", "vec_id")
+    approx = (
+        knn_lsh(df, k).select("q_id", "vec_id", "rnk").withColumn("method", F.lit("lsh"))
+        .unionByName(
+            knn_ivf(df, k).select("q_id", "vec_id", "rnk").withColumn("method", F.lit("ivf"))
+        )
+        .unionByName(
+            knn_pca(df, k).select("q_id", "vec_id", "rnk").withColumn("method", F.lit("pca"))
+        )
+    )
+    per_q = (
+        approx.join(exact, ["q_id", "vec_id"])
+        .groupBy("method", "q_id")
+        .agg(
+            F.sum(F.element_at(w_arr, F.col("rnk"))).cast("long").alias("dcg_u"),
+            F.element_at(mrr_arr, F.min("rnk")).cast("long").alias("mrr_u"),
+        )
+    )
+    idcg = (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_exact"))
+        .select(
+            "q_id",
+            F.element_at(prefix_arr, F.least(F.col("n_exact"), F.lit(k)))
+            .cast("long")
+            .alias("idcg_u"),
+        )
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",), ("pca",)], ["method"])
+    grid = exact.select("q_id").distinct().crossJoin(F.broadcast(methods))
+    filled = (
+        grid.join(per_q, ["method", "q_id"], "left")
+        .join(idcg, "q_id")
+        .select(
+            "method",
+            "q_id",
+            F.coalesce("dcg_u", F.lit(0)).alias("dcg_u"),
+            F.coalesce("mrr_u", F.lit(0)).alias("mrr_u"),
+            "idcg_u",
+        )
+    )
+    return filled.groupBy("method").agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.sum("dcg_u").cast("long").alias("sum_dcg_u"),
+        F.sum("idcg_u").cast("long").alias("sum_idcg_u"),
+        F.sum("mrr_u").cast("long").alias("sum_mrr_u"),
+        (F.sum("dcg_u").cast("double") / F.sum("idcg_u").cast("double")).alias(
+            "ndcg_at_k"
+        ),
+        (
+            F.sum("mrr_u").cast("double")
+            / (F.lit(float(NDCG_SCALE)) * F.count(F.lit(1)))
+        ).alias("mrr"),
+    )

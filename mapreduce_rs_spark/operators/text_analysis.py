@@ -525,6 +525,91 @@ def cms_word_counts(
     )
 
 
+CDC_DIVISOR = 8  # expected chunk length in tokens (boundary rate 1/d)
+
+
+def cdc_chunk_dedup(df: DataFrame, d: int = CDC_DIVISOR) -> DataFrame:
+    """Content-defined chunking (CDC) + cross-document chunk dedup —
+    the insertion-robust chunking a storage/dedup pipeline uses where
+    fixed-size chunking fails: a chunk boundary falls AFTER token i
+    wherever the rolling pair hash h32(tok_i || ' ' || tok_{i+1}) is
+    divisible by ``d``, so boundaries depend only on LOCAL content.
+    Insert a token anywhere and only the chunk containing the edit
+    changes — every later boundary re-synchronizes (pinned in
+    tests/test_text_edge_cases.py); with fixed-size windows the same
+    edit shifts every downstream chunk and kills all dedup hits.
+
+    Expected chunk length is d tokens (geometric boundary spacing).
+    Per document: boundary positions, chunk slices, md5 chunk
+    fingerprints — all ONE narrow sequence/filter/slice expression per
+    row (the chunk_documents shape: no shuffle, no UDF). The only
+    shuffles are the fingerprint -> distinct-doc-count aggregate and
+    the per-doc rollup. Reported per document: chunk count, token
+    count, chunks shared with >= 2 documents (storage-dedup hits), and
+    the duplicate-chunk fraction (one exact-int division).
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    base = df.where(F.size(toks) > 0).select("doc_id", toks.alias("tk"))
+    # Guard n < 2: Spark sequence(1, 0) DESCENDS to [1, 0] and
+    # element_at(tk, 0) is a runtime error — single-token docs must
+    # yield an empty boundary list (DuckDB range(1, 1) is [] natively).
+    pair_hash = (
+        "CAST(conv(substring(md5(concat(element_at(tk, i), ' ', "
+        "element_at(tk, i + 1))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    chunks = base.select(
+        "doc_id",
+        "tk",
+        F.expr(
+            f"CASE WHEN size(tk) < 2 THEN array() "
+            f"ELSE filter(sequence(1, size(tk) - 1), i -> {pair_hash} % {d} = 0) "
+            f"END"
+        ).alias("bpos"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.expr("concat(array(0), bpos, array(size(tk)))").alias("b"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(b) - 1), j -> struct("
+                "CAST(j AS INT) AS chunk_idx, "
+                "slice(tk, element_at(b, j) + 1, "
+                "element_at(b, j + 1) - element_at(b, j)) AS chunk_toks))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.chunk_toks").alias("n_tokens"),
+        F.md5(F.array_join("c.chunk_toks", " ")).alias("fp"),
+    )
+    fp_docs = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(fp_docs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_chunk_tokens"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_chunk_tokens",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+                "dup_chunk_frac"
+            ),
+        )
+    )
+
+
 BOILERPLATE_N = 3
 BOILERPLATE_MIN_DOCS = 3
 

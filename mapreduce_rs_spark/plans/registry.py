@@ -882,6 +882,99 @@ def _ann_recall_sql(k: int = 10) -> str:
         """
 
 
+def _ann_ranking_sql(k: int = 10) -> str:
+    """Oracle twin of similarity.ann_ranking_metrics — the lsh/ivf/pca
+    top-k legs reuse the SAME CTE builders as their knn_* oracles; the
+    integer discount tables are the operator's own Python-computed
+    literals, so no log2 ever evaluates in either engine."""
+    w = similarity._dcg_weights(k)
+    prefix = [sum(w[:m]) for m in range(k + 1)]
+    mrr_w = [similarity.NDCG_SCALE // r for r in range(1, k + 1)]
+    w_lit = "[" + ", ".join(str(x) for x in w) + "]"
+    mrr_lit = "[" + ", ".join(str(x) for x in mrr_w) + "]"
+    prefix_lit = "[" + ", ".join(str(x) for x in prefix[1:]) + "]"
+    rank = "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)"
+    return f"""{_ivf_assigned_cte()}, b AS (
+            SELECT vec_id, emb, {_bucket_sql('emb', _PLANES)} AS bucket FROM v
+        ), {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE {_QFILTER}
+        ), exact_scored AS (
+            SELECT q_id, vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
+            FROM q JOIN v ON q_id <> vec_id
+        ), exact_topk AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM exact_scored
+            ) e WHERE rnk <= {k}
+        ), lq AS (
+            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+            FROM b WHERE {_QFILTER}
+        ), lsh_scored AS (
+            SELECT q_id, b.vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
+            FROM lq JOIN b ON q_bucket = bucket AND q_id <> b.vec_id
+        ), lsh_topk AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM lsh_scored
+            ) s WHERE rnk <= {k}
+        ), iq AS (
+            SELECT vec_id AS q_id, emb AS q_emb, centroid_id AS q_centroid
+            FROM assigned WHERE {_QFILTER}
+        ), ivf_scored AS (
+            SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
+            FROM iq JOIN assigned a ON q_centroid = a.centroid_id AND q_id <> a.vec_id
+        ), ivf_topk AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM ivf_scored
+            ) s WHERE rnk <= {k}
+        ), pz AS (
+            SELECT vec_id, {_pca_z_sql_duck('emb')} AS z FROM v
+        ), pca_q AS (
+            SELECT vec_id AS q_id, z AS q_z FROM pz WHERE {_QFILTER}
+        ), pca_scored AS (
+            SELECT q_id, pz.vec_id, {_cosine_sql('q_z', 'z')} AS cos_sim
+            FROM pca_q JOIN pz ON q_id <> pz.vec_id
+        ), pca_topk AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM pca_scored
+            ) s WHERE rnk <= {k}
+        ), approx AS (
+            SELECT 'lsh' AS method, q_id, vec_id, rnk FROM lsh_topk
+            UNION ALL SELECT 'ivf' AS method, q_id, vec_id, rnk FROM ivf_topk
+            UNION ALL SELECT 'pca' AS method, q_id, vec_id, rnk FROM pca_topk
+        ), hits AS (
+            SELECT method, a.q_id, a.rnk
+            FROM approx a JOIN exact_topk e ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        ), per_q AS (
+            SELECT method, q_id,
+                   CAST(sum({w_lit}[rnk]) AS BIGINT) AS dcg_u,
+                   CAST({mrr_lit}[min(rnk)] AS BIGINT) AS mrr_u
+            FROM hits GROUP BY 1, 2
+        ), idcg AS (
+            SELECT q_id,
+                   CAST({prefix_lit}[least(count(*), {k})] AS BIGINT) AS idcg_u
+            FROM exact_topk GROUP BY q_id
+        ), grid AS (
+            SELECT method, q_id
+            FROM (SELECT DISTINCT q_id FROM exact_topk) qs
+            CROSS JOIN (SELECT unnest(['lsh', 'ivf', 'pca']) AS method) m
+        ), filled AS (
+            SELECT g.method, g.q_id,
+                   COALESCE(p.dcg_u, 0) AS dcg_u,
+                   COALESCE(p.mrr_u, 0) AS mrr_u,
+                   i.idcg_u
+            FROM grid g
+            LEFT JOIN per_q p ON p.method = g.method AND p.q_id = g.q_id
+            JOIN idcg i ON i.q_id = g.q_id
+        )
+        SELECT method, CAST(count(*) AS INTEGER) AS n_queries,
+               CAST(sum(dcg_u) AS BIGINT) AS sum_dcg_u,
+               CAST(sum(idcg_u) AS BIGINT) AS sum_idcg_u,
+               CAST(sum(mrr_u) AS BIGINT) AS sum_mrr_u,
+               CAST(sum(dcg_u) AS DOUBLE) / CAST(sum(idcg_u) AS DOUBLE) AS ndcg_at_k,
+               CAST(sum(mrr_u) AS DOUBLE) / (1000000.0 * count(*)) AS mrr
+        FROM filled GROUP BY method ORDER BY method
+        """
+
+
 def _pagerank_trade_sql(iterations: int = 5, damping_pct: int = 85) -> str:
     """Oracle twin of graph.pagerank_trade_flows: the SAME fixed-point
     integer recurrence, unrolled into chained CTEs (one i{k}/r{k} pair
@@ -3205,7 +3298,16 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall": QuerySpec(
         _emb(lambda df: similarity.ann_recall(df, 10)),
         _ann_recall_sql(10),
-        "recall@k of lsh/ivf/ivf_mp2/pq vs exact brute-force: the ANN evaluation harness as a query",
+        "recall@k of lsh/ivf/ivf_mp2/pq/ivfpq/pca vs exact brute-force: "
+        "the ANN evaluation harness as a query",
+    ),
+    "ann_ranking_metrics": QuerySpec(
+        _emb(lambda df: similarity.ann_ranking_metrics(df, 10)),
+        _ann_ranking_sql(10),
+        "MRR + NDCG@10 of one index per ANN family vs exact: the "
+        "rank-position-sensitive IR view; per-rank discounts are "
+        "driver-computed integer literals, so both metrics are exact "
+        "integer sums + one division — no log2 in either engine",
     ),
     # ---- round-3 additions, part 2: the full remaining TPC-H battery
     # expressible on this schema (no partsupp / phone / comment / shipmode
@@ -3523,6 +3625,45 @@ QUERIES: dict[str, QuerySpec] = {
         """,
         "DoReMi-shaped training-mixture weights: uniform-over-language target, "
         "natural source proportions within language",
+    ),
+    "cdc_chunk_dedup": QuerySpec(
+        _docs(ta.cdc_chunk_dedup),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), base AS (
+            SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+        ), withb AS (
+            SELECT doc_id, tk,
+                   list_concat(list_concat([0], list_filter(range(1, len(tk)),
+                       i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 8)) AS BIGINT)
+                            % {ta.CDC_DIVISOR} = 0)),
+                       [len(tk)]) AS b
+            FROM base
+        ), positions AS (
+            SELECT doc_id, tk, b, unnest(range(1, len(b))) AS j FROM withb
+        ), ct AS (
+            SELECT doc_id,
+                   md5(array_to_string(tk[b[j] + 1 : b[j + 1]], ' ')) AS fp,
+                   len(tk[b[j] + 1 : b[j + 1]]) AS n_tokens
+            FROM positions
+        ), fp_docs AS (
+            SELECT fp, count(DISTINCT doc_id) AS n_docs FROM ct GROUP BY fp
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS n_chunk_tokens,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_dup_chunks,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS dup_chunk_frac
+        FROM ct JOIN fp_docs USING (fp)
+        GROUP BY doc_id ORDER BY doc_id
+        """,
+        "content-defined chunking + chunk dedup: boundaries from the "
+        "rolling pair hash (local content only, so edits re-synchronize "
+        "— the insertion-robust property fixed-size chunking lacks); "
+        "narrow per-row slicing, shuffles only on fingerprints",
     ),
     "chunk_documents": QuerySpec(
         _docs(ta.chunk_documents),
@@ -4272,6 +4413,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "q12_priority_by_returnflag": ("l_returnflag",),
     "q15_top_supplier": ("s_suppkey",),
     "ann_recall": ("method",),
+    "ann_ranking_metrics": ("method",),
     "q7_volume_shipping": ("supp_nation", "cust_nation", "ship_year"),
     "q8_market_share": ("o_year",),
     "q9_profit_by_nation": ("n_name", "o_year"),
@@ -4293,6 +4435,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "latest_event_state": ("latest_event_type",),
     "decontaminate": ("lang",),
     "curation_yield_signals": ("lang",),
+    "cdc_chunk_dedup": ("doc_id",),
     "chunk_documents": ("doc_id", "chunk_idx"),
     "repetition_signals": ("doc_id",),
     "boilerplate_ngrams": ("doc_id",),
@@ -4429,6 +4572,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     # exercised through knn_bruteforce (same _query_set) and knn_ivfpq /
     # ann_recall's pq leg (same codebooks and _pq_adc_terms builder).)
     "ann_recall",
+    # (cdc_chunk_dedup — NEW third session — outside the window with
+    # the other third-session late additions; locally parity-checked at
+    # both SFs + random-probed; rotate next round.)
+    # (ann_ranking_metrics — NEW third session — stays outside the
+    # window: every top-k input leg is shared verbatim with ann_recall
+    # (same CTE builders), and the metric aggregation is integer table
+    # lookups + one division, locally parity-checked; rotate next
+    # round with knn_pca.)
     # (knn_pca — NEW third session — stays outside the 50-slot window:
     # its entire expression family (the _pca_z_sql literal projection,
     # the reduced-space cosine, the top-k) is externally exercised

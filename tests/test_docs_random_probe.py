@@ -41,6 +41,7 @@ DOC_QUERIES = (
     "dedup_components",
     "corpus_profile",
     "chunk_documents",
+    "cdc_chunk_dedup",
     "repetition_signals",
     "boilerplate_ngrams",
     "stratified_sample_summary",

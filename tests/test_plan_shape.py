@@ -194,6 +194,10 @@ _SCALE_GUARDS = {
     # (N_QUERIES_CAP TakeOrdered rows) and k·n_queries candidate sets —
     # never the corpus.
     "ann_recall": (21, 0),  # +1 for the round-4 pca leg's top-k window
+    # MRR/NDCG harness: three index legs (lsh/ivf/pca) + exact, each a
+    # scoring join + top-k window over the bounded query sample, then
+    # the metric aggregation — every exchange is methods x queries x k
+    "ann_ranking_metrics": (18, 0),
     "corpus_profile": (1, 0),             # one partial→final (multi-distinct) agg
     "latest_event_state": (2, 0),         # user_id window + tiny by-state agg
     # broadcast-semi probe against the eval shingle set + distinct +
@@ -316,6 +320,9 @@ _SCALE_GUARDS = {
     # builds carry the corpus stages); the visible exchanges are the
     # pair-keyed model join side + the per-doc integer sum
     "bigram_surprisal_scores": (2, 0),
+    # CDC chunking: narrow per-row boundary/slice expressions; shuffles
+    # are fp distinct-doc agg + the join-back + per-doc rollup
+    "cdc_chunk_dedup": (3, 0),
     # one (bucket, event_type) exchange: both row_number windows and
     # the OHLC aggregation share the partitioning
     "ohlc_bars": (1, 0),
@@ -458,6 +465,7 @@ def test_runtime_bloom_filter_prunes_selective_fact_join(spark, tables):
 KMV_CONSUMERS = (
     "knn_bruteforce",
     "knn_pca",
+    "ann_ranking_metrics",
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_multiprobe",

@@ -154,3 +154,28 @@ def test_bigram_surprisal_separates_word_order_not_word_choice(spark):
     bi = {r["doc_id"]: r["mean_surprisal_cn"]
           for r in bigram_surprisal_scores(df).collect()}
     assert bi[99] > bi[0], (bi[99], bi[0])
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The CDC property fixed-size chunking lacks: inserting one token
+    at the FRONT of a document must leave all chunk fingerprints after
+    the first boundary intact (boundaries depend only on local pair
+    hashes, so they re-synchronize immediately), while fixed-size
+    windows would shift every chunk. Asserted structurally: the edited
+    doc shares all but at most 2 of the original's chunk fingerprints."""
+    from mapreduce_rs_spark.operators.text_analysis import cdc_chunk_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+            "one two three four five six seven eight nine ten")
+    edited = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base, "en"), (2, edited, "en")], ["doc_id", "text", "lang"]
+    )
+    rows = cdc_chunk_dedup(df).collect()
+    stats = {r["doc_id"]: r for r in rows}
+    n1 = stats[1]["n_chunks"]
+    # shared chunks are exactly the dup-counted ones (only 2 docs here)
+    shared = stats[1]["n_dup_chunks"]
+    assert shared >= n1 - 2, (n1, shared)
+    assert stats[2]["n_chunk_tokens"] == stats[1]["n_chunk_tokens"] + 1
