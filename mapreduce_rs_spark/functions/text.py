@@ -87,15 +87,25 @@ def ngrams_of(toks: Column, n: int) -> Column:
     no common-subexpression elimination, so every ``token_ngrams(text)``
     call re-runs the regex tokenizer — hoist the token array into one
     projection and slide over it (measured 2-3x on multi-family plans:
-    dsir_importance_weights, skipgram_pmi)."""
+    dsir_importance_weights, skipgram_pmi).
+
+    Construction is a zip_with fold over the n SHIFTED SLICES of the
+    token array — per ELEMENT the work is one string concat. The
+    round-4 rewrite: the previous sequence→slice(i,n)→array_join slide
+    allocated a sub-array + joined it per POSITION inside an
+    interpreted (non-codegen, no-CSE) lambda, which made n-gram
+    construction ~9x the cost of tokenization itself (measured at
+    sf0.1: explode(bigrams) 5.9 s vs 0.63 s for this form — identical
+    output strings, so every oracle is unaffected)."""
     n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.when(
-        n_grams > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = F.slice(toks, 1, n_grams)
+    for i in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, i, n_grams),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return acc
 
 
 def token_ngrams(col: Column | str, n: int) -> Column:

@@ -610,6 +610,38 @@ def cdc_chunk_dedup(df: DataFrame, d: int = CDC_DIVISOR) -> DataFrame:
     )
 
 
+def cms_counters(df: DataFrame, w: int = CMS_W_AUDIT) -> DataFrame:
+    """The CMS counter table as ONE aggregation over the raw token
+    stream — counter[lane][col] = # tokens whose lane hash lands in
+    col. Identical values to cms_word_counts' wc-derived sketch
+    (summing per-word counts grouped by cell == counting occurrences
+    per cell), but the single-aggregate shape is what Structured
+    Streaming requires: per-token work is narrow (explode + one md5 +
+    4 lane projections), the only stateful op is the (lane, col) count
+    — a distributive sum, so cross-batch state maintenance IS the
+    sketch merge and state is bounded at d x w rows forever (the
+    hll_registers discipline; streaming/pipeline.streaming_cms runs
+    this VERBATIM under readStream)."""
+    from mapreduce_rs_spark.functions.hashing import h32_lane_from_digest
+
+    return (
+        explode_tokens(df)
+        .select(F.md5("word").alias("dg"))
+        .select(
+            F.posexplode(
+                F.array(
+                    *[
+                        (h32_lane_from_digest("dg", lane) % w)
+                        for lane in range(CMS_D)
+                    ]
+                )
+            ).alias("lane", "col")
+        )
+        .groupBy("lane", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("counter"))
+    )
+
+
 BOILERPLATE_N = 3
 BOILERPLATE_MIN_DOCS = 3
 

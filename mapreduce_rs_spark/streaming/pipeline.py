@@ -370,3 +370,56 @@ def run_trend_stream(
         .start()
         .awaitTermination()
     )
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def streaming_cms(stream: DataFrame) -> DataFrame:
+    """Streaming Count-Min Sketch counters:
+    operators/text_analysis.cms_counters VERBATIM (shared code, not a
+    copy) under readStream — the incremental frequency sketch. The
+    (lane, col) count is a distributive sum, so cross-batch state
+    maintenance IS the sketch merge; state is bounded at d x w rows
+    FOREVER (no watermark needed — the sketch, not time, bounds it),
+    and the maintained counters are byte-identical to the batch sketch
+    whatever the micro-batch boundaries. Point estimates (min over the
+    d counters a word hashes to) derive from current counters without
+    rescanning history."""
+    from mapreduce_rs_spark.operators.text_analysis import cms_counters
+
+    return cms_counters(stream)
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain-and-stop CMS counter stream over a documents file source
+    (availableNow), complete mode into an in-memory table — the harness
+    for the stream-equals-batch counter test."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    (
+        streaming_cms(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -319,3 +319,35 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
     batch = sorted(map(tuple, hll_registers(events).collect()))
     assert streamed, "stream produced no registers"
     assert streamed == batch
+
+
+def test_streaming_cms_counters_match_batch(spark, sf_dir, tmp_path):
+    """The streamed CMS counter table, drained across MULTIPLE
+    micro-batches (input split into 4 files), must equal the batch
+    counters EXACTLY: the (lane, col) count is a distributive sum, so
+    cross-batch state maintenance IS the sketch merge and micro-batch
+    boundaries cannot perturb a counter. Counter equality implies every
+    derived point estimate (min over d counters) matches the batch
+    sketch — the oracle-checked cms_word_counts covers that
+    arithmetic. Also pins the bounded-state fact (<= d x w rows) and
+    mass conservation (each lane row-sums to the token count)."""
+    from mapreduce_rs_spark.operators.text_analysis import (
+        CMS_D,
+        CMS_W_AUDIT,
+        cms_counters,
+        explode_tokens,
+    )
+    from mapreduce_rs_spark.streaming.pipeline import run_cms_stream
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.parquet(inp)
+    run_cms_stream(spark, inp, ckpt, "cms_counters", max_files_per_trigger=1)
+    streamed = sorted(map(tuple, spark.table("cms_counters").collect()))
+    batch = sorted(map(tuple, cms_counters(docs).collect()))
+    assert streamed, "stream produced no counters"
+    assert streamed == batch
+    assert len(streamed) <= CMS_D * CMS_W_AUDIT
+    n_tokens = explode_tokens(docs).count()
+    for lane in range(CMS_D):
+        assert sum(c for l, _, c in streamed if l == lane) == n_tokens
