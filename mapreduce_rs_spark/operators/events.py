@@ -1216,3 +1216,184 @@ def theta_daily_overlap(
             F.expr("coalesce(n_both, 0) * 10000 div n_m").alias("jacc_bp"),
         )
     )
+
+
+def event_transition_matrix(t: dict[str, DataFrame]) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the behavioral model behind next-event prediction and
+    funnel-dropoff analysis.
+
+    Each user's stream is ordered by the repo's total-order discipline
+    ``(ts, event_id)`` (never bare ts: duplicate timestamps would make
+    ``lag`` nondeterministic — the row_number-over-(ts, event_id)
+    family). ``p_next`` is ONE division of exact integer counts, so the
+    probabilities are partition-invariant.
+
+    Scale: one exchange on user_id for the lag window (each user's
+    history is processed within its partition — the sessionize shape),
+    then an agg onto a |types|² key space (tiny) and a broadcast-size
+    window for row totals. The per-user window never materializes the
+    pair list driver-side.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t["events"]
+        .select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    row_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_w)
+        ).alias("p_next"),
+    )
+
+
+EWMA_K = 8  # lookback depth; weights 2^(K-rn) are exact integers
+
+
+def ewma_value(t: dict[str, DataFrame], k: int = EWMA_K) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` over
+    the last ``k`` events (half-life = one event) — the smoothed
+    activity signal behind engagement scoring and rate limiting.
+
+    The usual recursive EWMA (s_t = a·x_t + (1-a)·s_{t-1}) is
+    order-serial and float-accumulating; restated over a bounded
+    lookback with a = 1/2 it becomes a WEIGHTED SUM with
+    power-of-two weights, and the float-determinism discipline makes
+    it exact: value cents (lossless DECIMAL cast) times integer
+    weights 2^(k-rn), both sums pure BIGINT, ONE final double
+    division. Weights ship as a literal array indexed by row rank —
+    no pow() evaluated in either engine.
+
+    Recency rank uses the (ts, event_id) DESC total order (the
+    row_number discipline — bare ts would tie-break
+    nondeterministically). Scale: ONE exchange on user_id serves both
+    the rank window and the per-user agg (the sessionize shape); the
+    k-row cap bounds per-user state regardless of history length.
+    """
+    weights = [1 << (k - i) for i in range(1, k + 1)]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        t["events"]
+        .select(
+            "user_id",
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+        .select(
+            "user_id",
+            "cents",
+            "rn",
+            F.element_at(F.array([F.lit(x) for x in weights]), F.col("rn").cast("int")).alias("w"),
+        )
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_recent"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).cast("double") / 100.0
+        ).alias("last_value"),
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / (F.sum("w") * 100).cast("double")
+        ).alias("ewma_value"),
+    )
+
+
+ZM_PRED_LO, ZM_PRED_HI = 16384, 32767  # quarter-domain predicate, each dim
+ZM_FILES = 256
+
+
+def zone_map_pruning(t: dict[str, DataFrame]) -> DataFrame:
+    """Zone-map (min/max file statistics) pruning evaluation — the
+    data-skipping mechanics behind parquet row-group stats and
+    Delta/Iceberg file pruning, quantified per layout. Where
+    ``zorder_locality`` measures per-file SPANS, this measures what a
+    100 TB scan actually cares about: how many files a concrete
+    predicate SKIPS, and how many rows the survivors force it to read.
+
+    Rows carry two normalized 16-bit dimensions (hour bucket, value
+    bucket — the same exact-integer min/max scaling as
+    zorder_locality); three layouts pack them into 256 "files": sorted
+    by time, sorted by value, and Morton z-order. Each file's zone map
+    is (min, max) per dimension; a file is pruned for a predicate if
+    its range is disjoint from the predicate interval [16384, 32767]
+    (the second quarter of each domain — a literal, so both engines
+    evaluate the identical comparison). The conjunctive predicate
+    prunes when EITHER dimension's zone excludes it.
+
+    Every column is an exact integer — counts, mins, maxes, and
+    boolean sums; there is no float anywhere. Scale: one narrow
+    projection + a broadcast 1-row bounds frame, a 3·256-key agg with
+    map-side partials, then a 3-key rollup. The layout×file grain is
+    the entire shuffle.
+    """
+    ev = t["events"]
+    raw = ev.select(
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("h"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("c"),
+    )
+    bounds = raw.agg(
+        F.min("h").alias("hmin"),
+        F.max("h").alias("hmax"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+    )
+    base = raw.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((h - hmin) * 65536) div (hmax - hmin + 1)").alias("hb"),
+        F.expr("((c - cmin) * 65536) div (cmax - cmin + 1)").alias("vb"),
+    )
+    z = f"({_spread_bits_sql('hb')} | ({_spread_bits_sql('vb')} << 1))"
+    tagged = base.select("hb", "vb", F.expr(z).alias("z"))
+    per_file = (
+        tagged.select(
+            F.lit("time").alias("layout"), F.expr("hb div 256").alias("file_id"), "hb", "vb"
+        )
+        .unionByName(
+            tagged.select(
+                F.lit("value").alias("layout"), F.expr("vb div 256").alias("file_id"), "hb", "vb"
+            )
+        )
+        .unionByName(
+            tagged.select(
+                F.lit("zorder").alias("layout"), F.expr("z div 16777216").alias("file_id"), "hb", "vb"
+            )
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("hb").alias("min_h"),
+            F.max("hb").alias("max_h"),
+            F.min("vb").alias("min_v"),
+            F.max("vb").alias("max_v"),
+        )
+    )
+    lo, hi = ZM_PRED_LO, ZM_PRED_HI
+    skip_t = (F.col("max_h") < lo) | (F.col("min_h") > hi)
+    skip_v = (F.col("max_v") < lo) | (F.col("min_v") > hi)
+    skip_c = skip_t | skip_v
+    as_long = lambda c: c.cast("int").cast("long")  # noqa: E731
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(as_long(skip_t)).cast("long").alias("pruned_time_files"),
+        F.sum(as_long(skip_v)).cast("long").alias("pruned_value_files"),
+        F.sum(as_long(skip_c)).cast("long").alias("pruned_conj_files"),
+        F.sum(F.when(~skip_c, F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned_conj"),
+    )

@@ -604,13 +604,14 @@ def encode_wav(sample_rate: int, n_channels: int, frames: bytes) -> bytes:
     return WAV_MAGIC + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
-    """Decode a 16-bit PCM WAV: (n_frames, n_channels, sample_rate,
-    sum of absolute sample amplitudes). Pure Python: RIFF chunk walk
-    (word-aligned per spec — odd-size chunks carry a pad byte) → fmt
-    validation (PCM, 16-bit, consistent block align / byte rate) →
-    int16 sample unpack. Raises loudly on anything else so the pipeline
-    can quarantine corrupt rows."""
+def decode_wav_samples(payload: bytes) -> tuple[int, int, int, tuple]:
+    """Decode a 16-bit PCM WAV to (n_frames, n_channels, sample_rate,
+    raw int16 samples). Pure Python: RIFF chunk walk (word-aligned per
+    spec — odd-size chunks carry a pad byte) → fmt validation (PCM,
+    16-bit, consistent block align / byte rate) → int16 sample unpack.
+    Raises loudly on anything else so the pipeline can quarantine
+    corrupt rows. ``decode_wav`` wraps this for aggregate stats;
+    ``extract_wav_windows`` consumes the samples directly."""
     if not payload.startswith(WAV_MAGIC):
         raise ValueError("not a RIFF payload")
     if len(payload) < 12 or payload[8:12] != b"WAVE":
@@ -642,7 +643,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
     if len(data) % block_align:
         raise ValueError("corrupt WAV: data not a whole number of frames")
     samples = struct.unpack(f"<{len(data) // 2}h", data)
-    return len(data) // block_align, n_channels, sample_rate, sum(abs(s) for s in samples)
+    return len(data) // block_align, n_channels, sample_rate, samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Aggregate decode: (n_frames, n_channels, sample_rate, sum of
+    absolute sample amplitudes) — ``decode_wav_samples`` + the sum."""
+    n_frames, n_channels, sample_rate, samples = decode_wav_samples(payload)
+    return n_frames, n_channels, sample_rate, sum(abs(s) for s in samples)
 
 
 def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1513,3 +1521,70 @@ def jpeg_decode_stats(df: DataFrame) -> DataFrame:
         F.round(F.col("mean_intensity") * n_pixels).cast("long").alias("sum_intensity"),
         "mean_intensity",
     )
+
+
+WAV_WIN = 32  # samples per analysis window
+WAV_LOUD_ABS = 8192  # |sample| threshold for the "loud" counter (32·256)
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id long, win_idx int, n_win long, sum_abs long, sum_sq long, "
+    "mean_square double, n_loud long"
+)
+
+
+def extract_wav_windows(df: DataFrame) -> DataFrame:
+    """1:N windowed audio feature extraction over decoded WAV samples —
+    the frame-level analysis stage (energy contours, VAD-style loudness
+    gating) that follows decode in a real audio pipeline. Each payload
+    decodes once and yields one row per ``WAV_WIN``-sample window with
+    energy statistics computed from the RAW samples, not metadata.
+
+    Float discipline: ``sum_abs``/``sum_sq``/``n_loud`` are exact
+    integer sums (int16 squares are ≤ 2^30, windows are 32 samples —
+    no overflow anywhere near); ``mean_square`` is ONE division of
+    exact integers. Narrow ``mapInPandas`` — no shuffle; the window
+    fan-out is bounded by payload size per Arrow batch.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "win_idx", "n_win", "sum_abs", "sum_sq",
+                    "mean_square", "n_loud",
+                )
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                _, _, _, samples = decode_wav_samples(bytes(payload))
+                for w in range(0, len(samples), WAV_WIN):
+                    win = samples[w : w + WAV_WIN]
+                    s_abs = sum(abs(s) for s in win)
+                    s_sq = sum(s * s for s in win)
+                    rows["doc_id"].append(doc_id)
+                    rows["win_idx"].append(w // WAV_WIN)
+                    rows["n_win"].append(len(win))
+                    rows["sum_abs"].append(s_abs)
+                    rows["sum_sq"].append(s_sq)
+                    rows["mean_square"].append(s_sq / len(win))
+                    rows["n_loud"].append(
+                        sum(1 for s in win if abs(s) >= WAV_LOUD_ABS)
+                    )
+            out = pd.DataFrame(rows)
+            out["win_idx"] = out["win_idx"].astype("int32")
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_WINDOW_SCHEMA)
+
+
+def wav_frame_features(df: DataFrame) -> DataFrame:
+    """Oracle-checkable windowed-audio round-trip: synthesize spec-valid
+    WAVs (attach_wav_payload), decode with the full codec, window the
+    samples (extract_wav_windows). The DuckDB oracle recomputes every
+    window's statistics from the raw text with NO RIFF machinery —
+    sample j of doc is ``(byte[j % len] - 128)·256``, so each window
+    [a, b) is a tiled-byte range sum (the gif_frame_stats prefix-sum
+    pattern) under three transforms: |ascii-128|·256, (ascii-128)²·2^16,
+    and the loudness indicator |ascii-128| ≥ 32. Agreement proves the
+    codec round-trip AND the windowing arithmetic per window."""
+    return extract_wav_windows(attach_wav_payload(df))

@@ -2028,3 +2028,140 @@ def join_size_estimate(
             "exact_join_rows",
         )
     )
+
+
+# Benford expected first-digit shares, quantized to integer nano-units
+# (round(log10(1 + 1/d) * 1e9)) in PYTHON at import time, so Spark and
+# the DuckDB oracle receive the SAME integer literals — no cross-engine
+# log10 evaluation ever happens (float-determinism toolbox: an expected
+# value from a formula → ship it as an integer literal).
+BENFORD_NANO = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d) * 1_000_000_000)
+    for d in range(1, 10)
+}
+
+
+def benford_digit_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fraud/synthetic-data audit, here as a one-scan
+    data-quality operator.
+
+    The digit is extracted from the DECIMAL(12,2) string form (money
+    discipline: the cast is lossless, and decimal->string renders
+    identically in Spark and DuckDB, unlike raw double formatting), via
+    the first ``[1-9]`` match so sub-1 values skip leading zeros.
+
+    Float discipline: ``share`` is ONE division of exact integers;
+    ``expected`` is an integer literal (BENFORD_NANO) divided by 1e9;
+    ``delta_n9`` is pure integer arithmetic — n·1e9 div total minus the
+    literal — so the audit verdict column is exact and
+    partition-invariant. n·1e9 needs BIGINT headroom: safe to ~9.2e9
+    rows, beyond any per-table count here; document, don't widen.
+
+    Scale: map-side partial agg onto 9 digit keys — the only hash
+    shuffle moves ≤9·P rows. The grand total comes from an
+    unpartitioned window OVER THE 9-ROW COUNTS frame (one
+    SinglePartition exchange of 9 rows), not a second aggregate —
+    an ``agg`` consumer would re-derive the whole scan subtree and
+    read orders twice (measured: 2 scans → 1). ONE linear scan, no
+    skew possible (9 keys, combiner collapses everything).
+    """
+    from pyspark.sql import Window
+
+    digit = F.regexp_extract(money("o_totalprice").cast("string"), "[1-9]", 0)
+    counts = (
+        t["orders"]
+        .select(digit.cast("int").alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    expected = F.create_map(
+        *[F.lit(x) for d, nano in BENFORD_NANO.items() for x in (d, nano)]
+    )
+    total = F.sum("n").over(Window.partitionBy()).cast("long")
+    return counts.select(
+        "digit",
+        "n",
+        total.alias("total"),
+        expected[F.col("digit")].alias("exp_n9"),
+    ).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.col("exp_n9").cast("double") / F.lit(1_000_000_000.0)).alias("expected"),
+        (F.expr("n * 1000000000 div total") - F.col("exp_n9")).cast("long").alias(
+            "delta_n9"
+        ),
+    )
+
+
+TARGET_ENC_M = 50  # m-estimate pseudo-count
+
+
+def target_encoding_nations(
+    t: dict[str, DataFrame], m: int = TARGET_ENC_M
+) -> DataFrame:
+    """Smoothed target encoding of customer nation by order value — the
+    categorical-feature encoder for tabular ML, with m-estimate
+    shrinkage toward the global mean so rare categories don't memorize
+    noise:  enc = (sum + m·global_mean) / (n + m).
+
+    Float discipline: the shrinkage formula is restated as one division
+    of EXACT integers by cross-multiplication (the vocab_coverage
+    pattern) — numerator sum_cents·g_n + m·g_sum_cents and denominator
+    (n+m)·g_n are DECIMAL(38,0) products of exact decimal cent sums
+    (money discipline), each cast to double once (exact-integer →
+    nearest-double is deterministic in both engines), then ONE division
+    and one exact /100. ``weight_bp`` (the shrinkage weight n/(n+m) in
+    basis points) is pure integer arithmetic. Headroom: ~1e13 cents ·
+    1e10 orders = 1e23 ≪ 1e38 — DECIMAL(38,0) survives 100 TB where
+    BIGINT (9.2e18) would overflow.
+
+    Scale: orders⋈customer is the one big join (equi-join on custkey —
+    at 100 TB both sides shuffle, co-bucketing applies); nation
+    broadcasts; the agg lands on 25 nation keys and the global sums
+    ride a SinglePartition window over that 25-row frame (the
+    benford_digit_audit trick — no second scan).
+    """
+    per = (
+        t["orders"]
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(money("o_totalprice")) * 100)
+            .cast("decimal(38,0)")
+            .alias("sum_cents"),
+        )
+    )
+    w_all = Window.partitionBy()
+    g = per.select(
+        "nation",
+        "n_orders",
+        "sum_cents",
+        F.sum("n_orders").over(w_all).cast("decimal(38,0)").alias("g_n"),
+        F.sum("sum_cents").over(w_all).cast("decimal(38,0)").alias("g_sum"),
+    )
+    num = (F.col("sum_cents") * F.col("g_n") + m * F.col("g_sum")).cast("double")
+    den = (
+        (F.col("n_orders") + m).cast("decimal(38,0)") * F.col("g_n")
+    ).cast("double")
+    return g.select(
+        "nation",
+        "n_orders",
+        (F.col("sum_cents").cast("double") / F.col("n_orders") / 100.0).alias(
+            "raw_avg"
+        ),
+        (num / den / 100.0).alias("enc_value"),
+        F.expr(f"n_orders * 10000 div (n_orders + {m})")
+        .cast("long")
+        .alias("weight_bp"),
+    )

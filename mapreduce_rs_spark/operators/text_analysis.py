@@ -1479,3 +1479,42 @@ def bpe_encode_stats(df: DataFrame, n_merges: int = 6) -> DataFrame:
             ),
         )
     )
+
+
+FH_DIM = 1024  # hashed feature space
+FH_SIGN_SEED = 7  # independent hash for the variance-reduction sign
+
+
+def feature_hashing_stats(docs: DataFrame, dim: int = FH_DIM) -> DataFrame:
+    """The hashing-trick vectorizer (feature hashing à la Weinberger et
+    al.) profiled per output dimension: every token maps to
+    ``h32(token) % dim`` with a ±1 sign from an independent hash —
+    the fixed-width, vocabulary-free featurization used when a 100 TB
+    corpus's vocabulary can't be collected, broadcast, or even counted
+    before featurizing.
+
+    Per dimension: occupancy (token occurrences, distinct docs,
+    distinct terms = collision load) and the signed occurrence sum
+    (the actual hashed-feature value aggregated corpus-wide; the sign
+    makes collisions cancel in expectation). All columns are exact
+    integers — no floats anywhere.
+
+    Scale: tokenize is narrow; the agg lands on ``dim`` keys with
+    map-side partials; the two count-distincts expand rows ×2 but
+    stay linear. No vocabulary state exists — that is the point.
+    """
+    from mapreduce_rs_spark.functions.hashing import h32
+
+    tok = explode_tokens(docs, "text", "doc_id")
+    hashed = tok.select(
+        "doc_id",
+        "word",
+        (h32("word") % dim).alias("dim"),
+        ((h32("word", seed=FH_SIGN_SEED) % 2) * 2 - 1).alias("sign"),
+    )
+    return hashed.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("word").cast("long").alias("n_terms"),
+        F.sum("sign").cast("long").alias("signed_sum"),
+    )

@@ -4095,6 +4095,233 @@ QUERIES: dict[str, QuerySpec] = {
         "via ONE vocabulary-sized broadcast join onto the token stream — "
         "text is never re-tokenized per merge round",
     ),
+    "benford_digit_audit": QuerySpec(
+        _tables(relational.benford_digit_audit),
+        f"""
+        WITH digits AS (
+            SELECT CAST(NULLIF(regexp_extract(
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                       '[1-9]', 0), '') AS INTEGER) AS digit
+            FROM orders
+        ), counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM digits WHERE digit IS NOT NULL GROUP BY digit
+        ), total AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+        ), expected(digit, exp_n9) AS (
+            VALUES {", ".join(f"({d}, {nano})" for d, nano in relational.BENFORD_NANO.items())}
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / total AS share,
+               CAST(exp_n9 AS DOUBLE) / 1000000000.0 AS expected,
+               CAST(n * 1000000000 // total - exp_n9 AS BIGINT) AS delta_n9
+        FROM counts CROSS JOIN total JOIN expected USING (digit)
+        """,
+        "Benford first-digit audit: digit from the lossless DECIMAL string "
+        "form, expected shares shipped as integer nano-unit literals, delta "
+        "in pure integer arithmetic — 9-key partial agg, one broadcast total",
+    ),
+    "event_transition_matrix": QuerySpec(
+        _tables(events.event_transition_matrix),
+        """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                   / sum(n_transitions) OVER (PARTITION BY prev_type) AS p_next
+        FROM pairs
+        """,
+        "First-order Markov transitions: lag over the (ts, event_id) total "
+        "order per user, |types|^2 agg, p_next = one division of exact counts",
+    ),
+    "link_prediction_scores": QuerySpec(
+        _tables(graph.link_prediction_scores),
+        f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), adj AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
+        ), wed AS (
+            SELECT a1.nbr AS x, a2.nbr AS y, d.deg AS deg_z
+            FROM adj a1
+            JOIN adj a2 ON a1.node = a2.node AND a1.nbr < a2.nbr
+            JOIN deg d ON d.node = a1.node
+            WHERE d.deg <= {graph.LINK_HUB_CAP}
+        ), cand AS (
+            SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                   CAST(sum(CAST(floor({float(graph.AA_SCALE)!r}
+                        / ln(CAST(deg_z AS DOUBLE))) AS BIGINT)) AS BIGINT)
+                       AS aa_micro
+            FROM wed GROUP BY x, y HAVING count(*) >= 2
+        )
+        SELECT c.x AS part_a, c.y AS part_b, c.cn,
+               dx.deg AS deg_a, dy.deg AS deg_b,
+               CAST(c.cn AS DOUBLE) / (dx.deg + dy.deg - c.cn) AS jaccard,
+               c.aa_micro
+        FROM cand c
+        LEFT JOIN edges e ON c.x = e.u AND c.y = e.v
+        JOIN deg dx ON dx.node = c.x
+        JOIN deg dy ON dy.node = c.y
+        WHERE e.u IS NULL
+        """,
+        "Link prediction on the co-purchase graph: hub-capped wedge equi-join, "
+        "Adamic-Adar quantized to integer micro-units before the sum, jaccard "
+        "= one division of exact integers, anti-join keeps non-edges only",
+    ),
+    "target_encoding_nations": QuerySpec(
+        _tables(relational.target_encoding_nations),
+        f"""
+        WITH per AS (
+            SELECT n.n_name AS nation,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS HUGEINT)
+                       AS sum_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ), g AS (
+            SELECT nation, n_orders, sum_cents,
+                   CAST(sum(n_orders) OVER () AS HUGEINT) AS g_n,
+                   CAST(sum(sum_cents) OVER () AS HUGEINT) AS g_sum
+            FROM per
+        )
+        SELECT nation, n_orders,
+               CAST(sum_cents AS DOUBLE) / n_orders / 100.0 AS raw_avg,
+               CAST(sum_cents * g_n + {relational.TARGET_ENC_M} * g_sum AS DOUBLE)
+                   / CAST((n_orders + {relational.TARGET_ENC_M}) * g_n AS DOUBLE)
+                   / 100.0 AS enc_value,
+               CAST(n_orders * 10000 // (n_orders + {relational.TARGET_ENC_M})
+                    AS BIGINT) AS weight_bp
+        FROM g
+        """,
+        "m-estimate target encoding of nation by order value: shrinkage "
+        "restated as one division of exact DECIMAL(38,0)/HUGEINT cross-"
+        "products; global sums via a window over the 25-row agg frame",
+    ),
+    "ewma_value": QuerySpec(
+        _tables(events.ewma_value),
+        f"""
+        WITH ranked AS (
+            SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ), recent AS (
+            SELECT user_id, cents, rn,
+                   ([{", ".join(str(1 << (events.EWMA_K - i)) for i in range(1, events.EWMA_K + 1))}])[rn] AS w
+            FROM ranked WHERE rn <= {events.EWMA_K}
+        )
+        SELECT user_id,
+               CAST(count(*) AS INTEGER) AS n_recent,
+               CAST(max(CASE WHEN rn = 1 THEN cents END) AS DOUBLE) / 100.0
+                   AS last_value,
+               CAST(sum(w * cents) AS DOUBLE)
+                   / CAST(sum(w) * 100 AS DOUBLE) AS ewma_value
+        FROM recent GROUP BY user_id
+        """,
+        "Bounded-lookback EWMA (a=1/2): literal power-of-two integer weights "
+        "times exact cents, pure-integer sums, ONE double division; "
+        "(ts, event_id) DESC recency rank",
+    ),
+    "feature_hashing_stats": QuerySpec(
+        _docs(ta.feature_hashing_stats),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), words AS (
+            SELECT doc_id, unnest(tk) AS word FROM toks
+        ), hashed AS (
+            SELECT doc_id, word,
+                   {h32_sql('word')} % {ta.FH_DIM} AS dim,
+                   ({h32_sql('word', seed=ta.FH_SIGN_SEED)} % 2) * 2 - 1 AS sign
+            FROM words
+        )
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_terms,
+               CAST(sum(sign) AS BIGINT) AS signed_sum
+        FROM hashed GROUP BY dim
+        """,
+        "Hashing-trick vectorizer profile: h32 % dim buckets with ±1 signs "
+        "from an independent seeded hash; occupancy/collision/signed-sum all "
+        "exact integers; zero vocabulary state",
+    ),
+    "zone_map_pruning": QuerySpec(
+        _tables(events.zone_map_pruning),
+        f"""
+        WITH raw AS (
+            SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS h,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+            FROM events
+        ), bounds AS (
+            SELECT min(h) AS hmin, max(h) AS hmax,
+                   min(c) AS cmin, max(c) AS cmax
+            FROM raw
+        ), base AS (
+            SELECT ((h - hmin) * 65536) // (hmax - hmin + 1) AS hb,
+                   ((c - cmin) * 65536) // (cmax - cmin + 1) AS vb
+            FROM raw CROSS JOIN bounds
+        ), tagged AS (
+            SELECT hb, vb,
+                   ({events._spread_bits_sql('hb')}
+                    | ({events._spread_bits_sql('vb')} << 1)) AS z
+            FROM base
+        ), per_file AS (
+            SELECT layout, file_id,
+                   count(*) AS n_rows,
+                   min(hb) AS min_h, max(hb) AS max_h,
+                   min(vb) AS min_v, max(vb) AS max_v
+            FROM (
+                SELECT 'time' AS layout, hb // 256 AS file_id, hb, vb FROM tagged
+                UNION ALL
+                SELECT 'value' AS layout, vb // 256 AS file_id, hb, vb FROM tagged
+                UNION ALL
+                SELECT 'zorder' AS layout, z // 16777216 AS file_id, hb, vb FROM tagged
+            ) GROUP BY layout, file_id
+        ), flagged AS (
+            SELECT layout, n_rows,
+                   (max_h < {events.ZM_PRED_LO} OR min_h > {events.ZM_PRED_HI}) AS skip_t,
+                   (max_v < {events.ZM_PRED_LO} OR min_v > {events.ZM_PRED_HI}) AS skip_v
+            FROM per_file
+        )
+        SELECT layout,
+               CAST(count(*) AS INTEGER) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN skip_t THEN 1 ELSE 0 END) AS BIGINT) AS pruned_time_files,
+               CAST(sum(CASE WHEN skip_v THEN 1 ELSE 0 END) AS BIGINT) AS pruned_value_files,
+               CAST(sum(CASE WHEN skip_t OR skip_v THEN 1 ELSE 0 END) AS BIGINT) AS pruned_conj_files,
+               CAST(sum(CASE WHEN NOT (skip_t OR skip_v) THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned_conj
+        FROM flagged GROUP BY layout
+        """,
+        "Zone-map pruning evaluation: per-file min/max statistics under "
+        "time/value/z-order layouts vs a literal quarter-domain predicate; "
+        "all-integer skip counts and surviving row volumes",
+    ),
+    "wav_frame_features": QuerySpec(
+        _docs(multimodal.wav_frame_features),
+        None,  # replaced below by the tiled-window builder
+        "Windowed audio features over the decoded WAV samples: 1:N window "
+        "expansion, exact-integer energy sums, one division per window",
+    ),
 }
 
 
@@ -4177,6 +4404,78 @@ def _bpe_encode_sql(n_merges: int = 6) -> str:
         GROUP BY doc_id ORDER BY doc_id
         """
     )
+
+
+def _wav_windows_sql() -> str:
+    """Oracle for wav_frame_features: each window [a, bnd) of the tiled
+    sample stream (sample j = (byte[j % len] - 128)·256) is a range sum
+    under three transforms — |ascii-128|·256, (ascii-128)²·2^16, and
+    the |ascii-128| ≥ 32 loudness indicator — each expressed as whole
+    text repetitions times the full-text sum plus a prefix-sum
+    difference (the gif_frame_stats machinery, parameterized over the
+    transform). The VALUES(0..2) window list covers the synthesis
+    bound: n_samples ≤ 96 = 3 windows of WAV_WIN=32."""
+    win = multimodal.WAV_WIN
+    a_ch = "ascii(substr(text, CAST(i AS INTEGER), 1))"
+    transforms = {
+        "abs": f"abs({a_ch} - 128) * 256",
+        "sq": f"({a_ch} - 128) * ({a_ch} - 128) * 65536",
+        "loud": f"CASE WHEN abs({a_ch} - 128) >= 32 THEN 1 ELSE 0 END",
+    }
+
+    def agg(hi: str, expr: str) -> str:
+        return (
+            "COALESCE(CAST(list_aggregate(list_transform("
+            f"range(1, {hi} + 1), i -> {expr}), 'sum') AS BIGINT), 0)"
+        )
+
+    all_cols = ",\n                   ".join(
+        f"{agg('len', e)} AS all_{t}" for t, e in transforms.items()
+    )
+    pre_b = ",\n                   ".join(
+        f"{agg('CASE WHEN len = 0 THEN 0 ELSE bnd % len END', e)} AS preb_{t}"
+        for t, e in transforms.items()
+    )
+    pre_a = ",\n                   ".join(
+        f"{agg('CASE WHEN len = 0 THEN 0 ELSE a % len END', e)} AS prea_{t}"
+        for t, e in transforms.items()
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   (length(text) % 2 + 1) * (length(text) % 48 + 1) AS n_samples
+            FROM documents
+        ), ranges AS (
+            SELECT doc_id, text, len, n_samples,
+                   w.w AS win_idx,
+                   w.w * {win} AS a,
+                   least((w.w + 1) * {win}, n_samples) AS bnd
+            FROM base
+            CROSS JOIN (VALUES (0), (1), (2)) AS w(w)
+            WHERE w.w * {win} < n_samples
+        ), sums AS (
+            SELECT doc_id, win_idx, a, bnd,
+                   CASE WHEN len = 0 THEN 0 ELSE (bnd // len - a // len) END AS reps,
+                   {all_cols},
+                   {pre_b},
+                   {pre_a}
+            FROM ranges
+        )
+        SELECT doc_id,
+               CAST(win_idx AS INTEGER) AS win_idx,
+               CAST(bnd - a AS BIGINT) AS n_win,
+               CAST(reps * all_abs + preb_abs - prea_abs AS BIGINT) AS sum_abs,
+               CAST(reps * all_sq + preb_sq - prea_sq AS BIGINT) AS sum_sq,
+               CAST(reps * all_sq + preb_sq - prea_sq AS DOUBLE) / (bnd - a)
+                   AS mean_square,
+               CAST(reps * all_loud + preb_loud - prea_loud AS BIGINT) AS n_loud
+        FROM sums
+        """
+
+
+QUERIES["wav_frame_features"] = dataclasses.replace(
+    QUERIES["wav_frame_features"], oracle=_wav_windows_sql()
+)
 
 
 QUERIES["bpe_train_merges"] = dataclasses.replace(
@@ -4442,6 +4741,14 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "mixture_weights": ("lang", "source"),
     "semdedup": ("centroid_id",),
     "zorder_locality": ("layout",),
+    "benford_digit_audit": ("digit",),
+    "event_transition_matrix": ("prev_type", "next_type"),
+    "link_prediction_scores": ("part_a", "part_b"),
+    "target_encoding_nations": ("nation",),
+    "ewma_value": ("user_id",),
+    "feature_hashing_stats": ("dim",),
+    "zone_map_pruning": ("layout",),
+    "wav_frame_features": ("doc_id", "win_idx"),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -4473,7 +4780,17 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-4 window (50 slots). (000) NEW in the third round-4
+    # ---- round-4 window (50 slots). (0000) NEW in the fourth round-4
+    # session — never externally checked:
+    "benford_digit_audit",
+    "event_transition_matrix",
+    "link_prediction_scores",
+    "target_encoding_nations",
+    "ewma_value",
+    "feature_hashing_stats",
+    "zone_map_pruning",
+    "wav_frame_features",
+    # (000) NEW in the third round-4
     # session — never externally checked:
     "theta_daily_overlap",
     "bigram_surprisal_scores",
@@ -4504,14 +4821,33 @@ _CHECK_FIRST: tuple[str, ...] = (
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
     # BMP codec query:
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # (q6_forecast_revenue displaced by link_prediction_scores: it is
+    # the battery's simplest shape — ONE pushed-filter scan + money
+    # agg, no join — and that family is externally green via
+    # q1_pricing_summary (r01-r03) and every battery member remaining
+    # in this window; local parity + the relational random probe cover
+    # its literal bounds every run.)
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    # (q10_returned_items displaced by zone_map_pruning: its
+    # returnflag-filtered customer⋈orders⋈lineitem money agg is the
+    # battery family externally exercised via q5/q7/q18/q21/q22 in
+    # this window, with no unique expression of its own.)
+    # (q13_customer_distribution displaced by ewma_value: its
+    # left-join-then-count-distribution shape is the
+    # join_left_order_counts family, externally green r01, and its
+    # not-like filter is trivial; the battery's join/money families
+    # stay externally exercised via q5/q7-q10/q18/q21/q22 this window.)
+    # (q15_top_supplier displaced by target_encoding_nations: its
+    # revenue-view agg + global-max equi-condition reuses the money
+    # discipline and supplier-join family externally green via
+    # q5/q7/q9 in this window; the view's window-free max-subquery
+    # shape is the customers_above_nation_avg family, green r01.)
+    # (q17_small_quantity_revenue displaced by feature_hashing_stats:
+    # its per-part avg-threshold join is the customers_above_nation_avg
+    # family (externally green r01) over the q20 per-part-agg shape
+    # (still in this window); money discipline battery-wide.)
     "q18_large_orders",
     "q21_sole_late_supplier",
     "q22_dormant_customers",
@@ -4524,7 +4860,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # next round.)
     "png_decode_stats",
     "bmp_decode_stats",      # NEW this round: second real codec
-    "wav_decode_stats",      # NEW this round: third real codec (audio)
+    # (wav_decode_stats displaced by wav_frame_features, which drives
+    # the SAME synthesize→RIFF-decode pipeline through a strictly
+    # stronger check — per-window tiled-range sums instead of one
+    # whole-stream sum — so the codec stays externally exercised.)
     "triangle_counts",       # NEW this round: degree-ordered triangles
     "session_window_stats",  # NEW this round: native session windows
     "bloom_prefilter_stats", # NEW this round: runtime-filter harness
@@ -4538,8 +4877,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     # family externally green via dedup_exact (r03) and decontaminate
     # (this window); the random probe plants every branch locally.
     # Rotate it in next round.)
-    "q4_order_priority_checking",   # NEW this round: TPC-H Q4 shape
-    "q12_priority_by_returnflag",   # NEW this round: TPC-H Q12 shape
+    # (q4_order_priority_checking displaced by benford_digit_audit: its
+    # EXISTS semi-join shape is externally exercised via
+    # q21_sole_late_supplier (exists + not-exists, this window) and
+    # join_semi_recent_customers (green r01); its money/date expressions
+    # are the battery-wide family green across q5-q22 this window.)
+    # (q12_priority_by_returnflag displaced by event_transition_matrix:
+    # its conditional-CASE aggregation over lineitem⋈orders is the
+    # q7/q8 shape (both this window), money discipline identical.)
     # (b) MODIFIED this round — KMV-bounded query set (all knn tiers +
     # harness), IVF k refit 8->16 (assignment/histogram/semdedup
     # results changed), cast-hoisted scoring (values proven identical

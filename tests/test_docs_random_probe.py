@@ -67,6 +67,8 @@ DOC_QUERIES = (
     "cms_word_counts",
     "temperature_mixture",
     "duplicate_spans",
+    "feature_hashing_stats",
+    "wav_frame_features",
 )
 
 SEED = 813

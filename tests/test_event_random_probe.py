@@ -51,6 +51,9 @@ EVENT_QUERIES = (
     "gapfill_hourly",
     "zorder_locality",
     "hourly_percentile_bands",
+    "event_transition_matrix",
+    "ewma_value",
+    "zone_map_pruning",
 )
 
 SEED = 20260813

@@ -173,6 +173,30 @@ _SCALE_GUARDS = {
     "q20_surplus_suppliers": (2, 0),
     # closed-form OLS: five distributive sums, ONE user_id exchange
     "user_value_trend": (1, 0),
+    # fourth-session additions: benford is ONE 9-key agg exchange (the
+    # grand total rides a SinglePartition window over the 9-row counts
+    # frame — uncounted, bounded by construction — NOT a second agg
+    # that would re-scan orders); transitions are the lag exchange on
+    # user_id + the |types|^2 pair agg + the row-total window on
+    # prev_type (both post-agg exchanges move tiny keyspaces)
+    "benford_digit_audit": (1, 0),
+    "event_transition_matrix": (3, 0),
+    # graph multi-join over the materialized edge/degree frames: pair
+    # agg + degree agg + wedge-join sides + anti-join + two deg joins —
+    # every one an equi-join on a bounded frame; cap leaves AQE room
+    "link_prediction_scores": (10, 0),
+    # ONE fact join exchange pair + the 25-key agg; nation broadcasts,
+    # global sums ride the SinglePartition window (uncounted)
+    "target_encoding_nations": (3, 0),
+    # ONE user_id exchange serves both the recency-rank window and the
+    # per-user agg (the sessionize shape)
+    "ewma_value": (1, 0),
+    # dim-key agg; the two count-distincts make it two-phase
+    "feature_hashing_stats": (2, 0),
+    # (layout, file) agg + 3-key layout rollup; bounds broadcast
+    "zone_map_pruning": (2, 0),
+    # pure narrow mapInPandas window fan-out — NO shuffle at all
+    "wav_frame_features": (0, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),

@@ -74,6 +74,9 @@ REL_QUERIES = (
     "rfm_segments",
     "referential_audit",
     "pagerank_trade_flows",
+    "benford_digit_audit",
+    "link_prediction_scores",
+    "target_encoding_nations",
 )
 
 SEED = 4217
@@ -116,7 +119,12 @@ def _tables():
                 o,
                 rng.randint(0, N_CUST + 4),  # some orphan custkeys
                 rng.choice(["O", "F", "P"]),
-                _money(rng, 900.0, 105000.0),
+                # ~5% sub-10 values (some sub-1) so benford_digit_audit's
+                # leading-zero skip ("0.45" -> digit 4) is exercised —
+                # the checked-in testdata never goes below 900.
+                _money(rng, 0.01, 9.99)
+                if rng.random() < 0.05
+                else _money(rng, 900.0, 105000.0),
                 rng.choice(boundary_dates)
                 if rng.random() < 0.1
                 else base + dt.timedelta(days=rng.randint(0, span_days)),
