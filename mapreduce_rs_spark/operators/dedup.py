@@ -584,3 +584,81 @@ def duplicate_spans(df: DataFrame, n: int = SPAN_N, min_docs: int = 2) -> DataFr
             F.col("n_tokens"),
         ).alias("dup_fraction"),
     )
+
+
+CONTAIN_MAX_DF = 64       # absolute shingle-df cap for the pair join
+CONTAIN_MIN_PCT = 50      # emit pairs with containment >= 50%
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = SHINGLE_N,
+    max_df: int = CONTAIN_MAX_DF,
+    min_pct: int = CONTAIN_MIN_PCT,
+) -> DataFrame:
+    """Shingle CONTAINMENT (|A∩B| / min(|A|, |B|)) for candidate pairs
+    — the asymmetric dedup measure Jaccard misses: a document quoted
+    or expanded inside a larger one scores near 1.0 on containment
+    while its Jaccard can be arbitrarily low. Broder's original resem-
+    blance/containment pairing, here as the containment half (the
+    resemblance half is ``jaccard_pairs``).
+
+    Blocking discipline: pairs come from an equi-join on the shingle —
+    never all-pairs — and shingles with document frequency >
+    ``max_df`` (an ABSOLUTE cap, not a corpus fraction) are dropped
+    first: a df-d shingle fans out C(d,2) pairs, so the cap bounds
+    per-shingle join work at C(max_df, 2) regardless of corpus size,
+    and ubiquitous boilerplate shingles carry no containment signal
+    anyway (the boilerplate_ngrams operator measures those instead).
+    The threshold gate is INTEGER cross-multiplication
+    (n_common·100 ≥ pct·min(n_a, n_b)); ``containment`` itself is one
+    division of exact integers.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, containment).
+    """
+    sh = (
+        ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(_shingles(n=n))).alias("shingle"))
+        .localCheckpoint()
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    toks = sh.join(rare, "shingle", "left_semi").localCheckpoint()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    pairs = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_common") * 100 >= min_pct * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common").cast("double") / F.least("n_a", "n_b")).alias(
+                "containment"
+            ),
+        )
+    )

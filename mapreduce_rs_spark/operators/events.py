@@ -1397,3 +1397,88 @@ def zone_map_pruning(t: dict[str, DataFrame]) -> DataFrame:
         .cast("long")
         .alias("rows_scanned_conj"),
     )
+
+
+def robust_value_anomalies(t: dict[str, DataFrame]) -> DataFrame:
+    """Median/MAD outliers per event type — the robust twin of
+    ``value_anomalies``: mean/stddev break down when the contamination
+    itself inflates the scale estimate (masking); median and MAD have
+    a 50% breakdown point, so one whale can't hide another.
+
+    Float discipline — EXACT interpolated medians with no floats: with
+    values as integer cents, work in DOUBLED units so interpolation
+    never divides: ``med2`` = cents[lo] + cents[hi] (the two middle
+    ranks; 2·cents[mid] when n is odd) is exactly 2·median. Deviations
+    ``dev2 = |2·cents − med2|`` are integers (2·|x − med|); the doubled
+    median of those, ``mad4``, is exactly 4·MAD. The outlier test
+    |x − med| > 3·MAD becomes the integer cross-multiplication
+    ``2·dev2 > 3·mad4``; ``robust_z = 2·dev2 / mad4`` is ONE division
+    of exact integers, and med/mad surface as single divisions by
+    literal 200/400.
+
+    Scale: ranks need a per-type sort — fine while |types| is small
+    and each group fits a partition spill; at true scale swap the rank
+    medians for percentile_approx exactly as hourly_percentile_bands
+    documents (the operator keeps exact semantics as the oracle
+    contract).
+    """
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+
+    def med2_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        """Doubled exact median of integer column ``col`` per type."""
+        w_rank = Window.partitionBy("event_type").orderBy(col, "event_id")
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        lo = F.expr("(n + 1) div 2")
+        hi = F.expr("(n + 2) div 2")
+        return (
+            ranked.where(F.col("rn").between(lo, hi))
+            .groupBy("event_type")
+            .agg(
+                (
+                    F.sum(col)
+                    * F.when(F.min("rn") == F.max("rn"), F.lit(2)).otherwise(F.lit(1))
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    med = med2_of(ev, "cents", "med2")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "cents",
+        "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = med2_of(dev, "dev2", "mad4")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(2 * F.col("dev2") > 3 * F.col("mad4"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            (F.col("med2").cast("double") / 200.0).alias("med"),
+            (F.col("mad4").cast("double") / 400.0).alias("mad"),
+            (
+                (2 * F.col("dev2")).cast("double")
+                / F.nullif(F.col("mad4"), F.lit(0)).cast("double")
+            ).alias("robust_z"),
+        )
+    )

@@ -650,3 +650,84 @@ def link_prediction_scores(
             "aa_micro",
         )
     )
+
+
+LPA_ROUNDS = 3
+
+
+def label_propagation_communities(
+    tables: dict[str, DataFrame],
+    rounds: int = LPA_ROUNDS,
+    min_orders: int = 2,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    co-purchase graph (same node/edge grain as ``triangle_counts`` /
+    ``kcore_decomposition``) — the near-linear community extractor
+    (Raghavan et al.) behind catalog clustering and fraud-ring
+    discovery.
+
+    Every node starts labeled with its own id; each round it adopts
+    the MOST FREQUENT label among its neighbors, ties broken by the
+    SMALLEST label — that tie-break makes classic LPA (whose textbook
+    form breaks ties randomly) fully deterministic and thus
+    oracle-checkable. ``rounds`` is a fixed bound, not a convergence
+    test: synchronous LPA can oscillate on bipartite structures, so
+    both engines run the IDENTICAL round count and the result is the
+    round-``rounds`` snapshot (the oracle unrolls the same rounds as
+    chained CTEs — the pagerank/kcore discipline).
+
+    Per round: one neighbor-label count aggregate (linear in edges,
+    the only data-scale shuffle) + a per-node argmax window; labels are
+    materialized each round so lineage stays flat (``persist_dir=``
+    for the durable parquet path).
+
+    Returns (partkey, community).
+    """
+    li = tables["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        persist_dir,
+        "lpa_edges",
+    )
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = materialize(
+        adj.select("node").distinct().select("node", F.col("node").alias("lbl")),
+        persist_dir,
+        "lpa_round_0",
+    )
+    from pyspark.sql import Window
+
+    for r in range(1, rounds + 1):
+        counts = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        rk = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = materialize(
+            counts.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") == 1)
+            .select("node", "lbl"),
+            persist_dir,
+            f"lpa_round_{r}",
+        )
+    return labels.select(
+        F.col("node").alias("partkey"), F.col("lbl").alias("community")
+    )

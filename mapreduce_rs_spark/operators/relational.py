@@ -2165,3 +2165,72 @@ def target_encoding_nations(
         .cast("long")
         .alias("weight_bp"),
     )
+
+
+SKEW_HOT_FACTOR = 2  # a key is "hot" when freq · n_keys > factor · n_rows
+
+
+def key_skew_profile(
+    t: dict[str, DataFrame], persist_dir: str | None = None
+) -> DataFrame:
+    """Join-key skew diagnostics for the three workhorse fact keys —
+    the statistic that decides SALTING vs AQE skew-join vs plain
+    shuffle before paying for a 100 TB join. Per key: row/key counts,
+    the hottest key's frequency, and how many keys (and what row
+    share) exceed ``SKEW_HOT_FACTOR``× the mean frequency.
+
+    The hot-key predicate is INTEGER cross-multiplication
+    (freq·n_keys > factor·n_rows — never freq > factor·avg with a
+    float avg); ``avg_freq`` is one division of exact counts.
+    Headroom: freq·n_keys ≤ n_rows·n_keys ~ 1e10·1e10 overflows
+    BIGINT at extreme scale — the comparison casts both sides to
+    DECIMAL(38,0) (exact, branch-free).
+
+    Scale: ONE frequency aggregate per key (the only key-scale
+    shuffle, map-side partials), materialized once and consumed by the
+    1-row totals and the hot-key filter (``persist_dir=`` switches
+    localCheckpoint to durable parquet); everything downstream is
+    broadcast-sized.
+    """
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        freq = materialize(
+            df.groupBy(F.col(col).alias("k")).agg(
+                F.count(F.lit(1)).cast("long").alias("f")
+            ),
+            persist_dir,
+            f"skew_freq_{label}",
+        )
+        totals = freq.agg(
+            F.sum("f").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("f").cast("long").alias("max_freq"),
+        )
+        hot = (
+            freq.crossJoin(F.broadcast(totals))
+            .where(
+                F.col("f").cast("decimal(38,0)") * F.col("n_keys")
+                > F.lit(SKEW_HOT_FACTOR) * F.col("n_rows").cast("decimal(38,0)")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_hot_keys"),
+                F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("hot_rows"),
+            )
+        )
+        return totals.crossJoin(F.broadcast(hot)).select(
+            F.lit(label).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_freq"),
+            F.expr("max_freq * 10000 div n_rows").cast("long").alias("top1_share_bp"),
+            "n_hot_keys",
+            F.expr("hot_rows * 10000 div n_rows").cast("long").alias("hot_rows_share_bp"),
+        )
+
+    return (
+        profile(t["lineitem"], "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(t["lineitem"], "l_partkey", "lineitem.l_partkey"))
+        .unionByName(profile(t["orders"], "o_custkey", "orders.o_custkey"))
+    )

@@ -4322,6 +4322,128 @@ QUERIES: dict[str, QuerySpec] = {
         "Windowed audio features over the decoded WAV samples: 1:N window "
         "expansion, exact-integer energy sums, one division per window",
     ),
+    "ngram_containment_pairs": QuerySpec(
+        _docs(dedup.ngram_containment_pairs),
+        f"""
+        WITH {_shingles_ctes()}, dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM shingles
+        ), rare AS (
+            SELECT shingle FROM dsh
+            GROUP BY shingle HAVING count(*) <= {dedup.CONTAIN_MAX_DF}
+        ), kept AS (
+            SELECT doc_id, shingle FROM dsh JOIN rare USING (shingle)
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM kept GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM kept a
+            JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+        FROM pairs
+        JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        WHERE n_common * 100 >= {dedup.CONTAIN_MIN_PCT} * least(sa.n_sh, sb.n_sh)
+        """,
+        "Broder containment over distinct 3-gram shingles: absolute-df-capped "
+        "equi-join blocking, integer cross-multiplied threshold, containment "
+        "= one division of exact integers",
+    ),
+    "key_skew_profile": QuerySpec(
+        _tables(relational.key_skew_profile),
+        "\nUNION ALL\n".join(
+            f"""
+        SELECT '{label}' AS key_name, n_rows, n_keys, max_freq,
+               CAST(n_rows AS DOUBLE) / n_keys AS avg_freq,
+               CAST(max_freq * 10000 // n_rows AS BIGINT) AS top1_share_bp,
+               n_hot_keys,
+               CAST(hot_rows * 10000 // n_rows AS BIGINT) AS hot_rows_share_bp
+        FROM (
+            SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(f) AS BIGINT) AS max_freq
+            FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM {table} GROUP BY {col})
+        ) t CROSS JOIN (
+            SELECT CAST(count(*) AS BIGINT) AS n_hot_keys,
+                   CAST(coalesce(sum(f), 0) AS BIGINT) AS hot_rows
+            FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM {table} GROUP BY {col}) fr
+            CROSS JOIN (
+                SELECT CAST(sum(f) AS HUGEINT) AS tot_rows,
+                       CAST(count(*) AS HUGEINT) AS tot_keys
+                FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM {table} GROUP BY {col})
+            ) tt
+            WHERE CAST(f AS HUGEINT) * tot_keys > {relational.SKEW_HOT_FACTOR} * tot_rows
+        ) h
+            """
+            for table, col, label in (
+                ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+                ("lineitem", "l_partkey", "lineitem.l_partkey"),
+                ("orders", "o_custkey", "orders.o_custkey"),
+            )
+        ),
+        "Join-key skew diagnostics: per-key frequency agg (the only key-scale "
+        "shuffle), hot-key predicate by integer cross-multiplication in "
+        "DECIMAL(38,0)/HUGEINT, shares in integer basis points",
+    ),
+    "label_propagation_communities": QuerySpec(
+        _tables(graph.label_propagation_communities),
+        None,  # replaced below by the unrolled-round builder
+        "Deterministic synchronous LPA: most-frequent neighbor label with "
+        "smallest-label tie-break, fixed round count unrolled in the oracle",
+    ),
+    "robust_value_anomalies": QuerySpec(
+        _tables(events.robust_value_anomalies),
+        """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+            FROM events
+        ), r1 AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM ev
+        ), med AS (
+            SELECT event_type,
+                   CAST(sum(cents) * (CASE WHEN min(rn) = max(rn) THEN 2 ELSE 1 END)
+                        AS BIGINT) AS med2
+            FROM r1 WHERE rn BETWEEN (n + 1) // 2 AND (n + 2) // 2
+            GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_id, e.user_id, e.event_type, e.value, e.cents,
+                   m.med2, abs(2 * e.cents - m.med2) AS dev2
+            FROM ev e JOIN med m USING (event_type)
+        ), r2 AS (
+            SELECT event_type, dev2,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY dev2, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ), mad AS (
+            SELECT event_type,
+                   CAST(sum(dev2) * (CASE WHEN min(rn) = max(rn) THEN 2 ELSE 1 END)
+                        AS BIGINT) AS mad4
+            FROM r2 WHERE rn BETWEEN (n + 1) // 2 AND (n + 2) // 2
+            GROUP BY event_type
+        )
+        SELECT d.event_id, d.user_id, d.event_type, d.value,
+               CAST(d.med2 AS DOUBLE) / 200.0 AS med,
+               CAST(m.mad4 AS DOUBLE) / 400.0 AS mad,
+               CAST(2 * d.dev2 AS DOUBLE) / CAST(NULLIF(m.mad4, 0) AS DOUBLE)
+                   AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE 2 * d.dev2 > 3 * m.mad4
+        """,
+        "Median/MAD outliers with NO floats until presentation: doubled-cents "
+        "exact medians (med2 = lo+hi ranks), integer deviations, the 3·MAD "
+        "test as 2·dev2 > 3·mad4 cross-multiplication",
+    ),
 }
 
 
@@ -4475,6 +4597,55 @@ def _wav_windows_sql() -> str:
 
 QUERIES["wav_frame_features"] = dataclasses.replace(
     QUERIES["wav_frame_features"], oracle=_wav_windows_sql()
+)
+
+
+def _lpa_sql(rounds: int = graph.LPA_ROUNDS, min_orders: int = 2) -> str:
+    """Unrolled-CTE oracle for label_propagation_communities: round r
+    recomputes neighbor-label counts from round r-1 and takes the
+    (count DESC, label ASC) argmax per node — the identical
+    deterministic tie-break as the Spark window."""
+    ctes = [
+        f"""op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {min_orders}
+        ), adj AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ), lab0 AS (
+            SELECT DISTINCT node, node AS lbl FROM adj
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+            SELECT a.node AS node, l.lbl AS lbl, count(*) AS c
+            FROM adj a JOIN lab{r - 1} l ON a.nbr = l.node
+            GROUP BY 1, 2
+        ), lab{r} AS (
+            SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, lbl ASC) AS rk
+                FROM c{r}
+            ) WHERE rk = 1
+        )"""
+        )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node AS partkey, lbl AS community FROM lab{rounds}
+        """
+    )
+
+
+QUERIES["label_propagation_communities"] = dataclasses.replace(
+    QUERIES["label_propagation_communities"], oracle=_lpa_sql()
 )
 
 
@@ -4749,6 +4920,10 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "feature_hashing_stats": ("dim",),
     "zone_map_pruning": ("layout",),
     "wav_frame_features": ("doc_id", "win_idx"),
+    "ngram_containment_pairs": ("doc_a", "doc_b"),
+    "key_skew_profile": ("key_name",),
+    "label_propagation_communities": ("partkey",),
+    "robust_value_anomalies": ("event_id",),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -4790,6 +4965,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "feature_hashing_stats",
     "zone_map_pruning",
     "wav_frame_features",
+    "ngram_containment_pairs",
+    "key_skew_profile",
+    "label_propagation_communities",
+    "robust_value_anomalies",
     # (000) NEW in the third round-4
     # session — never externally checked:
     "theta_daily_overlap",
@@ -4820,7 +4999,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # r03 verdict's #2 ask: close union coverage to 125/125. The 16
     # carried over (TPC-H battery + r3 stragglers) plus the round-4
     # BMP codec query:
-    "q5_local_supplier_volume",
+    # (q5_local_supplier_volume displaced by robust_value_anomalies:
+    # its region-filtered multi-dim join + money agg is the identical
+    # family as q7_volume_shipping and q9_profit_by_nation, both
+    # still in this window.)
     # (q6_forecast_revenue displaced by link_prediction_scores: it is
     # the battery's simplest shape — ONE pushed-filter scan + money
     # agg, no join — and that family is externally green via
@@ -4828,7 +5010,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # in this window; local parity + the relational random probe cover
     # its literal bounds every run.)
     "q7_volume_shipping",
-    "q8_market_share",
+    # (q8_market_share displaced by ngram_containment_pairs: its
+    # two-level dim join + conditional-share division is the q7/q9
+    # volume-join family (both still in this window) with the
+    # promo_revenue_ratio share shape, externally green r01.)
     "q9_profit_by_nation",
     # (q10_returned_items displaced by zone_map_pruning: its
     # returnflag-filtered customer⋈orders⋈lineitem money agg is the
@@ -4848,9 +5033,16 @@ _CHECK_FIRST: tuple[str, ...] = (
     # its per-part avg-threshold join is the customers_above_nation_avg
     # family (externally green r01) over the q20 per-part-agg shape
     # (still in this window); money discipline battery-wide.)
-    "q18_large_orders",
+    # (q18_large_orders displaced by label_propagation_communities: its
+    # HAVING-filtered aggregate joined back through orders/customer is
+    # the having_active_customers family (externally green r01) over
+    # the battery's join/money discipline, exercised via q5/q7/q9/q21
+    # in this window.)
     "q21_sole_late_supplier",
-    "q22_dormant_customers",
+    # (q22_dormant_customers displaced by key_skew_profile: its
+    # not-exists anti-join is the join_anti_customers_without_orders
+    # family and its avg-balance subquery the customers_above_nation_avg
+    # family, both externally green r01.)
     "decontaminate",
     "corpus_profile",
     # (latest_event_state displaced by bigram_surprisal_scores: its

@@ -69,6 +69,7 @@ DOC_QUERIES = (
     "duplicate_spans",
     "feature_hashing_stats",
     "wav_frame_features",
+    "ngram_containment_pairs",
 )
 
 SEED = 813

@@ -54,6 +54,7 @@ EVENT_QUERIES = (
     "event_transition_matrix",
     "ewma_value",
     "zone_map_pruning",
+    "robust_value_anomalies",
 )
 
 SEED = 20260813

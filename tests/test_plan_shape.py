@@ -197,6 +197,18 @@ _SCALE_GUARDS = {
     "zone_map_pruning": (2, 0),
     # pure narrow mapInPandas window fan-out — NO shuffle at all
     "wav_frame_features": (0, 0),
+    # df-capped shingle equi-join: pair agg + sizes agg + df agg over
+    # the checkpointed shingle stream
+    "ngram_containment_pairs": (3, 0),
+    # per-key freq aggs live in materialize() builds; assembled plan
+    # joins 1-row frames (cap leaves room for one visible agg)
+    "key_skew_profile": (1, 0),
+    # every LPA round lives in a materialize() build; the assembled
+    # plan projects the final checkpointed label frame
+    "label_propagation_communities": (1, 0),
+    # two rank-window passes on event_type + the median agg; the
+    # med/mad frames broadcast back (|types| rows)
+    "robust_value_anomalies": (4, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),

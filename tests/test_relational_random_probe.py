@@ -77,6 +77,8 @@ REL_QUERIES = (
     "benford_digit_audit",
     "link_prediction_scores",
     "target_encoding_nations",
+    "key_skew_profile",
+    "label_propagation_communities",
 )
 
 SEED = 4217
