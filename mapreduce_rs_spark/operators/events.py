@@ -1482,3 +1482,106 @@ def robust_value_anomalies(t: dict[str, DataFrame]) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+def seasonality_profile(t: dict[str, DataFrame]) -> DataFrame:
+    """Hour-of-day seasonality per event type: traffic count, average
+    value, and the hour's RELATIVE deviation from the type's overall
+    average — the profile behind load forecasting and
+    anomaly-baseline selection.
+
+    ``rel_dev_bp`` ((avg_hour / avg_type − 1) in basis points) is PURE
+    integer arithmetic by cross-multiplication:
+    sum_h·n_tot·10⁴ div (n_h·sum_tot) − 10⁴, computed in DECIMAL(38,0)
+    (sum_cents·n_tot·10⁴ ~ 1e29 at 100 TB — BIGINT would overflow,
+    HUGEINT/DECIMAL(38,0) won't). ``avg_value`` is ONE division of
+    exact integers. Scale: one agg onto |types|·24 keys with map-side
+    partials; type totals ride a 24-row window per type.
+    """
+    per = (
+        t["events"]
+        .groupBy(
+            "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum(money("value")) * 100).cast("decimal(38,0)").alias("sum_cents"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    g = per.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        "sum_cents",
+        F.sum("n").over(wt).cast("decimal(38,0)").alias("n_tot"),
+        F.sum("sum_cents").over(wt).cast("decimal(38,0)").alias("sum_tot"),
+    )
+    return g.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        (F.col("sum_cents").cast("double") / (F.col("n") * 100).cast("double")).alias(
+            "avg_value"
+        ),
+        (
+            F.expr("(sum_cents * n_tot * 10000) div (n * sum_tot)") - 10000
+        )
+        .cast("long")
+        .alias("rel_dev_bp"),
+    )
+
+
+BURST_FACTOR = 3  # burst when count > factor × trailing-24h hourly average
+
+
+def burst_hours(t: dict[str, DataFrame]) -> DataFrame:
+    """Burst detection over hourly event-type series: hours whose count
+    exceeds ``BURST_FACTOR``× the trailing-24-hour average — the
+    spike detector behind rate alarms and trending-topic surfacing.
+
+    The trailing window is a RANGE frame over the integer hour index
+    (epoch div 3600), so GAP hours correctly contribute zero — a
+    rows-frame over only-materialized buckets would silently shrink
+    the denominator. The burst test is integer cross-multiplication
+    (n·24 > factor·trailing_n); ``ratio_bp`` is one integer division.
+
+    Scale: hourly pre-aggregation first (the only data-scale shuffle,
+    onto |types|·|hours| keys), then the range window runs over the
+    BUCKET series — thousands of rows per type, not events.
+    """
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "hour_idx", F.expr("CAST(floor(unix_timestamp(bucket_ts)) AS BIGINT) div 3600")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rangeBetween(-24, -1)
+    )
+    trailed = hourly.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("trailing_n"),
+    )
+    return (
+        trailed.where(
+            (F.col("trailing_n") > 0)
+            & (F.col("n") * 24 > BURST_FACTOR * F.col("trailing_n"))
+        )
+        .select(
+            "event_type",
+            "bucket_ts",
+            "n",
+            "trailing_n",
+            F.expr("n * 24 * 10000 div trailing_n").cast("long").alias("ratio_bp"),
+        )
+    )

@@ -1251,3 +1251,44 @@ def ann_ranking_metrics(df: DataFrame, k: int = 10) -> DataFrame:
             / (F.lit(float(NDCG_SCALE)) * F.count(F.lit(1)))
         ).alias("mrr"),
     )
+
+
+RRF_K = 60           # the standard RRF damping constant
+RRF_SCALE = 1_000_000  # reciprocal ranks quantized to exact integers
+
+
+def ann_rank_fusion(df: DataFrame, k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of the LSH and IVF tiers — the standard
+    way (Cormack et al.) to combine retrieval lists whose SCORES are
+    incomparable (bucket-restricted cosine vs probe-restricted cosine)
+    but whose RANKS are: score(v) = Σ_tiers 1/(60 + rank_tier(v)).
+    Fusing two cheap indexes recovers much of the recall a single more
+    expensive index would buy — the practical middle tier between
+    knn_lsh and knn_bruteforce.
+
+    Float discipline: reciprocal ranks are quantized to exact integer
+    micro-units BEFORE summing (1e6 div (60+rnk) — integer division,
+    not a float 1/x), so the fused score is an exact-integer sum and
+    the final ranking is integer-ordered with the vec_id tie-break.
+    No floats anywhere in the fusion; the tier top-ks are the already
+    oracle-checked knn_lsh/knn_ivf operators reused verbatim (the
+    ann_recall no-hand-copy rule).
+
+    Scale: inputs are (n_queries·k)-row frames; the fusion agg and
+    rank window are trivially small. Cost is the two tier probes,
+    both bounded by the KMV query sample.
+    """
+    tiers = knn_lsh(df, k).select("q_id", "vec_id", "rnk").unionByName(
+        knn_ivf(df, k).select("q_id", "vec_id", "rnk")
+    )
+    fused = tiers.groupBy("q_id", "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tiers"),
+        F.sum(F.expr(f"{RRF_SCALE} div ({RRF_K} + rnk)"))
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "vec_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= k)
+    )

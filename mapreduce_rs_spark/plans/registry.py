@@ -882,6 +882,53 @@ def _ann_recall_sql(k: int = 10) -> str:
         """
 
 
+def _ann_rrf_sql(k: int = 10) -> str:
+    """Oracle twin of similarity.ann_rank_fusion: the lsh/ivf ranked
+    top-k legs reuse the SAME CTE builders as their knn_* oracles (the
+    ann_recall no-hand-copy rule), then fuse with integer micro-unit
+    reciprocal ranks — 1e6 // (60+rnk), never a float 1/x."""
+    rank = "row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)"
+    return f"""{_ivf_assigned_cte()}, b AS (
+            SELECT vec_id, emb, {_bucket_sql('emb', _PLANES)} AS bucket FROM v
+        ), {_qids_cte()}, lq AS (
+            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+            FROM b WHERE {_QFILTER}
+        ), lsh_scored AS (
+            SELECT q_id, b.vec_id, {_cosine_sql('q_emb', 'emb')} AS cos_sim
+            FROM lq JOIN b ON q_bucket = bucket AND q_id <> b.vec_id
+        ), lsh_ranked AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM lsh_scored
+            ) s WHERE rnk <= {k}
+        ), iq AS (
+            SELECT vec_id AS q_id, emb AS q_emb, centroid_id AS q_centroid
+            FROM assigned WHERE {_QFILTER}
+        ), ivf_scored AS (
+            SELECT q_id, a.vec_id, {_cosine_sql('q_emb', 'a.emb')} AS cos_sim
+            FROM iq JOIN assigned a ON q_centroid = a.centroid_id AND q_id <> a.vec_id
+        ), ivf_ranked AS (
+            SELECT q_id, vec_id, rnk FROM (
+                SELECT q_id, vec_id, {rank} AS rnk FROM ivf_scored
+            ) s WHERE rnk <= {k}
+        ), fused AS (
+            SELECT q_id, vec_id,
+                   CAST(count(*) AS INTEGER) AS n_tiers,
+                   CAST(sum({similarity.RRF_SCALE} // ({similarity.RRF_K} + rnk))
+                        AS BIGINT) AS rrf_micro
+            FROM (
+                SELECT * FROM lsh_ranked UNION ALL SELECT * FROM ivf_ranked
+            ) u GROUP BY 1, 2
+        )
+        SELECT q_id, vec_id, n_tiers, rrf_micro, fused_rank FROM (
+            SELECT q_id, vec_id, n_tiers, rrf_micro,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY rrf_micro DESC, vec_id)
+                        AS INTEGER) AS fused_rank
+            FROM fused
+        ) f WHERE fused_rank <= {k}
+        """
+
+
 def _ann_ranking_sql(k: int = 10) -> str:
     """Oracle twin of similarity.ann_ranking_metrics — the lsh/ivf/pca
     top-k legs reuse the SAME CTE builders as their knn_* oracles; the
@@ -4444,6 +4491,64 @@ QUERIES: dict[str, QuerySpec] = {
         "exact medians (med2 = lo+hi ranks), integer deviations, the 3·MAD "
         "test as 2·dev2 > 3·mad4 cross-multiplication",
     ),
+    "ann_rank_fusion": QuerySpec(
+        _emb(similarity.ann_rank_fusion),
+        _ann_rrf_sql(10),
+        "Reciprocal-rank fusion of the LSH and IVF tiers: integer micro-unit "
+        "reciprocal ranks (1e6 div (60+rnk)), exact-integer fused ordering",
+    ),
+    "seasonality_profile": QuerySpec(
+        _tables(events.seasonality_profile),
+        """
+        WITH per AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS INTEGER) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS HUGEINT)
+                       AS sum_cents
+            FROM events GROUP BY 1, 2
+        ), g AS (
+            SELECT event_type, hour_of_day, n, sum_cents,
+                   CAST(sum(n) OVER (PARTITION BY event_type) AS HUGEINT) AS n_tot,
+                   CAST(sum(sum_cents) OVER (PARTITION BY event_type) AS HUGEINT)
+                       AS sum_tot
+            FROM per
+        )
+        SELECT event_type, hour_of_day, n,
+               CAST(sum_cents AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS avg_value,
+               CAST((sum_cents * n_tot * 10000) // (n * sum_tot) - 10000
+                    AS BIGINT) AS rel_dev_bp
+        FROM g
+        """,
+        "Hour-of-day seasonality per type: relative deviation in basis points "
+        "by HUGEINT/DECIMAL(38,0) cross-multiplication, avg = one division",
+    ),
+    "burst_hours": QuerySpec(
+        _tables(events.burst_hours),
+        f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(floor(floor(epoch(date_trunc('hour', ts)))) AS BIGINT) // 3600
+                       AS hour_idx
+            FROM events GROUP BY 1, 2
+        ), trailed AS (
+            SELECT event_type, bucket_ts, n,
+                   CAST(coalesce(sum(n) OVER (
+                       PARTITION BY event_type ORDER BY hour_idx
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS trailing_n
+            FROM hourly
+        )
+        SELECT event_type, bucket_ts, n, trailing_n,
+               CAST(n * 24 * 10000 // trailing_n AS BIGINT) AS ratio_bp
+        FROM trailed
+        WHERE trailing_n > 0 AND n * 24 > {events.BURST_FACTOR} * trailing_n
+        """,
+        "Burst detection: RANGE-frame trailing-24h sums over the integer hour "
+        "index (gap hours count zero), integer cross-multiplied burst test",
+    ),
 }
 
 
@@ -4924,6 +5029,9 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "key_skew_profile": ("key_name",),
     "label_propagation_communities": ("partkey",),
     "robust_value_anomalies": ("event_id",),
+    "ann_rank_fusion": ("q_id", "fused_rank"),
+    "seasonality_profile": ("event_type", "hour_of_day"),
+    "burst_hours": ("event_type", "bucket_ts"),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -4969,6 +5077,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "key_skew_profile",
     "label_propagation_communities",
     "robust_value_anomalies",
+    "ann_rank_fusion",
+    "seasonality_profile",
+    "burst_hours",
     # (000) NEW in the third round-4
     # session — never externally checked:
     "theta_daily_overlap",
@@ -4989,7 +5100,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "q16_supplier_part_types",
     "q20_surplus_suppliers",
     "user_value_trend",      # NEW: closed-form per-user OLS trend
-    "dsir_importance_weights",  # NEW: hashed-ngram importance resampling
+    # (dsir_importance_weights displaced by burst_hours: its centinat
+    # ln-floor quantization is the bigram/unigram_surprisal family
+    # (both this window) and its hashed-bucket models the h32-modulo
+    # family of feature_hashing_stats/cms_word_counts, also in window.)
     "state_intervals",       # NEW: gaps-and-islands SCD2 intervals
     "entity_match_customers",  # NEW: blocked fuzzy entity resolution
     "orders_merge_upsert",   # NEW: MERGE INTO (SCD1) audit
@@ -5062,8 +5176,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "gif_frame_stats",       # NEW this round: fourth real codec (video)
     "jpeg_decode_stats",     # NEW this round: fifth real codec (lossy, baseline JPEG)
     "leakage_safe_splits",   # NEW this round: cluster-hashed splits
-    "rfm_segments",          # NEW this round: cutpoint-broadcast RFM
-    "pii_scrub_stats",       # NEW this round: PII scrub accounting
+    # (rfm_segments displaced by ann_rank_fusion: its broadcast-
+    # cutpoint bucketing is the equi_depth_histogram family, externally
+    # green r03 on the same EQUI_DEPTH_CUTS literals; its per-customer
+    # recency/frequency/monetary aggs are the battery's money family.)
+    # (pii_scrub_stats displaced by seasonality_profile: its regex
+    # extract/replace accounting is the \x0B-explicit-class regex
+    # family green across wordcount/source_extraction (r01-r03), and
+    # the random docs probe plants PII-shaped tokens every run.)
     # (incremental_ingest_dedup displaced by join_size_estimate: its
     # fingerprint left-anti admission joins are the text_fingerprint
     # family externally green via dedup_exact (r03) and decontaminate

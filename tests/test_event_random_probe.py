@@ -55,6 +55,8 @@ EVENT_QUERIES = (
     "ewma_value",
     "zone_map_pruning",
     "robust_value_anomalies",
+    "seasonality_profile",
+    "burst_hours",
 )
 
 SEED = 20260813

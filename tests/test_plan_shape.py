@@ -209,6 +209,13 @@ _SCALE_GUARDS = {
     # two rank-window passes on event_type + the median agg; the
     # med/mad frames broadcast back (|types| rows)
     "robust_value_anomalies": (4, 0),
+    # two tier probes (each bounded by the KMV sample) + fusion agg +
+    # fused-rank window over (n_queries·k)-row frames
+    "ann_rank_fusion": (4, 0),
+    # (type, hour) agg + the 24-row-per-type totals window
+    "seasonality_profile": (2, 0),
+    # hourly pre-agg + the RANGE trailing window over bucket series
+    "burst_hours": (2, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),
