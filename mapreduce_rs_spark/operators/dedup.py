@@ -662,3 +662,112 @@ def ngram_containment_pairs(
             ),
         )
     )
+
+
+PREFIX_T_BP = 5000  # Jaccard threshold in basis points (0.5)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, n: int = SHINGLE_N, t_bp: int = PREFIX_T_BP
+) -> DataFrame:
+    """Threshold Jaccard join by POSITIONAL PREFIX FILTERING (the
+    PPJoin/AllPairs candidate pruner, Xiao et al.) — the lossless way
+    to run an exact similarity join at scale: order every document's
+    shingles by GLOBAL rarity (df asc, shingle asc) and index only the
+    first |A| − ceil(t·|A|) + 1 of them. Two sets with J ≥ t MUST
+    share a prefix element under the same total order (pigeonhole on
+    the required overlap ceil(t/(1+t)·(|A|+|B|))), so the prefix
+    equi-join finds every qualifying pair — while indexing ~half the
+    tokens, and preferentially the RAREST ones (small df ⇒ small
+    join fan-out). Candidates are then verified with the exact
+    Jaccard over the FULL sets.
+
+    Contrast with ``jaccard_pairs``'s df CUTOFF (drops hot tokens,
+    changing the measure) and ``ngram_containment_pairs``'s absolute
+    cap: prefix filtering is EXACT — same answer as the naive full
+    equi-join, strictly fewer candidates (the no-false-negative
+    property is asserted against the unfiltered join in
+    tests/test_prefix_filter.py).
+
+    All thresholds are integer cross-multiplied (ceil(t·n) =
+    (n·t_bp + 9999) div 10⁴; the verify gate n_common·10⁴ ≥
+    t_bp·(n_a + n_b − n_common)); ``jaccard`` is one division.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, jaccard) for pairs
+    with J ≥ t over distinct-shingle sets.
+    """
+    sh = (
+        ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(_shingles(n=n))).alias("shingle"))
+        .localCheckpoint()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+        )
+        .localCheckpoint()
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.expr(f"n_sh - ((n_sh * {t_bp} + 9999) div 10000) + 1")
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    full = ranked.select("doc_id", "shingle")
+    common = (
+        cand.join(
+            full.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            full.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sizes = ranked.groupBy("doc_id").agg(F.max("n_sh").cast("long").alias("n_sh"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .where(
+            F.col("n_common") * 10000
+            >= t_bp * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

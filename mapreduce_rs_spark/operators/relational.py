@@ -2234,3 +2234,75 @@ def key_skew_profile(
         .unionByName(profile(t["lineitem"], "l_partkey", "lineitem.l_partkey"))
         .unionByName(profile(t["orders"], "o_custkey", "orders.o_custkey"))
     )
+
+
+def dq_rule_violations(t: dict[str, DataFrame]) -> DataFrame:
+    """Rules-driven data-quality audit over DOMAIN/RANGE/CONSISTENCY
+    rules — the complement of ``referential_audit`` (which owns the FK
+    edges): non-positive money, out-of-domain status codes, rate
+    columns outside [0, 1], future dates, and the documents table's
+    n_chars/text consistency invariant.
+
+    Scale shape: ALL of a table's rules evaluate in ONE scan — a
+    single aggregate emits every rule's violation count, then
+    ``stack`` unpivots counts to rows (8 rules ≠ 8 scans; adding a
+    rule costs one more conditional sum, not a pass over 100 TB).
+    Counts are exact integers; ``viol_bp`` is integer basis points.
+    """
+
+    def tbl(df: DataFrame, table: str, rules: list[tuple[str, str]]) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.coalesce(F.sum(F.expr(cond).cast("long")), F.lit(0))
+                .cast("long")
+                .alias(f"v{i}")
+                for i, (_, cond) in enumerate(rules)
+            ],
+        )
+        stack = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(rules))
+        return agg.selectExpr(
+            f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "n"
+        ).select(
+            F.lit(table).alias("table_name"),
+            "rule",
+            F.col("n").cast("long").alias("n_checked"),
+            "n_violations",
+            F.expr("n_violations * 10000 div n").cast("long").alias("viol_bp"),
+        )
+
+    return (
+        tbl(
+            t["orders"],
+            "orders",
+            [
+                ("totalprice_nonpositive", "o_totalprice <= 0"),
+                ("orderstatus_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+                (
+                    "orderdate_future",
+                    "o_orderdate > TIMESTAMP '1998-12-31 00:00:00'",
+                ),
+            ],
+        )
+        .unionByName(
+            tbl(
+                t["lineitem"],
+                "lineitem",
+                [
+                    ("quantity_nonpositive", "l_quantity <= 0"),
+                    ("discount_range", "l_discount < 0 OR l_discount > 1"),
+                    ("tax_range", "l_tax < 0 OR l_tax > 1"),
+                ],
+            )
+        )
+        .unionByName(
+            tbl(
+                t["documents"],
+                "documents",
+                [("n_chars_mismatch", "n_chars <> length(text)")],
+            )
+        )
+        .unionByName(
+            tbl(t["events"], "events", [("value_negative", "value < 0")])
+        )
+    )

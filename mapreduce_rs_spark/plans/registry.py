@@ -4549,6 +4549,96 @@ QUERIES: dict[str, QuerySpec] = {
         "Burst detection: RANGE-frame trailing-24h sums over the integer hour "
         "index (gap hours count zero), integer cross-multiplied burst test",
     ),
+    "prefix_filter_jaccard_pairs": QuerySpec(
+        _docs(dedup.prefix_filter_jaccard_pairs),
+        f"""
+        WITH {_shingles_ctes()}, dsh AS (
+            SELECT DISTINCT doc_id, shingle FROM shingles
+        ), dfreq AS (
+            SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle
+        ), ranked AS (
+            SELECT doc_id, shingle,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY df ASC, shingle ASC) AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS n_sh
+            FROM dsh JOIN dfreq USING (shingle)
+        ), prefix AS (
+            SELECT doc_id, shingle FROM ranked
+            WHERE rn <= n_sh - ((n_sh * {dedup.PREFIX_T_BP} + 9999) // 10000) + 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM prefix a
+            JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ), common AS (
+            SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN dsh fa ON fa.doc_id = c.doc_a
+            JOIN dsh fb ON fb.doc_id = c.doc_b AND fb.shingle = fa.shingle
+            GROUP BY 1, 2
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM dsh GROUP BY doc_id
+        )
+        SELECT doc_a, doc_b, n_common,
+               sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 10000
+              >= {dedup.PREFIX_T_BP} * (sa.n_sh + sb.n_sh - n_common)
+        """,
+        "PPJoin positional prefix filtering: rarity-ordered prefixes "
+        "(df asc, shingle asc), integer ceil via (n·t+9999) div 10⁴, exact "
+        "full-set verification — lossless vs the naive equi-join by theorem "
+        "AND by test",
+    ),
+    "dq_rule_violations": QuerySpec(
+        _tables(relational.dq_rule_violations),
+        """
+        SELECT 'orders' AS table_name, r.rule,
+               CAST(t.n AS BIGINT) AS n_checked,
+               CAST(r.v AS BIGINT) AS n_violations,
+               CAST(r.v * 10000 // t.n AS BIGINT) AS viol_bp
+        FROM (
+            SELECT count(*) AS n,
+                   coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS v0,
+                   coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END), 0) AS v1,
+                   coalesce(sum(CASE WHEN o_orderdate > TIMESTAMP '1998-12-31 00:00:00' THEN 1 ELSE 0 END), 0) AS v2
+            FROM orders
+        ) t CROSS JOIN (
+            VALUES ('totalprice_nonpositive', 0), ('orderstatus_domain', 1),
+                   ('orderdate_future', 2)
+        ) ri(rule, i)
+        CROSS JOIN LATERAL (SELECT CASE ri.i WHEN 0 THEN t.v0 WHEN 1 THEN t.v1 ELSE t.v2 END AS v, ri.rule AS rule) r
+        UNION ALL
+        SELECT 'lineitem', r.rule, CAST(t.n AS BIGINT),
+               CAST(r.v AS BIGINT), CAST(r.v * 10000 // t.n AS BIGINT)
+        FROM (
+            SELECT count(*) AS n,
+                   coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS v0,
+                   coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS v1,
+                   coalesce(sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END), 0) AS v2
+            FROM lineitem
+        ) t CROSS JOIN (
+            VALUES ('quantity_nonpositive', 0), ('discount_range', 1), ('tax_range', 2)
+        ) ri(rule, i)
+        CROSS JOIN LATERAL (SELECT CASE ri.i WHEN 0 THEN t.v0 WHEN 1 THEN t.v1 ELSE t.v2 END AS v, ri.rule AS rule) r
+        UNION ALL
+        SELECT 'documents', 'n_chars_mismatch', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END), 0) * 10000 // count(*) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'events', 'value_negative', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) * 10000 // count(*) AS BIGINT)
+        FROM events
+        """,
+        "Domain/range/consistency DQ rules: all of a table's rules in ONE "
+        "scan (stack unpivot), exact counts + integer basis points; FK edges "
+        "stay with referential_audit",
+    ),
 }
 
 
@@ -5032,6 +5122,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "ann_rank_fusion": ("q_id", "fused_rank"),
     "seasonality_profile": ("event_type", "hour_of_day"),
     "burst_hours": ("event_type", "bucket_ts"),
+    "prefix_filter_jaccard_pairs": ("doc_a", "doc_b"),
+    "dq_rule_violations": ("table_name", "rule"),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -5080,6 +5172,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ann_rank_fusion",
     "seasonality_profile",
     "burst_hours",
+    "prefix_filter_jaccard_pairs",
+    "dq_rule_violations",
     # (000) NEW in the third round-4
     # session — never externally checked:
     "theta_daily_overlap",
@@ -5170,12 +5264,22 @@ _CHECK_FIRST: tuple[str, ...] = (
     # the SAME synthesize→RIFF-decode pipeline through a strictly
     # stronger check — per-window tiled-range sums instead of one
     # whole-stream sum — so the codec stays externally exercised.)
-    "triangle_counts",       # NEW this round: degree-ordered triangles
+    # (triangle_counts displaced by prefix_filter_jaccard_pairs: its
+    # co-purchase edge build and wedge equi-join family are externally
+    # exercised this window via link_prediction_scores (same grain,
+    # same wedge shape) and kcore_decomposition (same edge build); its
+    # unique degree-orientation is pinned every run by the local parity
+    # suite (its oracle IS the brute-force 3-way join) and the K4+star
+    # golden in tests/test_graph.py.)
     "session_window_stats",  # NEW this round: native session windows
     "bloom_prefilter_stats", # NEW this round: runtime-filter harness
     "gif_frame_stats",       # NEW this round: fourth real codec (video)
     "jpeg_decode_stats",     # NEW this round: fifth real codec (lossy, baseline JPEG)
-    "leakage_safe_splits",   # NEW this round: cluster-hashed splits
+    # (leakage_safe_splits displaced by dq_rule_violations: its LSH →
+    # transitive-closure leg is the dedup_components family (externally
+    # green r02) and its per-mille hash draw the mixture_sample family
+    # (green r02/r03); the straddle-impossible invariant is structural
+    # and asserted row-by-row in tests every run.)
     # (rfm_segments displaced by ann_rank_fusion: its broadcast-
     # cutpoint bucketing is the equi_depth_histogram family, externally
     # green r03 on the same EQUI_DEPTH_CUTS literals; its per-customer

@@ -70,6 +70,7 @@ DOC_QUERIES = (
     "feature_hashing_stats",
     "wav_frame_features",
     "ngram_containment_pairs",
+    "prefix_filter_jaccard_pairs",
 )
 
 SEED = 813

@@ -162,3 +162,42 @@ def test_session_new_ops_partition_invariant(spark, sf_dir):
             assert low == high
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_sixth_session_ops_partition_invariant(spark, sf_dir):
+    """Sixth-session ops pinned bitwise under the partition sweep: the
+    integer-cross-multiplied encoders/flags (target encoding, robust
+    MAD, Benford deltas, seasonality bp), the power-of-two EWMA, the
+    micro-unit Adamic-Adar sum, and the RRF fusion — each computes its
+    floats as ONE division of exact integers, so parallelism must not
+    move a bit."""
+    from mapreduce_rs_spark.operators.events import (
+        ewma_value,
+        robust_value_anomalies,
+        seasonality_profile,
+    )
+    from mapreduce_rs_spark.operators.graph import link_prediction_scores
+    from mapreduce_rs_spark.operators.relational import (
+        benford_digit_audit,
+        target_encoding_nations,
+    )
+
+    tables = load_tables(spark, sf_dir)
+    queries = [
+        lambda: benford_digit_audit(tables),
+        lambda: target_encoding_nations(tables),
+        lambda: ewma_value(tables),
+        lambda: robust_value_anomalies(tables),
+        lambda: seasonality_profile(tables),
+        lambda: link_prediction_scores(tables),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for q in queries:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            low = _bits(q())
+            spark.conf.set("spark.sql.shuffle.partitions", "31")
+            high = _bits(q())
+            assert low == high
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

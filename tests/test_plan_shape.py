@@ -216,6 +216,12 @@ _SCALE_GUARDS = {
     "seasonality_profile": (2, 0),
     # hourly pre-agg + the RANGE trailing window over bucket series
     "burst_hours": (2, 0),
+    # prefix equi-join + verify join + sizes agg over the checkpointed
+    # rarity-ranked shingle stream
+    "prefix_filter_jaccard_pairs": (3, 0),
+    # ONE scan per table, all rules as conditional sums in a single
+    # agg, stack unpivot — no shuffle at all (4 SinglePartition aggs)
+    "dq_rule_violations": (0, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),

@@ -79,6 +79,7 @@ REL_QUERIES = (
     "target_encoding_nations",
     "key_skew_profile",
     "label_propagation_communities",
+    "dq_rule_violations",
 )
 
 SEED = 4217
