@@ -1585,3 +1585,105 @@ def burst_hours(t: dict[str, DataFrame]) -> DataFrame:
             F.expr("n * 24 * 10000 div trailing_n").cast("long").alias("ratio_bp"),
         )
     )
+
+
+ATTRIB_WINDOW_SEC = 3600
+TOUCH_TYPES = ("click", "view")
+
+
+def multitouch_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Linear multi-touch revenue attribution: every purchase's value is
+    split EQUALLY across the user's touches (clicks and views) in the
+    preceding hour, then rolled up per touch type — the marketing-
+    analytics generalization of ``asof_last_click_before_purchase``'s
+    last-touch rule.
+
+    No self-join (the as-of lesson: a time-range self-join explodes on
+    active users): per-type touch counts come from conditional counts
+    over ONE value-based RANGE frame ([-3600 s, -1 s] on the epoch
+    second, partitioned by user). A value frame also sidesteps
+    same-second tie ambiguity — the frame is defined by timestamps,
+    not row order.
+
+    Float discipline: each purchase's per-type credit is
+    ``value_cents·10⁴·n_type div n_touches`` — ONE integer floor
+    division per (purchase, type), exact and order-independent; the
+    rollup sums those integers and the presentation value is one
+    division by a literal. Purchases with zero preceding touches fall
+    out (their revenue is unattributable under this model — counted in
+    the ``unattributed`` row so mass is conserved).
+    """
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        (money("value") * 100).cast("long").alias("cents"),
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("secs"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(-ATTRIB_WINDOW_SEC, -1)
+    )
+    counts = {
+        tt: F.count(F.when(F.col("event_type") == tt, F.lit(1))).over(w)
+        for tt in TOUCH_TYPES
+    }
+    purchases = (
+        ev.select(
+            "event_type",
+            "cents",
+            *[c.alias(f"n_{tt}") for tt, c in counts.items()],
+        )
+        .where(F.col("event_type") == "purchase")
+        .withColumn("n_touches", sum(F.col(f"n_{tt}") for tt in TOUCH_TYPES))
+    )
+    legs = [
+        purchases.where(F.col("n_touches") > 0).select(
+            F.lit(tt).alias("touch_type"),
+            F.when(F.col(f"n_{tt}") > 0, 1).otherwise(0).alias("touched"),
+            F.expr(f"cents * 10000 * n_{tt} div n_touches").alias("micro"),
+        )
+        for tt in TOUCH_TYPES
+    ]
+    legs.append(
+        purchases.where(F.col("n_touches") == 0).select(
+            F.lit("unattributed").alias("touch_type"),
+            F.lit(1).alias("touched"),
+            (F.col("cents") * 10000).alias("micro"),
+        )
+    )
+    un = legs[0]
+    for leg in legs[1:]:
+        un = un.unionByName(leg)
+    return un.groupBy("touch_type").agg(
+        F.sum("touched").cast("long").alias("n_purchases"),
+        F.sum("micro").cast("long").alias("attributed_microcents"),
+        (F.sum("micro").cast("double") / 1000000.0).alias("attributed_value"),
+    )
+
+
+def inter_event_gaps(t: dict[str, DataFrame]) -> DataFrame:
+    """Inter-arrival time distribution per event type: for each event,
+    the gap since the same user's PREVIOUS event (any type), grouped by
+    the later event's type — the arrival-process statistic behind
+    session-gap and rate-limit tuning.
+
+    Gaps are exact integer microseconds (epoch_us lag over the
+    (ts, event_id) total order); ``mean_gap_secs`` is ONE division of
+    exact integers. One exchange on user_id + a |types|-key agg.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    gaps = (
+        t["events"]
+        .select("event_type", (us - F.lag(us).over(w)).alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / (F.count(F.lit(1)) * 1000000).cast("double")).alias(
+            "mean_gap_secs"
+        ),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+    )

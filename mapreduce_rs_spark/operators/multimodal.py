@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type (8-bit only; no palette support).
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
@@ -265,7 +267,7 @@ def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
-    encoded = df.select("doc_id", text_col).mapInPandas(
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
         run, schema="doc_id long, payload binary, width int, height int"
     )
     return encoded.select(
@@ -304,7 +306,7 @@ def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
-    encoded = df.select("doc_id", text_col).mapInPandas(
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
         run, schema="doc_id long, payload binary, width int, height int"
     )
     return encoded.select(
@@ -681,7 +683,7 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in cols}
 
-    encoded = df.select("doc_id", text_col).mapInPandas(
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
         run,
         schema="doc_id long, payload binary, n_frames int, n_channels int, sample_rate int",
     )
@@ -1008,7 +1010,7 @@ def attach_gif_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in cols}
 
-    encoded = df.select("doc_id", text_col).mapInPandas(
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
         run,
         schema="doc_id long, payload binary, width int, height int, n_frames int",
     )
@@ -1479,7 +1481,7 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
-    encoded = df.select("doc_id", text_col).mapInPandas(
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
         run, schema="doc_id long, payload binary, width int, height int"
     )
     return encoded.select(

@@ -2306,3 +2306,52 @@ def dq_rule_violations(t: dict[str, DataFrame]) -> DataFrame:
             tbl(t["events"], "events", [("value_negative", "value < 0")])
         )
     )
+
+
+TRIPLE_MIN_ORDERS = 2
+
+
+def frequent_triples(
+    t: dict[str, DataFrame], min_orders: int = TRIPLE_MIN_ORDERS
+) -> DataFrame:
+    """Frequent 3-itemsets over the order basket — the level the
+    copurchase_pairs operator stops short of, and the a-priori step a
+    recommender's rule miner runs next.
+
+    The triple join chains two self-equi-joins ON THE ORDER KEY with
+    ascending part ordering (p1 < p2 < p3): per order the fan-out is
+    C(items, 3) — bounded by items-per-order (TPC-H caps at 7 → ≤ 35
+    rows per order), so total work is LINEAR in lineitems, never
+    polynomial in parts (the bounded-blocking discipline of every
+    pair/triple path in this repo). ``support_bp`` is integer basis
+    points of total orders (a 1-row broadcast).
+    """
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+    )
+    total = t["orders"].agg(F.count(F.lit(1)).cast("long").alias("total_orders"))
+    return triples.crossJoin(F.broadcast(total)).select(
+        "part_a",
+        "part_b",
+        "part_c",
+        "n_orders",
+        F.expr("n_orders * 10000 div total_orders").cast("long").alias("support_bp"),
+    )

@@ -4639,6 +4639,100 @@ QUERIES: dict[str, QuerySpec] = {
         "scan (stack unpivot), exact counts + integer basis points; FK edges "
         "stay with referential_audit",
     ),
+    "multitouch_attribution": QuerySpec(
+        _tables(events.multitouch_attribution),
+        f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                   CAST(floor(floor(epoch(ts))) AS BIGINT) AS secs
+            FROM events
+        ), counted AS (
+            SELECT event_type, cents,
+                   count(CASE WHEN event_type_w = 'click' THEN 1 END)
+                       OVER w AS n_click,
+                   count(CASE WHEN event_type_w = 'view' THEN 1 END)
+                       OVER w AS n_view
+            FROM (SELECT *, event_type AS event_type_w FROM ev)
+            WINDOW w AS (PARTITION BY user_id ORDER BY secs
+                         RANGE BETWEEN {events.ATTRIB_WINDOW_SEC} PRECEDING
+                               AND 1 PRECEDING)
+        ), purchases AS (
+            SELECT cents, n_click, n_view, n_click + n_view AS n_touches
+            FROM counted WHERE event_type = 'purchase'
+        ), legs AS (
+            SELECT 'click' AS touch_type,
+                   CASE WHEN n_click > 0 THEN 1 ELSE 0 END AS touched,
+                   cents * 10000 * n_click // n_touches AS micro
+            FROM purchases WHERE n_touches > 0
+            UNION ALL
+            SELECT 'view',
+                   CASE WHEN n_view > 0 THEN 1 ELSE 0 END,
+                   cents * 10000 * n_view // n_touches
+            FROM purchases WHERE n_touches > 0
+            UNION ALL
+            SELECT 'unattributed', 1, cents * 10000
+            FROM purchases WHERE n_touches = 0
+        )
+        SELECT touch_type,
+               CAST(sum(touched) AS BIGINT) AS n_purchases,
+               CAST(sum(micro) AS BIGINT) AS attributed_microcents,
+               CAST(sum(micro) AS DOUBLE) / 1000000.0 AS attributed_value
+        FROM legs GROUP BY touch_type
+        """,
+        "Linear multi-touch attribution: conditional counts over ONE value-"
+        "based RANGE frame (no time-range self-join), per-type credit as one "
+        "integer floor division per purchase, mass conserved incl. the "
+        "unattributed row",
+    ),
+    "inter_event_gaps": QuerySpec(
+        _tables(events.inter_event_gaps),
+        """
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap_us) AS DOUBLE)
+                   / CAST(count(*) * 1000000 AS BIGINT) AS mean_gap_secs,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+        """,
+        "Inter-arrival gaps per type: exact integer microsecond lags over the "
+        "(ts, event_id) total order, mean = one division",
+    ),
+    "frequent_triples": QuerySpec(
+        _tables(relational.frequent_triples),
+        f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), triples AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   c.l_partkey AS part_c,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM op a
+            JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+            JOIN op c ON a.l_orderkey = c.l_orderkey
+                     AND b.l_partkey < c.l_partkey
+            GROUP BY 1, 2, 3
+            HAVING count(*) >= {relational.TRIPLE_MIN_ORDERS}
+        ), total AS (
+            SELECT CAST(count(*) AS BIGINT) AS total_orders FROM orders
+        )
+        SELECT part_a, part_b, part_c, n_orders,
+               CAST(n_orders * 10000 // total_orders AS BIGINT) AS support_bp
+        FROM triples CROSS JOIN total
+        """,
+        "Frequent 3-itemsets: two chained order-key self-joins with ascending "
+        "part ordering — fan-out bounded at C(items-per-order, 3), linear in "
+        "lineitems; support in integer basis points",
+    ),
 }
 
 
@@ -5124,6 +5218,9 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "burst_hours": ("event_type", "bucket_ts"),
     "prefix_filter_jaccard_pairs": ("doc_a", "doc_b"),
     "dq_rule_violations": ("table_name", "rule"),
+    "multitouch_attribution": ("touch_type",),
+    "inter_event_gaps": ("event_type",),
+    "frequent_triples": ("part_a", "part_b", "part_c"),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -5174,15 +5271,28 @@ _CHECK_FIRST: tuple[str, ...] = (
     "burst_hours",
     "prefix_filter_jaccard_pairs",
     "dq_rule_violations",
+    "multitouch_attribution",
+    "inter_event_gaps",
+    "frequent_triples",
     # (000) NEW in the third round-4
     # session — never externally checked:
-    "theta_daily_overlap",
+    # (theta_daily_overlap displaced by multitouch_attribution: its
+    # KMV theta-sketch machinery — h32 TakeOrdered sketches, theta =
+    # min(kth), correlated sampling — is externally exercised via
+    # join_size_estimate (same builders, still in this window) and
+    # kmv_distinct_users (green r01).)
     "bigram_surprisal_scores",
     "join_size_estimate",
     # (00) NEW in the second round-4 session — never externally checked:
     "hll_distinct_users",
-    "bpe_encode_stats",
-    "knn_ivfpq",
+    # (bpe_encode_stats displaced by inter_event_gaps: it shares
+    # _bpe_fit and the unrolled oracle CTE chain with bpe_train_merges
+    # — still in this window — so the trained-merge table and encode
+    # semantics stay externally exercised through the trainer.)
+    # (knn_ivfpq displaced by frequent_triples: ann_recall — still in
+    # this window — carries an ivfpq leg built from the SAME composed
+    # _ivf_assigned_cte/_pq_codes_ctes builders, so the tier stays
+    # externally exercised.)
     "bfs_hops",
     "weighted_sample",
     "cms_word_counts",

@@ -57,6 +57,8 @@ EVENT_QUERIES = (
     "robust_value_anomalies",
     "seasonality_profile",
     "burst_hours",
+    "multitouch_attribution",
+    "inter_event_gaps",
 )
 
 SEED = 20260813

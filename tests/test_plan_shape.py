@@ -222,6 +222,13 @@ _SCALE_GUARDS = {
     # ONE scan per table, all rules as conditional sums in a single
     # agg, stack unpivot — no shuffle at all (4 SinglePartition aggs)
     "dq_rule_violations": (0, 0),
+    # ONE user_id range-frame window (per-leg subtree re-use costs the
+    # union duplicates at test scale; each leg is window + tiny agg)
+    "multitouch_attribution": (4, 0),
+    # user_id lag exchange + |types|-key agg
+    "inter_event_gaps": (2, 0),
+    # distinct projection + chained order-key triple join + triple agg
+    "frequent_triples": (4, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),

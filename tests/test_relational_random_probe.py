@@ -80,6 +80,7 @@ REL_QUERIES = (
     "key_skew_profile",
     "label_propagation_communities",
     "dq_rule_violations",
+    "frequent_triples",
 )
 
 SEED = 4217
