@@ -1292,3 +1292,69 @@ def ann_rank_fusion(df: DataFrame, k: int = 10) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
         .where(F.col("fused_rank") <= k)
     )
+
+
+DRIFT_SCALE = 1_000_000  # per-dimension quantization for exact sums
+
+
+def label_centroid_drift(df: DataFrame) -> DataFrame:
+    """Embedding-distribution monitoring per label: each label's
+    centroid compared to the global centroid — the drift detector a
+    production embedding pipeline runs per ingest batch (a label whose
+    centroid swings or whose norm ratio drifts signals an upstream
+    model or data change).
+
+    Float discipline: per-dimension coordinates are quantized to
+    integer micro-units (round(x·1e6) — one deterministic rounding of
+    the exact float→double cast) and SUMMED AS BIGINTs, so the
+    centroid sums are exact and partition-invariant; cosine is
+    scale-invariant, so cos(mean_l, mean_g) = cos(sum_l, sum_g)
+    computed directly on the integer-sum vectors cast to double — the
+    knn dot/norm chains on identical inputs, deterministic in both
+    engines. ``norm_ratio`` rescales by the exact counts
+    (||s_l||·N) / (n_l·||g||).
+
+    Scale: posexplode is a narrow ×dim expansion; the only shuffle is
+    the (label × dim)-key aggregate with map-side partials — state is
+    |labels|·dim integers no matter the corpus size. The global vector
+    is a dim-row re-aggregate of the label sums, broadcast back.
+    """
+    q = (
+        ensure_parallelism(df, "vec_id")
+        .select(
+            "label", F.posexplode(F.col("embedding").cast(_DBL)).alias("pos", "x")
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("x") * DRIFT_SCALE, 0).cast("long").alias("q"),
+        )
+    )
+    sums = q.groupBy("label", "pos").agg(F.sum("q").alias("s"))
+    vec_of = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+    )
+    label_vecs = sums.groupBy("label").agg(vec_of.alias("vec"))
+    global_vec = (
+        sums.groupBy("pos")
+        .agg(F.sum("s").alias("s"))
+        .agg(vec_of.alias("gvec"))
+    )
+    counts = df.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    total = counts.agg(F.sum("n_vecs").cast("long").alias("n_total"))
+    lv = F.col("vec").cast(_DBL)
+    gv = F.col("gvec").cast(_DBL)
+    return (
+        label_vecs.join(counts, "label")
+        .crossJoin(F.broadcast(global_vec))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            (_dot_raw(lv, gv) / (_l2_raw(lv) * _l2_raw(gv))).alias("cos_to_global"),
+            (
+                (_l2_raw(lv) * F.col("n_total").cast("double"))
+                / (F.col("n_vecs").cast("double") * _l2_raw(gv))
+            ).alias("norm_ratio"),
+        )
+    )

@@ -4733,6 +4733,48 @@ QUERIES: dict[str, QuerySpec] = {
         "part ordering — fan-out bounded at C(items-per-order, 3), linear in "
         "lineitems; support in integer basis points",
     ),
+    "label_centroid_drift": QuerySpec(
+        _emb(similarity.label_centroid_drift),
+        f"""
+        WITH q AS (
+            SELECT label, u.pos AS pos, u.q AS q FROM (
+                SELECT label,
+                       unnest(list_transform(range(1, len(e) + 1),
+                              i -> struct_pack(pos := i,
+                                   q := CAST(round(e[CAST(i AS INTEGER)]
+                                        * {float(similarity.DRIFT_SCALE)!r}, 0)
+                                        AS BIGINT)))) AS u
+                FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            )
+        ), sums AS (
+            SELECT label, pos, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1, 2
+        ), lv AS (
+            SELECT label,
+                   list_transform(list(s ORDER BY pos), v -> CAST(v AS DOUBLE)) AS vec
+            FROM sums GROUP BY label
+        ), gv AS (
+            SELECT list_transform(list(s ORDER BY pos), v -> CAST(v AS DOUBLE)) AS gvec
+            FROM (SELECT pos, CAST(sum(s) AS BIGINT) AS s FROM sums GROUP BY pos)
+        ), counts AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM embeddings GROUP BY label
+        ), total AS (
+            SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM counts
+        )
+        SELECT CAST(l.label AS INTEGER) AS label, c.n_vecs,
+               {_cosine_sql('l.vec', 'g.gvec')} AS cos_to_global,
+               (sqrt(list_dot_product(l.vec, l.vec)) * CAST(t.n_total AS DOUBLE))
+               / (CAST(c.n_vecs AS DOUBLE) * sqrt(list_dot_product(g.gvec, g.gvec)))
+                   AS norm_ratio
+        FROM lv l
+        JOIN counts c USING (label)
+        CROSS JOIN gv g CROSS JOIN total t
+        """,
+        "Per-label embedding drift: integer micro-unit dimension sums (exact, "
+        "partition-invariant), cosine computed on the sum vectors (scale-"
+        "invariance makes mean centroids unnecessary), norm ratio rescaled by "
+        "exact counts",
+    ),
 }
 
 
@@ -5221,6 +5263,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "multitouch_attribution": ("touch_type",),
     "inter_event_gaps": ("event_type",),
     "frequent_triples": ("part_a", "part_b", "part_c"),
+    "label_centroid_drift": ("label",),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -5274,6 +5317,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "multitouch_attribution",
     "inter_event_gaps",
     "frequent_triples",
+    "label_centroid_drift",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its
@@ -5293,7 +5337,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # this window — carries an ivfpq leg built from the SAME composed
     # _ivf_assigned_cte/_pq_codes_ctes builders, so the tier stays
     # externally exercised.)
-    "bfs_hops",
+    # (bfs_hops displaced by label_centroid_drift: its min-label
+    # iterative propagation is the dedup_components family (externally
+    # green r02) under the same per-round materialize discipline as
+    # kcore_decomposition and label_propagation_communities, both
+    # still in this window.)
     "weighted_sample",
     "cms_word_counts",
     "temperature_mixture",

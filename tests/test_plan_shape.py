@@ -229,6 +229,9 @@ _SCALE_GUARDS = {
     "inter_event_gaps": (2, 0),
     # distinct projection + chained order-key triple join + triple agg
     "frequent_triples": (4, 0),
+    # (label, dim) agg + label/global collect aggs + counts; every
+    # post-explode frame is |labels|·dim integers
+    "label_centroid_drift": (8, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),
