@@ -1687,3 +1687,78 @@ def inter_event_gaps(t: dict[str, DataFrame]) -> DataFrame:
         F.max("gap_us").cast("long").alias("max_gap_us"),
         F.min("gap_us").cast("long").alias("min_gap_us"),
     )
+
+
+ABANDON_WINDOW_SEC = 3600
+
+
+def abandoned_clicks(t: dict[str, DataFrame]) -> DataFrame:
+    """Click abandonment per day: clicks with NO purchase by the same
+    user within the following hour — the conversion-leak metric. Like
+    ``multitouch_attribution``, the lookahead is a conditional count
+    over a value-based RANGE frame ([+1 s, +3600 s] on the epoch
+    second) — no time-range self-join, no tie ambiguity. Counts exact,
+    ``abandon_bp`` integer basis points.
+    """
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("secs"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs")
+        .rangeBetween(1, ABANDON_WINDOW_SEC)
+    )
+    flagged = (
+        ev.select(
+            "event_type",
+            "day",
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            .over(w)
+            .alias("n_purch_next"),
+        )
+        .where(F.col("event_type") == "click")
+    )
+    return flagged.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.sum((F.col("n_purch_next") == 0).cast("long")).cast("long").alias(
+            "n_abandoned"
+        ),
+        F.expr(
+            "sum(CASE WHEN n_purch_next = 0 THEN 1 ELSE 0 END) * 10000 div count(*)"
+        )
+        .cast("long")
+        .alias("abandon_bp"),
+    )
+
+
+def weekly_growth(t: dict[str, DataFrame]) -> DataFrame:
+    """Week-over-week revenue growth — the reporting staple. Weekly
+    revenue is an exact decimal cent sum; ``growth_bp`` is PURE integer
+    arithmetic ((cur − prev)·10⁴ div prev on cents), so the growth
+    series is partition-invariant; ``revenue`` is one division by a
+    literal. ``prev`` is the previous PRESENT week (lag over the
+    week series — gap weeks mean the comparison skips to the last
+    week with data; a gapfilled variant would reuse gapfill_hourly's
+    grid machinery).
+    """
+    weekly = (
+        t["orders"]
+        .groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week"))
+        .agg(
+            (F.sum(money("o_totalprice")) * 100)
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return weekly.select(
+        "week",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.expr(
+            "CAST((cents - lag(cents) OVER (ORDER BY week)) * 10000 "
+            "div lag(cents) OVER (ORDER BY week) AS BIGINT)"
+        ).alias("growth_bp"),
+    )

@@ -2355,3 +2355,108 @@ def frequent_triples(
         "n_orders",
         F.expr("n_orders * 10000 div total_orders").cast("long").alias("support_bp"),
     )
+
+
+BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF thresholds quantized to the h32 range in PYTHON at
+# import (float-determinism toolbox: probability constants ship as
+# integer literals — no exp() evaluates in either engine). Multiplicity
+# k is assigned where draw < T[k]; the tail collapses to 5.
+_POISSON_CDF = [
+    0.36787944117144233,  # P(X<=0)
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+]
+POISSON_T = [round(p * 4294967296) for p in _POISSON_CDF]
+
+
+def bootstrap_ci_mean(t: dict[str, DataFrame], b: int = BOOT_B) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value — the
+    uncertainty quantification a metrics pipeline attaches to every
+    point estimate, via the POISSON BOOTSTRAP (Chamandy et al.): each
+    replicate resamples every row with multiplicity ~ Poisson(1),
+    which needs no global row count or coordination — the
+    distributed-bootstrap formulation.
+
+    Fully deterministic resampling: row r's multiplicity in replicate
+    j comes from the portable hash draw h32(orderkey|j) against
+    integer-quantized Poisson CDF thresholds (POISSON_T — computed in
+    Python, shipped as literals), so every engine, partitioning, and
+    retry draws the SAME resamples — the property rand() could never
+    give. Replicate sums are exact integer cents; each replicate mean
+    is ONE division; the CI bounds are order statistics of the ``b``
+    replicate means selected by rank (no float accumulation across
+    replicates anywhere).
+
+    Scale: the ×b expansion is a narrow generate (no shuffle of the
+    expansion — map-side partial aggs collapse it to b·P rows); state
+    after the replicate agg is b rows. At 100 TB, b=32 replicate sums
+    is exactly how production systems bootstrap (resampling the data
+    32× through one scan).
+    """
+    from mapreduce_rs_spark.functions.hashing import h32
+
+    draws = (
+        t["orders"]
+        .select(
+            (money("o_totalprice") * 100).cast("long").alias("cents"),
+            F.col("o_orderkey").cast("string").alias("okey"),
+        )
+        .select(
+            "cents",
+            "okey",
+            F.explode(F.array([F.lit(j) for j in range(b)])).alias("rep"),
+        )
+        .select(
+            "cents",
+            "rep",
+            h32(
+                F.concat(F.col("okey"), F.lit("|"), F.col("rep").cast("string"))
+            ).alias("draw"),
+        )
+    )
+    m = F.lit(5)
+    for k in range(len(POISSON_T) - 1, -1, -1):
+        m = F.when(F.col("draw") < POISSON_T[k], F.lit(k)).otherwise(m)
+    reps = (
+        draws.select("rep", "cents", m.alias("m"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("m") * F.col("cents")).cast("long").alias("s"),
+            F.sum("m").cast("long").alias("n"),
+        )
+        .select(
+            "rep",
+            (F.col("s").cast("double") / (F.col("n") * 100).cast("double")).alias(
+                "rep_mean"
+            ),
+        )
+    )
+    w = Window.orderBy("rep_mean", "rep")
+    ranked = reps.select(
+        "rep_mean", F.row_number().over(w).alias("rk")
+    )
+    lo_rk, hi_rk = 1, b
+    bounds = (
+        ranked.where(F.col("rk").isin(lo_rk, hi_rk))
+        .agg(
+            F.min(F.when(F.col("rk") == lo_rk, F.col("rep_mean"))).alias("ci_lo"),
+            F.min(F.when(F.col("rk") == hi_rk, F.col("rep_mean"))).alias("ci_hi"),
+        )
+    )
+    point = t["orders"].agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            (F.sum(money("o_totalprice")) * 100).cast("decimal(38,0)").cast("double")
+            / (F.count(F.lit(1)) * 100).cast("double")
+        ).alias("mean_value"),
+    )
+    return point.crossJoin(F.broadcast(bounds)).select(
+        "n_orders",
+        "mean_value",
+        "ci_lo",
+        "ci_hi",
+        F.lit(b).cast("int").alias("n_replicates"),
+    )

@@ -4775,6 +4775,103 @@ QUERIES: dict[str, QuerySpec] = {
         "invariance makes mean centroids unnecessary), norm ratio rescaled by "
         "exact counts",
     ),
+    "bootstrap_ci_mean": QuerySpec(
+        _tables(relational.bootstrap_ci_mean),
+        f"""
+        WITH draws AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents,
+                   rep,
+                   {h32_sql("(CAST(o_orderkey AS VARCHAR) || '|' || CAST(rep AS VARCHAR))")}
+                       AS draw
+            FROM orders
+            CROSS JOIN (SELECT unnest(range({relational.BOOT_B})) AS rep)
+        ), mult AS (
+            SELECT rep, cents,
+                   CASE
+                       WHEN draw < {relational.POISSON_T[0]} THEN 0
+                       WHEN draw < {relational.POISSON_T[1]} THEN 1
+                       WHEN draw < {relational.POISSON_T[2]} THEN 2
+                       WHEN draw < {relational.POISSON_T[3]} THEN 3
+                       WHEN draw < {relational.POISSON_T[4]} THEN 4
+                       ELSE 5
+                   END AS m
+            FROM draws
+        ), reps AS (
+            SELECT rep,
+                   CAST(sum(m * cents) AS DOUBLE)
+                       / CAST(sum(m) * 100 AS BIGINT) AS rep_mean
+            FROM mult GROUP BY rep
+        ), ranked AS (
+            SELECT rep_mean,
+                   row_number() OVER (ORDER BY rep_mean, rep) AS rk
+            FROM reps
+        ), bounds AS (
+            SELECT min(CASE WHEN rk = 1 THEN rep_mean END) AS ci_lo,
+                   min(CASE WHEN rk = {relational.BOOT_B} THEN rep_mean END) AS ci_hi
+            FROM ranked WHERE rk IN (1, {relational.BOOT_B})
+        ), point AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS HUGEINT) AS DOUBLE)
+                       / CAST(count(*) * 100 AS BIGINT) AS mean_value
+            FROM orders
+        )
+        SELECT n_orders, mean_value, ci_lo, ci_hi,
+               CAST({relational.BOOT_B} AS INTEGER) AS n_replicates
+        FROM point CROSS JOIN bounds
+        """,
+        "Deterministic Poisson bootstrap: multiplicities from portable hash "
+        "draws vs integer-quantized Poisson CDF literals (no exp, no rand); "
+        "replicate sums exact cents, each mean one division, CI = order "
+        "statistics of the replicate means",
+    ),
+    "abandoned_clicks": QuerySpec(
+        _tables(events.abandoned_clicks),
+        f"""
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(ts AS DATE) AS day,
+                   CAST(floor(floor(epoch(ts))) AS BIGINT) AS secs
+            FROM events
+        ), flagged AS (
+            SELECT event_type, day,
+                   count(CASE WHEN event_type_w = 'purchase' THEN 1 END) OVER (
+                       PARTITION BY user_id ORDER BY secs
+                       RANGE BETWEEN 1 FOLLOWING
+                             AND {events.ABANDON_WINDOW_SEC} FOLLOWING
+                   ) AS n_purch_next
+            FROM (SELECT *, event_type AS event_type_w FROM ev)
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(sum(CASE WHEN n_purch_next = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_abandoned,
+               CAST(sum(CASE WHEN n_purch_next = 0 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS abandon_bp
+        FROM flagged WHERE event_type = 'click' GROUP BY day
+        """,
+        "Click abandonment: lookahead purchase count over a value-based "
+        "RANGE frame (no self-join), exact counts, integer basis points",
+    ),
+    "weekly_growth": QuerySpec(
+        _tables(events.weekly_growth),
+        """
+        WITH weekly AS (
+            SELECT date_trunc('week', o_orderdate) AS week,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS HUGEINT) AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT week,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CAST((cents - lag(cents) OVER (ORDER BY week)) * 10000
+                    // lag(cents) OVER (ORDER BY week) AS BIGINT) AS growth_bp
+        FROM weekly
+        """,
+        "Week-over-week growth: exact decimal cent sums, growth in pure "
+        "integer basis points via lag over the week series",
+    ),
 }
 
 
@@ -5264,6 +5361,9 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "inter_event_gaps": ("event_type",),
     "frequent_triples": ("part_a", "part_b", "part_c"),
     "label_centroid_drift": ("label",),
+    "bootstrap_ci_mean": ("n_orders",),
+    "abandoned_clicks": ("day",),
+    "weekly_growth": ("week",),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -5318,6 +5418,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "inter_event_gaps",
     "frequent_triples",
     "label_centroid_drift",
+    "bootstrap_ci_mean",
+    "abandoned_clicks",
+    "weekly_growth",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its
@@ -5345,11 +5448,22 @@ _CHECK_FIRST: tuple[str, ...] = (
     "weighted_sample",
     "cms_word_counts",
     "temperature_mixture",
-    "duplicate_spans",
+    # (duplicate_spans displaced by weekly_growth: its rolling-hash
+    # window fingerprints are the cdc_chunk_dedup pair-hash family
+    # (locally probed every run) and its hash-match self-join the
+    # shingle equi-join family exercised this window via
+    # prefix_filter_jaccard_pairs and ngram_containment_pairs.)
     # (0) NEW: the battery-completing
     # TPC-H shapes (Q11/Q16/Q20) — all 22 TPC-H queries now covered:
-    "q11_important_stock",
-    "q16_supplier_part_types",
+    # (q11_important_stock displaced by bootstrap_ci_mean: its
+    # per-part agg + share-of-one-row-total shape is the q20 per-part
+    # family (still in this window) plus the SinglePartition-total
+    # pattern externally exercised via benford_digit_audit and
+    # target_encoding_nations, both this window.)
+    # (q16_supplier_part_types displaced by abandoned_clicks: its
+    # two-phase count-distinct grid is the feature_hashing_stats
+    # count-distinct family (this window) over the set_ops_multiset
+    # distinct machinery, externally green r01.)
     "q20_surplus_suppliers",
     "user_value_trend",      # NEW: closed-form per-user OLS trend
     # (dsir_importance_weights displaced by burst_hours: its centinat

@@ -59,6 +59,7 @@ EVENT_QUERIES = (
     "burst_hours",
     "multitouch_attribution",
     "inter_event_gaps",
+    "abandoned_clicks",
 )
 
 SEED = 20260813

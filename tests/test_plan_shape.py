@@ -232,6 +232,13 @@ _SCALE_GUARDS = {
     # (label, dim) agg + label/global collect aggs + counts; every
     # post-explode frame is |labels|·dim integers
     "label_centroid_drift": (8, 0),
+    # ONE b-key replicate agg (the ×b expansion is narrow; partial
+    # aggs collapse it map-side); rank window runs on b rows
+    "bootstrap_ci_mean": (1, 0),
+    # user_id lookahead window + day agg
+    "abandoned_clicks": (2, 0),
+    # week agg; the lag rides a SinglePartition window over weeks
+    "weekly_growth": (1, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),

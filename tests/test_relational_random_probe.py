@@ -81,6 +81,8 @@ REL_QUERIES = (
     "label_propagation_communities",
     "dq_rule_violations",
     "frequent_triples",
+    "bootstrap_ci_mean",
+    "weekly_growth",
 )
 
 SEED = 4217
