@@ -1762,3 +1762,42 @@ def weekly_growth(t: dict[str, DataFrame]) -> DataFrame:
             "div lag(cents) OVER (ORDER BY week) AS BIGINT)"
         ).alias("growth_bp"),
     )
+
+
+def log2_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
+    """HDR-style log₂-bucketed value histogram per event type — the
+    observability-latency-histogram shape: exponentially growing
+    buckets give constant RELATIVE resolution with a few dozen
+    buckets, and the bucket index needs no log(): for positive integer
+    cents, floor(log₂ x) = length(bin(x)) − 1 — pure integer bit
+    arithmetic (the HLL rank-extraction trick), identical in both
+    engines where a float log2 could straddle a bucket boundary by an
+    ulp. Bucket bounds are exact 2^k integers; ``share_bp`` is integer
+    basis points. One (type, bucket) aggregate with map-side partials.
+    Zero/negative values land in bucket -1 (documented sentinel).
+    """
+    ev = t["events"].select(
+        "event_type",
+        (money("value") * 100).cast("long").alias("cents"),
+    )
+    bucket = F.when(
+        F.col("cents") > 0, F.length(F.expr("bin(cents)")) - 1
+    ).otherwise(F.lit(-1))
+    per = (
+        ev.select("event_type", bucket.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return per.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("bucket") >= 0, F.expr("CAST(1 AS BIGINT) << bucket"))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("lo_cents"),
+        "n",
+        F.expr("n * 10000 div sum(n) OVER (PARTITION BY event_type)")
+        .cast("long")
+        .alias("share_bp"),
+    )

@@ -2460,3 +2460,60 @@ def bootstrap_ci_mean(t: dict[str, DataFrame], b: int = BOOT_B) -> DataFrame:
         "ci_hi",
         F.lit(b).cast("int").alias("n_replicates"),
     )
+
+
+WEIGHTED_P_BP = 5000  # weighted median
+
+
+def weighted_median_price(
+    t: dict[str, DataFrame], p_bp: int = WEIGHTED_P_BP
+) -> DataFrame:
+    """QUANTITY-weighted median of the unit extended price per return
+    flag — the weighted-percentile primitive (an unweighted median of
+    line prices over-represents small orders; weighting by quantity
+    answers "the median price a UNIT shipped at").
+
+    Exact and float-free: prices as integer cents, quantities as
+    integer units (both lossless decimal casts); rows sort by
+    (cents, orderkey, linenumber) per group, and the weighted median
+    is the FIRST row whose cumulative weight crosses the threshold —
+    the crossing test is integer cross-multiplication
+    (cum_w·10⁴ ≥ p_bp·total_w), and the reported price is one division
+    by a literal.
+
+    Scale: one exchange on the group key serves the sort window and
+    the cumulative sum (the sessionize shape); the per-group sort is
+    the documented percentile trade — percentile_approx swaps in at
+    real scale, this exact form stays the oracle contract.
+    """
+    li = t["lineitem"].select(
+        "l_returnflag",
+        (money("l_extendedprice") * 100).cast("long").alias("cents"),
+        # centi-units: exact for ANY 2-decimal quantity (the scale
+        # cancels in the cross-multiplied threshold)
+        (money("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wsort = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "cents",
+        "w",
+        F.sum("w").over(wsort).alias("cum_w"),
+        F.sum("w").over(wall).alias("total_w"),
+    )
+    crossed = cum.where(F.col("cum_w") * 10000 >= p_bp * F.col("total_w"))
+    first = Window.partitionBy("l_returnflag").orderBy("cum_w", "cents")
+    return (
+        crossed.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("cents").cast("double") / 100.0).alias("weighted_median_price"),
+            (F.col("total_w").cast("double") / 100.0).alias("total_units"),
+        )
+    )

@@ -4872,6 +4872,63 @@ QUERIES: dict[str, QuerySpec] = {
         "Week-over-week growth: exact decimal cent sums, growth in pure "
         "integer basis points via lag over the week series",
     ),
+    "weighted_median_price": QuerySpec(
+        _tables(relational.weighted_median_price),
+        f"""
+        WITH li AS (
+            SELECT l_returnflag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ), cum AS (
+            SELECT l_returnflag, cents, w,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag
+                                     ORDER BY cents, l_orderkey, l_linenumber)
+                        AS BIGINT) AS cum_w,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                       AS total_w
+            FROM li
+        ), crossed AS (
+            SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY cum_w, cents) AS rn
+            FROM cum WHERE cum_w * 10000 >= {relational.WEIGHTED_P_BP} * total_w
+        )
+        SELECT l_returnflag,
+               CAST(cents AS DOUBLE) / 100.0 AS weighted_median_price,
+               CAST(total_w AS DOUBLE) / 100.0 AS total_units
+        FROM crossed WHERE rn = 1
+        """,
+        "Quantity-weighted median price: integer centi-unit cumulative "
+        "weights, crossing test by integer cross-multiplication, reported "
+        "price = one division by a literal",
+    ),
+    "log2_value_histogram": QuerySpec(
+        _tables(events.log2_value_histogram),
+        """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+            FROM events
+        ), per AS (
+            SELECT event_type,
+                   CAST(CASE WHEN cents > 0 THEN length(bin(cents)) - 1
+                             ELSE -1 END AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ev GROUP BY 1, 2
+        )
+        SELECT event_type, bucket,
+               CASE WHEN bucket >= 0 THEN CAST(CAST(1 AS BIGINT) << bucket AS BIGINT)
+                    ELSE NULL END AS lo_cents,
+               n,
+               CAST(n * 10000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS share_bp
+        FROM per
+        """,
+        "HDR-style log2 histogram: bucket = bit length of integer cents "
+        "(no float log2), exact 2^k bounds, integer basis-point shares",
+    ),
 }
 
 
@@ -5364,6 +5421,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bootstrap_ci_mean": ("n_orders",),
     "abandoned_clicks": ("day",),
     "weekly_growth": ("week",),
+    "weighted_median_price": ("l_returnflag",),
+    "log2_value_histogram": ("event_type", "bucket"),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -5421,6 +5480,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bootstrap_ci_mean",
     "abandoned_clicks",
     "weekly_growth",
+    "weighted_median_price",
+    "log2_value_histogram",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its
@@ -5446,7 +5507,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # kcore_decomposition and label_propagation_communities, both
     # still in this window.)
     "weighted_sample",
-    "cms_word_counts",
+    # (cms_word_counts displaced by weighted_median_price: its 4-lane
+    # h32 digest family is externally exercised via
+    # bloom_prefilter_stats (this window), and its cross-batch counter
+    # maintenance is pinned bit-equal to batch by the streaming_cms
+    # drain test every run.)
     "temperature_mixture",
     # (duplicate_spans displaced by weekly_growth: its rolling-hash
     # window fingerprints are the cdc_chunk_dedup pair-hash family
@@ -5470,7 +5535,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # ln-floor quantization is the bigram/unigram_surprisal family
     # (both this window) and its hashed-bucket models the h32-modulo
     # family of feature_hashing_stats/cms_word_counts, also in window.)
-    "state_intervals",       # NEW: gaps-and-islands SCD2 intervals
+    # (state_intervals displaced by log2_value_histogram: its
+    # double-row_number islands are the gaps-and-islands family
+    # externally green via sessionize (r01-r03, lag→flag→cumsum) and
+    # its (ts, event_id) total order via ohlc_bars, r03.)
     "entity_match_customers",  # NEW: blocked fuzzy entity resolution
     "orders_merge_upsert",   # NEW: MERGE INTO (SCD1) audit
     "bpe_train_merges",      # NEW: full iterative BPE trainer

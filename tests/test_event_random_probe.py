@@ -60,6 +60,7 @@ EVENT_QUERIES = (
     "multitouch_attribution",
     "inter_event_gaps",
     "abandoned_clicks",
+    "log2_value_histogram",
 )
 
 SEED = 20260813

@@ -239,6 +239,11 @@ _SCALE_GUARDS = {
     "abandoned_clicks": (2, 0),
     # week agg; the lag rides a SinglePartition window over weeks
     "weekly_growth": (1, 0),
+    # ONE returnflag exchange serves the sort window, the cumsum, and
+    # the first-crossing rank
+    "weighted_median_price": (1, 0),
+    # (type, bucket) agg + the per-type share window
+    "log2_value_histogram": (2, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),

@@ -83,6 +83,7 @@ REL_QUERIES = (
     "frequent_triples",
     "bootstrap_ci_mean",
     "weekly_growth",
+    "weighted_median_price",
 )
 
 SEED = 4217
