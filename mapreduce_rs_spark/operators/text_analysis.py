@@ -1518,3 +1518,113 @@ def feature_hashing_stats(docs: DataFrame, dim: int = FH_DIM) -> DataFrame:
         F.countDistinct("word").cast("long").alias("n_terms"),
         F.sum("sign").cast("long").alias("signed_sum"),
     )
+
+
+def language_id_confusion(df: DataFrame) -> DataFrame:
+    """Confusion matrix for the heuristic language identifier — the
+    classifier-evaluation harness as one query (the ann_recall pattern
+    applied to text classification): per (labeled, predicted) language
+    pair, the count and the row-normalized share. The prediction leg
+    IS ``language_id`` reused verbatim — evaluator and evaluated
+    cannot drift. Counts exact; ``share_bp`` integer basis points of
+    the labeled language's row.
+    """
+    pred = language_id(df)
+    return (
+        pred.groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "lang_actual",
+            "lang_pred",
+            "n",
+            F.expr("n * 10000 div sum(n) OVER (PARTITION BY lang_actual)")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+
+
+OOV_VOCAB_K = 16
+
+
+def oov_rate_scores(df: DataFrame, k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the top-``k`` corpus
+    vocabulary — the coverage-based quality/domain-shift signal (a doc
+    whose tokens mostly fall outside the head vocabulary is either
+    foreign, degenerate, or from a new domain).
+
+    The vocabulary is the k most frequent words (count DESC, word ASC
+    — fully deterministic head), a TakeOrdered k-row frame broadcast
+    back onto the token stream; per-doc counts are exact integers and
+    ``oov_bp`` is integer basis points. Docs with zero tokens surface
+    with NULL oov_bp via the doc spine left join (the
+    repetition_signals discipline).
+    """
+    spine = df.select("doc_id")
+    tok = explode_tokens(df, "text", "doc_id")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(k)
+        .select("word")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return (
+        spine.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            # ANSI-safe: zero-token docs get NULL, never a /0
+            F.when(
+                F.col("n_tokens") > 0, F.expr("n_oov * 10000 div n_tokens")
+            )
+            .cast("long")
+            .alias("oov_bp"),
+        )
+    )
+
+
+def domain_stats(df: DataFrame) -> DataFrame:
+    """Per-domain corpus accounting — the C4/RefinedWeb per-host quality
+    ledger: document count, language spread, character volume, and the
+    within-domain exact-duplicate rate (boilerplate mills duplicate
+    across paths of one host). The domain parses from ``source`` with
+    a portable regex (no \\s, RE2-safe); dup accounting reuses the
+    md5 text fingerprint family. All counts exact; ``dup_bp`` integer
+    basis points. One (domain-keyed) aggregate after a narrow parse —
+    the fingerprint distinct rides the same shuffle.
+    """
+    from mapreduce_rs_spark.functions.hashing import text_fingerprint
+
+    base = df.select(
+        F.regexp_extract(F.col("source"), "^[a-z]+://([^/]+)", 1).alias("domain"),
+        "lang",
+        "n_chars",
+        text_fingerprint("text").alias("fp"),
+    )
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+        F.expr(
+            "(count(1) - count(DISTINCT fp)) * 10000 div count(1)"
+        )
+        .cast("long")
+        .alias("dup_bp"),
+    )

@@ -358,7 +358,11 @@ def _bucket_sql(emb_expr: str, planes: list[list[float]]) -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
-def _lang_id_sql() -> str:
+def _lang_id_core_sql() -> str:
+    """Per-doc language prediction WITHOUT the presentation ORDER BY —
+    shared by the language_id oracle and the confusion-matrix oracle
+    (the ann_recall no-hand-copy rule: the evaluator reuses the SAME
+    builder as the thing it evaluates)."""
     selects = []
     for lang, markers in sorted(ta.LANG_MARKERS.items()):
         hits = " + ".join(
@@ -378,8 +382,24 @@ WITH padded AS (
     SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY marker_hits DESC, lang_pred DESC) AS rn
     FROM scores
 )
-SELECT doc_id, lang_actual, lang_pred, marker_hits FROM ranked WHERE rn = 1 ORDER BY doc_id
+SELECT doc_id, lang_actual, lang_pred, marker_hits FROM ranked WHERE rn = 1
 """
+
+
+def _lang_id_sql() -> str:
+    return _lang_id_core_sql() + " ORDER BY doc_id\n"
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+        WITH pred AS ({_lang_id_core_sql()})
+        SELECT lang_actual, lang_pred,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * 10000
+                    // sum(count(*)) OVER (PARTITION BY lang_actual)
+                    AS BIGINT) AS share_bp
+        FROM pred GROUP BY lang_actual, lang_pred
+        """
 
 
 def _kmv_sql(k: int = 64) -> str:
@@ -4929,6 +4949,67 @@ QUERIES: dict[str, QuerySpec] = {
         "HDR-style log2 histogram: bucket = bit length of integer cents "
         "(no float log2), exact 2^k bounds, integer basis-point shares",
     ),
+    "language_id_confusion": QuerySpec(
+        _docs(ta.language_id_confusion),
+        None,  # replaced below — wraps the language_id core builder
+        "Language-ID confusion matrix: the classifier-eval harness; the "
+        "prediction leg is language_id reused verbatim, shares in integer "
+        "basis points of the labeled row",
+    ),
+    "oov_rate_scores": QuerySpec(
+        _docs(ta.oov_rate_scores),
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+        ), words AS (
+            SELECT doc_id, unnest(tk) AS word FROM toks
+        ), vocab AS (
+            SELECT word FROM (
+                SELECT word,
+                       row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rn
+                FROM words GROUP BY word
+            ) WHERE rn <= {ta.OOV_VOCAB_K}
+        ), per AS (
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov
+            FROM words w LEFT JOIN vocab v USING (word)
+            GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+               CASE WHEN coalesce(n_tokens, 0) > 0
+                    THEN CAST(coalesce(n_oov, 0) * 10000 // n_tokens AS BIGINT)
+               END AS oov_bp
+        FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "Per-doc OOV rate vs the deterministic top-k head vocabulary "
+        "(count DESC, word ASC TakeOrdered, broadcast back); exact counts, "
+        "basis points, zero-token docs preserved with NULL rate",
+    ),
+    "domain_stats": QuerySpec(
+        _docs(ta.domain_stats),
+        f"""
+        WITH base AS (
+            SELECT regexp_extract(source, '^[a-z]+://([^/]+)', 1) AS domain,
+                   lang, n_chars,
+                   {text_fingerprint_sql("text")} AS fp
+            FROM documents
+        )
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+               CAST((count(*) - count(DISTINCT fp)) * 10000 // count(*)
+                    AS BIGINT) AS dup_bp
+        FROM base GROUP BY domain
+        """,
+        "Per-domain corpus ledger: portable URL-host regex, md5-fingerprint "
+        "within-domain dup rate, exact counts + integer basis points",
+    ),
 }
 
 
@@ -5082,6 +5163,10 @@ def _wav_windows_sql() -> str:
 
 QUERIES["wav_frame_features"] = dataclasses.replace(
     QUERIES["wav_frame_features"], oracle=_wav_windows_sql()
+)
+
+QUERIES["language_id_confusion"] = dataclasses.replace(
+    QUERIES["language_id_confusion"], oracle=_lang_confusion_sql()
 )
 
 
@@ -5423,6 +5508,9 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "weekly_growth": ("week",),
     "weighted_median_price": ("l_returnflag",),
     "log2_value_histogram": ("event_type", "bucket"),
+    "language_id_confusion": ("lang_actual", "lang_pred"),
+    "oov_rate_scores": ("doc_id",),
+    "domain_stats": ("domain",),
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
@@ -5482,6 +5570,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "weekly_growth",
     "weighted_median_price",
     "log2_value_histogram",
+    "language_id_confusion",
+    "oov_rate_scores",
+    "domain_stats",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its
@@ -5506,7 +5597,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # green r02) under the same per-round materialize discipline as
     # kcore_decomposition and label_propagation_communities, both
     # still in this window.)
-    "weighted_sample",
+    # (weighted_sample displaced by oov_rate_scores: its round(key,9)
+    # float-rank discipline is the tfidf/term_drift family (r03 green)
+    # and its per-doc hash draw the mixture_sample family (r02/r03);
+    # the pure-Python replica test re-derives the exact sample every
+    # run.)
     # (cms_word_counts displaced by weighted_median_price: its 4-lane
     # h32 digest family is externally exercised via
     # bloom_prefilter_stats (this window), and its cross-batch counter
@@ -5530,7 +5625,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # count-distinct family (this window) over the set_ops_multiset
     # distinct machinery, externally green r01.)
     "q20_surplus_suppliers",
-    "user_value_trend",      # NEW: closed-form per-user OLS trend
+    # (user_value_trend displaced by language_id_confusion: its
+    # distributive exact-integer power sums + final closed-form
+    # divisions are the temperature_mixture decimal-sum family (this
+    # window), and the streaming drain test pins trend_sums bit-equal
+    # to batch every run.)
     # (dsir_importance_weights displaced by burst_hours: its centinat
     # ln-floor quantization is the bigram/unigram_surprisal family
     # (both this window) and its hashed-bucket models the h32-modulo
@@ -5539,7 +5638,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     # double-row_number islands are the gaps-and-islands family
     # externally green via sessionize (r01-r03, lag→flag→cumsum) and
     # its (ts, event_id) total order via ohlc_bars, r03.)
-    "entity_match_customers",  # NEW: blocked fuzzy entity resolution
+    # (entity_match_customers displaced by domain_stats: its
+    # levenshtein scoring is the fuzzy_nation_pairs family (externally
+    # green r01) and its rarest-K blocking is locally pinned by the
+    # adaptive-blocking recall test every run.)
     "orders_merge_upsert",   # NEW: MERGE INTO (SCD1) audit
     "bpe_train_merges",      # NEW: full iterative BPE trainer
     "kcore_decomposition",   # NEW: iterative k-core peeling

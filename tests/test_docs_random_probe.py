@@ -71,6 +71,9 @@ DOC_QUERIES = (
     "wav_frame_features",
     "ngram_containment_pairs",
     "prefix_filter_jaccard_pairs",
+    "language_id_confusion",
+    "oov_rate_scores",
+    "domain_stats",
 )
 
 SEED = 813

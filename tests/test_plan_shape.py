@@ -244,6 +244,12 @@ _SCALE_GUARDS = {
     "weighted_median_price": (1, 0),
     # (type, bucket) agg + the per-type share window
     "log2_value_histogram": (2, 0),
+    # narrow marker scoring + (actual, pred) agg + row-share window
+    "language_id_confusion": (2, 0),
+    # vocab head agg (TakeOrdered) + per-doc agg; vocab broadcasts
+    "oov_rate_scores": (2, 0),
+    # ONE domain-keyed agg (count-distincts ride the same shuffle)
+    "domain_stats": (2, 0),
     # DSIR: (doc_id,bucket) tf agg + 512-row bucket agg + per-doc sum;
     # the bucket model broadcasts back, raw grams never re-shuffle
     "dsir_importance_weights": (3, 0),
