@@ -424,3 +424,75 @@ def leakage_safe_splits(
         F.countDistinct("component").alias("n_components"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+TOKEN_BUDGET = 1_000_000
+
+
+def token_budget_allocation(df: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed training
+    token budget across languages — the step a mixture schedule needs
+    AFTER choosing proportions: integer per-language quotas that sum to
+    the budget EXACTLY (a float-share rounding can be off by several
+    tokens and is order-dependent; apportionment is the classical fix).
+
+    Per language: base = budget·lang_tokens div corpus_tokens and
+    remainder rem = (budget·lang_tokens) mod corpus_tokens are PURE
+    integer arithmetic; the leftover budget − Σbase (< n_langs by
+    construction) goes to the languages with the largest remainders,
+    ties broken by lang ascending (a deterministic total order, so the
+    allocation is partition-, run- and engine-invariant). Overflow
+    headroom: budget·lang_tokens needs lang_tokens < 2^63/budget —
+    at budget 10^6 that is 9.2e12 tokens per language, ~0.4x of a
+    100 TB corpus; for larger budgets lift the product into
+    DECIMAL(38,0) (the pagerank fixed-point discipline).
+
+    Scale shape: the corpus-scale work is ONE lang-key partial
+    aggregate (map-side combine, |langs| rows out); everything after
+    runs on the dictionary-sized language table inside single-partition
+    windows — the same shape mixture_weights uses. Returns per lang:
+    lang_tokens, share_bp (integer basis points), base_quota, quota
+    (Σ quota = budget exactly).
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    lang_tok = (
+        df.select("lang", F.size(toks).cast("long").alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("lang_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("rem").desc(), F.col("lang").asc()
+    )
+    sized = lang_tok.select(
+        "lang",
+        "lang_tokens",
+        F.sum("lang_tokens").over(w_all).cast("long").alias("corpus_tokens"),
+    ).select(
+        "lang",
+        "lang_tokens",
+        F.expr(f"lang_tokens * 10000 div corpus_tokens").cast("long").alias("share_bp"),
+        F.expr(f"CAST({budget} AS BIGINT) * lang_tokens div corpus_tokens")
+        .cast("long")
+        .alias("base_quota"),
+        F.expr(f"(CAST({budget} AS BIGINT) * lang_tokens) % corpus_tokens")
+        .cast("long")
+        .alias("rem"),
+    )
+    ranked = sized.select(
+        "lang",
+        "lang_tokens",
+        "share_bp",
+        "base_quota",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        (F.lit(budget) - F.sum("base_quota").over(w_all)).cast("long").alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "lang_tokens",
+        "share_bp",
+        "base_quota",
+        (F.col("base_quota") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

@@ -1801,3 +1801,137 @@ def log2_value_histogram(t: dict[str, DataFrame]) -> DataFrame:
         .cast("long")
         .alias("share_bp"),
     )
+
+
+# Compaction planning: each (day, hour) chunk of the event log stands
+# in for a data file (the lakehouse small-file problem); ROW_BYTES is
+# the modeled encoded row width and COMPACT_TARGET_BYTES the rewrite
+# target (Delta/Iceberg OPTIMIZE bin size, scaled to the test corpus so
+# every SF exercises multi-group days).
+COMPACT_ROW_BYTES = 64
+COMPACT_TARGET_BYTES = 8192
+
+
+def compaction_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """Small-file compaction planner (Delta OPTIMIZE / Iceberg rewrite
+    shape): bin-pack each day's hourly files into target-sized rewrite
+    groups. Group assignment is the pack_sequences discipline — a file
+    goes in bin floor(preceding_cum_bytes / target), computed with a
+    ROWS-frame running sum over the (day-partitioned) hour order — so
+    the plan is a pure function of the file listing: deterministic
+    under any partitioning and identical in both engines (greedy
+    first-fit would depend on scan order; this doesn't).
+
+    Scale shape: the only data-scale stage is the (day, hour) count
+    aggregate (map-side partials; output is file-METADATA-sized — at
+    100 TB a table's file listing is millions of rows, not billions).
+    The planning window runs per day over <= 24 rows; output is one row
+    per rewrite group. At 100 TB the same plan runs straight off the
+    transaction-log file listing without touching data at all — the
+    aggregate here exists only because the test corpus has no listing.
+    """
+    files = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("bytes", (F.col("n_rows") * COMPACT_ROW_BYTES).cast("long"))
+    )
+    w = Window.partitionBy("day").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prev_cum = F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    return (
+        files.withColumn(
+            "file_group", F.floor(prev_cum / COMPACT_TARGET_BYTES).cast("int")
+        )
+        .groupBy("day", "file_group")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.min("hour").cast("int").alias("hour_lo"),
+            F.max("hour").cast("int").alias("hour_hi"),
+        )
+    )
+
+
+# Snapshot-diff cutoffs: an 8-hour reconciliation window inside the
+# Snapshot-diff lookback: the old snapshot is the state as of the
+# freshest event minus this many hours (derived from the data, not a
+# corpus-specific literal, so the diff is meaningful on ANY events
+# table — fixed testdata, the random probe, production). 8 hours ≈
+# half the users emit an event in the window at every test SF, so both
+# diff classes stay populated.
+SNAPSHOT_LOOKBACK_HOURS = 8
+
+
+def state_snapshot_diff(t: dict[str, DataFrame]) -> DataFrame:
+    """CDC snapshot reconciliation: diff each user's latest-event state
+    between two point-in-time snapshots of the append-only log — the
+    audit a serving-table maintainer runs to verify incremental
+    compaction against a rebuild ('added' = user first appears after
+    the old snapshot; 'changed' = a newer event moved their state;
+    'unchanged' = identical latest event in both). The new snapshot is
+    the full log; the old one is the state as of max(ts) −
+    SNAPSHOT_LOOKBACK_HOURS (interval arithmetic on integer
+    microseconds — exact in both engines).
+
+    Determinism: "latest" is row_number over (ts DESC, event_id DESC)
+    — the latest_event_state total order — so both snapshot states are
+    unique under any partitioning; the diff class compares the
+    tie-broken event identity (event_id), never floats. Append-only
+    log => no 'removed' class (documented).
+
+    Scale shape: the cutoff is a one-row broadcast (max aggregate);
+    the two snapshot branches window on the SAME user_id partitioning
+    and join on that key, so the exchanges line up. At 100 TB the old
+    snapshot is the already-compacted state table and only the
+    lookback increment is scanned — the window-over-filter here
+    reconstructs both snapshots from the raw log because the test
+    corpus keeps no state table. Output is user-scale, one row per
+    user in the new snapshot.
+    """
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {SNAPSHOT_LOOKBACK_HOURS} HOURS")).alias(
+            "cutoff_ts"
+        )
+    )
+
+    def snap(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("event_type").alias(f"{prefix}_event_type"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    old = snap(
+        ev.join(F.broadcast(cutoff), F.col("ts") < F.col("cutoff_ts"), "inner")
+        .select("user_id", "ts", "event_id", "event_type"),
+        "old",
+    )
+    new = snap(ev, "new")
+    diff_class = (
+        F.when(F.col("old_event_id").isNull(), "added")
+        .when(F.col("old_event_id") == F.col("new_event_id"), "unchanged")
+        .otherwise("changed")
+    )
+    return new.join(old, "user_id", "left").select(
+        "user_id",
+        diff_class.alias("change_type"),
+        "old_event_type",
+        "new_event_type",
+        "old_ts",
+        "new_ts",
+    )

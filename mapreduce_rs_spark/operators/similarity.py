@@ -885,6 +885,89 @@ def pq_code_histogram(df: DataFrame) -> DataFrame:
     )
 
 
+def pq_reconstruction_error(df: DataFrame) -> DataFrame:
+    """Per-(subspace, code) PQ reconstruction error — the index-quality
+    monitor that tells you WHICH codebook entries are earning their
+    8 bytes (a code with outsized MSE means its Voronoi cell is too
+    coarse; the refit trigger pq_code_histogram's usage counts can't
+    see). Complements knn_pq (search quality) with compression quality.
+
+    Float discipline: the assignment reuses pq_assign verbatim (the
+    shared-builder rule), and the error is computed in INTEGER
+    micro-units — both the vector coordinate and the codebook
+    coordinate go through the same round(x·1e6)→BIGINT quantization as
+    label_centroid_drift, so each per-vector squared error is an exact
+    integer (≤ 16·(6e6)² ≈ 6e14, far inside BIGINT) and the per-code
+    sum accumulates as DECIMAL(38,0) — partition-invariant at any
+    corpus size. ``mse`` is then a fixed left-to-right division chain
+    from that exact integer (sse → /n_vecs → /subdim → /1e12),
+    bit-identical in both engines.
+
+    Scale shape: encode + error are narrow per-row expressions; the
+    only shuffle is the (subspace, code)-key aggregate with map-side
+    partials — PQ_M·PQ_K rows of state regardless of corpus size.
+    """
+    books = _pq_codebooks()
+    qbooks = [
+        [[int(round(v * DRIFT_SCALE)) for v in c] for c in book] for book in books
+    ]
+    assigned = pq_assign(df).select(
+        "vec_id",
+        F.col("embedding").cast(_DBL).alias("_embd"),
+        *[f"code_{sub}" for sub in range(PQ_M)],
+    )
+
+    def err_term(sub: int) -> F.Column:
+        lit_book = F.array(
+            *[
+                F.array(*[F.lit(q).cast("long") for q in c])
+                for c in qbooks[sub]
+            ]
+        )
+        qx = F.transform(
+            F.expr(_subvec_sql("_embd", sub)),
+            lambda x: F.round(x * DRIFT_SCALE, 0).cast("long"),
+        )
+        qc = F.element_at(lit_book, F.col(f"code_{sub}") + 1)
+        return F.aggregate(
+            F.zip_with(qx, qc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(sub).cast("int").alias("subspace"),
+                F.col(f"code_{sub}").cast("int").alias("code"),
+                err_term(sub).alias("err"),
+            )
+            for sub in range(PQ_M)
+        ]
+    )
+    per = assigned.select(F.explode(entries).alias("e")).select(
+        "e.subspace", "e.code", "e.err"
+    )
+    return (
+        per.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("err").cast("decimal(38,0)")).alias("_sse"),
+        )
+        .select(
+            "subspace",
+            "code",
+            "n_vecs",
+            (
+                F.col("_sse").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(float(PQ_SUBDIM))
+                / F.lit(float(DRIFT_SCALE) * float(DRIFT_SCALE))
+            ).alias("mse"),
+        )
+    )
+
+
 def knn_pq(df: DataFrame, k: int = 10) -> DataFrame:
     """Approximate top-k by PQ ADC: candidates are scored as the sum of
     per-subspace dots between the raw query subvector and the

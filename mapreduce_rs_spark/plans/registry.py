@@ -728,6 +728,63 @@ def _knn_pq_sql(k: int = 10) -> str:
         """
 
 
+def _pq_recon_sql() -> str:
+    """Oracle twin of similarity.pq_reconstruction_error: the code
+    assignment reuses _pq_codes_ctes verbatim (shared-builder rule);
+    both the vector coordinate and the codebook coordinate go through
+    the SAME round(x·1e6)→BIGINT quantization as label_centroid_drift,
+    so the squared error is exact integer arithmetic; mse mirrors the
+    Spark division chain token for token."""
+    from mapreduce_rs_spark.operators.pq_model import FITTED_PQ
+
+    subdim = similarity.PQ_SUBDIM
+    scale = similarity.DRIFT_SCALE
+    book_rows = ",\n            ".join(
+        f"({sub}, {code}, {d + 1}, {int(round(v * scale))})"
+        for sub, book in enumerate(FITTED_PQ)
+        for code, c in enumerate(book)
+        for d, v in enumerate(c)
+    )
+    vcode_legs = "\n            UNION ALL\n            ".join(
+        f"SELECT vec_id, {sub} AS subspace, code_{sub} AS code FROM codes"
+        for sub in range(similarity.PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN pcode{sub} USING (vec_id)" for sub in range(similarity.PQ_M)
+    )
+    return f"""
+        {_pq_codes_ctes()}, codes AS (
+            SELECT vec_id, code_0, code_1, code_2, code_3
+            FROM v {joins}
+        ), book(subspace, code, d, qc) AS (VALUES
+            {book_rows}
+        ), vcode AS (
+            {vcode_legs}
+        ), qx AS (
+            SELECT vec_id,
+                   CAST((i - 1) // {subdim} AS INTEGER) AS subspace,
+                   CAST(((i - 1) % {subdim}) + 1 AS INTEGER) AS d,
+                   CAST(round(emb[CAST(i AS INTEGER)] * {float(scale)!r}, 0)
+                        AS BIGINT) AS q
+            FROM v CROSS JOIN range(1, {similarity.EMBED_DIM + 1}) t(i)
+        ), errs AS (
+            SELECT x.vec_id, x.subspace, vc.code,
+                   CAST(sum((x.q - b.qc) * (x.q - b.qc)) AS BIGINT) AS err
+            FROM qx x
+            JOIN vcode vc ON vc.vec_id = x.vec_id AND vc.subspace = x.subspace
+            JOIN book b ON b.subspace = x.subspace AND b.code = vc.code
+                       AND b.d = x.d
+            GROUP BY x.vec_id, x.subspace, vc.code
+        )
+        SELECT CAST(subspace AS INTEGER) AS subspace,
+               CAST(code AS INTEGER) AS code,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / {float(subdim)!r} / {float(scale) * float(scale)!r} AS mse
+        FROM errs GROUP BY subspace, code
+        """
+
+
 def _pca_z_sql_duck(emb: str) -> str:
     """DuckDB fragment: the PCA-projected R-vector — the oracle twin of
     similarity._pca_z_sql, built from the SAME shipped literals
@@ -5010,6 +5067,117 @@ QUERIES: dict[str, QuerySpec] = {
         "Per-domain corpus ledger: portable URL-host regex, md5-fingerprint "
         "within-domain dup rate, exact counts + integer basis points",
     ),
+    "token_budget_allocation": QuerySpec(
+        _docs(curation.token_budget_allocation),
+        f"""
+        WITH lang_tok AS (
+            SELECT lang, CAST(sum(len({TOKENS_SQL})) AS BIGINT) AS lang_tokens
+            FROM documents GROUP BY lang
+        ), sized AS (
+            SELECT lang, lang_tokens,
+                   CAST(sum(lang_tokens) OVER () AS BIGINT) AS corpus_tokens
+            FROM lang_tok
+        ), quotas AS (
+            SELECT lang, lang_tokens,
+                   CAST(lang_tokens * 10000 // corpus_tokens AS BIGINT) AS share_bp,
+                   CAST(CAST({curation.TOKEN_BUDGET} AS BIGINT) * lang_tokens
+                        // corpus_tokens AS BIGINT) AS base_quota,
+                   CAST((CAST({curation.TOKEN_BUDGET} AS BIGINT) * lang_tokens)
+                        % corpus_tokens AS BIGINT) AS rem
+            FROM sized
+        ), ranked AS (
+            SELECT lang, lang_tokens, share_bp, base_quota,
+                   CAST(row_number() OVER (ORDER BY rem DESC, lang ASC)
+                        AS BIGINT) AS rk,
+                   CAST({curation.TOKEN_BUDGET} - sum(base_quota) OVER ()
+                        AS BIGINT) AS leftover
+            FROM quotas
+        )
+        SELECT lang, lang_tokens, share_bp, base_quota,
+               CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM ranked
+        """,
+        "Largest-remainder apportionment of a fixed token budget across "
+        "languages: pure integer quotas that sum to the budget exactly, "
+        "remainder ranks tie-broken by lang — partition/engine-invariant",
+    ),
+    "compaction_plan": QuerySpec(
+        _tables(events.compaction_plan),
+        f"""
+        WITH files AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) * {events.COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+            FROM events GROUP BY 1, 2
+        ), binned AS (
+            SELECT day, hour, n_rows, bytes,
+                   CAST(floor(COALESCE(CAST(sum(bytes) OVER (
+                            PARTITION BY day ORDER BY hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS BIGINT), 0) / {events.COMPACT_TARGET_BYTES})
+                        AS INTEGER) AS file_group
+            FROM files
+        )
+        SELECT day, file_group,
+               CAST(count(*) AS INTEGER) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               CAST(min(hour) AS INTEGER) AS hour_lo,
+               CAST(max(hour) AS INTEGER) AS hour_hi
+        FROM binned GROUP BY day, file_group
+        """,
+        "Compaction planner (Delta OPTIMIZE shape): per-day hourly files "
+        "bin-packed into target-size rewrite groups via the pack_sequences "
+        "preceding-cumsum bin rule — deterministic, metadata-sized",
+    ),
+    "state_snapshot_diff": QuerySpec(
+        _tables(events.state_snapshot_diff),
+        f"""
+        WITH cutoff AS (
+            SELECT max(ts) - INTERVAL {events.SNAPSHOT_LOOKBACK_HOURS} HOUR
+                   AS cutoff_ts
+            FROM events
+        ), snap_old AS (
+            SELECT user_id, event_id AS old_event_id,
+                   event_type AS old_event_type, ts AS old_ts
+            FROM (SELECT user_id, event_id, event_type, ts,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC)
+                             AS rn
+                  FROM events
+                  WHERE ts < (SELECT cutoff_ts FROM cutoff)) s
+            WHERE rn = 1
+        ), snap_new AS (
+            SELECT user_id, event_id AS new_event_id,
+                   event_type AS new_event_type, ts AS new_ts
+            FROM (SELECT user_id, event_id, event_type, ts,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC)
+                             AS rn
+                  FROM events) s
+            WHERE rn = 1
+        )
+        SELECT n.user_id,
+               CASE WHEN o.old_event_id IS NULL THEN 'added'
+                    WHEN o.old_event_id = n.new_event_id THEN 'unchanged'
+                    ELSE 'changed' END AS change_type,
+               o.old_event_type, n.new_event_type, o.old_ts, n.new_ts
+        FROM snap_new n LEFT JOIN snap_old o ON n.user_id = o.user_id
+        """,
+        "CDC snapshot reconciliation: latest-event state at max(ts)-8h vs "
+        "now, diff class per user via the (ts DESC, event_id DESC) unique "
+        "total order — added/changed/unchanged, no floats in the class",
+    ),
+    "pq_reconstruction_error": QuerySpec(
+        _emb(similarity.pq_reconstruction_error),
+        _pq_recon_sql(),
+        "Per-(subspace, code) PQ reconstruction MSE: assignment reuses the "
+        "shared pq_assign/_pq_codes_ctes builders; errors are exact integer "
+        "micro-unit sums (the label_centroid_drift quantization), mse one "
+        "fixed division chain",
+    ),
 }
 
 
@@ -5514,6 +5682,10 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bpe_merge_candidates": ("rnk",),
     "unigram_surprisal_scores": ("doc_id",),
     "bigram_surprisal_scores": ("doc_id",),
+    "token_budget_allocation": ("lang",),
+    "compaction_plan": ("day", "file_group"),
+    "state_snapshot_diff": ("user_id",),
+    "pq_reconstruction_error": ("subspace", "code"),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -5542,7 +5714,35 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-4 window (50 slots). (0000) NEW in the fourth round-4
+    # ---- round-4 window (50 slots). (00000) NEW in the fifth round-4
+    # session — never externally checked:
+    "token_budget_allocation",
+    "compaction_plan",
+    "state_snapshot_diff",
+    "pq_reconstruction_error",
+    # (abandoned_clicks displaced by pq_reconstruction_error: its
+    # lookahead value-based RANGE frame is the multitouch_attribution
+    # frame family (still in this window, lookback twin) over the
+    # range_window_revenue machinery, externally green r01; its
+    # integer basis points are the repo-wide discipline. Rotate it in
+    # next round.)
+    # (weekly_growth displaced by token_budget_allocation: its exact
+    # decimal cent sums are the battery-wide money family (green
+    # r01-r03 across q1/join_revenue and this window's battery members)
+    # and its lag-over-the-week-series is the window_price_delta family,
+    # externally green r01; growth_bp is the repo-wide integer
+    # basis-point discipline. Rotate it in next round.)
+    # (inter_event_gaps displaced by compaction_plan: its lag over the
+    # (ts, event_id) total order is the sessionize family, externally
+    # green r01-r03, and its exact integer microsecond arithmetic the
+    # time_weighted_value family, green r03. Rotate in next round.)
+    # (seasonality_profile displaced by state_snapshot_diff: its
+    # hour-of-day extraction is the gapfill_hourly/ohlc_bars hour
+    # machinery (both green r03) and its integer share_bp the repo-wide
+    # basis-point discipline; burst_hours — still in this window —
+    # exercises the same hourly-bucket aggregation path. Rotate in
+    # next round.)
+    # (0000) NEW in the fourth round-4
     # session — never externally checked:
     "benford_digit_audit",
     "event_transition_matrix",
@@ -5557,17 +5757,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "label_propagation_communities",
     "robust_value_anomalies",
     "ann_rank_fusion",
-    "seasonality_profile",
     "burst_hours",
     "prefix_filter_jaccard_pairs",
     "dq_rule_violations",
     "multitouch_attribution",
-    "inter_event_gaps",
     "frequent_triples",
     "label_centroid_drift",
     "bootstrap_ci_mean",
-    "abandoned_clicks",
-    "weekly_growth",
     "weighted_median_price",
     "log2_value_histogram",
     "language_id_confusion",

@@ -74,6 +74,7 @@ DOC_QUERIES = (
     "language_id_confusion",
     "oov_rate_scores",
     "domain_stats",
+    "token_budget_allocation",
 )
 
 SEED = 813

@@ -61,6 +61,8 @@ EVENT_QUERIES = (
     "inter_event_gaps",
     "abandoned_clicks",
     "log2_value_histogram",
+    "compaction_plan",
+    "state_snapshot_diff",
 )
 
 SEED = 20260813

@@ -440,6 +440,17 @@ _SCALE_GUARDS = {
     # operates on sketch-sized data (<= days x k rows) — day-keyed aggs
     # and the consecutive-day pair joins over the checkpointed sketches
     "theta_daily_overlap": (14, 0),
+    # fifth-session additions: apportionment = lang agg + dict-sized
+    # single-partition windows; compaction = (day,hour) metadata agg +
+    # group rollup (the per-day window reuses the first partitioning);
+    # snapshot diff = two user_id window branches whose join lines up
+    # on the same key (cutoff is a one-row broadcast)
+    "token_budget_allocation": (1, 0),
+    "compaction_plan": (2, 0),
+    "state_snapshot_diff": (2, 0),
+    # narrow encode+error expressions; exchanges are the parallelism
+    # spread and the (subspace, code) aggregate (PQ_M·PQ_K rows out)
+    "pq_reconstruction_error": (2, 0),
 }
 
 
