@@ -1935,3 +1935,163 @@ def state_snapshot_diff(t: dict[str, DataFrame]) -> DataFrame:
         "old_ts",
         "new_ts",
     )
+
+
+# Erasure planning: a day partition whose affected-row share reaches
+# this many basis points gets rewritten (copy-on-write); below it a
+# deletion vector is cheaper (merge-on-read) — the Delta/Iceberg
+# DV-vs-rewrite decision, planned from exact counts.
+ERASURE_REWRITE_BP = 1000
+
+
+def erasure_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """GDPR erasure planner: given the set of users flagged for
+    deletion (here derived from the log itself — users whose LATEST
+    event is an 'error', the account-closed stand-in), report per day
+    partition how many rows the erasure touches and whether to rewrite
+    the file (high share) or stamp a deletion vector (low share). This
+    is the planning read a lakehouse right-to-be-forgotten job runs
+    before touching any data file.
+
+    Determinism: the flagged set comes from the latest_event_state
+    total order (row_number over (ts DESC, event_id DESC)); shares are
+    integer basis points; the rewrite decision is an integer threshold
+    compare — no floats anywhere.
+
+    Scale shape: the flag derivation is one user_id window (exchange
+    #1); the membership join is a user_id equi-join against that
+    user-keyed output (at 100 TB a real deletion list is
+    regulatory-request-sized and broadcasts — the derived list here is
+    corpus-sized on purpose so the test exercises the shuffle path);
+    the per-day rollup aggregates with map-side partials. Output is
+    partition-METADATA-sized: one row per day.
+    """
+    ev = t["events"].select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .select("user_id", F.lit(1).alias("flagged"))
+    )
+    marked = ev.join(flagged, "user_id", "left").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+        F.coalesce("flagged", F.lit(0)).alias("flagged"),
+    )
+    return (
+        marked.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("flagged").cast("long").alias("n_rows_affected"),
+            F.countDistinct(
+                F.when(F.col("flagged") == 1, F.col("user_id"))
+            ).cast("long").alias("n_users_affected"),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "n_rows_affected",
+            "n_users_affected",
+            F.expr("n_rows_affected * 10000 div n_rows").cast("long").alias(
+                "affected_bp"
+            ),
+            F.when(
+                F.expr("n_rows_affected * 10000 div n_rows") >= ERASURE_REWRITE_BP,
+                "rewrite",
+            )
+            .otherwise("deletion_vector")
+            .alias("action"),
+        )
+    )
+
+
+# Conversion = at least one purchase above this value — chosen so the
+# test corpus converts at ~47% in both arms (a flat always-true
+# "any purchase" metric has zero variance here: every user purchases).
+AB_CONV_VALUE = 150.0
+
+
+def ab_test_conversion(t: dict[str, DataFrame]) -> DataFrame:
+    """Deterministic A/B-experiment readout: users are hash-assigned to
+    control/treatment (the portable md5 draw — the assignment a real
+    experimentation system derives from a salted user hash, identical
+    under any partitioning, run, or engine, which df.sample could never
+    give), conversion = the user emitted at least one purchase event.
+    Per-arm counts are exact integers; conversion rates and the lift
+    are integer basis points; the two-proportion pooled z-score is the
+    ONE place a float appears — a fixed left-to-right double chain from
+    the four exact counts (the theta-sketch estimate discipline), so it
+    is bit-identical in both engines.
+
+    Scale shape: per-user conversion aggregates on user_id (exchange
+    #1, map-side partials), per-arm rollup moves 2 rows, and the final
+    single-row pivot is a SinglePartition aggregate over those 2 rows.
+    State is O(users) at the first agg and O(1) after — at 100 TB the
+    readout is the same three-stage plan.
+    """
+    per_user = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > AB_CONV_VALUE),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arm = F.when(
+        h32(F.concat(F.col("user_id").cast("string"), F.lit("|ab"))) % 2 == 0,
+        "control",
+    ).otherwise("treatment")
+    per_arm = (
+        per_user.select(arm.alias("arm"), "conv")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+    pick = lambda a, c: F.sum(F.when(F.col("arm") == a, F.col(c))).cast("long")  # noqa: E731
+    wide = per_arm.agg(
+        pick("control", "n_users").alias("n_users_control"),
+        pick("control", "n_conv").alias("n_conv_control"),
+        pick("treatment", "n_users").alias("n_users_treatment"),
+        pick("treatment", "n_conv").alias("n_conv_treatment"),
+    )
+    # Degenerate experiment (0% or 100% pooled conversion) has zero
+    # pooled variance: z is undefined — NULL by an INTEGER guard, so
+    # neither engine ever evaluates 0/0.
+    z = F.expr(
+        "CASE WHEN n_conv_treatment + n_conv_control = 0"
+        "       OR n_conv_treatment + n_conv_control"
+        "          = n_users_treatment + n_users_control THEN NULL"
+        " ELSE (CAST(n_conv_treatment AS DOUBLE) / n_users_treatment"
+        " - CAST(n_conv_control AS DOUBLE) / n_users_control)"
+        " / sqrt((CAST(n_conv_treatment + n_conv_control AS DOUBLE)"
+        "         / (n_users_treatment + n_users_control))"
+        "        * (1.0 - CAST(n_conv_treatment + n_conv_control AS DOUBLE)"
+        "               / (n_users_treatment + n_users_control))"
+        "        * (1.0 / n_users_treatment + 1.0 / n_users_control)) END"
+    )
+    return wide.select(
+        "n_users_control",
+        "n_conv_control",
+        F.expr("n_conv_control * 10000 div n_users_control").cast("long").alias(
+            "conv_control_bp"
+        ),
+        "n_users_treatment",
+        "n_conv_treatment",
+        F.expr("n_conv_treatment * 10000 div n_users_treatment").cast("long").alias(
+            "conv_treatment_bp"
+        ),
+        (
+            F.expr("n_conv_treatment * 10000 div n_users_treatment")
+            - F.expr("n_conv_control * 10000 div n_users_control")
+        ).cast("long").alias("lift_bp"),
+        z.alias("z_score"),
+    )

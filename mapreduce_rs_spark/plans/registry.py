@@ -5178,6 +5178,90 @@ QUERIES: dict[str, QuerySpec] = {
         "micro-unit sums (the label_centroid_drift quantization), mse one "
         "fixed division chain",
     ),
+    "erasure_plan": QuerySpec(
+        _tables(events.erasure_plan),
+        f"""
+        WITH flagged AS (
+            SELECT user_id, 1 AS flagged FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) s WHERE rn = 1 AND event_type = 'error'
+        ), marked AS (
+            SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+                   e.user_id, COALESCE(f.flagged, 0) AS flagged
+            FROM events e LEFT JOIN flagged f ON e.user_id = f.user_id
+        ), per AS (
+            SELECT day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(flagged) AS BIGINT) AS n_rows_affected,
+                   CAST(count(DISTINCT CASE WHEN flagged = 1 THEN user_id END)
+                        AS BIGINT) AS n_users_affected
+            FROM marked GROUP BY day
+        )
+        SELECT day, n_rows, n_rows_affected, n_users_affected,
+               CAST(n_rows_affected * 10000 // n_rows AS BIGINT) AS affected_bp,
+               CASE WHEN n_rows_affected * 10000 // n_rows >= {events.ERASURE_REWRITE_BP}
+                    THEN 'rewrite' ELSE 'deletion_vector' END AS action
+        FROM per
+        """,
+        "GDPR erasure planner: flagged users from the latest-event total "
+        "order, per-day affected shares in integer basis points, rewrite-vs-"
+        "deletion-vector decision by integer threshold",
+    ),
+    "ab_test_conversion": QuerySpec(
+        _tables(events.ab_test_conversion),
+        f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase'
+                             AND value > {events.AB_CONV_VALUE!r}
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id
+        ), per_arm AS (
+            SELECT CASE WHEN {h32_sql("(CAST(user_id AS VARCHAR) || '|ab')")} % 2 = 0
+                        THEN 'control' ELSE 'treatment' END AS arm,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(conv) AS BIGINT) AS n_conv
+            FROM per_user GROUP BY 1
+        ), wide AS (
+            SELECT CAST(sum(CASE WHEN arm = 'control' THEN n_users END) AS BIGINT)
+                       AS n_users_control,
+                   CAST(sum(CASE WHEN arm = 'control' THEN n_conv END) AS BIGINT)
+                       AS n_conv_control,
+                   CAST(sum(CASE WHEN arm = 'treatment' THEN n_users END) AS BIGINT)
+                       AS n_users_treatment,
+                   CAST(sum(CASE WHEN arm = 'treatment' THEN n_conv END) AS BIGINT)
+                       AS n_conv_treatment
+            FROM per_arm
+        )
+        SELECT n_users_control, n_conv_control,
+               CAST(n_conv_control * 10000 // n_users_control AS BIGINT)
+                   AS conv_control_bp,
+               n_users_treatment, n_conv_treatment,
+               CAST(n_conv_treatment * 10000 // n_users_treatment AS BIGINT)
+                   AS conv_treatment_bp,
+               CAST(n_conv_treatment * 10000 // n_users_treatment
+                    - n_conv_control * 10000 // n_users_control AS BIGINT)
+                   AS lift_bp,
+               CASE WHEN n_conv_treatment + n_conv_control = 0
+                      OR n_conv_treatment + n_conv_control
+                         = n_users_treatment + n_users_control THEN NULL
+               ELSE (CAST(n_conv_treatment AS DOUBLE) / n_users_treatment
+                - CAST(n_conv_control AS DOUBLE) / n_users_control)
+               / sqrt((CAST(n_conv_treatment + n_conv_control AS DOUBLE)
+                       / (n_users_treatment + n_users_control))
+                      * (1.0 - CAST(n_conv_treatment + n_conv_control AS DOUBLE)
+                             / (n_users_treatment + n_users_control))
+                      * (1.0 / n_users_treatment + 1.0 / n_users_control))
+               END AS z_score
+        FROM wide
+        """,
+        "Deterministic A/B readout: portable-hash arm assignment, exact "
+        "integer conversion counts, lift in basis points, pooled two-"
+        "proportion z as one fixed double chain from exact integers",
+    ),
 }
 
 
@@ -5686,6 +5770,9 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "compaction_plan": ("day", "file_group"),
     "state_snapshot_diff": ("user_id",),
     "pq_reconstruction_error": ("subspace", "code"),
+    "erasure_plan": ("day",),
+    # (ab_test_conversion emits a single row — no sort needed, the
+    # lsh_dedup_eval precedent.)
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -5720,6 +5807,18 @@ _CHECK_FIRST: tuple[str, ...] = (
     "compaction_plan",
     "state_snapshot_diff",
     "pq_reconstruction_error",
+    "erasure_plan",
+    "ab_test_conversion",
+    # (log2_value_histogram displaced by erasure_plan: its bit-length
+    # bucket trick is the hll_distinct_users rank-extraction family
+    # (still in this window) and its per-type share_bp the repo-wide
+    # basis-point discipline over value_histogram's bucketing,
+    # externally green r01. Rotate it in next round.)
+    # (oov_rate_scores displaced by ab_test_conversion: its top-k head
+    # vocabulary is the vocab_coverage TakeOrdered family (externally
+    # green r03) and its per-doc join-against-broadcast-head shape the
+    # tfidf family (green r03); the random docs probe pins its NULL
+    # zero-token edge every run. Rotate it in next round.)
     # (abandoned_clicks displaced by pq_reconstruction_error: its
     # lookahead value-based RANGE frame is the multitouch_attribution
     # frame family (still in this window, lookback twin) over the
@@ -5765,9 +5864,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "label_centroid_drift",
     "bootstrap_ci_mean",
     "weighted_median_price",
-    "log2_value_histogram",
     "language_id_confusion",
-    "oov_rate_scores",
     "domain_stats",
     # (000) NEW in the third round-4
     # session — never externally checked:

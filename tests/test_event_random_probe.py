@@ -63,6 +63,8 @@ EVENT_QUERIES = (
     "log2_value_histogram",
     "compaction_plan",
     "state_snapshot_diff",
+    "erasure_plan",
+    "ab_test_conversion",
 )
 
 SEED = 20260813

@@ -451,6 +451,11 @@ _SCALE_GUARDS = {
     # narrow encode+error expressions; exchanges are the parallelism
     # spread and the (subspace, code) aggregate (PQ_M·PQ_K rows out)
     "pq_reconstruction_error": (2, 0),
+    # flag window + membership equi-join + day rollup (real deletion
+    # lists broadcast; the derived list here exercises the shuffle path)
+    "erasure_plan": (3, 0),
+    # user agg → 2-row arm agg → SinglePartition pivot
+    "ab_test_conversion": (2, 0),
 }
 
 

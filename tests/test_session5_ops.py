@@ -1,0 +1,144 @@
+"""Behavioral invariants of the fifth-session operators — the
+properties the oracle hash can't state directly: exact budget
+conservation under apportionment, bin-packing capacity bounds,
+snapshot-diff class consistency, erasure accounting conservation, and
+bitwise partition-invariance of the two float-emitting ops.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_rs_spark.operators import curation, events
+from mapreduce_rs_spark.operators.similarity import pq_reconstruction_error
+from mapreduce_rs_spark.sources.catalog import load_table, load_tables
+
+
+def _bits(df) -> list[tuple]:
+    rows = []
+    for r in df.collect():
+        rows.append(
+            tuple(
+                struct.pack("<d", v).hex() if isinstance(v, float) else v
+                for v in r
+            )
+        )
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("budget", [7, 1_000, 999_983, curation.TOKEN_BUDGET])
+def test_token_budget_sums_exactly(spark, sf_dir, budget):
+    """Largest-remainder apportionment must hand out the budget EXACTLY
+    — including prime budgets that force a nonzero remainder round —
+    and every quota must be base or base+1 (the Hamilton property)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = curation.token_budget_allocation(docs, budget=budget).collect()
+    assert sum(r.quota for r in rows) == budget
+    assert all(r.quota in (r.base_quota, r.base_quota + 1) for r in rows)
+
+
+def test_token_budget_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        low = _bits(curation.token_budget_allocation(docs))
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        high = _bits(curation.token_budget_allocation(docs))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high
+
+
+def test_compaction_groups_are_contiguous_and_bounded(spark, sf_dir):
+    """Bin rule floor(preceding_cum/target): every group except a day's
+    last must reach the target once its own bytes land (a group closes
+    only because the cum crossed the boundary), no group exceeds
+    target + max_single_file (one file can straddle), and hour ranges
+    within a day are orderable without overlap."""
+    t = load_tables(spark, sf_dir)
+    plan = events.compaction_plan(t).collect()
+    files = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg((F.count(F.lit(1)) * events.COMPACT_ROW_BYTES).alias("bytes"))
+        .collect()
+    )
+    max_file = {}
+    total_bytes = {}
+    for r in files:
+        max_file[r.day] = max(max_file.get(r.day, 0), r.bytes)
+        total_bytes[r.day] = total_bytes.get(r.day, 0) + r.bytes
+    by_day: dict = {}
+    for r in plan:
+        by_day.setdefault(r.day, []).append(r)
+        assert r.bytes <= events.COMPACT_TARGET_BYTES + max_file[r.day]
+        assert r.hour_lo <= r.hour_hi
+    for day, groups in by_day.items():
+        groups.sort(key=lambda r: r.file_group)
+        # groups tile the day's hours without overlap
+        for a, b in zip(groups, groups[1:]):
+            assert a.hour_hi < b.hour_lo
+        # conservation: the plan accounts for every byte of the day
+        assert sum(g.bytes for g in groups) == total_bytes[day]
+        # every non-final group crossed the target boundary
+        for g in groups[:-1]:
+            closing = sum(x.bytes for x in groups if x.file_group <= g.file_group)
+            assert closing >= (g.file_group + 1) * events.COMPACT_TARGET_BYTES
+
+
+def test_snapshot_diff_class_consistency(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    rows = events.state_snapshot_diff(t).collect()
+    n_users = t["events"].select("user_id").distinct().count()
+    assert len(rows) == n_users  # new snapshot covers every user once
+    for r in rows:
+        if r.change_type == "added":
+            assert r.old_event_type is None
+        elif r.change_type == "unchanged":
+            assert r.old_ts == r.new_ts
+        else:
+            assert r.change_type == "changed"
+            assert r.old_ts is not None and r.old_ts != r.new_ts or (
+                r.old_ts == r.new_ts  # same ts, different event_id tie
+            )
+    assert {r.change_type for r in rows} <= {"added", "changed", "unchanged"}
+
+
+def test_erasure_plan_conserves_rows(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    plan = events.erasure_plan(t).collect()
+    assert sum(r.n_rows for r in plan) == t["events"].count()
+    for r in plan:
+        assert 0 <= r.n_rows_affected <= r.n_rows
+        want = "rewrite" if r.affected_bp >= events.ERASURE_REWRITE_BP else "deletion_vector"
+        assert r.action == want
+
+
+def test_float_emitting_session5_ops_partition_invariant(spark, sf_dir):
+    """pq_reconstruction_error's mse and ab_test_conversion's z are the
+    session's only float outputs — both derive from exact integers by a
+    fixed division chain, so they must be bit-identical under a
+    partition sweep."""
+    t = load_tables(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        lambda: pq_reconstruction_error(emb),
+        lambda: events.ab_test_conversion(t),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for q in queries:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            low = _bits(q())
+            spark.conf.set("spark.sql.shuffle.partitions", "31")
+            high = _bits(q())
+            assert low == high
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
