@@ -72,6 +72,13 @@ HEADLINE = (
     "theta_daily_overlap",       # theta sketch: distinct agg + day top-k + pair joins
     "bigram_surprisal_scores",   # bigram LM: pair tf + shuffle-joined model
     "join_size_estimate",        # correlated KMV join-cardinality sketch
+    # round-4 fifth extension (BASELINE.md): the seventh-session
+    # operator families. Prior definitions (9 / 12 / 15 / 18 / 21)
+    # remain comparable PREFIXES; compare totals only within one
+    # definition.
+    "state_snapshot_diff",       # two user-window snapshots + co-keyed join
+    "erasure_plan",              # flag window + membership shuffle join + day rollup
+    "pq_reconstruction_error",   # PQ encode + integer error vector math
 )
 
 
