@@ -140,3 +140,68 @@ def session_window_counts(stream: DataFrame, gap: str = "30 minutes") -> DataFra
             "sum_value",
         )
     )
+
+
+# CDC latest-state compaction state: exact integer microseconds + the
+# event_id tie-break — the SAME (ts, event_id) total order as the batch
+# operator, kept as integers so cross-batch comparisons can never hit
+# float epoch rounding.
+LATEST_STATE_SCHEMA = "ts_us bigint, event_id bigint, event_type string"
+LATEST_OUTPUT_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, event_type string"
+)
+
+
+def _latest_state_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch into latest-wins state; emit the
+    user's new current state whenever a batch advances it. Emissions
+    are monotone in the (ts_us, event_id) total order by construction,
+    so the newest emission per user IS the compacted state — replayed
+    or reordered micro-batches can only re-emit equal-or-older rows,
+    never corrupt the maintained maximum (the idempotency the
+    reference's stubbed WAL recovery needed, coordinator.rs:202-224)."""
+    (user_id,) = key
+    if state.exists:
+        ts_us, event_id, etype = state.get
+    else:
+        ts_us, event_id, etype = None, None, None
+    changed = False
+    for pdf in batches:
+        for row_ts, row_id, row_type in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"]
+        ):
+            cand = (row_ts.value // 1000, int(row_id))  # exact µs from ns
+            if ts_us is None or cand > (ts_us, event_id):
+                ts_us, event_id = cand
+                etype = row_type
+                changed = True
+    if changed:
+        state.update((ts_us, event_id, etype))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "ts": pd.to_datetime([ts_us], unit="us", utc=True),
+                "event_id": [event_id],
+                "event_type": [etype],
+            }
+        )
+
+
+def stateful_latest_state(stream: DataFrame) -> DataFrame:
+    """Streaming CDC latest-record-wins compaction — the incremental
+    twin of the batch latest_event_state window (operators/events.py):
+    per-user state is ONE row (O(1) per key, a billion users = a
+    billion small state rows in the store), each micro-batch folds in
+    and emits only users whose state advanced. At 100 TB/day this is
+    the serving-table maintainer: the state store checkpoint is the
+    recovery story, and emissions stream straight into a MERGE sink
+    (run_foreach_batch_upsert is the companion write path)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _latest_state_group,
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

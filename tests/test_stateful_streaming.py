@@ -70,3 +70,71 @@ def test_session_window_builtin(spark, event_stream_dir, tmp_path):
     rows = got.collect()
     assert rows
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def _batch_latest(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return {
+        r.user_id: (r.ts, r.event_id, r.event_type)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    }
+
+
+def _compact(rows):
+    """Newest emission per user — monotone emissions make max() the
+    compaction."""
+    state = {}
+    for r in rows:
+        cand = (r.ts, r.event_id, r.event_type)
+        if r.user_id not in state or cand[:2] > state[r.user_id][:2]:
+            state[r.user_id] = cand
+    return state
+
+
+def test_stateful_latest_state_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    from mapreduce_rs_spark.streaming.stateful import stateful_latest_state
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(event_stream_dir)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    streamed = _drain(spark, stateful_latest_state(stream), out, ckpt)
+    assert _compact(streamed.collect()) == _batch_latest(spark, sf_dir)
+
+
+def test_stateful_latest_state_across_micro_batches(spark, sf_dir, tmp_path):
+    """One file per trigger: state must carry the maximum across
+    micro-batches, the newest emission per user must equal batch, and
+    re-draining a finished stream must emit nothing (idempotent
+    restart — the recovery behavior the reference stubbed)."""
+    from mapreduce_rs_spark.streaming.stateful import stateful_latest_state
+
+    inp = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").repartition(5).write.parquet(inp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    streamed = _drain(spark, stateful_latest_state(stream), out, ckpt)
+    emitted = streamed.count()
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert emitted >= n_users  # later batches re-emit advanced users
+    assert _compact(streamed.collect()) == _batch_latest(spark, sf_dir)
+    # restart on the SAME checkpoint with no new files: nothing re-emits
+    again = _drain(
+        spark,
+        stateful_latest_state(
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        ),
+        out,
+        ckpt,
+    )
+    assert again.count() == emitted
