@@ -2095,3 +2095,99 @@ def ab_test_conversion(t: dict[str, DataFrame]) -> DataFrame:
         ).cast("long").alias("lift_bp"),
         z.alias("z_score"),
     )
+
+
+# Sampled-quantile sketch: per-type uniform sample size (the bounded
+# state a 100 TB quantile estimate carries) and the evaluated quantile
+# ranks in basis points.
+QSKETCH_K = 256
+QSKETCH_QUANTILES_BP = (5000, 9500, 9900)
+
+
+def kmv_quantile_sketch(
+    t: dict[str, DataFrame],
+    k: int = QSKETCH_K,
+    quantiles_bp: tuple[int, ...] = QSKETCH_QUANTILES_BP,
+) -> DataFrame:
+    """Sampled quantiles with exact-error accounting — the quantile
+    member of the sketch family (KMV/HLL/CMS/theta/Bloom/Misra-Gries
+    all ship; this is the bounded-state answer to "what's P95 of a
+    column you cannot sort"). The sample is the k rows with the
+    SMALLEST portable h64(event_id) per type — a uniform row sample
+    whose membership is a pure function of the data (deterministic
+    under any partitioning, run, or engine; df.sample is none of
+    those), the same hash-order bound as the theta sketch. The
+    estimate for quantile q is the sample's first value whose sample
+    rank crosses q (integer cross-multiplication, the weighted-median
+    crossing rule). The EXACT quantile rides along per row as the
+    evaluation harness with the relative error in integer basis points
+    (the hll/lsh_dedup_eval precedent: at 100 TB the exact leg — a
+    per-type rank over raw values — is dropped and only the k-row
+    sketch ships; the estimate leg IS the production plan).
+
+    Scale shape: the sample window's per-partition state is capped at
+    k rows by WindowGroupLimit BEFORE its exchange; everything after
+    runs on types·k rows. Sketches are mergeable (union + re-take the
+    k smallest hashes), so daily sketches roll up without rescans.
+    Values are exact integer cents throughout; the reported values are
+    single divisions by a literal.
+    """
+    ev = t["events"].select(
+        "event_type",
+        "event_id",
+        (money("value") * 100).cast("long").alias("cents"),
+        h64(F.col("event_id").cast("string")).alias("h"),
+    )
+    w_sample = Window.partitionBy("event_type").orderBy("h", "event_id")
+    sample = (
+        ev.withColumn("rn", F.row_number().over(w_sample))
+        .where(F.col("rn") <= k)
+        .select("event_type", "cents", "event_id")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = sample.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_sk"),
+    )
+    w_exact = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    exact_ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_exact).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_all"),
+    )
+    q_arr = F.array(*[F.lit(q).cast("int") for q in quantiles_bp])
+    qs = (
+        ranked.select(
+            "event_type", "cents", "r", "n_sk", F.explode(q_arr).alias("q_bp")
+        )
+        .where(F.col("r").cast("long") * 10000 >= F.col("q_bp").cast("long") * F.col("n_sk"))
+        .groupBy("event_type", "q_bp")
+        .agg(
+            F.min_by("cents", "r").alias("est_cents"),
+            F.min("n_sk").cast("long").alias("n_sample"),
+        )
+    )
+    ex = (
+        exact_ranked.select(
+            "event_type", "cents", "r", "n_all", F.explode(q_arr).alias("q_bp")
+        )
+        .where(F.col("r").cast("long") * 10000 >= F.col("q_bp").cast("long") * F.col("n_all"))
+        .groupBy("event_type", "q_bp")
+        .agg(F.min_by("cents", "r").alias("exact_cents"))
+    )
+    return qs.join(ex, ["event_type", "q_bp"]).select(
+        "event_type",
+        "q_bp",
+        "n_sample",
+        (F.col("est_cents").cast("double") / 100.0).alias("est_value"),
+        (F.col("exact_cents").cast("double") / 100.0).alias("exact_value"),
+        F.expr(
+            "CASE WHEN exact_cents = 0 THEN NULL"
+            " ELSE abs(est_cents - exact_cents) * 10000 div exact_cents END"
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )

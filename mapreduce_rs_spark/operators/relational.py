@@ -2517,3 +2517,69 @@ def weighted_median_price(
             (F.col("total_w").cast("double") / 100.0).alias("total_units"),
         )
     )
+
+
+def asof_customer_maturity(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-TABLE point-in-time (as-of) join via the union trick: for
+    every shipped lineitem, how many orders its customer had placed by
+    ship time — revenue by customer maturity, the repeat-purchase curve.
+
+    The scale lesson is the formulation: the naive expression is a
+    time-range join (lineitem ⋈ orders ON same customer AND
+    o_orderdate <= l_shipdate), which explodes on active customers
+    (every line pairs with the customer's whole history). Instead, dim
+    version rows (each order advancing the customer's running order
+    count) and probe rows (shipped lines) are UNIONED into one stream,
+    sorted per customer on the deterministic total order
+    (ts, src, keys) — version rows sort BEFORE probes at equal ts, so
+    "as of" is inclusive — and an IGNORE-NULLS last_value window
+    carries the newest version forward onto each probe. ONE custkey
+    exchange replaces the range join; state per key is one version row.
+    (asof_last_click_before_purchase is the single-stream special case;
+    this is the general dimension-lookup form a 100 TB fact table
+    needs.)
+
+    Money is exact decimal; the maturity key and counts are integers;
+    avg_line_revenue is the stable_sum/count division. Output is one
+    row per maturity level (orders_so_far).
+    """
+    orders, li = t["orders"], t["lineitem"]
+    w_dim = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("pts"),
+        F.lit(0).alias("src"),
+        F.col("o_orderkey").alias("k1"),
+        F.lit(0).alias("k2"),
+        F.row_number().over(w_dim).cast("long").alias("orders_so_far"),
+        F.lit(None).cast(MONEY).alias("rev"),
+    )
+    probe = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_shipdate").alias("pts"),
+            F.lit(1).alias("src"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").cast("long").alias("k2"),
+            F.lit(None).cast("long").alias("orders_so_far"),
+            (money("l_extendedprice") * (F.lit(1).cast(RATE) - rate("l_discount"))).alias("rev"),
+        )
+    )
+    w_carry = (
+        Window.partitionBy("cust")
+        .orderBy("pts", "src", "k1", "k2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = dim.unionByName(probe).withColumn(
+        "so_far", F.last("orders_so_far", ignorenulls=True).over(w_carry)
+    )
+    return (
+        carried.where(F.col("src") == 1)
+        .groupBy(F.coalesce("so_far", F.lit(0)).alias("orders_so_far"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            stable_sum(F.col("rev")).alias("total_revenue"),
+            stable_avg(F.col("rev")).alias("avg_line_revenue"),
+        )
+    )

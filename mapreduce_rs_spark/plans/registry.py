@@ -5265,6 +5265,122 @@ QUERIES: dict[str, QuerySpec] = {
 }
 
 
+def _kmv_quantile_sql() -> str:
+    """Oracle twin of events.kmv_quantile_sketch: the same hash-order
+    sample bound (h64 over event_id), the same integer-cross-multiplied
+    rank crossing (the weighted_median rule), one UNION ALL leg per
+    evaluated quantile on each side."""
+    k = events.QSKETCH_K
+    est_legs = "\n            UNION ALL\n            ".join(
+        f"""SELECT event_type, CAST({q} AS INTEGER) AS q_bp,
+                       est_cents, n_sample FROM (
+                SELECT event_type, cents AS est_cents, n_sk AS n_sample,
+                       row_number() OVER (PARTITION BY event_type ORDER BY r)
+                           AS rn2
+                FROM ranked WHERE r * 10000 >= {q} * n_sk) x{q} WHERE rn2 = 1"""
+        for q in events.QSKETCH_QUANTILES_BP
+    )
+    exact_legs = "\n            UNION ALL\n            ".join(
+        f"""SELECT event_type, CAST({q} AS INTEGER) AS q_bp,
+                       exact_cents FROM (
+                SELECT event_type, cents AS exact_cents,
+                       row_number() OVER (PARTITION BY event_type ORDER BY r)
+                           AS rn2
+                FROM exact_ranked WHERE r * 10000 >= {q} * n_all) y{q}
+            WHERE rn2 = 1"""
+        for q in events.QSKETCH_QUANTILES_BP
+    )
+    return f"""
+        WITH ev AS (
+            SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                   {h64_sql("CAST(event_id AS VARCHAR)")} AS h
+            FROM events
+        ), sample AS (
+            SELECT event_type, cents, event_id FROM (
+                SELECT event_type, cents, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h, event_id) AS rn
+                FROM ev) s
+            WHERE rn <= {k}
+        ), ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS r,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_sk
+            FROM sample
+        ), exact_ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id) AS r,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_all
+            FROM ev
+        ), est AS (
+            {est_legs}
+        ), ex AS (
+            {exact_legs}
+        )
+        SELECT e.event_type, e.q_bp,
+               CAST(e.n_sample AS BIGINT) AS n_sample,
+               CAST(e.est_cents AS DOUBLE) / 100.0 AS est_value,
+               CAST(x.exact_cents AS DOUBLE) / 100.0 AS exact_value,
+               CASE WHEN x.exact_cents = 0 THEN NULL
+                    ELSE CAST(abs(e.est_cents - x.exact_cents) * 10000
+                              // x.exact_cents AS BIGINT) END AS err_bp
+        FROM est e JOIN ex x ON e.event_type = x.event_type
+                            AND e.q_bp = x.q_bp
+        """
+
+
+QUERIES["asof_customer_maturity"] = QuerySpec(
+    _tables(relational.asof_customer_maturity),
+    f"""
+    WITH dim AS (
+        SELECT o_custkey AS cust, o_orderdate AS pts, 0 AS src,
+               o_orderkey AS k1, CAST(0 AS BIGINT) AS k2,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                   AS orders_so_far,
+               CAST(NULL AS DECIMAL(16,4)) AS rev
+        FROM orders
+    ), probe AS (
+        SELECT o.o_custkey AS cust, l.l_shipdate AS pts, 1 AS src,
+               l.l_orderkey AS k1, CAST(l.l_linenumber AS BIGINT) AS k2,
+               CAST(NULL AS BIGINT) AS orders_so_far,
+               {DISC_PRICE_DEC} AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), unioned AS (
+        SELECT * FROM dim UNION ALL SELECT * FROM probe
+    ), carried AS (
+        SELECT cust, src, rev,
+               last_value(orders_so_far IGNORE NULLS) OVER (
+                   PARTITION BY cust ORDER BY pts, src, k1, k2
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS so_far
+        FROM unioned
+    )
+    SELECT COALESCE(so_far, 0) AS orders_so_far,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {_stable_sum('rev')} AS total_revenue,
+           {_stable_avg('rev')} AS avg_line_revenue
+    FROM carried WHERE src = 1 GROUP BY 1
+    """,
+    "Two-table point-in-time join via the union trick: order-count "
+    "version rows + shipped-line probes in one custkey-partitioned "
+    "IGNORE-NULLS carry window — no time-range join; exact decimal money",
+)
+
+
+QUERIES["kmv_quantile_sketch"] = QuerySpec(
+    _tables(events.kmv_quantile_sketch),
+    _kmv_quantile_sql(),
+    "Sampled quantiles with exact-error eval: per-type k-smallest-hash "
+    "uniform sample (bounded, mergeable, deterministic), integer rank "
+    "crossing, exact leg rides along as the harness (dropped at scale)",
+)
+
+
 def _bpe_rounds_ctes(n_merges: int = 6) -> str:
     """The shared unrolled BPE CTE chain (leading WITH included): round
     r computes pair counts over v{r-1}, picks the argmax b{r} (cnt DESC,
@@ -5773,6 +5889,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "erasure_plan": ("day",),
     # (ab_test_conversion emits a single row — no sort needed, the
     # lsh_dedup_eval precedent.)
+    "kmv_quantile_sketch": ("event_type", "q_bp"),
+    "asof_customer_maturity": ("orders_so_far",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -5809,6 +5927,20 @@ _CHECK_FIRST: tuple[str, ...] = (
     "pq_reconstruction_error",
     "erasure_plan",
     "ab_test_conversion",
+    "kmv_quantile_sketch",
+    "asof_customer_maturity",
+    # (domain_stats displaced by asof_customer_maturity: its URL-host
+    # regexp_extract is the source_extraction family (externally green
+    # r02) with the \x0B-safe regex discipline, and its within-domain
+    # md5 dup accounting the dedup_exact fingerprint family, green r03;
+    # the random docs probe covers the host parse every run. Rotate it
+    # in next round.)
+    # (language_id_confusion displaced by kmv_quantile_sketch: its
+    # prediction leg IS language_id — externally green r01 — reused
+    # verbatim through the shared oracle builder, and its row-
+    # normalized share_bp is the repo-wide basis-point discipline;
+    # the random docs probe exercises the whole matrix every run.
+    # Rotate it in next round.)
     # (log2_value_histogram displaced by erasure_plan: its bit-length
     # bucket trick is the hll_distinct_users rank-extraction family
     # (still in this window) and its per-type share_bp the repo-wide
@@ -5864,8 +5996,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "label_centroid_drift",
     "bootstrap_ci_mean",
     "weighted_median_price",
-    "language_id_confusion",
-    "domain_stats",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its

@@ -65,6 +65,7 @@ EVENT_QUERIES = (
     "state_snapshot_diff",
     "erasure_plan",
     "ab_test_conversion",
+    "kmv_quantile_sketch",
 )
 
 SEED = 20260813

@@ -456,6 +456,14 @@ _SCALE_GUARDS = {
     "erasure_plan": (3, 0),
     # user agg → 2-row arm agg → SinglePartition pivot
     "ab_test_conversion": (2, 0),
+    # ONE event_type exchange serves sample-window + rank-window +
+    # crossing aggs on each branch (explode-crossing form measured at
+    # 2 vs 6 for the naive per-quantile union)
+    "kmv_quantile_sketch": (2, 0),
+    # union-trick as-of: lineitem⋈orders custkey fetch + ONE custkey
+    # carry window + maturity agg — replaces the time-range join that
+    # would explode on active customers
+    "asof_customer_maturity": (3, 0),
 }
 
 

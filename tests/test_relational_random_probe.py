@@ -84,6 +84,7 @@ REL_QUERIES = (
     "bootstrap_ci_mean",
     "weekly_growth",
     "weighted_median_price",
+    "asof_customer_maturity",
 )
 
 SEED = 4217
