@@ -2191,3 +2191,104 @@ def kmv_quantile_sketch(
         .cast("long")
         .alias("err_bp"),
     )
+
+
+# Chi-square drift: micro-unit quantization of the per-bucket terms
+# (the temperature_mixture recipe — quantize each term, sum exactly).
+CHI2_SCALE = 1_000_000
+
+
+def value_drift_chi2(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-sample chi-square homogeneity test per event type: did the
+    value distribution drift between the first and second half of the
+    observed window? The monitoring statistic a production pipeline
+    alarms on — computed with the repo's exact-arithmetic discipline,
+    so the alarm can never flap from partition-order noise.
+
+    Buckets are the log2_value_histogram bit-length buckets (integer);
+    the split point is the µs midpoint of the observed ts range
+    (derived from the data — meaningful on any corpus, the
+    state_snapshot_diff lesson). With per-bucket counts o_a, o_b and
+    per-type totals N_a, N_b, the textbook statistic
+
+        chi2 = Σ_b (o_a·N_b − o_b·N_a)² / (N_a·N_b·(o_a+o_b))
+
+    (the (O−E)²/E cell sum collapses to this — derive via
+    O_a−E_a = (o_a·N_b − o_b·N_a)/N and 1/E_a + 1/E_b =
+    N²/(N_a·N_b·s_b), the N² cancelling)
+
+    is evaluated per bucket as ONE integer floor division into
+    micro-units — products lifted into DECIMAL(38,0) (the pagerank
+    fixed-point discipline; numerators reach ~1e29 at test scale) —
+    and the per-type sum of those integers is exact. The reported
+    ``chi2`` is a single division by 10^6. Degenerate halves (a type
+    absent from either half) yield NULL by an integer guard.
+
+    Scale shape: one (type, bucket) aggregate with conditional
+    half-counts (map-side partials; state = types·buckets rows), then
+    type-level windows/aggs on that dictionary-sized table. The split
+    bounds are a one-row broadcast.
+    """
+    ev = t["events"].select(
+        "event_type",
+        F.col("ts"),
+        (money("value") * 100).cast("long").alias("cents"),
+    )
+    # Integer midpoint: (lo + hi) div 2 — a double /2 then cast would
+    # TRUNCATE in Spark but ROUND in DuckDB on odd sums.
+    bounds = ev.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias(
+            "mid_us"
+        )
+    )
+    bucket = F.when(
+        F.col("cents") > 0, F.length(F.expr("bin(cents)")) - 1
+    ).otherwise(F.lit(-1))
+    halved = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        bucket.cast("int").alias("bucket"),
+        F.when(F.unix_micros(F.col("ts")) < F.col("mid_us"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    per_bucket = halved.groupBy("event_type", "bucket").agg(
+        F.sum("in_a").cast("long").alias("o_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("o_b"),
+    )
+    w_type = Window.partitionBy("event_type")
+    term = F.expr(
+        f"""CAST(
+            CAST((o_a * n_b - o_b * n_a) AS DECIMAL(38,0))
+            * (o_a * n_b - o_b * n_a)
+            * {CHI2_SCALE}
+            div (CAST(n_a AS DECIMAL(38,0)) * n_b * (o_a + o_b))
+        AS DECIMAL(38,0))"""
+    )
+    sized = per_bucket.select(
+        "event_type",
+        "bucket",
+        "o_a",
+        "o_b",
+        F.sum("o_a").over(w_type).cast("long").alias("n_a"),
+        F.sum("o_b").over(w_type).cast("long").alias("n_b"),
+    )
+    return (
+        sized.withColumn(
+            "term_micro",
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), term),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n_a").cast("long").alias("n_a"),
+            F.min("n_b").cast("long").alias("n_b"),
+            (F.count(F.lit(1)) - 1).cast("int").alias("dof"),
+            F.sum("term_micro").alias("_chi2_micro"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "dof",
+            (F.col("_chi2_micro").cast("double") / CHI2_SCALE).alias("chi2"),
+        )
+    )

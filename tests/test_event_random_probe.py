@@ -66,6 +66,7 @@ EVENT_QUERIES = (
     "erasure_plan",
     "ab_test_conversion",
     "kmv_quantile_sketch",
+    "value_drift_chi2",
 )
 
 SEED = 20260813

@@ -464,6 +464,9 @@ _SCALE_GUARDS = {
     # carry window + maturity agg — replaces the time-range join that
     # would explode on active customers
     "asof_customer_maturity": (3, 0),
+    # one (type, bucket) conditional-count agg; type windows + final
+    # agg run on the dictionary-sized bucket table
+    "value_drift_chi2": (2, 0),
 }
 
 

@@ -177,3 +177,40 @@ def test_mllib_lsh_fast_path_finds_exact_dups(spark, sf_dir):
         for r in minhash_lsh_pairs_ml(docs).collect()
     }
     assert got == again
+
+
+def test_value_drift_chi2_matches_textbook(spark, sf_dir):
+    """The micro-unit integer chi2 must agree with the straightforward
+    float (O-E)^2/E textbook computation to within the quantization
+    bound: each of the <= buckets terms is floored at 1e-6, so
+    |engine - textbook| <= n_buckets * 1e-6 + float noise."""
+    import collections
+
+    t = load_tables(spark, sf_dir)
+    engine = {r.event_type: (r.chi2, r.dof) for r in events.value_drift_chi2(t).collect()}
+    ev = t["events"].select("event_type", "ts", "value").collect()
+    lo = min(r.ts for r in ev)
+    hi = max(r.ts for r in ev)
+    mid_us = (int(lo.timestamp() * 1e6) + int(hi.timestamp() * 1e6)) // 2
+    oa = collections.defaultdict(lambda: collections.defaultdict(int))
+    ob = collections.defaultdict(lambda: collections.defaultdict(int))
+    for r in ev:
+        cents = int(round(r.value * 100))
+        bkt = cents.bit_length() - 1 if cents > 0 else -1
+        side = oa if int(r.ts.timestamp() * 1e6) < mid_us else ob
+        side[r.event_type][bkt] += 1
+    for etype, (got, dof) in engine.items():
+        a, b = oa[etype], ob[etype]
+        na, nb = sum(a.values()), sum(b.values())
+        n = na + nb
+        want = 0.0
+        buckets = set(a) | set(b)
+        for bkt in buckets:
+            s = a[bkt] + b[bkt]
+            for o, nx in ((a[bkt], na), (b[bkt], nb)):
+                e = nx * s / n
+                want += (o - e) ** 2 / e
+        assert dof == len(buckets) - 1
+        assert abs(got - want) <= len(buckets) * 1e-6 + 1e-9 * want, (
+            etype, got, want
+        )
