@@ -496,3 +496,59 @@ def token_budget_allocation(df: DataFrame, budget: int = TOKEN_BUDGET) -> DataFr
         .cast("long")
         .alias("quota"),
     )
+
+
+# k-anonymity: a quasi-identifier combination seen fewer than K times
+# re-identifies its members; N_CHARS_BUCKET coarsens the numeric QI the
+# way a release would generalize it.
+K_ANONYMITY = 5
+N_CHARS_BUCKET = 500
+
+
+def k_anonymity_audit(df: DataFrame, k: int = K_ANONYMITY) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers
+    (lang, source, bucketed n_chars): per language, how many
+    quasi-identifier equivalence classes fall below k members and how
+    many rows those classes expose — the check a privacy review runs
+    BEFORE publishing a dataset slice, and the signal that the
+    generalization (bucket width, dropped columns) must coarsen.
+
+    Pure integer accounting: class sizes are exact counts, the risk
+    share is integer basis points, and the bucket edge is an integer
+    floor division (a float bucket could straddle at a width boundary).
+
+    Scale shape: one (lang, source, bucket) aggregate with map-side
+    partials (equivalence classes are release-schema-bounded, not
+    corpus-bounded), then a lang rollup on the class table.
+    """
+    classes = (
+        df.select(
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars div {N_CHARS_BUCKET} AS BIGINT)").alias(
+                "chars_bucket"
+            ),
+        )
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    small = F.when(F.col("class_size") < k, 1).otherwise(0)
+    return (
+        classes.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(small).cast("long").alias("n_small_classes"),
+            F.sum(F.col("class_size")).cast("long").alias("n_rows"),
+            F.sum(small * F.col("class_size")).cast("long").alias("n_rows_at_risk"),
+        )
+        .select(
+            "lang",
+            "n_classes",
+            "n_small_classes",
+            "n_rows",
+            "n_rows_at_risk",
+            F.expr("n_rows_at_risk * 10000 div n_rows").cast("long").alias(
+                "risk_bp"
+            ),
+        )
+    )

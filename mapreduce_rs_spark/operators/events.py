@@ -2292,3 +2292,75 @@ def value_drift_chi2(t: dict[str, DataFrame]) -> DataFrame:
             (F.col("_chi2_micro").cast("double") / CHI2_SCALE).alias("chi2"),
         )
     )
+
+
+# Discrete-Laplace (two-sided geometric) mechanism for DP counts:
+# alpha = e^-epsilon; P(Z = z) = (1-alpha)/(1+alpha) * alpha^|z|.
+# The inverse-CDF thresholds are computed in Python ONCE and shipped
+# as integer literals against the 32-bit portable hash draw — the
+# bootstrap_ci_mean discipline: deterministic noise, no float in
+# either engine's plan (rand() would be neither reproducible nor
+# engine-portable, and a float Laplace would hit ln() ulp boundaries).
+DP_EPSILON = 0.5
+
+
+def _geometric_thresholds(epsilon: float = DP_EPSILON) -> list[tuple[int, int]]:
+    """(threshold, z) pairs: draw < threshold → noise z, for z scanned
+    in CDF order -Z..+Z; tail truncated below 2^-40 total mass (the
+    truncation changes the mechanism by < 1e-12 — negligible against
+    epsilon accounting at these magnitudes)."""
+    import math
+
+    alpha = math.exp(-epsilon)
+    z_max = 1
+    while (2 * alpha ** (z_max + 1)) / (1 + alpha) > 2**-40:
+        z_max += 1
+    weights = [(z, alpha ** abs(z)) for z in range(-z_max, z_max + 1)]
+    total = sum(w for _, w in weights)
+    acc = 0.0
+    out = []
+    prev = 0
+    for z, w in weights:
+        acc += w / total
+        thr = min(round(acc * 4294967296), 4294967296)
+        if thr > prev:  # rounded-to-zero tail buckets can never be drawn
+            out.append((thr, z))
+            prev = thr
+    return out
+
+
+def dp_noisy_counts(
+    t: dict[str, DataFrame], epsilon: float = DP_EPSILON
+) -> DataFrame:
+    """Differentially-private per-type event counts via the DISCRETE
+    geometric mechanism (Ghosh-Roughgarden-Sundararajan: the
+    universally optimal mechanism for counts) — the privacy layer a
+    shared-metrics pipeline publishes through.
+
+    All integer: the true count is exact; the noise is an
+    inverse-CDF table lookup of the portable h32(type|'dp') draw
+    against Python-computed integer thresholds (the bootstrap_ci_mean
+    pattern), so the published value is reproducible across engines,
+    partitionings and retries while still being a correctly-distributed
+    geometric draw over the release key. ``dp_count`` floors at 0
+    (counts are non-negative post-processing — DP allows it).
+
+    Scale shape: one (type) count aggregate with map-side partials;
+    the noise lookup is a literal CASE chain on |types| rows.
+    """
+    counts = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    draw = h32(F.concat(F.col("event_type"), F.lit("|dp")))
+    thresholds = _geometric_thresholds(epsilon)
+    noise = F.lit(thresholds[-1][1])
+    for thr, z in reversed(thresholds[:-1]):
+        noise = F.when(draw < thr, F.lit(z)).otherwise(noise)
+    return counts.select(
+        "event_type",
+        "true_count",
+        noise.cast("long").alias("noise"),
+        F.greatest(
+            F.col("true_count") + noise.cast("long"), F.lit(0).cast("long")
+        ).alias("dp_count"),
+    )

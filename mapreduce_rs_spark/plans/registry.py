@@ -5334,6 +5334,65 @@ def _kmv_quantile_sql() -> str:
         """
 
 
+def _dp_noise_sql() -> str:
+    """CASE-chain twin of events.dp_noisy_counts' threshold lookup,
+    built from the SAME Python-computed integer literals."""
+    thresholds = events._geometric_thresholds()
+    draw = h32_sql("(event_type || '|dp')")
+    whens = " ".join(
+        f"WHEN {draw} < {thr} THEN {z}" for thr, z in thresholds[:-1]
+    )
+    return f"CASE {whens} ELSE {thresholds[-1][1]} END"
+
+
+QUERIES["dp_noisy_counts"] = QuerySpec(
+    _tables(events.dp_noisy_counts),
+    f"""
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_count
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, true_count,
+           CAST({_dp_noise_sql()} AS BIGINT) AS noise,
+           CAST(greatest(true_count + ({_dp_noise_sql()}), 0) AS BIGINT)
+               AS dp_count
+    FROM counts
+    """,
+    "DP counts via the discrete geometric mechanism: noise = integer "
+    "inverse-CDF table lookup of the portable hash draw (bootstrap-CDF-"
+    "literal pattern) — reproducible, engine-portable, zero floats",
+)
+
+
+QUERIES["k_anonymity_audit"] = QuerySpec(
+    _docs(curation.k_anonymity_audit),
+    f"""
+    WITH classes AS (
+        SELECT lang, source,
+               CAST(n_chars // {curation.N_CHARS_BUCKET} AS BIGINT)
+                   AS chars_bucket,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM documents GROUP BY 1, 2, 3
+    ), rolled AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN class_size < {curation.K_ANONYMITY}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+               CAST(sum(class_size) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN class_size < {curation.K_ANONYMITY}
+                             THEN class_size ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk
+        FROM classes GROUP BY lang
+    )
+    SELECT lang, n_classes, n_small_classes, n_rows, n_rows_at_risk,
+           CAST(n_rows_at_risk * 10000 // n_rows AS BIGINT) AS risk_bp
+    FROM rolled
+    """,
+    "k-anonymity audit over the release quasi-identifiers: exact class "
+    "sizes, integer bucket edges, at-risk share in basis points",
+)
+
+
 QUERIES["value_drift_chi2"] = QuerySpec(
     _tables(events.value_drift_chi2),
     f"""
@@ -5943,6 +6002,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "kmv_quantile_sketch": ("event_type", "q_bp"),
     "asof_customer_maturity": ("orders_so_far",),
     "value_drift_chi2": ("event_type",),
+    "dp_noisy_counts": ("event_type",),
+    "k_anonymity_audit": ("lang",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -5982,6 +6043,18 @@ _CHECK_FIRST: tuple[str, ...] = (
     "kmv_quantile_sketch",
     "asof_customer_maturity",
     "value_drift_chi2",
+    "dp_noisy_counts",
+    "k_anonymity_audit",
+    # (bootstrap_ci_mean displaced by dp_noisy_counts: dp's noise
+    # lookup is the SAME integer-quantized-CDF-literal expression
+    # family bootstrap_ci_mean pioneered, and bootstrap's replicate
+    # machinery is pinned by the local parity suite + the relational
+    # random probe every run. Rotate it in next round.)
+    # (label_centroid_drift displaced by k_anonymity_audit: its
+    # micro-unit quantized dimension sums are exercised this window
+    # via pq_reconstruction_error (same round(x·1e6) recipe on the
+    # same embedding coordinates), and its cosine/norm chains are the
+    # knn family's, green r03. Rotate it in next round.)
     # (weighted_median_price displaced by value_drift_chi2: its
     # integer-cross-multiplied cumulative-weight crossing is exercised
     # verbatim this window by kmv_quantile_sketch (the same crossing
@@ -6052,8 +6125,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dq_rule_violations",
     "multitouch_attribution",
     "frequent_triples",
-    "label_centroid_drift",
-    "bootstrap_ci_mean",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its

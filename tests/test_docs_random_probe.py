@@ -75,6 +75,7 @@ DOC_QUERIES = (
     "oov_rate_scores",
     "domain_stats",
     "token_budget_allocation",
+    "k_anonymity_audit",
 )
 
 SEED = 813

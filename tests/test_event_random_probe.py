@@ -67,6 +67,7 @@ EVENT_QUERIES = (
     "ab_test_conversion",
     "kmv_quantile_sketch",
     "value_drift_chi2",
+    "dp_noisy_counts",
 )
 
 SEED = 20260813

@@ -467,6 +467,10 @@ _SCALE_GUARDS = {
     # one (type, bucket) conditional-count agg; type windows + final
     # agg run on the dictionary-sized bucket table
     "value_drift_chi2": (2, 0),
+    # privacy pair: one type-count agg + literal CASE noise lookup;
+    # one QI-class agg + lang rollup
+    "dp_noisy_counts": (1, 0),
+    "k_anonymity_audit": (2, 0),
 }
 
 

@@ -214,3 +214,47 @@ def test_value_drift_chi2_matches_textbook(spark, sf_dir):
         assert abs(got - want) <= len(buckets) * 1e-6 + 1e-9 * want, (
             etype, got, want
         )
+
+
+def test_geometric_noise_table_is_a_valid_mechanism():
+    """The shipped integer thresholds must encode EXACTLY the
+    (truncated) two-sided geometric pmf: strictly increasing, covering
+    the full 32-bit draw space, with each bucket's width within 1 draw
+    unit of the real-valued pmf (the quantization bound) and symmetric
+    mass within rounding."""
+    import math
+
+    from mapreduce_rs_spark.operators.events import (
+        DP_EPSILON,
+        _geometric_thresholds,
+    )
+
+    t = _geometric_thresholds()
+    thrs = [thr for thr, _ in t]
+    assert thrs == sorted(thrs) and len(set(thrs)) == len(thrs)
+    assert t[-1][0] == 4294967296  # full coverage: every draw maps
+    alpha = math.exp(-DP_EPSILON)
+    zs = [z for _, z in t]
+    z_max = max(zs)
+    total = sum(alpha ** abs(z) for z in range(-z_max, z_max + 1))
+    prev = 0
+    for thr, z in t:
+        width = thr - prev
+        want = alpha ** abs(z) / total * 4294967296
+        assert abs(width - want) <= 1.0 + 1e-6 * want, (z, width, want)
+        prev = thr
+    # symmetry: P(z) == P(-z) within quantization; a z absent from the
+    # table is a zero-width tail bucket the trim removed — legal only
+    # when its real mass is below ~2 draw units
+    by_z = {}
+    prev = 0
+    for thr, z in t:
+        by_z[z] = thr - prev
+        prev = thr
+    for z in range(1, z_max + 1):
+        mass = alpha ** z / total * 4294967296
+        for signed in (z, -z):
+            if signed not in by_z:
+                assert mass <= 2.0, (signed, mass)
+        if z in by_z and -z in by_z:
+            assert abs(by_z[z] - by_z[-z]) <= 2
