@@ -205,3 +205,110 @@ def stateful_latest_state(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Streaming quantile sketch: the SAME k-smallest-h64 uniform sample as
+# the batch kmv_quantile_sketch (events.py), maintained incrementally —
+# the sketch is mergeable (union + re-take the k smallest), so
+# cross-batch state maintenance IS the merge. State is bounded at k
+# rows per type FOREVER; no watermark needed (the sketch, not time,
+# bounds it — the streaming_cms/streaming_hll discipline).
+from mapreduce_rs_spark.operators.events import (  # noqa: E402
+    QSKETCH_K as QSK_K,
+    QSKETCH_QUANTILES_BP as QSK_QUANTILES_BP,
+)
+QSK_STATE_SCHEMA = (
+    "n bigint, hs array<bigint>, ids array<bigint>, cs array<bigint>"
+)
+QSK_OUTPUT_SCHEMA = (
+    "event_type string, n_seen bigint, "
+    "est_p50_cents bigint, est_p95_cents bigint, est_p99_cents bigint"
+)
+
+
+def _quantile_sketch_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one type's micro-batch into the k-smallest-hash sample and
+    emit the current quantile estimates with a MONOTONE n_seen counter
+    — the newest emission per type (max n_seen) is the final sketch
+    (the stateful_latest_state compaction rule). The sample membership
+    rule (k smallest (h, event_id)) and the crossing rule
+    (first sample rank with r·10⁴ ≥ q·n_sk, ties by (cents, event_id))
+    mirror the batch operator token for token, so a drained stream's
+    final emission equals the batch sketch EXACTLY."""
+    (event_type,) = key
+    if state.exists:
+        n_seen, hs, ids, cs = state.get
+        entries = list(zip(hs, ids, cs))
+    else:
+        n_seen, entries = 0, []
+    new_rows = 0
+    for pdf in batches:
+        new_rows += len(pdf)
+        entries.extend(
+            zip(
+                pdf["h"].astype("int64"),
+                pdf["event_id"].astype("int64"),
+                pdf["cents"].astype("int64"),
+            )
+        )
+    if new_rows == 0:
+        return
+    n_seen += new_rows
+    entries.sort(key=lambda e: (e[0], e[1]))
+    entries = entries[:QSK_K]
+    state.update(
+        (
+            n_seen,
+            [int(e[0]) for e in entries],
+            [int(e[1]) for e in entries],
+            [int(e[2]) for e in entries],
+        )
+    )
+    by_value = sorted(entries, key=lambda e: (e[2], e[1]))
+    n_sk = len(by_value)
+    ests = []
+    for q_bp in QSK_QUANTILES_BP:
+        est = next(
+            e[2]
+            for r, e in enumerate(by_value, start=1)
+            if r * 10000 >= q_bp * n_sk
+        )
+        ests.append(int(est))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_seen": [n_seen],
+            "est_p50_cents": [ests[0]],
+            "est_p95_cents": [ests[1]],
+            "est_p99_cents": [ests[2]],
+        }
+    )
+
+
+def stateful_quantile_sketch(stream: DataFrame) -> DataFrame:
+    """Streaming quantile estimates from bounded per-type state: each
+    micro-batch folds its rows into the k-smallest-hash sample (the
+    mergeable-sketch property makes the fold exact — identical to
+    having seen all data at once, whatever the batch boundaries) and
+    emits the updated P50/P95/P99. At 100 TB/day this is the live
+    latency/value dashboard: k·|types| rows of state, forever."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.functions.hashing import h64
+    from mapreduce_rs_spark.operators.relational import money
+
+    prepared = stream.select(
+        "event_type",
+        "event_id",
+        (money("value") * 100).cast("long").alias("cents"),
+        h64(F.col("event_id").cast("string")).alias("h"),
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _quantile_sketch_group,
+        outputStructType=QSK_OUTPUT_SCHEMA,
+        stateStructType=QSK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -138,3 +138,46 @@ def test_stateful_latest_state_across_micro_batches(spark, sf_dir, tmp_path):
         ckpt,
     )
     assert again.count() == emitted
+
+
+def test_stateful_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming k-smallest-hash quantile sketch, drained one file
+    per trigger, must end (newest emission per type = max monotone
+    n_seen) EXACTLY equal to the batch kmv_quantile_sketch estimates —
+    the mergeable-sketch property under real micro-batch boundaries."""
+    from mapreduce_rs_spark.operators.events import kmv_quantile_sketch
+    from mapreduce_rs_spark.streaming.stateful import stateful_quantile_sketch
+
+    inp = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").repartition(5).write.parquet(inp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    streamed = _drain(spark, stateful_quantile_sketch(stream), out, ckpt)
+    final = {}
+    for r in streamed.collect():
+        if r.event_type not in final or r.n_seen > final[r.event_type][0]:
+            final[r.event_type] = (
+                r.n_seen,
+                r.est_p50_cents,
+                r.est_p95_cents,
+                r.est_p99_cents,
+            )
+    batch = kmv_quantile_sketch(load_tables(spark, sf_dir))
+    want = {}
+    for r in batch.collect():
+        cents = int(round(r.est_value * 100))
+        want.setdefault(r.event_type, {})[r.q_bp] = cents
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert final, "stream emitted nothing"
+    total_seen = sum(v[0] for v in final.values())
+    assert total_seen == n_events
+    for etype, (_, p50, p95, p99) in final.items():
+        assert (p50, p95, p99) == (
+            want[etype][5000],
+            want[etype][9500],
+            want[etype][9900],
+        ), etype
