@@ -1628,3 +1628,87 @@ def domain_stats(df: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dup_bp"),
     )
+
+
+# BM25 (Lucene variant): k1 = 1.2 and b = 0.75 appear below only as
+# the exact integer literals of the 10·T-scaled denominator
+# (10·T·tf + 3·T + 9·dl·N) and the 22·T-scaled numerator — the whole
+# term score is integer after the one centinat-quantized ln.
+BM25_QUERY = ("query", "join", "vector")
+
+
+def bm25_scores(df: DataFrame, query: tuple[str, ...] = BM25_QUERY) -> DataFrame:
+    """BM25 relevance scores for a literal query over the corpus — the
+    IR-standard ranking function (tfidf's production successor:
+    saturating tf, document-length normalization). Uses the Lucene
+    idf = ln(1 + (N − df + ½)/(df + ½)), which is non-negative even
+    for terms in most documents.
+
+    Float discipline: the ONLY float is the per-term idf, quantized to
+    integer centinats (floor(ln·100) — the surprisal-family recipe) on
+    term-level rows (|query| of them). Each (doc, term) score is then
+    PURE integer arithmetic: with avgdl = T/N kept as the exact ratio
+    of two integers, the k1/b constants clear to integers under a 10·T
+    scaling —
+
+        score_cn = idf_cn · tf · 22 · T  div  (10·T·tf + 3·T + 9·dl·N)
+
+    (products lifted into DECIMAL(38,0): idf_cn·tf·22·T reaches ~4e20
+    at 100 TB token counts). Per-doc totals are exact integer sums;
+    the reported score is one division by 100.
+
+    Scale shape: the term filter lands BEFORE any aggregation, so the
+    (doc, term) tf table is query-sized, not vocabulary-sized; doc
+    lengths are a narrow projection; N/T and the |query| df rows
+    broadcast. One doc-key aggregate carries the final sum.
+    """
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    docs = df.select("doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("tk"))
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    words = docs.select(
+        "doc_id", "dl", F.explode("tk").alias("word")
+    ).where(F.col("word").isin(*query))
+    tf = words.groupBy("doc_id", "dl", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = (
+        words.select("word", "doc_id")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("idf_cn"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CAST(idf_cn AS DECIMAL(38,0)) * tf * 22 * t_tokens"
+                " div (CAST(10 AS DECIMAL(38,0)) * t_tokens * tf"
+                "      + 3 * t_tokens + 9 * dl * n_docs) AS BIGINT)"
+            ).alias("score_cn"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_matched"),
+        (F.sum("score_cn").cast("double") / 100.0).alias("score"),
+    )

@@ -5334,6 +5334,51 @@ def _kmv_quantile_sql() -> str:
         """
 
 
+QUERIES["bm25_scores"] = QuerySpec(
+    _docs(ta.bm25_scores),
+    f"""
+    WITH docs AS (
+        SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS dl,
+               {TOKENS_SQL} AS tk
+        FROM documents
+    ), totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS t_tokens
+        FROM docs
+    ), words AS (
+        SELECT doc_id, dl, unnest(tk) AS word FROM docs
+    ), hits AS (
+        SELECT doc_id, dl, word FROM words
+        WHERE word IN ({", ".join(f"'{w}'" for w in ta.BM25_QUERY)})
+    ), tf AS (
+        SELECT doc_id, dl, word, CAST(count(*) AS BIGINT) AS tf
+        FROM hits GROUP BY 1, 2, 3
+    ), dfreq AS (
+        SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM hits GROUP BY word
+    ), idf AS (
+        SELECT word,
+               CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 100)
+                    AS BIGINT) AS idf_cn
+        FROM dfreq CROSS JOIN totals
+    ), scored AS (
+        SELECT doc_id,
+               CAST(CAST(idf_cn AS HUGEINT) * tf * 22 * t_tokens
+                    // (CAST(10 AS HUGEINT) * t_tokens * tf
+                        + 3 * t_tokens + 9 * dl * n_docs) AS BIGINT)
+                   AS score_cn
+        FROM tf JOIN idf USING (word) CROSS JOIN totals
+    )
+    SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+           CAST(sum(score_cn) AS DOUBLE) / 100.0 AS score
+    FROM scored GROUP BY doc_id
+    """,
+    "BM25 (Lucene idf) for a literal query: one centinat-quantized ln "
+    "per term, then pure integer scoring under the 10·T scaling that "
+    "clears k1/b to integer literals; per-doc sums exact",
+)
+
+
 def _dp_noise_sql() -> str:
     """CASE-chain twin of events.dp_noisy_counts' threshold lookup,
     built from the SAME Python-computed integer literals."""
@@ -6004,6 +6049,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "value_drift_chi2": ("event_type",),
     "dp_noisy_counts": ("event_type",),
     "k_anonymity_audit": ("lang",),
+    "bm25_scores": ("doc_id",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -6045,6 +6091,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "value_drift_chi2",
     "dp_noisy_counts",
     "k_anonymity_audit",
+    "bm25_scores",
+    # (frequent_triples displaced by bm25_scores: its chained order-key
+    # self-joins are the copurchase_pairs family — externally green r03
+    # on the same pair-join grain — with the same integer basis-point
+    # support discipline; the relational probe covers its fan-out bound
+    # every run. Rotate it in next round.)
     # (bootstrap_ci_mean displaced by dp_noisy_counts: dp's noise
     # lookup is the SAME integer-quantized-CDF-literal expression
     # family bootstrap_ci_mean pioneered, and bootstrap's replicate
@@ -6124,7 +6176,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "prefix_filter_jaccard_pairs",
     "dq_rule_violations",
     "multitouch_attribution",
-    "frequent_triples",
     # (000) NEW in the third round-4
     # session — never externally checked:
     # (theta_daily_overlap displaced by multitouch_attribution: its

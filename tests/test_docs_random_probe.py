@@ -76,6 +76,7 @@ DOC_QUERIES = (
     "domain_stats",
     "token_budget_allocation",
     "k_anonymity_audit",
+    "bm25_scores",
 )
 
 SEED = 813

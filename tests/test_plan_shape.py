@@ -471,6 +471,9 @@ _SCALE_GUARDS = {
     # one QI-class agg + lang rollup
     "dp_noisy_counts": (1, 0),
     "k_anonymity_audit": (2, 0),
+    # query-sized tf/df aggs (term filter lands before any agg) + the
+    # final doc-key sum; df/idf legs broadcast
+    "bm25_scores": (4, 0),
 }
 
 
