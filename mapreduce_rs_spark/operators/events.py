@@ -2256,10 +2256,15 @@ def value_drift_chi2(t: dict[str, DataFrame]) -> DataFrame:
         F.sum(1 - F.col("in_a")).cast("long").alias("o_b"),
     )
     w_type = Window.partitionBy("event_type")
+    # The inner products are lifted into DECIMAL(38,0) BEFORE any
+    # multiplication: o·N reaches 2^63 at a few billion rows per half —
+    # int64 would silently wrap on the Spark side while the oracle's
+    # HUGEINT errored (caught in review; the twin lift is in the
+    # registry SQL).
     term = F.expr(
         f"""CAST(
-            CAST((o_a * n_b - o_b * n_a) AS DECIMAL(38,0))
-            * (o_a * n_b - o_b * n_a)
+            (CAST(o_a AS DECIMAL(38,0)) * n_b - CAST(o_b AS DECIMAL(38,0)) * n_a)
+            * (CAST(o_a AS DECIMAL(38,0)) * n_b - CAST(o_b AS DECIMAL(38,0)) * n_a)
             * {CHI2_SCALE}
             div (CAST(n_a AS DECIMAL(38,0)) * n_b * (o_a + o_b))
         AS DECIMAL(38,0))"""
@@ -2302,6 +2307,14 @@ def value_drift_chi2(t: dict[str, DataFrame]) -> DataFrame:
 # either engine's plan (rand() would be neither reproducible nor
 # engine-portable, and a float Laplace would hit ln() ulp boundaries).
 DP_EPSILON = 0.5
+# The noise draw is keyed on a SALT that must stay out of the release:
+# md5 is public, so an unsalted draw lets any consumer recompute the
+# noise and recover the exact count (review finding). With the salt
+# secret, the noise is deterministic to the publisher (reproducible
+# across engines/partitionings/retries — the property rand() lacks)
+# and unpredictable to consumers. The default is a PLACEHOLDER for the
+# test harness; a real release generates and vaults its own.
+DP_SALT = "spark-graft-release-salt"
 
 
 def _geometric_thresholds(epsilon: float = DP_EPSILON) -> list[tuple[int, int]]:
@@ -2330,7 +2343,9 @@ def _geometric_thresholds(epsilon: float = DP_EPSILON) -> list[tuple[int, int]]:
 
 
 def dp_noisy_counts(
-    t: dict[str, DataFrame], epsilon: float = DP_EPSILON
+    t: dict[str, DataFrame],
+    epsilon: float = DP_EPSILON,
+    salt: str = DP_SALT,
 ) -> DataFrame:
     """Differentially-private per-type event counts via the DISCRETE
     geometric mechanism (Ghosh-Roughgarden-Sundararajan: the
@@ -2338,12 +2353,15 @@ def dp_noisy_counts(
     shared-metrics pipeline publishes through.
 
     All integer: the true count is exact; the noise is an
-    inverse-CDF table lookup of the portable h32(type|'dp') draw
+    inverse-CDF table lookup of the portable h32(salt|type|'dp') draw
     against Python-computed integer thresholds (the bootstrap_ci_mean
     pattern), so the published value is reproducible across engines,
     partitionings and retries while still being a correctly-distributed
-    geometric draw over the release key. ``dp_count`` floors at 0
-    (counts are non-negative post-processing — DP allows it).
+    geometric draw over the release key — and, because the SALT stays
+    out of the release, not recomputable by a consumer (see DP_SALT;
+    an unsalted public-hash draw would offer zero privacy). ``dp_count``
+    floors at 0 (counts are non-negative post-processing — DP allows
+    it).
 
     Scale shape: one (type) count aggregate with map-side partials;
     the noise lookup is a literal CASE chain on |types| rows.
@@ -2351,7 +2369,7 @@ def dp_noisy_counts(
     counts = t["events"].groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("true_count")
     )
-    draw = h32(F.concat(F.col("event_type"), F.lit("|dp")))
+    draw = h32(F.concat(F.lit(salt), F.lit("|"), F.col("event_type"), F.lit("|dp")))
     thresholds = _geometric_thresholds(epsilon)
     noise = F.lit(thresholds[-1][1])
     for thr, z in reversed(thresholds[:-1]):

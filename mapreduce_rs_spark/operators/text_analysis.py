@@ -1663,7 +1663,13 @@ def bm25_scores(df: DataFrame, query: tuple[str, ...] = BM25_QUERY) -> DataFrame
     broadcast. One doc-key aggregate carries the final sum.
     """
     toks = F.filter(tokens("text"), lambda t: t != "")
-    docs = df.select("doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("tk"))
+    # Tokenize ONCE, derive dl from the materialized array in a second
+    # projection: interpreted higher-order expressions get no CSE, so
+    # two toks references in one select would run the regex tokenizer
+    # twice per document (the ngrams_of lesson; review finding).
+    docs = df.select("doc_id", toks.alias("tk")).select(
+        "doc_id", F.size("tk").cast("long").alias("dl"), "tk"
+    )
     totals = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),

@@ -5383,7 +5383,7 @@ def _dp_noise_sql() -> str:
     """CASE-chain twin of events.dp_noisy_counts' threshold lookup,
     built from the SAME Python-computed integer literals."""
     thresholds = events._geometric_thresholds()
-    draw = h32_sql("(event_type || '|dp')")
+    draw = h32_sql(f"('{events.DP_SALT}|' || event_type || '|dp')")
     whens = " ".join(
         f"WHEN {draw} < {thr} THEN {z}" for thr, z in thresholds[:-1]
     )
@@ -5468,8 +5468,8 @@ QUERIES["value_drift_chi2"] = QuerySpec(
     ), terms AS (
         SELECT event_type, n_a, n_b,
                CASE WHEN n_a > 0 AND n_b > 0 THEN
-                   CAST(o_a * n_b - o_b * n_a AS HUGEINT)
-                   * (o_a * n_b - o_b * n_a)
+                   (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
+                   * (CAST(o_a AS HUGEINT) * n_b - CAST(o_b AS HUGEINT) * n_a)
                    * {events.CHI2_SCALE}
                    // (CAST(n_a AS HUGEINT) * n_b * (o_a + o_b))
                END AS term_micro

@@ -169,10 +169,10 @@ def _latest_state_group(
         ts_us, event_id, etype = None, None, None
     changed = False
     for pdf in batches:
-        for row_ts, row_id, row_type in zip(
-            pdf["ts"], pdf["event_id"], pdf["event_type"]
+        for row_us, row_id, row_type in zip(
+            pdf["ts_us"], pdf["event_id"], pdf["event_type"]
         ):
-            cand = (row_ts.value // 1000, int(row_id))  # exact µs from ns
+            cand = (int(row_us), int(row_id))
             if ts_us is None or cand > (ts_us, event_id):
                 ts_us, event_id = cand
                 etype = row_type
@@ -198,7 +198,19 @@ def stateful_latest_state(stream: DataFrame) -> DataFrame:
     the serving-table maintainer: the state store checkpoint is the
     recovery story, and emissions stream straight into a MERGE sink
     (run_foreach_batch_upsert is the companion write path)."""
-    return stream.groupBy("user_id").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    # Epoch µs are derived JVM-side (unix_micros is timezone-safe: ts
+    # is an instant) — pandas .value on the session-tz-rendered naive
+    # timestamp would shift every emission under a non-UTC session
+    # (review finding).
+    prepared = stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
         _latest_state_group,
         outputStructType=LATEST_OUTPUT_SCHEMA,
         stateStructType=LATEST_STATE_SCHEMA,

@@ -94,21 +94,43 @@ def test_compaction_groups_are_contiguous_and_bounded(spark, sf_dir):
 
 
 def test_snapshot_diff_class_consistency(spark, sf_dir):
+    """Ground-truth check: recompute both snapshot states per user from
+    the raw rows in Python and compare the FULL class map — falsifiable
+    for every class (a tautological per-row disjunction here was a
+    review finding)."""
+    import datetime
+
     t = load_tables(spark, sf_dir)
     rows = events.state_snapshot_diff(t).collect()
-    n_users = t["events"].select("user_id").distinct().count()
-    assert len(rows) == n_users  # new snapshot covers every user once
+    raw = t["events"].select("user_id", "ts", "event_id", "event_type").collect()
+    cutoff = max(r.ts for r in raw) - datetime.timedelta(
+        hours=events.SNAPSHOT_LOOKBACK_HOURS
+    )
+    latest_all: dict = {}
+    latest_old: dict = {}
+    for r in raw:
+        key = (r.ts, r.event_id)
+        if r.user_id not in latest_all or key > latest_all[r.user_id][0]:
+            latest_all[r.user_id] = (key, r.event_type)
+        if r.ts < cutoff and (
+            r.user_id not in latest_old or key > latest_old[r.user_id][0]
+        ):
+            latest_old[r.user_id] = (key, r.event_type)
+    expected = {}
+    for user, ((ts, eid), etype) in latest_all.items():
+        if user not in latest_old:
+            expected[user] = "added"
+        elif latest_old[user][0] == (ts, eid):
+            expected[user] = "unchanged"
+        else:
+            expected[user] = "changed"
+    got = {r.user_id: r.change_type for r in rows}
+    assert got == expected
     for r in rows:
         if r.change_type == "added":
-            assert r.old_event_type is None
-        elif r.change_type == "unchanged":
-            assert r.old_ts == r.new_ts
+            assert r.old_event_type is None and r.old_ts is None
         else:
-            assert r.change_type == "changed"
-            assert r.old_ts is not None and r.old_ts != r.new_ts or (
-                r.old_ts == r.new_ts  # same ts, different event_id tie
-            )
-    assert {r.change_type for r in rows} <= {"added", "changed", "unchanged"}
+            assert r.old_ts is not None and r.old_ts <= r.new_ts
 
 
 def test_erasure_plan_conserves_rows(spark, sf_dir):
