@@ -2382,3 +2382,75 @@ def dp_noisy_counts(
             F.col("true_count") + noise.cast("long"), F.lit(0).cast("long")
         ).alias("dp_count"),
     )
+
+
+# Incremental-refresh window: the delta a continuous-aggregate
+# maintainer re-reads on each refresh tick.
+REFRESH_LOOKBACK_HOURS = 24
+
+
+def rollup_incremental_refresh(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental view maintenance, PROVEN per bucket: the hourly
+    rollup split into a base (before max(ts) − 24h — the already-
+    materialized continuous aggregate) and a delta (the refresh
+    window), merged by RE-AGGREGATION of partials, then compared
+    bucket-by-bucket against the full recompute. count and exact
+    decimal cent sums are re-aggregable, so ``consistent`` must be
+    true on every row — emitting the comparison makes the oracle prove
+    the IVM theorem on real data rather than assert it in prose (the
+    bloom false-negative-column precedent).
+
+    At 100 TB the full-recompute leg is the eval harness and is
+    dropped: the refresh reads ONLY the delta (one 24h slice) and
+    merges into the stored partials — that merge leg IS the production
+    plan, and it touches |delta| rows + |buckets| rows of state.
+    """
+    ev = t["events"].select(
+        "ts",
+        "event_type",
+        (money("value") * 100).cast("long").alias("cents"),
+    )
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {REFRESH_LOOKBACK_HOURS} HOURS")).alias(
+            "cutoff_ts"
+        )
+    )
+    tagged = ev.crossJoin(F.broadcast(cutoff)).select(
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        "event_type",
+        "cents",
+        (F.col("ts") < F.col("cutoff_ts")).alias("is_base"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket_ts", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+
+    base = rollup(tagged.where(F.col("is_base")))
+    delta = rollup(tagged.where(~F.col("is_base")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("bucket_ts", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    full = rollup(tagged).select(
+        "bucket_ts",
+        "event_type",
+        F.col("n_events").alias("full_n"),
+        F.col("sum_cents").alias("full_cents"),
+    )
+    return merged.join(full, ["bucket_ts", "event_type"], "full").select(
+        "bucket_ts",
+        "event_type",
+        "n_events",
+        (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
+        (
+            (F.col("n_events") == F.col("full_n"))
+            & (F.col("sum_cents") == F.col("full_cents"))
+        ).alias("consistent"),
+    )

@@ -731,3 +731,97 @@ def label_propagation_communities(
     return labels.select(
         F.col("node").alias("partkey"), F.col("lbl").alias("community")
     )
+
+
+def weighted_shortest_paths(
+    tables: dict[str, DataFrame],
+    n_seeds: int = 4,
+    max_rounds: int = 4,
+    min_orders: int = 2,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-round Bellman-Ford over the co-purchase graph — the
+    weighted companion of bfs_hops (hop counts → path COSTS): cheapest
+    route from the KMV seed set using at most ``max_rounds`` edges.
+    Edge cost is pure integer, derived from co-purchase strength
+    (cost = 100 div n_orders + 1 — frequently-co-bought parts are
+    cheap to traverse), so distances are exact integers: no float
+    accumulates along a path and the result is partition/engine-
+    invariant by construction.
+
+    Delta-relaxation: each round joins only the FRONTIER (nodes whose
+    distance improved last round) against the edge list and min-merges
+    into the distance table — the Pregel shape; a round with no
+    improvements ends the loop early, and the oracle's remaining
+    unrolled rounds are no-ops. After r rounds the table holds the
+    exact min-cost path using <= r edges (the delta and full
+    relaxations agree round by round), so the bounded-round semantics
+    are well-defined whether or not the graph has converged. Labels
+    are materialized per round (localCheckpoint; ``persist_dir=`` for
+    the durable path) to keep lineage flat.
+
+    Returns (partkey, dist) for every node reachable from a seed
+    within max_rounds edges.
+    """
+    li = tables["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = materialize(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+        .select(
+            F.col("u").cast("long"),
+            F.col("v").cast("long"),
+            F.expr("100 div n_orders + 1").cast("long").alias("cost"),
+        ),
+        persist_dir,
+        "wsp_edges",
+    )
+    bi = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "cost"
+    ).union(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "cost"))
+    seeds = (
+        bi.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy(h32(F.col("node").cast("string")), "node")
+        .limit(n_seeds)
+    )
+    labels = materialize(
+        seeds.select("node", F.lit(0).cast("long").alias("dist")),
+        persist_dir,
+        "wsp_round_0",
+    )
+    frontier = labels
+    for r in range(1, max_rounds + 1):
+        if frontier.isEmpty():
+            break
+        relaxed = frontier.join(bi, frontier.node == bi.src).select(
+            F.col("dst").alias("node"),
+            (frontier.dist + F.col("cost")).alias("dist"),
+        )
+        merged = materialize(
+            labels.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist")),
+            persist_dir,
+            f"wsp_round_{r}",
+        )
+        # frontier = nodes whose distance improved this round (new or
+        # strictly smaller) — the only nodes whose relaxations can
+        # still improve anything next round
+        prev = labels.select(
+            F.col("node").alias("p_node"), F.col("dist").alias("p_dist")
+        )
+        frontier = merged.join(
+            prev, merged.node == F.col("p_node"), "left"
+        ).where(
+            F.col("p_dist").isNull() | (merged.dist < F.col("p_dist"))
+        ).select("node", "dist")
+        labels = merged
+    return labels.select(
+        F.col("node").alias("partkey"), F.col("dist").cast("long").alias("dist")
+    )

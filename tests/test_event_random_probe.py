@@ -68,6 +68,7 @@ EVENT_QUERIES = (
     "kmv_quantile_sketch",
     "value_drift_chi2",
     "dp_noisy_counts",
+    "rollup_incremental_refresh",
 )
 
 SEED = 20260813

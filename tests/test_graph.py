@@ -388,3 +388,54 @@ def test_pca_fit_deterministic_and_matches_shipped_model(spark):
         assert abs(sum(x * x for x in w) - 1.0) < 1e-3
         # sign canonicalization: largest-|coordinate| is positive
         assert max(w, key=abs) > 0
+
+
+def test_weighted_shortest_paths_cheap_detour_beats_direct(spark):
+    """Hand graph for Bellman-Ford: edge costs derive from co-purchase
+    counts (cost = 100 div n + 1), so a 3-edge chain of STRONG ties
+    (50 shared orders each → cost 3/edge = 9) must beat the direct
+    weak edge (2 shared orders → cost 51) — the case hop-count BFS
+    gets wrong by construction. Expected distances computed by a
+    pure-Python Bellman-Ford from the hash-derived seed."""
+    import hashlib
+
+    from mapreduce_rs_spark.operators.graph import weighted_shortest_paths
+
+    # weighted edges as (u, v, n_shared_orders)
+    edges = [
+        (1, 2, 50), (2, 3, 50), (3, 4, 50),  # strong chain 1-2-3-4
+        (1, 4, 2),                            # weak direct 1-4
+        (4, 5, 2),                            # weak tail
+    ]
+    rows = []
+    order = 0
+    for u, v, n in edges:
+        for _ in range(n):
+            rows.append((order, u))
+            rows.append((order, v))
+            order += 1
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    nodes = sorted({n for e in edges for n in e[:2]})
+    seed = min(nodes, key=lambda n: (h32_py(str(n)), n))
+    cost = {}
+    for u, v, n in edges:
+        cost[(u, v)] = cost[(v, u)] = 100 // n + 1
+    # pure-Python bounded Bellman-Ford (4 rounds, the operator default)
+    dist = {seed: 0}
+    for _ in range(4):
+        for (u, v), c in cost.items():
+            if u in dist and dist[u] + c < dist.get(v, float("inf")):
+                dist[v] = dist[u] + c
+    got = {
+        r.partkey: r.dist
+        for r in weighted_shortest_paths({"lineitem": li}, n_seeds=1).collect()
+    }
+    assert got == dist
+    # the discriminating fact: if 1 is reachable from the seed, its
+    # route to 4 must use the strong chain, not the weak direct edge
+    if seed == 1:
+        assert got[4] == 9 < 51

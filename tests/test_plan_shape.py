@@ -474,6 +474,11 @@ _SCALE_GUARDS = {
     # query-sized tf/df aggs (term filter lands before any agg) + the
     # final doc-key sum; df/idf legs broadcast
     "bm25_scores": (4, 0),
+    # iterative rounds live inside per-round materialize() builds; the
+    # assembled plan reads checkpointed frames (measured 0 exchanges)
+    "weighted_shortest_paths": (2, 0),
+    # base/delta/full rollups + the co-keyed compare join
+    "rollup_incremental_refresh": (4, 0),
 }
 
 

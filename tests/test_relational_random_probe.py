@@ -85,6 +85,7 @@ REL_QUERIES = (
     "weekly_growth",
     "weighted_median_price",
     "asof_customer_maturity",
+    "weighted_shortest_paths",
 )
 
 SEED = 4217
