@@ -30,6 +30,11 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--output", help="write result parquet here instead of printing")
     run.add_argument("--explain", action="store_true", help="print the physical plan")
 
+    sq = sub.add_parser("sql", help="run ad-hoc SQL over the catalog views")
+    sq.add_argument("text", help="SQL statement (tables: region nation customer supplier part orders lineitem events documents embeddings)")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--show", type=int, default=20)
+
     wc = sub.add_parser("wordcount", help="word count over text files (the reference app)")
     wc.add_argument("path", help="text file path/glob")
     wc.add_argument("--output", help="write sorted 'word count' text files here")
@@ -65,6 +70,12 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.show, truncate=False)
         else:
             print(f"rows: {df.count()}")
+        return 0
+
+    if args.cmd == "sql":
+        from mapreduce_rs_spark.sources.catalog import run_sql
+
+        run_sql(spark, args.sf_dir, args.text).show(args.show, truncate=False)
         return 0
 
     if args.cmd == "wordcount":

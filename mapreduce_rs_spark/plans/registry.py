@@ -5379,6 +5379,37 @@ QUERIES["bm25_scores"] = QuerySpec(
 )
 
 
+# ONE SQL text, BOTH engines run it verbatim: the ad-hoc SQL surface
+# (catalog.run_sql / the `sql` CLI subcommand) demonstrated as a
+# registry query — the oracle IS the same string, so the entry also
+# pins the dialect-neutral subset (standard JOIN/CAST/DECIMAL, exact
+# decimal money sums) that users can rely on in both engines.
+PORTABLE_SQL_TEXT = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+def _sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_rs_spark.sources.catalog import run_sql
+
+    return run_sql(spark, sf_dir, PORTABLE_SQL_TEXT)
+
+
+QUERIES["sql_text_passthrough"] = QuerySpec(
+    _sql_passthrough,
+    PORTABLE_SQL_TEXT,
+    "the ad-hoc SQL surface: catalog views + spark.sql on a dialect-"
+    "neutral text — the DuckDB oracle runs the IDENTICAL string",
+)
+
+
 def _dp_noise_sql() -> str:
     """CASE-chain twin of events.dp_noisy_counts' threshold lookup,
     built from the SAME Python-computed integer literals."""
@@ -6158,6 +6189,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "bm25_scores": ("doc_id",),
     "weighted_shortest_paths": ("partkey",),
     "rollup_incremental_refresh": ("bucket_ts", "event_type"),
+    "sql_text_passthrough": ("n_name",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -6202,6 +6234,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bm25_scores",
     "weighted_shortest_paths",
     "rollup_incremental_refresh",
+    "sql_text_passthrough",
+    # (key_skew_profile displaced by sql_text_passthrough: its per-key
+    # frequency aggregates inside materialize() builds are the
+    # join_size_estimate family (still in this window, same sketch
+    # grain) and everything downstream is broadcast-sized; the
+    # relational probe pins its statistics every run. Rotate next
+    # round.)
     # (multitouch_attribution displaced by weighted_shortest_paths:
     # its lookback value-based RANGE frame is externally exercised via
     # range_window_revenue (green r01) and its credit floor-division
@@ -6288,7 +6327,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zone_map_pruning",
     "wav_frame_features",
     "ngram_containment_pairs",
-    "key_skew_profile",
     "label_propagation_communities",
     "robust_value_anomalies",
     "ann_rank_fusion",

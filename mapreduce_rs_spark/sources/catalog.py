@@ -103,3 +103,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every catalog table as a temp view for ``spark.sql`` use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, text: str):
+    """Run an arbitrary SQL statement against the catalog: every table
+    registered as a temp view, then ``spark.sql(text)`` — the engine's
+    ad-hoc SQL surface (also reachable as
+    ``python -m mapreduce_rs_spark sql "..."``). Catalyst plans the
+    text exactly like the DataFrame registry queries — same pushdown,
+    pruning, AQE."""
+    register_views(spark, sf_dir)
+    return spark.sql(text)

@@ -479,6 +479,9 @@ _SCALE_GUARDS = {
     "weighted_shortest_paths": (2, 0),
     # base/delta/full rollups + the co-keyed compare join
     "rollup_incremental_refresh": (4, 0),
+    # SQL text gets the SAME plan discipline as the DataFrame queries:
+    # dims broadcast, one agg exchange — that equivalence IS the test
+    "sql_text_passthrough": (1, 0),
 }
 
 

@@ -86,6 +86,7 @@ REL_QUERIES = (
     "weighted_median_price",
     "asof_customer_maturity",
     "weighted_shortest_paths",
+    "sql_text_passthrough",
 )
 
 SEED = 4217
