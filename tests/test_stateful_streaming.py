@@ -181,3 +181,93 @@ def test_stateful_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
             want[etype][9500],
             want[etype][9900],
         ), etype
+
+
+def test_stateful_latest_state_recovers_across_runs(spark, sf_dir, tmp_path):
+    """The op-18 recovery story made concrete: drain an initial batch
+    of files, STOP, land a new file, re-drain on the SAME checkpoint —
+    the second run must reload per-user state from the store, fold
+    ONLY the new file, and the compacted result must equal the batch
+    answer over ALL data. (The reference's WAL recovery was a stub,
+    coordinator.rs:202-224; the state-store checkpoint is the real
+    implementation of the same contract.)"""
+    import pyspark.sql.functions as SF
+    from mapreduce_rs_spark.streaming.stateful import stateful_latest_state
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(SF.max("ts")).collect()[0][0]
+    import datetime
+
+    split_ts = cutoff - datetime.timedelta(hours=12)
+    inp = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    events.where(SF.col("ts") < SF.lit(split_ts)).coalesce(2).write.parquet(inp)
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+        return _drain(spark, stateful_latest_state(stream), out, ckpt)
+
+    first = drain().count()
+    # land the tail as ONE new file into the same source directory
+    events.where(SF.col("ts") >= SF.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    streamed = drain()
+    second = streamed.count() - first
+    # the second run emitted only users advanced by the tail file
+    tail_users = (
+        events.where(SF.col("ts") >= SF.lit(split_ts))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert 0 < second <= tail_users
+    assert _compact(streamed.collect()) == _batch_latest(spark, sf_dir)
+
+
+def test_stateful_quantile_sketch_recovers_across_runs(spark, sf_dir, tmp_path):
+    """Same cross-run recovery for the quantile sketch: the re-drained
+    stream's final emission must equal the batch sketch over ALL data —
+    the k-smallest sample reloaded from the state store and merged with
+    only the new file's rows."""
+    import datetime
+
+    import pyspark.sql.functions as SF
+    from mapreduce_rs_spark.operators.events import kmv_quantile_sketch
+    from mapreduce_rs_spark.streaming.stateful import stateful_quantile_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(SF.max("ts")).collect()[0][0]
+    split_ts = cutoff - datetime.timedelta(hours=12)
+    inp = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    events.where(SF.col("ts") < SF.lit(split_ts)).coalesce(2).write.parquet(inp)
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+        return _drain(spark, stateful_quantile_sketch(stream), out, ckpt)
+
+    drain()
+    events.where(SF.col("ts") >= SF.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    streamed = drain()
+    final = {}
+    for r in streamed.collect():
+        if r.event_type not in final or r.n_seen > final[r.event_type][0]:
+            final[r.event_type] = (
+                r.n_seen,
+                r.est_p50_cents,
+                r.est_p95_cents,
+                r.est_p99_cents,
+            )
+    want = {}
+    for r in kmv_quantile_sketch(load_tables(spark, sf_dir)).collect():
+        want.setdefault(r.event_type, {})[r.q_bp] = int(round(r.est_value * 100))
+    assert sum(v[0] for v in final.values()) == events.count()
+    for etype, (_, p50, p95, p99) in final.items():
+        assert (p50, p95, p99) == (
+            want[etype][5000],
+            want[etype][9500],
+            want[etype][9900],
+        ), etype
