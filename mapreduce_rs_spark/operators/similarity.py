@@ -1441,3 +1441,79 @@ def label_centroid_drift(df: DataFrame) -> DataFrame:
             ).alias("norm_ratio"),
         )
     )
+
+
+OUTLIER_TOP_K = 50
+
+
+def embedding_outliers(df: DataFrame, top_k: int = OUTLIER_TOP_K) -> DataFrame:
+    """Per-vector outlier detection: squared distance to the vector's
+    own LABEL centroid, global top-k — the row-level companion of
+    label_centroid_drift (distribution-level): drift says a label
+    moved; this names the individual vectors that don't belong
+    (mislabeled rows, corrupted embeddings — the triage list an
+    embedding-QA pass reviews).
+
+    Exact arithmetic: coordinates quantize to integer micro-units
+    (round(x·1e6) — the drift recipe); with s = per-(label, dim) SUM
+    and n = label count, the centroid-free form
+
+        n² · d²(x, s/n) = Σ_dim (n·q_x − s)²
+
+    is pure integer (each squared term lifted into DECIMAL(38,0) —
+    n·q reaches 6e15 at 1e9-row labels, its square needs 38 digits),
+    summed exactly per vector; the reported ``dist2`` divides once by
+    n²·10¹² (a fixed chain on bit-identical inputs, so the top-k
+    boundary cannot flip between engines; ties break on vec_id).
+
+    Scale shape: the (label, dim) sums are |labels|·dim rows —
+    broadcast back to the narrow exploded stream; one vec_id-key
+    aggregate; TakeOrderedAndProject caps the result at top_k with
+    per-partition heaps (no global sort).
+    """
+    q = (
+        ensure_parallelism(df, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast(_DBL)).alias("pos", "x"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.round(F.col("x") * DRIFT_SCALE, 0).cast("long").alias("qx"),
+        )
+    )
+    sums = q.groupBy("label", "pos").agg(
+        F.sum("qx").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    per_vec = (
+        q.join(F.broadcast(sums), ["label", "pos"])
+        .select(
+            "vec_id",
+            "label",
+            "n",
+            F.expr(
+                "CAST((n * qx - s) AS DECIMAL(38,0)) * (n * qx - s)"
+            ).alias("term"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("n").alias("n"), F.sum("term").alias("ssum"))
+    )
+    scored = per_vec.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1000000000000.0"
+        ).alias("dist2"),
+    )
+    top = scored.orderBy(F.col("dist2").desc(), "vec_id").limit(top_k)
+    w = Window.orderBy(F.col("dist2").desc(), "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rnk"),
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "dist2",
+    )

@@ -5379,6 +5379,43 @@ QUERIES["bm25_scores"] = QuerySpec(
 )
 
 
+QUERIES["embedding_outliers"] = QuerySpec(
+    _emb(similarity.embedding_outliers),
+    f"""
+    WITH q AS (
+        SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos,
+               CAST(round(emb[CAST(i AS INTEGER)] *
+                    {float(similarity.DRIFT_SCALE)!r}, 0) AS BIGINT) AS qx
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings)
+        CROSS JOIN range(1, {similarity.EMBED_DIM + 1}) t(i)
+    ), sums AS (
+        SELECT label, pos, CAST(sum(qx) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY 1, 2
+    ), per_vec AS (
+        SELECT q.vec_id, q.label, min(n) AS n,
+               sum(CAST(n * qx - s AS HUGEINT) * (n * qx - s)) AS ssum
+        FROM q JOIN sums USING (label, pos)
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT vec_id, label,
+               CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                   / 1000000000000.0 AS dist2
+        FROM per_vec
+    )
+    SELECT CAST(row_number() OVER (ORDER BY dist2 DESC, vec_id) AS INTEGER)
+               AS rnk,
+           vec_id, CAST(label AS INTEGER) AS label, dist2
+    FROM scored ORDER BY dist2 DESC, vec_id LIMIT {similarity.OUTLIER_TOP_K}
+    """,
+    "Row-level embedding QA (label_centroid_drift's companion): exact "
+    "integer n²·d² to the own-label centroid via the centroid-free "
+    "Σ(n·q − s)² form, DECIMAL(38,0) squares, one fixed division chain, "
+    "distributed top-k",
+)
+
+
 # ONE SQL text, BOTH engines run it verbatim: the ad-hoc SQL surface
 # (catalog.run_sql / the `sql` CLI subcommand) demonstrated as a
 # registry query — the oracle IS the same string, so the entry also
@@ -6190,6 +6227,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "weighted_shortest_paths": ("partkey",),
     "rollup_incremental_refresh": ("bucket_ts", "event_type"),
     "sql_text_passthrough": ("n_name",),
+    "embedding_outliers": ("rnk",),
 }
 
 _unknown = set(_PRESENT_SORT) - set(QUERIES)
@@ -6235,6 +6273,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "weighted_shortest_paths",
     "rollup_incremental_refresh",
     "sql_text_passthrough",
+    "embedding_outliers",
+    # (event_transition_matrix displaced by embedding_outliers: its
+    # lag-pair construction over the (ts, event_id) total order is the
+    # sessionize/event_paths family (externally green r01-r03) and its
+    # row-normalized shares the repo-wide basis-point discipline; the
+    # event probe pins the matrix every run. Rotate it in next round.)
     # (key_skew_profile displaced by sql_text_passthrough: its per-key
     # frequency aggregates inside materialize() builds are the
     # join_size_estimate family (still in this window, same sketch
@@ -6319,7 +6363,6 @@ _CHECK_FIRST: tuple[str, ...] = (
     # (0000) NEW in the fourth round-4
     # session — never externally checked:
     "benford_digit_audit",
-    "event_transition_matrix",
     "link_prediction_scores",
     "target_encoding_nations",
     "ewma_value",

@@ -482,6 +482,9 @@ _SCALE_GUARDS = {
     # SQL text gets the SAME plan discipline as the DataFrame queries:
     # dims broadcast, one agg exchange — that equivalence IS the test
     "sql_text_passthrough": (1, 0),
+    # spread + (label,dim) sums + vec-key agg; top-k stays
+    # TakeOrderedAndProject (0 range exchanges — the KMV-sample rule)
+    "embedding_outliers": (3, 0),
 }
 
 
