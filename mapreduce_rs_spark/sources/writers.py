@@ -78,3 +78,54 @@ def compact_parquet(
         .mode(mode)
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    n_files: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet sink (Delta/Iceberg OPTIMIZE ZORDER as a write
+    path): interleave the bits of two integer columns into a Morton
+    key, range-partition the data into ``n_files`` z-ranges and sort
+    within each — so every output file's min/max footer statistics are
+    tight on BOTH columns and a reader's zone-map pruning works for
+    predicates on either (the layout zorder_locality/zone_map_pruning
+    EVALUATE, turned into an actual sink).
+
+    Both dimensions are normalized to the full 16-bit range with exact
+    integer min/max scaling (one 1-row broadcast — without it a small
+    key domain leaves the interleave's high bits dead and the curve
+    degenerates to one file). The z key is dropped before writing.
+    """
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.operators.events import _spread_bits_sql
+
+    bounds = df.agg(
+        F.min(col_a).alias("_amin"),
+        F.max(col_a).alias("_amax"),
+        F.min(col_b).alias("_bmin"),
+        F.max(col_b).alias("_bmax"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_za",
+        F.expr(f"(({col_a} - _amin) * 65536) div (_amax - _amin + 1)"),
+    ).withColumn(
+        "_zb",
+        F.expr(f"(({col_b} - _bmin) * 65536) div (_bmax - _bmin + 1)"),
+    ).withColumn(
+        "_z",
+        F.expr(f"({_spread_bits_sql('_za')} | ({_spread_bits_sql('_zb')} << 1))"),
+    ).drop("_amin", "_amax", "_bmin", "_bmax", "_za", "_zb")
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

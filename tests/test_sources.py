@@ -232,3 +232,56 @@ def test_load_table_handles_both_events_ts_generations(spark, tmp_path):
         if expected is None:
             expected = got
         assert got == expected == stamps, unit
+
+
+def test_zordered_sink_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-ordered sink must produce files whose min/max footers are
+    tight on BOTH layout columns: vs a same-file-count time-sorted
+    write, the average per-file user span must shrink by a large
+    factor while the hour span stays bounded — the physical-layout
+    counterpart of the zone_map_pruning evaluation, measured on REAL
+    written files via input_file_name."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.sources.catalog import load_table
+    from mapreduce_rs_spark.sources.writers import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias("hour"),
+    )
+    zpath, tpath = str(tmp_path / "z"), str(tmp_path / "t")
+    write_zordered(ev, zpath, "user_id", "hour", n_files=16)
+    ev.repartitionByRange(16, "hour").sortWithinPartitions("hour").write.parquet(
+        tpath
+    )
+
+    def spans(path):
+        df = spark.read.parquet(path).select(
+            "user_id", "hour", F.input_file_name().alias("f")
+        )
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("uspan"),
+                (F.max("hour") - F.min("hour")).alias("hspan"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return (
+            sum(r.uspan for r in rows) / n,
+            sum(r.hspan for r in rows) / n,
+            n,
+        )
+
+    zu, zh, zn = spans(zpath)
+    tu, th, tn = spans(tpath)
+    assert zn == tn == 16
+    total_users = ev.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    total_hours = ev.agg(F.max("hour") - F.min("hour")).collect()[0][0]
+    # time layout: every file spans ~all users; z layout must cut that
+    assert tu > 0.9 * total_users
+    assert zu < 0.5 * total_users
+    # and z's hour span must stay a bounded fraction, not the full range
+    assert zh < 0.6 * total_hours
