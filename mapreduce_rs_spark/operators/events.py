@@ -789,15 +789,10 @@ def gapfill_hourly(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def _spread_bits_sql(col: str) -> str:
-    """16-bit -> 32-bit Morton spread (engine-portable bit magic: the
-    same text parses in Spark SQL and DuckDB; all BIGINT ops)."""
-    s = col
-    s = f"(({s} | ({s} << 8)) & 16711935)"       # 0x00FF00FF
-    s = f"(({s} | ({s} << 4)) & 252645135)"      # 0x0F0F0F0F
-    s = f"(({s} | ({s} << 2)) & 858993459)"      # 0x33333333
-    s = f"(({s} | ({s} << 1)) & 1431655765)"     # 0x55555555
-    return s
+# The Morton spread lives in functions/morton.py (ONE definition shared
+# with the z-ordered sink and the oracles); the alias keeps this
+# module's call sites and the registry's references unchanged.
+from mapreduce_rs_spark.functions.morton import spread_bits_sql as _spread_bits_sql  # noqa: E402
 
 
 def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
@@ -2415,11 +2410,19 @@ def rollup_incremental_refresh(t: dict[str, DataFrame]) -> DataFrame:
             "cutoff_ts"
         )
     )
-    tagged = ev.crossJoin(F.broadcast(cutoff)).select(
-        F.date_trunc("hour", "ts").alias("bucket_ts"),
-        "event_type",
-        "cents",
-        (F.col("ts") < F.col("cutoff_ts")).alias("is_base"),
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    # Three rollup legs read this — materialized once, not one scan per
+    # leg (the read->=2x rule; review finding).
+    tagged = materialize(
+        ev.crossJoin(F.broadcast(cutoff)).select(
+            F.date_trunc("hour", "ts").alias("bucket_ts"),
+            "event_type",
+            "cents",
+            (F.col("ts") < F.col("cutoff_ts")).alias("is_base"),
+        ),
+        None,
+        "ivm_tagged",
     )
 
     def rollup(df: DataFrame) -> DataFrame:

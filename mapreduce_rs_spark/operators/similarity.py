@@ -1471,7 +1471,13 @@ def embedding_outliers(df: DataFrame, top_k: int = OUTLIER_TOP_K) -> DataFrame:
     aggregate; TakeOrderedAndProject caps the result at top_k with
     per-partition heaps (no global sort).
     """
-    q = (
+    from mapreduce_rs_spark.operators.materialize import materialize
+
+    # The exploded stream feeds BOTH the sums aggregate and the
+    # join-back; materialized once so the scan+posexplode+quantization
+    # pass isn't expanded into each consumer (the repo's read->=2x
+    # rule; review finding).
+    q = materialize(
         ensure_parallelism(df, "vec_id")
         .select(
             "vec_id",
@@ -1483,7 +1489,9 @@ def embedding_outliers(df: DataFrame, top_k: int = OUTLIER_TOP_K) -> DataFrame:
             "label",
             "pos",
             F.round(F.col("x") * DRIFT_SCALE, 0).cast("long").alias("qx"),
-        )
+        ),
+        None,
+        "outlier_q",
     )
     sums = q.groupBy("label", "pos").agg(
         F.sum("qx").cast("long").alias("s"),
@@ -1506,7 +1514,8 @@ def embedding_outliers(df: DataFrame, top_k: int = OUTLIER_TOP_K) -> DataFrame:
         "vec_id",
         "label",
         F.expr(
-            "CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1000000000000.0"
+            "CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
+            f" / {float(DRIFT_SCALE) ** 2!r}"
         ).alias("dist2"),
     )
     top = scored.orderBy(F.col("dist2").desc(), "vec_id").limit(top_k)

@@ -5401,7 +5401,7 @@ QUERIES["embedding_outliers"] = QuerySpec(
     ), scored AS (
         SELECT vec_id, label,
                CAST(ssum AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-                   / 1000000000000.0 AS dist2
+                   / {float(similarity.DRIFT_SCALE) ** 2!r} AS dist2
         FROM per_vec
     )
     SELECT CAST(row_number() OVER (ORDER BY dist2 DESC, vec_id) AS INTEGER)

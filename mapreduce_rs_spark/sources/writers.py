@@ -100,11 +100,12 @@ def write_zordered(
     Both dimensions are normalized to the full 16-bit range with exact
     integer min/max scaling (one 1-row broadcast — without it a small
     key domain leaves the interleave's high bits dead and the curve
-    degenerates to one file). The z key is dropped before writing.
+    degenerates to one file); the scaling product is lifted into
+    DECIMAL(38,0) so arbitrarily wide integer domains (snowflake-style
+    ids) cannot wrap int64 and silently corrupt the layout. The z key
+    is dropped before writing.
     """
-    from pyspark.sql import functions as F
-
-    from mapreduce_rs_spark.operators.events import _spread_bits_sql
+    from mapreduce_rs_spark.functions.morton import morton_sql, normalize16_sql
 
     bounds = df.agg(
         F.min(col_a).alias("_amin"),
@@ -113,14 +114,11 @@ def write_zordered(
         F.max(col_b).alias("_bmax"),
     )
     keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_za",
-        F.expr(f"(({col_a} - _amin) * 65536) div (_amax - _amin + 1)"),
+        "_za", F.expr(normalize16_sql(col_a, "_amin", "_amax"))
     ).withColumn(
-        "_zb",
-        F.expr(f"(({col_b} - _bmin) * 65536) div (_bmax - _bmin + 1)"),
+        "_zb", F.expr(normalize16_sql(col_b, "_bmin", "_bmax"))
     ).withColumn(
-        "_z",
-        F.expr(f"({_spread_bits_sql('_za')} | ({_spread_bits_sql('_zb')} << 1))"),
+        "_z", F.expr(morton_sql("_za", "_zb"))
     ).drop("_amin", "_amax", "_bmin", "_bmax", "_za", "_zb")
     (
         keyed.repartitionByRange(n_files, "_z")

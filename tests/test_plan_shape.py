@@ -475,8 +475,8 @@ _SCALE_GUARDS = {
     # final doc-key sum; df/idf legs broadcast
     "bm25_scores": (4, 0),
     # iterative rounds live inside per-round materialize() builds; the
-    # assembled plan reads checkpointed frames (measured 0 exchanges)
-    "weighted_shortest_paths": (2, 0),
+    # assembled plan reads checkpointed frames only (measured 0)
+    "weighted_shortest_paths": (0, 0),
     # base/delta/full rollups + the co-keyed compare join
     "rollup_incremental_refresh": (4, 0),
     # SQL text gets the SAME plan discipline as the DataFrame queries:

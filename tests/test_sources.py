@@ -285,3 +285,46 @@ def test_zordered_sink_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert zu < 0.5 * total_users
     # and z's hour span must stay a bounded fraction, not the full range
     assert zh < 0.6 * total_hours
+
+
+def test_zordered_sink_survives_wide_id_domains(spark, tmp_path):
+    """Snowflake-scale ids (span >> 2^47) must not wrap the
+    normalization: the decimal-lifted scaling keeps every bucket in
+    [0, 65535] (an int64 wrap throws negatives into the curve), and
+    with enough files the layout still tightens the id span."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.functions.morton import normalize16_sql
+    from mapreduce_rs_spark.sources.writers import write_zordered
+
+    base = 1_400_000_000_000_000_000  # ~1.4e18
+    rows = [(base + i * 10_000_000_000_000, i % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["big_id", "small"])
+    # the regression target: normalization stays in [0, 65535] even
+    # when (id - min) * 65536 would wrap int64
+    bounds = df.agg(
+        F.min("big_id").alias("_amin"), F.max("big_id").alias("_amax")
+    )
+    buckets = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(F.expr(normalize16_sql("big_id", "_amin", "_amax")).alias("b"))
+        .agg(F.min("b"), F.max("b"))
+        .collect()[0]
+    )
+    assert 0 <= buckets[0] and buckets[1] <= 65535
+    # and the sink still works end to end: 64 files give each dim ~3
+    # prefix bits, so per-file id spans must fall well below the domain
+    path = str(tmp_path / "z")
+    write_zordered(df, path, "big_id", "small", n_files=64)
+    out = spark.read.parquet(path).select(
+        "big_id", F.input_file_name().alias("f")
+    )
+    per_file = (
+        out.groupBy("f")
+        .agg((F.max("big_id") - F.min("big_id")).alias("idspan"))
+        .collect()
+    )
+    total_span = rows[-1][0] - rows[0][0]
+    assert out.count() == 2000
+    avg_span = sum(r.idspan for r in per_file) / len(per_file)
+    assert avg_span < 0.35 * total_span
