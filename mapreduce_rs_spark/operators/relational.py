@@ -2386,9 +2386,11 @@ def bootstrap_ci_mean(t: dict[str, DataFrame], b: int = BOOT_B) -> DataFrame:
     Python, shipped as literals), so every engine, partitioning, and
     retry draws the SAME resamples — the property rand() could never
     give. Replicate sums are exact integer cents; each replicate mean
-    is ONE division; the CI bounds are order statistics of the ``b``
-    replicate means selected by rank (no float accumulation across
-    replicates anywhere).
+    is ONE division; the CI bounds are the EXTREME order statistics of
+    the replicate means — plain min/max, no rank window (no float
+    accumulation across replicates anywhere). Degenerate replicates
+    whose multiplicities all draw 0 are dropped explicitly on both
+    sides (P ≈ 0.37^n each — unreachable off probe-sized tables).
 
     Scale: the ×b expansion is a narrow generate (no shuffle of the
     expansion — map-side partial aggs collapse it to b·P rows); state
@@ -2427,6 +2429,13 @@ def bootstrap_ci_mean(t: dict[str, DataFrame], b: int = BOOT_B) -> DataFrame:
             F.sum(F.col("m") * F.col("cents")).cast("long").alias("s"),
             F.sum("m").cast("long").alias("n"),
         )
+        # A replicate whose multiplicities ALL draw 0 has no resampled
+        # rows — it carries no mean (and its 0/0 NULL would rank
+        # differently across engines: Spark sorts NULLS FIRST asc,
+        # DuckDB NULLS LAST — review finding). Drop it explicitly on
+        # BOTH sides; P(drop) ≈ 0.37^n per replicate, so on any real
+        # table every replicate survives and values are unchanged.
+        .where(F.col("n") > 0)
         .select(
             "rep",
             (F.col("s").cast("double") / (F.col("n") * 100).cast("double")).alias(
@@ -2434,17 +2443,12 @@ def bootstrap_ci_mean(t: dict[str, DataFrame], b: int = BOOT_B) -> DataFrame:
             ),
         )
     )
-    w = Window.orderBy("rep_mean", "rep")
-    ranked = reps.select(
-        "rep_mean", F.row_number().over(w).alias("rk")
-    )
-    lo_rk, hi_rk = 1, b
-    bounds = (
-        ranked.where(F.col("rk").isin(lo_rk, hi_rk))
-        .agg(
-            F.min(F.when(F.col("rk") == lo_rk, F.col("rep_mean"))).alias("ci_lo"),
-            F.min(F.when(F.col("rk") == hi_rk, F.col("rep_mean"))).alias("ci_hi"),
-        )
+    # The CI bounds are the extreme order statistics of the replicate
+    # means — i.e. plain min/max, no rank window needed (an inner
+    # percentile would need the rank form; the 1st/bth don't).
+    bounds = reps.agg(
+        F.min("rep_mean").alias("ci_lo"),
+        F.max("rep_mean").alias("ci_hi"),
     )
     point = t["orders"].agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
