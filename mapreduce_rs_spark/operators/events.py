@@ -789,10 +789,14 @@ def gapfill_hourly(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-# The Morton spread lives in functions/morton.py (ONE definition shared
-# with the z-ordered sink and the oracles); the alias keeps this
-# module's call sites and the registry's references unchanged.
-from mapreduce_rs_spark.functions.morton import spread_bits_sql as _spread_bits_sql  # noqa: E402
+# The Morton spread AND the overflow-safe 16-bit normalization live in
+# functions/morton.py (ONE definition shared with the z-ordered sink and
+# the oracles); the aliases keep this module's call sites and the
+# registry's references unchanged.
+from mapreduce_rs_spark.functions.morton import (  # noqa: E402
+    normalize16_sql as _normalize16_sql,
+    spread_bits_sql as _spread_bits_sql,
+)
 
 
 def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
@@ -830,8 +834,8 @@ def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
         F.max("h").alias("hmax"),
     )
     base = raw.crossJoin(F.broadcast(bounds)).select(
-        F.expr("((u - umin) * 65536) div (umax - umin + 1)").alias("ub"),
-        F.expr("((h - hmin) * 65536) div (hmax - hmin + 1)").alias("hb"),
+        F.expr(_normalize16_sql("u", "umin", "umax")).alias("ub"),
+        F.expr(_normalize16_sql("h", "hmin", "hmax")).alias("hb"),
     )
     z = f"({_spread_bits_sql('ub')} | ({_spread_bits_sql('hb')} << 1))"
     tagged = base.select("ub", "hb", F.expr(z).alias("z"))
@@ -1349,8 +1353,8 @@ def zone_map_pruning(t: dict[str, DataFrame]) -> DataFrame:
         F.max("c").alias("cmax"),
     )
     base = raw.crossJoin(F.broadcast(bounds)).select(
-        F.expr("((h - hmin) * 65536) div (hmax - hmin + 1)").alias("hb"),
-        F.expr("((c - cmin) * 65536) div (cmax - cmin + 1)").alias("vb"),
+        F.expr(_normalize16_sql("h", "hmin", "hmax")).alias("hb"),
+        F.expr(_normalize16_sql("c", "cmin", "cmax")).alias("vb"),
     )
     z = f"({_spread_bits_sql('hb')} | ({_spread_bits_sql('vb')} << 1))"
     tagged = base.select("hb", "vb", F.expr(z).alias("z"))
@@ -1602,11 +1606,15 @@ def multitouch_attribution(t: dict[str, DataFrame]) -> DataFrame:
 
     Float discipline: each purchase's per-type credit is
     ``value_cents·10⁴·n_type div n_touches`` — ONE integer floor
-    division per (purchase, type), exact and order-independent; the
-    rollup sums those integers and the presentation value is one
+    division per (purchase, type), exact and order-independent — and
+    the floor-division remainder (< n_types micro-units per purchase)
+    is assigned to the lexicographically first touch type that
+    actually touched, so mass is conserved EXACTLY: summed micro
+    credits equal cents·10⁴ per purchase, not merely up to rounding.
+    The rollup sums those integers and the presentation value is one
     division by a literal. Purchases with zero preceding touches fall
     out (their revenue is unattributable under this model — counted in
-    the ``unattributed`` row so mass is conserved).
+    the ``unattributed`` row, keeping total mass conserved).
     """
     ev = t["events"].select(
         "user_id",
@@ -1632,11 +1640,33 @@ def multitouch_attribution(t: dict[str, DataFrame]) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .withColumn("n_touches", sum(F.col(f"n_{tt}") for tt in TOUCH_TYPES))
     )
+    # Mass conservation is EXACT: each type's credit is a floor
+    # division, and the remainder (up to n_types-1 micro-units per
+    # purchase, e.g. 3333+6666 of 10000 — review finding) goes to one
+    # deterministic leg: the lexicographically first touch type that
+    # actually touched (n_touches > 0 guarantees one exists).
+    floor_of = {
+        tt: f"cents * 10000 * n_{tt} div n_touches" for tt in TOUCH_TYPES
+    }
+    rem_sql = "cents * 10000 - " + " - ".join(
+        f"({e})" for e in floor_of.values()
+    )
+    first_tt = F.lit(None).cast("string")
+    for tt in sorted(TOUCH_TYPES, reverse=True):
+        first_tt = F.when(F.col(f"n_{tt}") > 0, F.lit(tt)).otherwise(first_tt)
+    attributed = purchases.where(F.col("n_touches") > 0).withColumn(
+        "rem", F.expr(rem_sql)
+    ).withColumn("first_tt", first_tt)
     legs = [
-        purchases.where(F.col("n_touches") > 0).select(
+        attributed.select(
             F.lit(tt).alias("touch_type"),
             F.when(F.col(f"n_{tt}") > 0, 1).otherwise(0).alias("touched"),
-            F.expr(f"cents * 10000 * n_{tt} div n_touches").alias("micro"),
+            (
+                F.expr(floor_of[tt])
+                + F.when(F.col("first_tt") == tt, F.col("rem")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("micro"),
         )
         for tt in TOUCH_TYPES
     ]
@@ -2308,7 +2338,11 @@ DP_EPSILON = 0.5
 # secret, the noise is deterministic to the publisher (reproducible
 # across engines/partitionings/retries — the property rand() lacks)
 # and unpredictable to consumers. The default is a PLACEHOLDER for the
-# test harness; a real release generates and vaults its own.
+# test harness; a real release generates and vaults its own — and
+# ROTATES it per release epoch: one salt = ONE noise draw per key
+# forever (deterministic), so epsilon is spent once per salt, and two
+# releases of a changed count under the same salt leak their exact
+# difference (see dp_noisy_counts docstring).
 DP_SALT = "spark-graft-release-salt"
 
 
@@ -2357,6 +2391,18 @@ def dp_noisy_counts(
     an unsalted public-hash draw would offer zero privacy). ``dp_count``
     floors at 0 (counts are non-negative post-processing — DP allows
     it).
+
+    RELEASE CAVEATS (review finding): the ``true_count`` and ``noise``
+    columns exist ONLY for the oracle/test harness — a real release
+    MUST project them out and publish ``dp_count`` alone (any consumer
+    of the full frame trivially reads the exact count). And because the
+    draw is deterministic per (salt, type), REPEATED releases under one
+    salt reuse the identical noise — that is one epsilon spend total,
+    not one per release, but it also means sequential-composition
+    accounting across releases does NOT apply as a reader might assume:
+    publishing a CHANGED count under the same salt key draws fresh-
+    looking noise only if the key changes. A production pipeline must
+    rotate the salt (and account epsilon) per release epoch.
 
     Scale shape: one (type) count aggregate with map-side partials;
     the noise lookup is a literal CASE chain on |types| rows.
