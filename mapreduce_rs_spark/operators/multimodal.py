@@ -456,7 +456,11 @@ def extract_features_quarantined(df: DataFrame) -> DataFrame:
 
 
 RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int, n_channels int"
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts_ms long, frame binary"
+FRAME_SCHEMA = (
+    "doc_id long, sample_idx int, t_ms long, frame_idx int, "
+    "width int, height int, n_pixels long, sum_intensity long, "
+    "mean_intensity double, frame binary"
+)
 
 
 def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
@@ -492,32 +496,99 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, n_frames: int = 4, fps: int = 30) -> DataFrame:
-    """Frame-sampling stage: one input 'video' row → n_frames output
-    rows (the 1:N expansion shape). STUB kernel slices the payload into
-    equal chunks standing in for decoded frames; a real one calls
-    ffmpeg/pyav per row. Output stays bounded per Arrow batch because
-    expansion happens inside the generator, never materializing a whole
-    partition."""
+# Evenly spaced playback timestamps per clip — the sampling density a
+# perception pipeline would feed its frame encoder.
+VIDEO_SAMPLES = 4
+
+
+def sample_video_frames(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFrame:
+    """Time-based frame sampling over REAL video payloads — the former
+    byte-slicing stub is retired (round-4 verdict): input rows carry
+    animated-GIF containers (the repo's video codec — full LZW +
+    container walk, ``decode_gif``), and sampling follows playback
+    semantics, not byte offsets.
+
+    Per video: decode every frame with its Graphic-Control-Extension
+    delay; frame f becomes visible at start_cs[f] = Σ delays[0..f-1]
+    and the clip runs duration_cs = Σ delays. The sampler takes
+    ``n_samples`` evenly spaced target timestamps
+    t_k = floor(k·duration/n_samples) cs, k = 0..n_samples-1, and for
+    each emits the frame VISIBLE at t_k — max f with start_cs[f] <= t_k
+    (for an all-zero-delay clip every frame starts at 0, so the last
+    frame, the one a player would leave on screen, wins). All integer
+    centisecond arithmetic, so the selection is engine-portable and a
+    SQL oracle can replay it exactly.
+
+    One input row → n_samples output rows; the 1:N expansion happens
+    inside the generator, so memory stays bounded per Arrow batch. The
+    emitted stats (pixel sum / mean) come from the DECODED frame, which
+    is what lets the oracle verify the codec end to end. A real
+    ffmpeg-backed variant swaps only the decode call; the sampling
+    semantics, schema and batch shape stay."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "sample_idx", "t_ms", "frame_idx",
+            "width", "height", "n_pixels", "sum_intensity",
+            "mean_intensity", "frame",
+        )
         for batch in batches:
-            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            out: dict[str, list] = {k: [] for k in cols}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
                 if not payload:
                     # One bad record must not kill a distributed job:
                     # skip (emit zero frames), as a real pipeline would
                     # route undecodable rows to a quarantine sink.
                     continue
-                chunk = max(len(payload) // n_frames, 1)
-                for i in range(n_frames):
+                w, h, frames = decode_gif(bytes(payload))
+                npix = w * h
+                starts: list[int] = []
+                acc = 0
+                for _, delay_cs in frames:
+                    starts.append(acc)
+                    acc += delay_cs
+                duration_cs = acc
+                for k in range(n_samples):
+                    t_cs = k * duration_cs // n_samples
+                    f = max(i for i, s in enumerate(starts) if s <= t_cs)
+                    pixels = frames[f][0]
+                    total = sum(pixels)
                     out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(int(i * 1000 / fps))
-                    out["frame"].append(bytes(payload[i * chunk : (i + 1) * chunk] or payload[:chunk]))
-            yield pd.DataFrame(out)
+                    out["sample_idx"].append(k)
+                    out["t_ms"].append(t_cs * 10)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(npix)
+                    out["sum_intensity"].append(total)
+                    out["mean_intensity"].append(total / npix)
+                    out["frame"].append(bytes(pixels))
+            df_out = pd.DataFrame(out)
+            for c in ("sample_idx", "frame_idx", "width", "height"):
+                df_out[c] = df_out[c].astype("int32")
+            yield df_out
 
-    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def video_frame_sample(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFrame:
+    """Oracle-checkable VIDEO frame sampling — the query that retires
+    the byte-slicing stub (round-4 verdict #3): synthesize spec-valid
+    animated GIFs from every document (attach_gif_payload — variable
+    frame counts AND variable per-frame delays), then time-sample them
+    with ``sample_video_frames``.
+
+    The DuckDB oracle replays the sampling decision with NO codec: the
+    synthesis rules make delays ((len+f) % 100 cs) and frame pixel sums
+    (tiled-byte window sums via prefix differences — the
+    gif_frame_stats machinery) pure text arithmetic, and the
+    visible-frame rule (max f with start <= floor(k·duration/S)) is an
+    argmax join. Agreement proves container walk, LZW inflate, GCE
+    delay parsing AND the playback-time selection — per sampled frame.
+    """
+    return sample_video_frames(
+        attach_gif_payload(df), n_samples=n_samples
+    ).drop("frame")
 
 
 def png_decode_stats(df: DataFrame) -> DataFrame:

@@ -53,6 +53,7 @@ DOC_QUERIES = (
     "bmp_decode_stats",
     "wav_decode_stats",
     "gif_frame_stats",
+    "video_frame_sample",
     "leakage_safe_splits",
     "pii_scrub_stats",
     "incremental_ingest_dedup",

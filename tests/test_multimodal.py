@@ -45,18 +45,40 @@ def test_resize_stage_shapes(docs):
 
 
 def test_frame_sampling_expands_1_to_n(docs):
-    from mapreduce_rs_spark.operators.multimodal import sample_video_frames
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_gif,
+        sample_video_frames,
+    )
 
-    frames = sample_video_frames(attach_fake_payload(docs), n_frames=4).collect()
+    clips = attach_gif_payload(docs)
+    frames = sample_video_frames(clips, n_samples=4).collect()
     assert len(frames) == 50 * 4
     by_doc = {}
     for r in frames:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    assert all(sorted(f["frame_idx"] for f in fs) == [0, 1, 2, 3] for fs in by_doc.values())
-    assert all(
-        f["frame_ts_ms"] == int(f["frame_idx"] * 1000 / 30) for fs in by_doc.values() for f in fs
-    )
-    assert all(len(f["frame"]) > 0 for fs in by_doc.values() for f in fs)
+    # exactly n_samples rows per clip, sample_idx dense 0..3, timestamps
+    # non-decreasing along the sample axis, frame bytes real pixels
+    for fs in by_doc.values():
+        fs.sort(key=lambda f: f["sample_idx"])
+        assert [f["sample_idx"] for f in fs] == [0, 1, 2, 3]
+        assert all(a["t_ms"] <= b["t_ms"] for a, b in zip(fs, fs[1:]))
+        assert all(a["frame_idx"] <= b["frame_idx"] for a, b in zip(fs, fs[1:]))
+        assert all(len(f["frame"]) == f["n_pixels"] for f in fs)
+        assert all(sum(f["frame"]) == f["sum_intensity"] for f in fs)
+    # the sampler's selection replays pure-Python playback semantics
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in clips.collect()}
+    for doc_id, fs in by_doc.items():
+        w, h, decoded = decode_gif(payloads[doc_id])
+        starts, acc = [], 0
+        for _, d in decoded:
+            starts.append(acc)
+            acc += d
+        for f in fs:
+            t_cs = f["sample_idx"] * acc // 4
+            expect = max(i for i, s in enumerate(starts) if s <= t_cs)
+            assert f["frame_idx"] == expect and f["t_ms"] == t_cs * 10
+            assert bytes(f["frame"]) == decoded[expect][0]
 
 
 def test_feature_summary(docs):

@@ -304,6 +304,7 @@ _SCALE_GUARDS = {
     "jpeg_decode_stats": (0, 0),
     "wav_decode_stats": (0, 0),
     "gif_frame_stats": (0, 0),
+    "video_frame_sample": (0, 0),
     # cluster-hashed splits: post-CC plan is the docs⋈labels join +
     # count-distinct double agg; the iterative CC rounds checkpoint out
     "leakage_safe_splits": (4, 0),
