@@ -315,6 +315,67 @@ def test_merge_upsert_reconciles_and_reprices(spark, sf_dir):
         assert r["total_price"] == float(e["total"])
 
 
+def test_bpe_batched_trainer_identical_to_sequential(spark, sf_dir):
+    """The batched trainer (one pair-count job per ROUND, greedy
+    symbol-disjoint prefix with the created-pair bound) must emit a
+    byte-identical merge table to one-merge-per-job training — batch_k=1
+    IS the sequential trainer — while actually batching (>1 merge per
+    round) on real text."""
+    from mapreduce_rs_spark.operators.text_analysis import _bpe_fit, _bpe_vocab
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    vocab = _bpe_vocab(docs).localCheckpoint(eager=True)
+    st_seq: dict = {}
+    st_bat: dict = {}
+    v_seq, seq = _bpe_fit(vocab, 12, batch_k=1, stats=st_seq)
+    v_bat, bat = _bpe_fit(vocab, 12, batch_k=16, stats=st_bat)
+    assert bat == seq
+    assert len(bat) == 12
+    # final vocabulary state (what the encoder consumes) matches too
+    assert sorted(map(tuple, v_bat.select("word", "s").collect())) == sorted(
+        map(tuple, v_seq.select("word", "s").collect())
+    )
+    # and the batching is real: strictly fewer pair-count rounds than
+    # merges (the sequential trainer pays one per merge)
+    assert st_seq["rounds"] == 12
+    assert st_bat["rounds"] < 12
+
+
+@pytest.mark.parametrize(
+    "words",
+    [
+        # overlap guard: (x,a) ties (a,b); merging (a,b) creates (x,ab)
+        # with the full count 40, which must win round 2 sequentially —
+        # a naive batcher would merge the disjoint decoy (c,d) first.
+        ["xab"] * 40 + ["cd"] * 30,
+        # created-pair tie: after (a,b), (x,ab) at 39 ties (c,d) at 39 —
+        # the strict bound stops the batch so round 2's argmax runs on
+        # real counts (tie-break "c d" < "x ab" picks (c,d)).
+        ["xab"] * 39 + ["ab"] + ["cd"] * 39,
+        # cascading composition: each merge enables the next, so every
+        # round can safely accept only what the guards allow.
+        ["aaaa"] * 20 + ["aab"] * 15 + ["ba"] * 10,
+        # fully disjoint high-count pairs: the batch SHOULD take several
+        # merges in one round and still match.
+        ["ab"] * 50 + ["cd"] * 40 + ["ef"] * 30 + ["gh"] * 20,
+    ],
+)
+def test_bpe_batched_guards_adversarial(spark, words):
+    """Adversarial fixtures for the batched trainer's two guards
+    (symbol overlap, created-pair bound): batched must stay
+    byte-identical to sequential on corpora engineered to punish
+    over-eager batching."""
+    from mapreduce_rs_spark.operators.text_analysis import _bpe_fit, _bpe_vocab
+
+    rows = [(1, " ".join(words), "en", "s", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    vocab = _bpe_vocab(df).localCheckpoint(eager=True)
+    _, seq = _bpe_fit(vocab, 5, batch_k=1)
+    _, bat = _bpe_fit(vocab, 5, batch_k=16)
+    assert bat == seq
+
+
 def test_bpe_train_merges_matches_pure_python_bpe(spark):
     """The double-space replace scheme must implement EXACT BPE merge
     semantics (left-to-right non-overlapping, merged symbols compose in
