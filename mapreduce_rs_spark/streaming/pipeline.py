@@ -57,7 +57,15 @@ def streaming_tumbling_counts(
         # groupBy severs the watermark association and Spark rejects
         # append mode; extract start after the aggregate.
         .groupBy(F.window("ts", window), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # Decimal accumulation (the repo-wide money rule, as in
+            # streaming_sessions): exact and order-independent, so the
+            # maintained window totals are byte-identical to the batch
+            # twin whatever the micro-batch boundaries — the property
+            # the hash-compared parity family asserts.
+            stable_sum(money("value")).alias("sum_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
