@@ -79,6 +79,13 @@ HEADLINE = (
     "state_snapshot_diff",       # two user-window snapshots + co-keyed join
     "erasure_plan",              # flag window + membership shuffle join + day rollup
     "pq_reconstruction_error",   # PQ encode + integer error vector math
+    # round-5 extension (BASELINE.md): the r04-added analytics families
+    # gain a round-over-round perf signal (r04 verdict #8). Prior
+    # definitions (9 / 12 / 15 / 18 / 21 / 24) remain comparable
+    # PREFIXES; compare totals only within one definition.
+    "embedding_outliers",        # quantized label-centroid dists + per-partition heaps
+    "bm25_scores",               # tf/df aggs + broadcast model scoring join
+    "weighted_shortest_paths",   # bounded-round Bellman-Ford over materialized edges
 )
 
 

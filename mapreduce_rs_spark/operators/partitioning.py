@@ -45,6 +45,24 @@ def with_salt(df: DataFrame, n_salts: int, *, salt_col: str = "_salt") -> DataFr
     return df.withColumn(salt_col, F.pmod(stable, F.lit(n_salts)))
 
 
+# Skew findings measured on a 10M-row table with 50% of rows on ONE key
+# (SCALE.md "Skew rescue A/B", round 5):
+# * algebraic aggregates: plain groupBy().count() == salted two-phase
+#   (0.45 s both) — map-side combine bounds reducer input to one row per
+#   (partition, key), exactly as this module documents;
+# * exact countDistinct needs NO rescue on Spark 4: the planner already
+#   pair-shuffles (partial dedup keyed on (key, value), then an
+#   algebraic per-key count) — verified in the physical plan;
+# * HOLISTIC aggregates (collect_list/collect_set) are where the salted
+#   two-phase pattern genuinely rescues: 0.68 -> 0.41 s (1.69x) at 10M;
+# * skewed JOINS are AQE's job (2.8x measured), BUT OptimizeSkewedJoin
+#   only matches SMJ whose children are BARE shuffle stages — an
+#   aggregate between the exchange and the join (output partitioning
+#   already satisfies the join) defeats the rule silently. When the
+#   probe side of a big join is skewed, join the RAW shuffled relations
+#   and aggregate after, or salt explicitly.
+
+
 def salted_group_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """COUNT(*) per key via two-phase salted aggregation.
 

@@ -117,3 +117,24 @@ def test_join_size_estimate_parquet_path_byte_identical(spark, sf_dir, tmp_path)
     for artifact in ("joinsize_freq_a", "joinsize_freq_b",
                      "joinsize_sketch_a", "joinsize_sketch_b"):
         assert os.path.isdir(os.path.join(persist, artifact))
+
+
+def test_durable_path_byte_identical_at_sf01(spark, tmp_path):
+    """The round-4 verdict's #6 ask: the durable-parquet path proven at
+    BENCH scale, not just the test SF — minhash_lsh_pairs and the
+    iterative CC labels at sf0.1, byte-compared against localCheckpoint.
+    (The measured wall deltas live in SCALE.md round 5: +23% / +32% for
+    executor-loss-safe, restartable, cross-job-shareable intermediates.)
+    """
+    from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
+    from mapreduce_rs_spark.operators.graph import dedup_components
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    persist = str(tmp_path / "sf01")
+    assert _rows(
+        minhash_lsh_pairs(docs, persist_dir=persist), "doc_a", "doc_b"
+    ) == _rows(minhash_lsh_pairs(docs), "doc_a", "doc_b")
+    assert _rows(
+        dedup_components(docs, persist_dir=persist), "doc_id"
+    ) == _rows(dedup_components(docs), "doc_id")
+    assert os.path.isdir(os.path.join(persist, "minhash_sigs"))
