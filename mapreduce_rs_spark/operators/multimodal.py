@@ -1158,12 +1158,16 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
 def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python
-    stage). Even doc_ids get real PNG payloads (true codec), odd ones
-    the opaque fake (stub fallback) — both paths exercised in one plan.
+    stage). Even doc_ids get real PNG payloads, odd ones real 24-bit
+    BMPs — BOTH branches now run true codecs in one plan (the fake
+    stub payload is retired from every non-quarantine path, r04
+    verdict; ``_decode_stub`` survives only behind
+    ``extract_features_quarantined``'s codec-less-modality test path).
     queries() exposes this rows-only (no SQL oracle — the decode kernel
-    is not SQL-expressible by design)."""
+    is not SQL-expressible by design; each codec branch is separately
+    oracle-verified via png_decode_stats / bmp_decode_stats)."""
     even = attach_png_payload(df.where(F.col("doc_id") % 2 == 0))
-    odd = attach_fake_payload(df.where(F.col("doc_id") % 2 == 1))
+    odd = attach_bmp_payload(df.where(F.col("doc_id") % 2 == 1))
     feats = extract_features(even.unionByName(odd))
     return (
         feats.groupBy("modality")

@@ -18,7 +18,8 @@ sf0.01 and compares row count + schema + order-insensitive value hash
 
 Queries whose kernel is deliberately not SQL-expressible (the Python
 map/reduce UDF surface is oracled via the equivalent relational SQL; the
-multimodal decode stub is rows-only) are marked with oracle=None.
+multimodal two-codec aggregate is rows-only, each codec branch oracled
+separately) are marked with oracle=None.
 """
 
 from __future__ import annotations
@@ -3354,9 +3355,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(
         _docs(multimodal.multimodal_features),
         None,
-        "binary-column plumbing: real PNG codec + stubbed non-PNG kernel (mapInPandas); "
-        "the PNG branch is oracle-verified via png_decode_stats, the aggregate golden-pinned "
-        "in tests/test_multimodal.py",
+        "binary-column plumbing: real PNG + real BMP codec branches in one plan "
+        "(mapInPandas); each branch is oracle-verified via png/bmp_decode_stats, "
+        "the aggregate golden-pinned in tests/test_multimodal.py",
     ),
     # ---- round-3 additions: the remaining hard TPC-H shapes ----
     "q17_small_quantity_revenue": QuerySpec(

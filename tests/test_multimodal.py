@@ -83,9 +83,10 @@ def test_frame_sampling_expands_1_to_n(docs):
 
 def test_feature_summary(docs):
     rows = {r["modality"]: r for r in multimodal_features(docs).collect()}
-    # Even doc_ids land on the real PNG codec, odd ones on the stub.
-    assert set(rows) == {"image/fake", "image/png"}
-    assert rows["image/fake"]["n_docs"] + rows["image/png"]["n_docs"] == 50
+    # Even doc_ids land on the real PNG codec, odd ones on the real BMP
+    # codec — no stub branch anywhere in the plan (r04 verdict).
+    assert set(rows) == {"image/bmp", "image/png"}
+    assert rows["image/bmp"]["n_docs"] + rows["image/png"]["n_docs"] == 50
     assert all(r["total_bytes"] > 0 for r in rows.values())
 
 
@@ -213,9 +214,12 @@ def test_extract_features_decodes_real_pngs(docs):
 # move (and the oracle-checked png_decode_stats query proves the codec
 # itself is still lossless).
 _FEATURE_GOLDEN = {
-    ("/root/testdata/sf0.001", "image/fake"): (250, 74200, 127.3932, 64),
+    # round 5: the odd-doc branch moved from the fake stub payload to
+    # the REAL BMP codec (stub retired from every non-quarantine path);
+    # image/fake goldens replaced by image/bmp ones.
+    ("/root/testdata/sf0.001", "image/bmp"): (250, 38172, 95.09937418796812, 12),
     ("/root/testdata/sf0.001", "image/png"): (250, 27813, 95.92962019820165, 16),
-    ("/root/testdata/sf0.01", "image/fake"): (250, 76853, 121.7272, 64),
+    ("/root/testdata/sf0.01", "image/bmp"): (250, 36368, 95.31292761475297, 12),
     ("/root/testdata/sf0.01", "image/png"): (250, 28418, 95.59969114194143, 16),
 }
 
@@ -226,7 +230,7 @@ def test_multimodal_features_golden(spark, golden_sf):
         r["modality"]: r
         for r in multimodal_features(load_table(spark, golden_sf, "documents")).collect()
     }
-    assert set(rows) == {"image/fake", "image/png"}
+    assert set(rows) == {"image/bmp", "image/png"}
     for modality, (n_docs, total_bytes, avg_intensity, max_width) in (
         (m, v) for (sf, m), v in _FEATURE_GOLDEN.items() if sf == golden_sf
     ):
