@@ -941,17 +941,21 @@ def pq_reconstruction_error(df: DataFrame) -> DataFrame:
     )
 
     def err_term(sub: int) -> F.Column:
-        lit_book = F.array(
-            *[
-                F.array(*[F.lit(q).cast("long") for q in c])
-                for c in qbooks[sub]
-            ]
+        # quantized codebook as ONE parsed SQL literal — the element-wise
+        # F.lit route was 4x16x16 = 1,024 py4j round trips of pure
+        # plan-BUILD time per query (the _dot_lit_sql lesson)
+        book_sql = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{q}L" for q in c) + ")" for c in qbooks[sub]
+            )
+            + ")"
         )
         qx = F.transform(
             F.expr(_subvec_sql("_embd", sub)),
             lambda x: F.round(x * DRIFT_SCALE, 0).cast("long"),
         )
-        qc = F.element_at(lit_book, F.col(f"code_{sub}") + 1)
+        qc = F.element_at(F.expr(book_sql), F.col(f"code_{sub}") + 1)
         return F.aggregate(
             F.zip_with(qx, qc, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
