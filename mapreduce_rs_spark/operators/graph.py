@@ -805,23 +805,32 @@ def weighted_shortest_paths(
             F.col("dst").alias("node"),
             (frontier.dist + F.col("cost")).alias("dist"),
         )
-        merged = materialize(
-            labels.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist")),
-            persist_dir,
-            f"wsp_round_{r}",
+        merged = labels.union(relaxed).groupBy("node").agg(
+            F.min("dist").alias("dist")
         )
-        # frontier = nodes whose distance improved this round (new or
-        # strictly smaller) — the only nodes whose relaxations can
-        # still improve anything next round
+        # ONE materialization per round carrying both products: the new
+        # distance table AND the improved flag (new node or strictly
+        # smaller distance) that defines next round's frontier. The
+        # round state is read >= 2x (labels by the next merge, frontier
+        # by the isEmpty probe and the next relaxation join), and a
+        # separate frontier checkpoint would pay a second job per round
+        # for a subset of the same rows (measured on the bench entry).
         prev = labels.select(
             F.col("node").alias("p_node"), F.col("dist").alias("p_dist")
         )
-        frontier = merged.join(
-            prev, merged.node == F.col("p_node"), "left"
-        ).where(
-            F.col("p_dist").isNull() | (merged.dist < F.col("p_dist"))
-        ).select("node", "dist")
-        labels = merged
+        state = materialize(
+            merged.join(prev, merged.node == F.col("p_node"), "left").select(
+                "node",
+                "dist",
+                (
+                    F.col("p_dist").isNull() | (F.col("dist") < F.col("p_dist"))
+                ).alias("improved"),
+            ),
+            persist_dir,
+            f"wsp_round_{r}",
+        )
+        frontier = state.where("improved").select("node", "dist")
+        labels = state.select("node", "dist")
     return labels.select(
         F.col("node").alias("partkey"), F.col("dist").cast("long").alias("dist")
     )
