@@ -24,6 +24,47 @@ from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
 from mapreduce_rs_spark.operators.materialize import materialize
 
 
+def _copurchase_edges(li: DataFrame, min_orders: int) -> DataFrame:
+    """Undirected co-purchase candidate edges (u < v, both long) with
+    their distinct-order support — the ONE edge-build definition shared
+    by every graph operator on this grain (triangles, k-core, BFS,
+    link prediction, LPA, Bellman-Ford; previously six hand-copies of
+    a distinct + self-equi-join).
+
+    Shuffle shape (the round-5 rewrite): one exchange on l_orderkey
+    (the collect_set aggregate, map-side combined) + a NARROW per-order
+    pair expansion + the (u, v) support aggregate — the former
+    distinct + self-join form shuffled the order-part projection two
+    extra times (the distinct, then each join side). Outputs are
+    identical — per-order u<v pair sets and distinct-order counts are
+    the same numbers (proven by an A/B collect at sf0.1; the oracles
+    still state the reference semantics as the self-join, and every
+    graph query hash-matches them). Per-order pair volume is
+    |parts|²/2 — exactly the co-group² the join emitted — generated
+    inside one array expression, bounded by order width (TPC-H orders
+    carry <= 7 lines; a pathological mega-order would hotspot the join
+    form identically and needs upstream capping either way)."""
+    parts = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    )
+    return (
+        parts.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.u").cast("long").alias("u"),
+            F.col("p.v").cast("long").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_orders)
+    )
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 20, persist_dir: str | None = None
 ) -> DataFrame:
@@ -269,8 +310,9 @@ def triangle_counts(
     Graph: nodes are parts; an undirected edge (u,v) exists when the
     pair was bought together in >= ``min_orders`` distinct orders (the
     same candidate-edge grain as ``relational.copurchase_pairs``).
-    Building the edge list is the data-sized half: one distinct
-    projection of lineitem and one self-equi-join on l_orderkey.
+    Building the edge list is the data-sized half: the shared
+    ``_copurchase_edges`` builder (one l_orderkey exchange + narrow
+    per-order pair expansion).
 
     The naive triangle join (edges ⋈ edges ⋈ edges) explodes on hubs:
     a degree-d node generates d² wedges. The standard fix (Schank &
@@ -290,21 +332,8 @@ def triangle_counts(
 
     Returns (partkey, n_triangles) for every part in >= 1 triangle.
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= min_orders)
-        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        _copurchase_edges(tables["lineitem"], min_orders).select("u", "v"),
         persist_dir,
         "tri_edges",
     )
@@ -405,19 +434,8 @@ def kcore_decomposition(
 
     Returns (partkey, core_degree) for k-core members.
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= min_orders)
-        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        _copurchase_edges(tables["lineitem"], min_orders).select("u", "v"),
         persist_dir,
         "kcore_edges",
     )
@@ -493,19 +511,8 @@ def bfs_hops(
 
     Returns (partkey, hop) for every node within max_hops of a seed.
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= min_orders)
-        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        _copurchase_edges(tables["lineitem"], min_orders).select("u", "v"),
         persist_dir,
         "bfs_edges",
     )
@@ -574,21 +581,8 @@ def link_prediction_scores(
 
     Returns (part_a, part_b, cn, deg_a, deg_b, jaccard, aa_micro).
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= min_orders)
-        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        _copurchase_edges(tables["lineitem"], min_orders).select("u", "v"),
         persist_dir,
         "lp_edges",
     )
@@ -684,19 +678,8 @@ def label_propagation_communities(
 
     Returns (partkey, community).
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= min_orders)
-        .select(F.col("u").cast("long"), F.col("v").cast("long")),
+        _copurchase_edges(tables["lineitem"], min_orders).select("u", "v"),
         persist_dir,
         "lpa_edges",
     )
@@ -763,22 +746,9 @@ def weighted_shortest_paths(
     Returns (partkey, dist) for every node reachable from a seed
     within max_rounds edges.
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = materialize(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("n_orders"))
-        .where(F.col("n_orders") >= min_orders)
-        .select(
-            F.col("u").cast("long"),
-            F.col("v").cast("long"),
-            F.expr("100 div n_orders + 1").cast("long").alias("cost"),
+        _copurchase_edges(tables["lineitem"], min_orders).select(
+            "u", "v", F.expr("100 div n_orders + 1").cast("long").alias("cost")
         ),
         persist_dir,
         "wsp_edges",
