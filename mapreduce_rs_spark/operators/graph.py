@@ -24,6 +24,19 @@ from mapreduce_rs_spark.operators.dedup import minhash_lsh_pairs
 from mapreduce_rs_spark.operators.materialize import materialize
 
 
+def order_baskets(li: DataFrame) -> DataFrame:
+    """(l_orderkey, ps): each order's SORTED DISTINCT part set in one
+    exchange (collect_set is map-side combined) — the shared basket
+    aggregate behind every co-purchase pair/triple/edge generator
+    (this module's ``_copurchase_edges``, ``relational.
+    copurchase_pairs``, ``relational.frequent_triples``)."""
+    return (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+
+
 def _copurchase_edges(li: DataFrame, min_orders: int) -> DataFrame:
     """Undirected co-purchase candidate edges (u < v, both long) with
     their distinct-order support — the ONE edge-build definition shared
@@ -44,11 +57,7 @@ def _copurchase_edges(li: DataFrame, min_orders: int) -> DataFrame:
     inside one array expression, bounded by order width (TPC-H orders
     carry <= 7 lines; a pathological mega-order would hotspot the join
     form identically and needs upstream capping either way)."""
-    parts = (
-        li.select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-    )
+    parts = order_baskets(li)
     pairs = F.expr(
         "flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"

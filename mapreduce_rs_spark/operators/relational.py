@@ -1344,48 +1344,49 @@ def copurchase_pairs(tables: dict[str, DataFrame], min_orders: int = 2) -> DataF
     same order, with the lift statistic
     (P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)).
 
-    The pair generation is a SELF-JOIN ON THE ORDER KEY, which is safe
-    at any scale because its fan-out is bounded by items-per-order (a
-    small constant in order data: TPC-H caps at 7) — per order the join
-    emits at most C(items,2) rows, so total work is linear in
-    lineitems, never quadratic in parts. This is the same
-    bounded-blocking discipline as the dedup pair joins (every pair
-    path in this repo goes through a bounded block; BASELINE.md).
-    Part-frequency lookups are equi-joins on the part key — no
-    broadcast needed, so the shape holds even when the part dimension
-    itself is huge.
+    Pair generation (round-5 rewrite, shared basket aggregate): ONE
+    exchange on l_orderkey builds each order's sorted distinct part set
+    (``graph.order_baskets``); pairs explode NARROWLY from each basket
+    — per order at most C(items,2) rows, bounded by items-per-order (a
+    small constant in order data: TPC-H caps at 7), so total work is
+    linear in lineitems, never quadratic in parts (the same
+    bounded-blocking discipline as the dedup pair joins; the former
+    self-equi-join emitted the identical pair multiset but shuffled the
+    distinct order-part projection two extra times). Part-frequency
+    lookups are equi-joins on the part key — no broadcast needed, so
+    the shape holds even when the part dimension itself is huge.
 
     Lift determinism: all counts are exact integers; the single
     double division of two < 2^53 products is a per-row scalar op,
     bit-identical on both engines.
 
-    The distinct (order, part) projection feeds three consumers (pair
-    join sides, frequencies, total); Catalyst recomputes it per
-    consumer — each a pruned 2-column scan + one exchange, cheap here.
-    A 100 TB run materializes it once (persist to parquet / an
-    eager checkpoint) and reads it three times instead.
+    The basket table feeds three consumers (pairs, per-part
+    frequencies, the order total), so it is materialized once
+    (localCheckpoint — the read>=2x rule) and read three times.
 
     Returns (part_a, part_b, n_ab, n_a, n_b, lift) for pairs
     co-purchased in >= min_orders orders.
     """
-    li = tables["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    from mapreduce_rs_spark.operators.graph import order_baskets
+
+    baskets = order_baskets(tables["lineitem"]).localCheckpoint(eager=True)
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= min_orders)
     )
-    freq = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
-    total = op.select(F.countDistinct("l_orderkey").alias("n_orders_total"))
+    freq = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    total = baskets.agg(F.count(F.lit(1)).alias("n_orders_total"))
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
     return (
@@ -2318,32 +2319,31 @@ def frequent_triples(
     copurchase_pairs operator stops short of, and the a-priori step a
     recommender's rule miner runs next.
 
-    The triple join chains two self-equi-joins ON THE ORDER KEY with
-    ascending part ordering (p1 < p2 < p3): per order the fan-out is
-    C(items, 3) — bounded by items-per-order (TPC-H caps at 7 → ≤ 35
-    rows per order), so total work is LINEAR in lineitems, never
-    polynomial in parts (the bounded-blocking discipline of every
-    pair/triple path in this repo). ``support_bp`` is integer basis
-    points of total orders (a 1-row broadcast).
+    Triple generation (round-5 rewrite, shared basket aggregate): ONE
+    exchange on l_orderkey builds each order's sorted distinct part set
+    (``graph.order_baskets``); ascending triples (p1 < p2 < p3) explode
+    NARROWLY from each basket — per order the fan-out is C(items, 3),
+    bounded by items-per-order (TPC-H caps at 7 → ≤ 35 rows per order),
+    so total work is LINEAR in lineitems, never polynomial in parts
+    (the bounded-blocking discipline of every pair/triple path in this
+    repo; the former chained self-equi-joins emitted the identical
+    triple multiset but shuffled the order-part projection three
+    times). ``support_bp`` is integer basis points of total orders (a
+    1-row broadcast).
     """
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    from mapreduce_rs_spark.operators.graph import order_baskets
+
+    baskets = order_baskets(t["lineitem"])
+    triple_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> "
+        "transform(slice(ps, i + j + 3, size(ps)), "
+        "z -> struct(x AS part_a, y AS part_b, z AS part_c))))))"
+    )
     triples = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-            F.col("c.l_partkey").alias("part_c"),
-        )
+        baskets.select(F.explode(triple_expr).alias("p"))
+        .select("p.part_a", "p.part_b", "p.part_c")
+        .groupBy("part_a", "part_b", "part_c")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .where(F.col("n_orders") >= min_orders)
     )
