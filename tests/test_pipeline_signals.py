@@ -376,6 +376,31 @@ def test_bpe_batched_guards_adversarial(spark, words):
     assert bat == seq
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_bpe_batched_identical_on_random_corpora(spark, seed):
+    """Randomized identity sweep: small alphabets force exact count
+    ties and merge cascades (the cases the guards exist for); the
+    batched trainer must match sequential byte-for-byte on every
+    corpus. Fixed seeds — reproducible, and 5 corpora x 8 merges keeps
+    the Spark job count CI-sized."""
+    import random
+
+    from mapreduce_rs_spark.operators.text_analysis import _bpe_fit, _bpe_vocab
+
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(rng.randint(30, 80))
+    ]
+    rows = [(1, " ".join(words), "en", "s", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    vocab = _bpe_vocab(df).localCheckpoint(eager=True)
+    _, seq = _bpe_fit(vocab, 8, batch_k=1)
+    _, bat = _bpe_fit(vocab, 8, batch_k=16)
+    assert bat == seq
+
+
 def test_bpe_train_merges_matches_pure_python_bpe(spark):
     """The double-space replace scheme must implement EXACT BPE merge
     semantics (left-to-right non-overlapping, merged symbols compose in
