@@ -1409,10 +1409,11 @@ def _bpe_vocab(df: DataFrame) -> DataFrame:
 
 
 # Candidates fetched per batched-BPE round. The accepted batch is a
-# PREFIX of these, so K caps merges-per-round; 16 keeps the per-round
-# driver transfer trivially bounded while typically accepting 4-10
-# merges on natural text.
-BPE_BATCH_K = 16
+# PREFIX of these, so K caps merges-per-round — and the K-th count is
+# also the bound on every pair NOT in the list, so a larger K both
+# deepens the prefix and loosens that floor. 32 rows of driver
+# transfer per round is still trivially bounded.
+BPE_BATCH_K = 32
 
 
 def _bpe_fit(
@@ -1430,9 +1431,10 @@ def _bpe_fit(
     BATCHED, with output PROVABLY identical to one-merge-at-a-time
     training (the r04 verdict's scale-killer fix: a production train is
     32k-100k merges, and one pair-count job per merge is 32k sequential
-    Spark jobs). Each round runs ONE pair-count job and accepts the
-    longest prefix of the (cnt DESC, pair)-sorted top-``batch_k``
-    candidates such that
+    Spark jobs). Each round runs ONE pair-count job — the SAME job the
+    sequential trainer runs, just collecting top-``batch_k`` rows
+    instead of one — and accepts the longest prefix of the
+    (cnt DESC, pair)-sorted candidates such that
 
     1. accepted candidates are pairwise symbol-DISJOINT — merging
        (a,b) only changes counts of pairs touching a, b, or the new
@@ -1443,17 +1445,24 @@ def _bpe_fit(
        any pair CREATED by an earlier accepted merge could have: a new
        pair (x, ab) occurs only where the trigram (x, a, b) occurred,
        so its count is <= cnt(x, a) <= max_right(a) (and (ab, y) <=
-       cnt(b, y) <= max_left(b)) — both maxima read from the SAME
-       pair-count table. Strict inequality also settles ties: no
-       created pair can tie a later candidate, so the sequential
-       argmax at every round inside the batch is exactly the next
-       accepted candidate.
+       cnt(b, y) <= max_left(b)). Both maxima are bounded from the
+       COLLECTED list alone: a pair in the top-K contributes its exact
+       count, and any pair outside it has cnt <= the K-th count (the
+       list holds the K largest), so no second job is needed — an
+       earlier design ran an adjacency-maxima aggregate per round,
+       which cost more than it saved on tie-dense corpora. Strict
+       inequality also settles ties: no created pair can tie a later
+       candidate, so the sequential argmax at every round inside the
+       batch is exactly the next accepted candidate.
 
-    The sequential trainer is the ``batch_k=1`` special case (prefix
-    length 1, no bound can reject the first candidate) — tests compare
-    the two for byte-identical merge tables. Per round the driver
-    transfer stays bounded: batch_k candidate rows + <= 4·batch_k
-    adjacency-maximum rows (the kmeans-fit collect discipline)."""
+    The bound is conservative (it can only shrink batches, never admit
+    a wrong merge), so identity holds on every corpus; batches deepen
+    exactly when the top counts separate — the Zipfian shape of
+    natural text — and collapse to sequential behavior (at sequential
+    COST: one job + one checkpoint per round) under dense ties. The
+    sequential trainer is the ``batch_k=1`` special case; tests compare
+    the two for byte-identical merge tables. Driver transfer per round
+    is batch_k rows (the kmeans-fit collect discipline)."""
     merges: list[tuple[int, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
@@ -1464,49 +1473,36 @@ def _bpe_fit(
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("cnt"))
         )
-        if batch_k > 1:
-            # read >= 2x below (top-K + adjacency maxima) — materialize
-            pairs = pairs.localCheckpoint(eager=True)
         top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(batch_k).collect()
         if not top:
             break
-        if batch_k == 1:
-            accepted = [(top[0]["pair"], int(top[0]["cnt"]))]
-        else:
-            cand_syms = sorted({s for row in top for s in row["pair"].split(" ")})
-            splits = pairs.select(
-                "cnt",
-                F.element_at(F.split("pair", " "), 1).alias("l"),
-                F.element_at(F.split("pair", " "), 2).alias("r"),
+        # any pair NOT in the collected list has cnt <= the K-th count
+        # (0 when the list IS the whole table)
+        floor_cnt = int(top[-1]["cnt"]) if len(top) == batch_k else 0
+        max_left: dict[str, int] = {}
+        max_right: dict[str, int] = {}
+        for row in top:
+            l, r = row["pair"].split(" ")
+            c = int(row["cnt"])
+            max_left[l] = max(max_left.get(l, floor_cnt), c)
+            max_right[r] = max(max_right.get(r, floor_cnt), c)
+        used: set[str] = set()
+        new_bound = -1
+        accepted: list[tuple[str, int]] = []
+        for row in top:
+            pair, cnt = row["pair"], int(row["cnt"])
+            a, b = pair.split(" ")
+            if accepted and (a in used or b in used or cnt <= new_bound):
+                break  # prefix only — a skip would reorder merges
+            accepted.append((pair, cnt))
+            used.update((a, b))
+            new_bound = max(
+                new_bound,
+                max_right.get(a, floor_cnt),
+                max_left.get(b, floor_cnt),
             )
-            adj = (
-                splits.select(F.col("l").alias("sym"), "cnt", F.lit("L").alias("side"))
-                .unionByName(
-                    splits.select(F.col("r").alias("sym"), "cnt", F.lit("R").alias("side"))
-                )
-                .where(F.col("sym").isin(cand_syms))
-                .groupBy("side", "sym")
-                .agg(F.max("cnt").alias("m"))
-                .collect()
-            )
-            assert len(adj) <= 4 * batch_k  # bounded-collect discipline
-            max_left = {r["sym"]: int(r["m"]) for r in adj if r["side"] == "L"}
-            max_right = {r["sym"]: int(r["m"]) for r in adj if r["side"] == "R"}
-            used: set[str] = set()
-            new_bound = -1
-            accepted = []
-            for row in top:
-                pair, cnt = row["pair"], int(row["cnt"])
-                a, b = pair.split(" ")
-                if accepted and (a in used or b in used or cnt <= new_bound):
-                    break  # prefix only — a skip would reorder merges
-                accepted.append((pair, cnt))
-                used.update((a, b))
-                new_bound = max(
-                    new_bound, max_right.get(a, 0), max_left.get(b, 0)
-                )
-                if len(merges) + len(accepted) >= n_merges:
-                    break
+            if len(merges) + len(accepted) >= n_merges:
+                break
         s_col = F.col("s")
         for pair, _ in accepted:  # chained replace == sequential apply
             a, b = pair.split(" ")
