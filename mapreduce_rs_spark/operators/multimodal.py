@@ -340,12 +340,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     is bounded regardless of partition size — the property that matters
     when payloads are megabytes each. Narrow: no shuffle.
 
-    PNG and BMP payloads hit the REAL decoders: width/height/channels/
-    intensity come from the decoded pixels (metadata is not trusted —
-    though the BMP branch additionally requires the declared
+    PNG, BMP and JPEG payloads hit the REAL decoders: width/height/
+    channels/intensity come from the decoded pixels (metadata is not
+    trusted — though the BMP branch additionally requires the declared
     ``image/bmp`` content type, because the 2-byte "BM" magic is too
-    weak to sniff safely against arbitrary binary). Other modalities
-    fall back to the deterministic stub kernel."""
+    weak to sniff safely against arbitrary binary). A modality with no
+    codec RAISES (fails the task): this is the strict variant — there
+    is no silent fake-kernel fallback (r05 verdict #4; the stub
+    survives only behind ``extract_features_quarantined``'s
+    codec-less-modality test path, where the same condition lands in
+    the ``decode_error`` column instead of killing the job)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -366,7 +370,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                     dw, dh, px = decode_jpeg_gray(bytes(p))
                     dc, mean = 1, (sum(px) / len(px)) if px else 0.0
                 else:
-                    dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
+                    raise ValueError(
+                        f"no codec for modality {ct!r}: route this stream "
+                        "through extract_features_quarantined"
+                    )
                 widths.append(dw)
                 heights.append(dh)
                 chans.append(dc)
@@ -535,12 +542,21 @@ def sample_video_frames(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFr
         for batch in batches:
             out: dict[str, list] = {k: [] for k in cols}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                # One bad record must not kill a distributed job: skip
+                # undecodable rows (empty, corrupt, or zero-frame
+                # payloads) the way a real pipeline routes them to a
+                # quarantine sink. The guard wraps the DECODE itself,
+                # not just the empty-payload fast path — a truncated
+                # container raising mid-LZW would otherwise fail the
+                # task and, after spark.task.maxFailures, the job.
                 if not payload:
-                    # One bad record must not kill a distributed job:
-                    # skip (emit zero frames), as a real pipeline would
-                    # route undecodable rows to a quarantine sink.
                     continue
-                w, h, frames = decode_gif(bytes(payload))
+                try:
+                    w, h, frames = decode_gif(bytes(payload))
+                except (ValueError, struct.error, IndexError) as _:
+                    continue
+                if not frames or w <= 0 or h <= 0:
+                    continue
                 npix = w * h
                 starts: list[int] = []
                 acc = 0
@@ -1159,25 +1175,53 @@ def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python
     stage). Even doc_ids get real PNG payloads, odd ones real 24-bit
-    BMPs — BOTH branches now run true codecs in one plan (the fake
-    stub payload is retired from every non-quarantine path, r04
-    verdict; ``_decode_stub`` survives only behind
-    ``extract_features_quarantined``'s codec-less-modality test path).
-    queries() exposes this rows-only (no SQL oracle — the decode kernel
-    is not SQL-expressible by design; each codec branch is separately
-    oracle-verified via png_decode_stats / bmp_decode_stats)."""
+    BMPs — BOTH branches run true codecs in one plan (``_decode_stub``
+    survives only behind ``extract_features_quarantined``'s
+    codec-less-modality test path, and ``extract_features`` now RAISES
+    on unknown modalities — r05 verdict #4).
+
+    ORACLED since r06 (the r05 verdict's #3 ask — this was the last
+    registry query with no SQL oracle): the aggregate consumes only
+    quantities the synthesis rules make SQL-predictable. Per document
+    the decoded byte total over width·height·n_channels sample points
+    is an exact integer (reconstructed from the codec's mean via one
+    round(), the png/bmp_decode_stats route — NOT from payload size,
+    which is zlib-dependent for PNG and so not SQL-expressible); the
+    per-modality summary is then counts/sums/max over exact integers
+    with ONE final double division for the byte-weighted mean
+    intensity. DuckDB replays all of it from the raw text with no
+    codec, so agreement verifies both codec branches AND the JVM-side
+    aggregate in one query."""
     even = attach_png_payload(df.where(F.col("doc_id") % 2 == 0))
     odd = attach_bmp_payload(df.where(F.col("doc_id") % 2 == 1))
     feats = extract_features(even.unionByName(odd))
+    # decoded sample points per doc (pixels·channels); the per-doc byte
+    # sum is exact (<= 255·16·12·3), so round() reconstructs it.
+    units = (
+        F.col("width").cast("long") * F.col("height") * F.col("n_channels")
+    )
+    sum_int = F.round(F.col("mean_intensity") * units).cast("long")
     return (
         feats.groupBy("modality")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.avg("mean_intensity").alias("avg_intensity"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias(
+                "total_pixels"
+            ),
+            F.sum(sum_int).alias("sum_intensity"),
+            F.sum(units).alias("total_units"),
             F.max("width").alias("max_width"),
         )
-        .orderBy("modality")
+        .select(
+            "modality",
+            "n_docs",
+            "total_pixels",
+            "sum_intensity",
+            (
+                F.col("sum_intensity").cast("double") / F.col("total_units")
+            ).alias("avg_intensity"),
+            "max_width",
+        )
     )
 
 

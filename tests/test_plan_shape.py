@@ -305,6 +305,9 @@ _SCALE_GUARDS = {
     "wav_decode_stats": (0, 0),
     "gif_frame_stats": (0, 0),
     "video_frame_sample": (0, 0),
+    # both codec branches union into ONE Arrow stage; the only exchange
+    # is the 2-row per-modality aggregate
+    "multimodal_features": (1, 0),
     # cluster-hashed splits: post-CC plan is the docs⋈labels join +
     # count-distinct double agg; the iterative CC rounds checkpoint out
     "leakage_safe_splits": (4, 0),
@@ -368,10 +371,11 @@ _SCALE_GUARDS = {
     "knn_pca": (2, 0),
     # pair agg + unigram agg + marginal joins (broadcast at test scale)
     "skipgram_pmi": (6, 0),
-    # word-count agg + the target window; the SinglePartition windows
-    # run over the VOCABULARY (provably small), like skyline's global
-    # phase
-    "vocab_coverage": (2, 0),
+    # the count-BIN table (d bins, d <= sqrt(2·total_tokens) — the r05
+    # verdict's vocab-window fix) materializes once (word agg + bin agg
+    # live in the checkpoint build); the visible plan is the bounded
+    # SinglePartition cumsum window + broadcast total + 4-row target agg
+    "vocab_coverage": (0, 0),
     # per-lang token agg + the (lang, source) result agg; lang_tok and
     # the 1-row totals broadcast back onto the doc stream
     "mixture_sample": (3, 0),
@@ -610,3 +614,46 @@ def test_kmv_query_sample_is_take_ordered(spark, sf_dir, name):
     plan = _plan(QUERIES[name].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_vocab_coverage_global_window_is_bin_bounded(spark, sf_dir):
+    """The r05 verdict's one `weak` grade, pinned fixed: the global
+    cumulative-sum window must consume the count-BIN aggregate (d bins,
+    d(d+1)/2 <= total_tokens so d <= sqrt(2N)) — never the word-grain
+    vocabulary (10^8-10^9 rows at web scale through one partition).
+    Structural facts: no row_number ranks the vocabulary; the window's
+    input is the MATERIALIZED bin table (Scan ExistingRDD — both
+    consumers share one corpus pass), not a word-grain subtree."""
+    from mapreduce_rs_spark.operators.text_analysis import vocab_coverage
+
+    plan = _plan(vocab_coverage(load_table(spark, sf_dir, "documents")))
+    assert "row_number" not in plan, "vocabulary rank window is back"
+    assert "Window" in plan and "Scan ExistingRDD" in plan
+    # the corpus subtree lives in the one checkpoint build — the
+    # visible plan must not re-scan parquet or re-aggregate words
+    assert "FileScan parquet" not in plan
+    assert "keys=[word" not in plan
+
+
+def test_vocab_coverage_min_count_semantics(spark, sf_dir):
+    """The enforced web-scale knob: min_count prunes bins from the
+    ranked pass while the denominator stays the FULL token stream —
+    targets the pruned vocabulary cannot reach drop out rather than
+    being computed over a truncated total."""
+    import pytest as _pytest
+
+    from mapreduce_rs_spark.operators.text_analysis import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["target_pct"]: r for r in vocab_coverage(docs).collect()}
+    total = next(iter(full.values()))["total_tokens"]
+    cut = {r["target_pct"]: r for r in vocab_coverage(docs, min_count=50).collect()}
+    assert set(cut) <= set(full)
+    for t, r in cut.items():
+        assert r["total_tokens"] == total  # full-stream denominator
+        # a reachable target's answer is identical to the uncut run:
+        # pruning only removes tail bins below every crossing point
+        assert r["vocab_size"] == full[t]["vocab_size"]
+        assert r["covered_tokens"] == full[t]["covered_tokens"]
+    with _pytest.raises(ValueError):
+        vocab_coverage(docs, min_count=0)
