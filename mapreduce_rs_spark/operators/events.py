@@ -875,6 +875,20 @@ def zorder_locality(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# The documented 100 TB configuration for hourly_percentile_bands
+# (r05 verdict #8): percentile_approx with this accuracy is the scale
+# path — a mergeable KLL-style sketch with map-side partials and
+# O(accuracy) memory per (hour, type) group, where the exact form must
+# hold every group's values for its sort. 10_000 bounds the RANK error
+# at 1/accuracy = 0.01% of the group (so p99 lands between the true
+# p98.99 and p99.01 — far inside any SLO band's width);
+# tests/test_event_analysis.py::test_hourly_bands_approx_rank_error
+# verifies the bound against the exact answer at sf0.1 rather than
+# assuming it. The oracled registry entry stays exact (the oracle must
+# agree bit-for-bit); a 100 TB deployment passes this constant.
+HOURLY_BANDS_100TB_ACCURACY = 10_000
+
+
 def hourly_percentile_bands(
     t: dict[str, DataFrame], approx_accuracy: int | None = None
 ) -> DataFrame:

@@ -255,3 +255,54 @@ def test_hll_estimate_accuracy_and_corrected_path(spark):
         .collect()[0]
     )
     assert drow["indicator_s"] == row["indicator_s"]
+
+
+def test_hourly_bands_approx_rank_error(spark):
+    """The 100 TB configuration of hourly_percentile_bands (r05 verdict
+    #8): percentile_approx(accuracy=HOURLY_BANDS_100TB_ACCURACY) must
+    satisfy the sketch's contract against the EXACT per-group
+    distribution at sf0.1 — for each (hour, type) group of size n, the
+    returned value's rank interval must intersect
+    [(q - 1/acc)·n, (q + 1/acc)·n]. Verified, not assumed."""
+    from mapreduce_rs_spark.operators.events import (
+        HOURLY_BANDS_100TB_ACCURACY,
+        hourly_percentile_bands,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.1")
+    approx = {
+        (r["bucket_ts"], r["event_type"]): r
+        for r in hourly_percentile_bands(
+            t, approx_accuracy=HOURLY_BANDS_100TB_ACCURACY
+        ).collect()
+    }
+    # group values exactly (sf0.1 events = 100k rows: collectable)
+    from pyspark.sql import functions as F
+
+    groups = {
+        (r["bucket_ts"], r["event_type"]): sorted(r["vals"])
+        for r in t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert set(approx) == set(groups)
+    eps = 1.0 / HOURLY_BANDS_100TB_ACCURACY
+    checked = 0
+    for key, vals in groups.items():
+        n = len(vals)
+        row = approx[key]
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            v = row[col]
+            lo = sum(1 for x in vals if x < v)  # ranks (1-based) (lo, hi]
+            hi = sum(1 for x in vals if x <= v)
+            assert lo < hi, f"{key} {col}: approx value {v} not in group"
+            lo_bound = (q - eps) * n
+            hi_bound = (q + eps) * n + 1  # +1: rank vs 0-based index slack
+            assert lo <= hi_bound and hi >= lo_bound, (
+                f"{key} {col}: rank interval ({lo},{hi}] misses "
+                f"[{lo_bound},{hi_bound}] for n={n}"
+            )
+            checked += 1
+    assert checked >= 3 * 100  # sf0.1 has hundreds of (hour,type) groups

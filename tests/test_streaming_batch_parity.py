@@ -231,3 +231,180 @@ def test_streaming_op_hash_matches_batch_twin(spark, sf_dir, tmp_path, case):
     assert got.count() > 0, f"{case}: stream emitted nothing"
     assert sorted(got.columns) == sorted(batch.columns)
     assert frame_hash(got) == frame_hash(batch), f"{case}: hash mismatch"
+
+
+# ---------------------------------------------------------------------------
+# Late / out-of-order arrival family (r05 verdict #7): the 6-op family
+# above replays ORDERED input. These cases force events to arrive out
+# of order ACROSS micro-batches (one file per trigger, file mtimes pin
+# the arrival order) and PAST the watermark, then hash-compare against
+# the batch twin restricted to the non-late set — pinning exactly which
+# rows the watermark contract drops, accepts, or (for dedup) re-emits
+# after state eviction.
+#
+# Timeline shared by the agg cases (watermark delay = 2h, 1h windows):
+#   arrival 0: events in hours 0-5 and hour 10, plus a clock-advancer at
+#            h50 -> watermark after the drain = 48h; every window with
+#            end <= 48h is emitted and EVICTED.
+#   arrival 1: one row at h10:40 — its window (10,11] was evicted: must
+#            be DROPPED; two rows at h49 — older than the stream's max
+#            (out of order) but above the watermark: must be ACCEPTED
+#            into the still-open (49,50] window.
+#   arrival 2: advancer at h60 -> watermark 58h, flushing the windows
+#            the arrival-1 rows touched.
+#
+# Arrival separation is enforced by draining availableNow ONCE PER
+# ARRIVAL against the same checkpoint (a single drain may coalesce the
+# files into one micro-batch, which would let the late row sneak in
+# before the watermark ever advanced); the per-arrival restart also
+# exercises watermark/state recovery from the checkpoint.
+# ---------------------------------------------------------------------------
+
+import os
+
+H0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _h(hours: float) -> datetime.datetime:
+    return H0 + datetime.timedelta(hours=hours)
+
+
+def _ev_frame(spark, rows):
+    # rows: (event_id, ts, user_id, event_type, value)
+    return spark.createDataFrame(
+        [(i, ts, u, et, float(v), "{}") for (i, ts, u, et, v) in rows],
+        schema=EVENT_SCHEMA,
+    )
+
+
+def _drain_arrivals(spark, tmp_path, arrivals, op) -> "DataFrame":
+    """Append each arrival batch to the source dir, then drain the op
+    with availableNow against ONE persistent checkpoint — each arrival
+    is processed as its own micro-batch run with the watermark state
+    recovered from the previous drain."""
+    inp = str(tmp_path / "in")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+    for i, frame in enumerate(arrivals):
+        frame.coalesce(1).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+        _drain(op(stream), outp, ckpt)
+    return spark.read.parquet(outp)
+
+
+_B0 = [
+    # hours 0-5: one event per hour (these windows finalize in batch 0)
+    *[(i, None, i, "click", 10.50 + i) for i in range(6)],
+    # hour 10: two on-time events the late straggler will target
+    (20, 10.25, 20, "click", 7.25),
+    (21, 10.50, 21, "click", 2.75),
+    # clock advancer: watermark -> 48h after this batch
+    (30, 50.0, 30, "view", 1.25),
+]
+_B0 = [
+    (eid, _h(ts if ts is not None else eid + 0.5), u, et, v)
+    for (eid, ts, u, et, v) in _B0
+]
+_B1 = [
+    # LATE: window (10,11] was emitted+evicted at watermark 48h -> drop
+    (40, _h(10.66), 40, "click", 100.0),
+    # OUT OF ORDER but within watermark: window (49,50] still open
+    (41, _h(49.10), 41, "click", 5.25),
+    (42, _h(49.40), 42, "click", 6.75),
+]
+_B2 = [(50, _h(60.0), 50, "view", 0.25)]
+
+# the one row the watermark contract must drop
+_DROPPED_IDS = {40}
+_FINAL_WM_H = 58  # 60h advancer - 2h delay
+
+
+def _late_tumbling(spark, tmp_path):
+    got = _drain_arrivals(
+        spark,
+        tmp_path,
+        [_ev_frame(spark, b) for b in (_B0, _B1, _B2)],
+        streaming_tumbling_counts,
+    )
+    kept = _ev_frame(spark, _B0 + _B1 + _B2).where(
+        ~F.col("event_id").isin(list(_DROPPED_IDS))
+    )
+    batch = (
+        kept.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum(money("value")).alias("sum_value"),
+        )
+        .where(F.col("window_start") < F.lit(_h(_FINAL_WM_H)))
+    )
+    return got, batch
+
+
+def _late_ohlc(spark, tmp_path):
+    got = _drain_arrivals(
+        spark,
+        tmp_path,
+        [_ev_frame(spark, b) for b in (_B0, _B1, _B2)],
+        streaming_ohlc,
+    )
+    kept = _ev_frame(spark, _B0 + _B1 + _B2).where(
+        ~F.col("event_id").isin(list(_DROPPED_IDS))
+    )
+    order_key = F.struct("ts", "event_id")
+    batch = (
+        kept.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window").start.alias("bucket_ts"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+        .where(F.col("bucket_ts") < F.lit(_h(_FINAL_WM_H)))
+    )
+    return got, batch
+
+
+def _late_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark eviction semantics, pinned: a key
+    replayed WITHIN the watermark horizon is dropped even at a new ts; a
+    key whose state the watermark already evicted RE-EMITS (the
+    documented weaker-than-global contract); an input row below the
+    watermark is dropped as late regardless of key."""
+    b0 = [
+        (100, _h(0.0), 1, "click", 3.25),   # state evicted once wm=48h
+        (200, _h(50.0), 2, "view", 1.25),   # advancer; state alive till 52h
+    ]
+    b1 = [
+        (100, _h(49.0), 1, "click", 3.25),  # evicted key -> RE-EMITS
+        (200, _h(49.5), 2, "view", 1.25),   # live key -> dropped (dup)
+        (300, _h(10.0), 3, "click", 9.50),  # below wm 48h -> late, dropped
+    ]
+    got = _drain_arrivals(
+        spark, tmp_path, [_ev_frame(spark, b) for b in (b0, b1)], streaming_dedup
+    )
+    expected = _ev_frame(spark, b0 + [b1[0]])
+    return got, expected
+
+
+LATE_CASES = {
+    "tumbling_late": _late_tumbling,
+    "ohlc_late": _late_ohlc,
+    "dedup_eviction": _late_dedup,
+}
+
+
+@pytest.mark.parametrize("case", sorted(LATE_CASES))
+def test_streaming_late_data_hash_matches_nonlate_batch_twin(
+    spark, tmp_path, case
+):
+    got, batch = LATE_CASES[case](spark, tmp_path)
+    assert got.count() > 0, f"{case}: stream emitted nothing"
+    assert sorted(got.columns) == sorted(batch.columns)
+    assert frame_hash(got) == frame_hash(batch), f"{case}: hash mismatch"
