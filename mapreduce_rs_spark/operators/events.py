@@ -367,6 +367,102 @@ def hll_distinct_users(t: dict[str, DataFrame], corrected: bool = False) -> Data
     return out
 
 
+def hll_rollup_merge(t: dict[str, DataFrame]) -> DataFrame:
+    """Sketch MERGEABILITY as a first-class rollup: compute HLL
+    registers ONCE at the fine (event_type, day) grain, then roll them
+    up to weeks by register-max ALONE — never re-touching the raw
+    stream. This is the pattern that matters at 100 TB: the day-grain
+    register table (types × days × ≤64 rows) is the persisted artifact;
+    every coarser grain (week/month/quarter, or cross-type totals) is
+    an aggregate over kilobytes, not a re-scan of the corpus.
+
+    The query PROVES the claim instead of asserting it: est_merged
+    (day registers → max → week) is emitted next to est_direct (week
+    registers computed straight from raw — the evaluation twin, same
+    status as hll_distinct_users' exact column), and max-associativity
+    makes them bit-identical — the oracle hash would flag any drift.
+    n_distinct_exact is the usual evaluation column; production ships
+    registers only.
+
+    Determinism discipline: the indicator sums are exact integers
+    (Σ 2^(rmax-reg) with empty buckets at 2^rmax); each estimate is ONE
+    double division by the shared HLL_SCALE literal — bit-identical
+    cross-engine (the hll_distinct_users rule)."""
+    ev = t["events"]
+    m, rmax = HLL_M, HLL_MAX_RANK
+    hashed = ev.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        h64(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        "week",
+        "day",
+        "event_type",
+        (F.col("h") % m).alias("bucket"),
+        F.shiftright("h", HLL_P_BITS).alias("w"),
+    )
+    ranked = hashed.select(
+        "week",
+        "day",
+        "event_type",
+        "bucket",
+        F.when(F.col("w") == 0, rmax)
+        .otherwise(rmax - F.length(F.bin("w")))
+        .cast("int")
+        .alias("rank"),
+    )
+    # the ONE corpus-scale aggregate: day-grain registers (partial-agg
+    # friendly — max is distributive)
+    day_regs = ranked.groupBy("week", "day", "event_type", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+    # rollup WITHOUT raw data: day → week by register max
+    week_merged = day_regs.groupBy("week", "event_type", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    # evaluation twin: week registers straight from raw (and the exact
+    # count) — dropped in production, kept so the oracle hash pins the
+    # merge identity
+    week_direct = ranked.groupBy("week", "event_type", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+
+    def estimate(regs: DataFrame, alias: str) -> DataFrame:
+        return regs.groupBy("week", "event_type").agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - reg)"))
+                + (m - F.count(F.lit(1))) * F.lit(1 << rmax)
+            )
+            .cast("long")
+            .alias(f"ind_{alias}"),
+        ).select(
+            "week",
+            "event_type",
+            f"ind_{alias}",
+            (F.lit(HLL_SCALE) / F.col(f"ind_{alias}").cast("double")).alias(
+                f"est_{alias}"
+            ),
+        )
+    exact = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("n_distinct_exact"))
+    return (
+        estimate(week_merged, "merged")
+        .join(estimate(week_direct, "direct"), ["week", "event_type"])
+        .join(exact, ["week", "event_type"])
+        .select(
+            "week",
+            "event_type",
+            "ind_merged",
+            "est_merged",
+            "ind_direct",
+            "est_direct",
+            "n_distinct_exact",
+        )
+    )
+
+
 def funnel_conversion(t: dict[str, DataFrame]) -> DataFrame:
     """Funnel analysis: of all users, how many clicked, and how many
     purchased strictly AFTER their first click (the ordering constraint

@@ -630,6 +630,60 @@ def _hll_sql() -> str:
         """
 
 
+def _hll_rollup_sql() -> str:
+    """Oracle twin of events.hll_rollup_merge: day-grain registers
+    rolled up to weeks by max vs week registers straight from raw —
+    the hash pins the merge identity bit-for-bit. Same parameter-derived
+    construction as _hll_sql (shared m / rank formula / scale literal)."""
+    m, rmax = events.HLL_M, events.HLL_MAX_RANK
+    ind = (
+        f"CAST(sum(CAST(1 AS BIGINT) << ({rmax} - reg))"
+        f" + ({m} - count(*)) * (CAST(1 AS BIGINT) << {rmax}) AS BIGINT)"
+    )
+    return f"""
+        WITH ranked AS (
+            SELECT date_trunc('week', ts) AS week,
+                   date_trunc('day', ts) AS day,
+                   event_type, h % {m} AS bucket,
+                   CASE WHEN h // {m} = 0 THEN {rmax}
+                        ELSE {rmax} - length(bin(h // {m})) END AS rank
+            FROM (
+                SELECT ts, event_type,
+                       {h64_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events
+            )
+        ), day_regs AS (
+            SELECT week, day, event_type, bucket, max(rank) AS reg
+            FROM ranked GROUP BY 1, 2, 3, 4
+        ), week_merged AS (
+            SELECT week, event_type, bucket, max(reg) AS reg
+            FROM day_regs GROUP BY 1, 2, 3
+        ), week_direct AS (
+            SELECT week, event_type, bucket, max(rank) AS reg
+            FROM ranked GROUP BY 1, 2, 3
+        ), est_m AS (
+            SELECT week, event_type, {ind} AS ind_merged
+            FROM week_merged GROUP BY week, event_type
+        ), est_d AS (
+            SELECT week, event_type, {ind} AS ind_direct
+            FROM week_direct GROUP BY week, event_type
+        ), exact AS (
+            SELECT date_trunc('week', ts) AS week, event_type,
+                   count(DISTINCT user_id) AS n_distinct_exact
+            FROM events GROUP BY 1, 2
+        )
+        SELECT week, event_type, ind_merged,
+               {events.HLL_SCALE!r} / CAST(ind_merged AS DOUBLE) AS est_merged,
+               ind_direct,
+               {events.HLL_SCALE!r} / CAST(ind_direct AS DOUBLE) AS est_direct,
+               CAST(n_distinct_exact AS BIGINT) AS n_distinct_exact
+        FROM est_m
+        JOIN est_d USING (week, event_type)
+        JOIN exact USING (week, event_type)
+        ORDER BY week, event_type
+        """
+
+
 _PLANES = similarity.hyperplanes()
 _CENTROIDS = similarity.centroids()
 
@@ -2610,6 +2664,14 @@ QUERIES: dict[str, QuerySpec] = {
         "HyperLogLog registers (m=64) per event_type: exact-integer "
         "indicator sum, one IEEE division for the estimate — "
         "deterministic cross-engine (no ln/pow in the oracled form)",
+    ),
+    "hll_rollup_merge": QuerySpec(
+        _tables(events.hll_rollup_merge),
+        None,  # replaced below by _hll_rollup_sql() — parameter-derived twin
+        "sketch mergeability as a rollup: day-grain HLL registers roll "
+        "up to weeks by register max alone (no raw re-scan); the "
+        "direct-from-raw week estimate is emitted alongside so the "
+        "oracle hash pins merged == direct bit-for-bit",
     ),
     "range_window_revenue": QuerySpec(
         _tables(events.range_window_revenue),
@@ -5917,6 +5979,10 @@ QUERIES["hll_distinct_users"] = dataclasses.replace(
     QUERIES["hll_distinct_users"], oracle=_hll_sql()
 )
 
+QUERIES["hll_rollup_merge"] = dataclasses.replace(
+    QUERIES["hll_rollup_merge"], oracle=_hll_rollup_sql()
+)
+
 QUERIES["cms_word_counts"] = dataclasses.replace(
     QUERIES["cms_word_counts"], oracle=_cms_sql()
 )
@@ -6235,6 +6301,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "png_decode_stats": ("doc_id",),
     "bmp_decode_stats": ("doc_id",),
     "multimodal_features": ("modality",),
+    "hll_rollup_merge": ("week", "event_type"),
     "jpeg_decode_stats": ("doc_id",),
     "wav_decode_stats": ("doc_id",),
     "triangle_counts": ("partkey",),
@@ -6379,6 +6446,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     #
     # (3) defensive re-checks for shared machinery touched this round
     # (values proven unchanged locally; byte-identity re-asserted):
+    # NEW in round 6 — never externally checked:
+    "hll_rollup_merge",     # day→week HLL register rollup; the oracle
+    #                         hash pins merged == direct-from-raw
+    #
     "bpe_train_merges",     # _bpe_fit batching guard now also blocks
     #                         the merged product symbol (ADVICE) — can
     #                         only shrink batches, output identical
@@ -6436,8 +6507,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "kmv_distinct_users",
     "knn_ivf_multiprobe",
     "multi_resolution_rollup",
-    "null_handling_showcase",
     # (displacement note for r07: remaining r02-stale queries —
+    # null_handling_showcase,
     # out_of_order_stats, pack_sequences, pivot_status_by_priority,
     # priority_line_counts, promo_revenue_ratio, range_window_revenue,
     # simhash_near_pairs, sliding_window, source_extraction,

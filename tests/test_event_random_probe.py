@@ -34,6 +34,7 @@ EVENT_QUERIES = (
     "multi_resolution_rollup",
     "kmv_distinct_users",
     "hll_distinct_users",
+    "hll_rollup_merge",
     "theta_daily_overlap",
     "out_of_order_stats",
     "user_value_trend",

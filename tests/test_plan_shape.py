@@ -413,6 +413,12 @@ _SCALE_GUARDS = {
     # registers only) — at most types×64 rows ever cross an exchange
     # past the first partial agg
     "hll_distinct_users": (4, 0),
+    # HLL rollup-merge: the PRODUCTION path is 1 scan + day-register
+    # agg + week merge + estimate (registers only past the first
+    # partial agg); the direct-from-raw week registers and the exact
+    # countDistinct are the EVALUATION twins the oracle hash needs
+    # (2 extra scans + 4 exchanges, dropped at 100 TB — docstring)
+    "hll_rollup_merge": (7, 0),
     # BPE encode: the merge rounds checkpoint out (vocabulary-sized);
     # the visible plan is ONE parquet scan -> token stream -> broadcast
     # join with the encoded vocabulary -> per-doc agg (the 1 exchange).
