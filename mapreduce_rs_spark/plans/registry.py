@@ -4951,15 +4951,22 @@ QUERIES: dict[str, QuerySpec] = {
         f"""
         WITH op AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), triples AS (
-            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-                   c.l_partkey AS part_c,
-                   CAST(count(*) AS BIGINT) AS n_orders
+        ), pairs AS (
+            SELECT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
             FROM op a
             JOIN op b ON a.l_orderkey = b.l_orderkey
-                     AND a.l_partkey < b.l_partkey
-            JOIN op c ON a.l_orderkey = c.l_orderkey
-                     AND b.l_partkey < c.l_partkey
+            WHERE a.l_partkey < b.l_partkey
+        ), triples AS (
+            -- the cross-table inequality (part_b < c.l_partkey) lives
+            -- in WHERE, not ON: inside a 3-way ON chain DuckDB plans it
+            -- as an IEJoin between the pair stream and op (measured
+            -- >300 s at sf1.0 vs 3 s for the identical inner join with
+            -- the equality alone driving the hash join)
+            SELECT p.part_a, p.part_b, c.l_partkey AS part_c,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM pairs p
+            JOIN op c ON p.l_orderkey = c.l_orderkey
+            WHERE p.part_b < c.l_partkey
             GROUP BY 1, 2, 3
             HAVING count(*) >= {relational.TRIPLE_MIN_ORDERS}
         ), total AS (

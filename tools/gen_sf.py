@@ -150,13 +150,37 @@ def main(sf: float, out_dir: str) -> None:
         "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)],
     }), out_dir, "events")
 
-    # zipf-ish word choice mirrors the shipped corpora's skew
-    probs = 1.0 / np.arange(1, len(VOCAB) + 1)
-    probs /= probs.sum()
+    # Head/tail word mix: the shipped sf corpora use a ~30-word soup,
+    # which is fine at 5k docs but makes EVERY pair a near-duplicate at
+    # 50k+ (LSH banding then quadratically explodes by construction —
+    # observed: curation_yield_neardup ran >10 min at sf1.0 on the
+    # first-cut corpus). Real corpora have a long tail; mixing ~60%
+    # head words with a 10k-word zipf tail keeps shingle space sparse
+    # so candidate pairs stay near-linear, while word-frequency shapes
+    # (vocab_coverage, BPE, tf-idf) stay realistic.
+    head_probs = 1.0 / np.arange(1, len(VOCAB) + 1)
+    head_probs /= head_probs.sum()
+    n_tail = 10_000
+    tail_probs = 1.0 / np.arange(1, n_tail + 1)
+    tail_probs /= tail_probs.sum()
     lens = rng.integers(10, 40, n_docs)
-    texts = [
-        " ".join(rng.choice(VOCAB, int(ln), p=probs)) for ln in lens
-    ]
+    texts = []
+    for ln in lens:
+        ln = int(ln)
+        n_head = rng.binomial(ln, 0.6)
+        words = list(rng.choice(VOCAB, n_head, p=head_probs)) + [
+            f"tok{int(j)}" for j in rng.choice(n_tail, ln - n_head, p=tail_probs)
+        ]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    # controlled duplicate structure so dedup families have real
+    # candidates at every sf: ~1% exact dups, ~1% one-token-appended
+    # near-dups (the random-probe recipe)
+    n_exact = max(1, n_docs // 100)
+    for i in range(n_exact):
+        texts[n_docs - 2 * n_exact + i] = texts[i]
+    for i in range(n_exact):
+        texts[n_docs - n_exact + i] = texts[n_exact + i] + " omega"
     write(pd.DataFrame({
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": texts,
