@@ -1874,18 +1874,30 @@ QUERIES: dict[str, QuerySpec] = {
     "skyline_parts": QuerySpec(
         _tables(relational.skyline_parts),
         """
-        SELECT p_partkey, p_retailprice, p_size
-        FROM part p
-        WHERE NOT EXISTS (
-            SELECT 1 FROM part q
-            WHERE q.p_retailprice <= p.p_retailprice
-              AND q.p_size >= p.p_size
-              AND (q.p_retailprice < p.p_retailprice
-                   OR q.p_size > p.p_size)
+        -- price-sweep skyline, O(n log n): dominated(p) iff some
+        -- strictly cheaper point has size >= p.size (prev_max >= s)
+        -- or a same-price point has size > s (ms > s) — exactly the
+        -- NOT EXISTS dominance predicate, which as written was an
+        -- all-pairs scan (4e10 comparisons at sf1.0; this form is the
+        -- independent textbook sweep, not the Spark bucketed plan)
+        WITH per_price AS (
+            SELECT p_retailprice AS pr, max(p_size) AS ms
+            FROM part GROUP BY 1
+        ), sweep AS (
+            SELECT pr, ms,
+                   max(ms) OVER (ORDER BY pr
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+            FROM per_price
         )
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p JOIN sweep s ON p.p_retailprice = s.pr
+        WHERE (s.prev_max IS NULL OR s.prev_max < p.p_size)
+          AND s.ms = p.p_size
         """,
         "Pareto frontier (min price, max size): two-phase bucketed window "
-        "skyline (Spark) vs all-pairs NOT EXISTS (oracle) — same set",
+        "skyline (Spark) vs the independent price-sweep formulation of the "
+        "same dominance predicate (oracle) — same set",
     ),
     "customers_above_nation_avg": QuerySpec(
         _tables(relational.customers_above_nation_avg),
