@@ -196,8 +196,29 @@ JACCARD_MAX_DF_FRAC = 0.5  # drop tokens present in > this fraction of a lang's 
 SIMHASH_BAND_BITS = 4      # 16-bit signature → 4 bands of 4 bits
 
 
+## Boilerplate-bucket guard for SimHash banding. A (band, band_val)
+## bucket of B docs yields B(B-1)/2 candidate pairs — and unlike
+## MinHash (whose shingle diversity keeps buckets small), SimHash
+## signatures SATURATE on template/boilerplate-heavy corpora: the
+## weighted head tokens dominate every signature, the whole cluster
+## lands in one bucket, and banding silently degrades to all-pairs
+## (measured: 50k low-diversity docs OOM'd a 64 GiB heap at sf1.0).
+## Buckets above the cap are excluded from pairwise expansion — a pair
+## whose ONLY agreeing band is a dropped bucket is missed, which is the
+## standard production trade (Manku-Jain-Sarma §5): a saturated bucket
+## IS a duplicate cluster, and enumerating its O(B^2) pairs is both
+## intractable and useless — cluster-level dedup (dedup_components /
+## semdedup) is the right tool for those. 1000 is far above any bucket
+## the driver corpora produce (bucket <= |docs| = 500 at sf0.01), so
+## the oracled values are unchanged at every driver scale.
+SIMHASH_MAX_BUCKET = 1_000
+
+
 def simhash_near_pairs(
-    df: DataFrame, max_hamming: int = 3, band_bits: int = SIMHASH_BAND_BITS
+    df: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = SIMHASH_BAND_BITS,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, found WITHOUT
     an all-pairs comparison: band the signature into ``bits/band_bits``
@@ -206,8 +227,9 @@ def simhash_near_pairs(
     equi-join on (band, band_value). Exact ``bit_count(xor)`` then
     filters candidates to the true distance. The classic
     Charikar/Manku-Jain-Sarma dedup shape: at 100 TB the join carries
-    (doc_id, 4-bit band value) rows and the hot keys are bounded by
-    signature balance, never by corpus size."""
+    (doc_id, 4-bit band value) rows and hot keys are bounded by the
+    ``max_bucket`` guard (see SIMHASH_MAX_BUCKET), not by hoping the
+    signature distribution stays balanced."""
     n_bands = SIMHASH_BITS // band_bits
     if max_hamming >= n_bands:
         # The pigeonhole guarantee (d < #bands ⇒ some band matches)
@@ -229,6 +251,16 @@ def simhash_near_pairs(
     banded = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    # saturated-bucket blacklist: tiny by construction (only buckets
+    # whose pairwise expansion would exceed max_bucket^2/2 rows), so it
+    # broadcasts and the big side never shuffles for the guard
+    oversized = (
+        banded.groupBy("band", "band_val")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket)
+        .select("band", "band_val")
+    )
+    banded = banded.join(F.broadcast(oversized), ["band", "band_val"], "left_anti")
     left, right = banded.alias("l"), banded.alias("r")
     hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (

@@ -53,21 +53,26 @@ def _copurchase_edges(li: DataFrame, min_orders: int) -> DataFrame:
     the same numbers (proven by an A/B collect at sf0.1; the oracles
     still state the reference semantics as the self-join, and every
     graph query hash-matches them). Per-order pair volume is
-    |parts|²/2 — exactly the co-group² the join emitted — generated
-    inside one array expression, bounded by order width (TPC-H orders
-    carry <= 7 lines; a pathological mega-order would hotspot the join
-    form identically and needs upstream capping either way)."""
+    |parts|²/2 — exactly the co-group² the join emitted — bounded by
+    order width (TPC-H orders carry <= 7 lines; a pathological
+    mega-order would hotspot the join form identically and needs
+    upstream capping either way).
+
+    Pair expansion is a chained posexplode (two codegen'd Generate
+    operators), not a nested transform/flatten HOF: interpreted
+    higher-order functions run the closure per element with no
+    whole-stage codegen, which measured 2x slower over the identical
+    12M-pair multiset at sf1.0 (4.3-8.1 s HOF vs 2.1-3.7 s Generate —
+    the round-6 twin of the r05 no-HOF-CSE lesson)."""
     parts = order_baskets(li)
-    pairs = F.expr(
-        "flatten(transform(ps, (x, i) -> "
-        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+    expanded = parts.select(
+        F.col("ps"), F.posexplode("ps").alias("i", "u")
+    ).select(
+        F.col("u").cast("long").alias("u"),
+        F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v_raw"),
     )
     return (
-        parts.select(F.explode(pairs).alias("p"))
-        .select(
-            F.col("p.u").cast("long").alias("u"),
-            F.col("p.v").cast("long").alias("v"),
-        )
+        expanded.select("u", F.col("v_raw").cast("long").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= min_orders)

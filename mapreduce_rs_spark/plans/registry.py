@@ -356,19 +356,30 @@ def _jaccard_sql(
 
 
 def _simhash_pairs_sql(
-    max_hamming: int = 3, band_bits: int = dedup.SIMHASH_BAND_BITS
+    max_hamming: int = 3,
+    band_bits: int = dedup.SIMHASH_BAND_BITS,
+    max_bucket: int = dedup.SIMHASH_MAX_BUCKET,
 ) -> str:
-    """Oracle twin of dedup.simhash_near_pairs — band list and distance
-    threshold derived from the parameters (lockstep convention)."""
+    """Oracle twin of dedup.simhash_near_pairs — band list, distance
+    threshold and the saturated-bucket guard all derived from the
+    operator's parameters (lockstep convention; the guard is a no-op at
+    driver scales, where buckets cannot exceed the 500-doc corpus)."""
     n_bands = dedup.SIMHASH_BITS // band_bits
     band_values = ", ".join(f"({b})" for b in range(n_bands))
     return f"""
         WITH sigs AS (
             {_simhash_sql()}
-        ), banded AS (
+        ), banded_all AS (
             SELECT doc_id, simhash, band,
                    (simhash >> (band * {band_bits})) & {(1 << band_bits) - 1} AS band_val
             FROM sigs, (VALUES {band_values}) b(band)
+        ), oversized AS (
+            SELECT band, band_val FROM banded_all
+            GROUP BY 1, 2 HAVING count(*) > {max_bucket}
+        ), banded AS (
+            SELECT * FROM banded_all a
+            WHERE NOT EXISTS (SELECT 1 FROM oversized o
+                              WHERE o.band = a.band AND o.band_val = a.band_val)
         )
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
                CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
@@ -6525,9 +6536,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "json_props_agg",
     "kmv_distinct_users",
     "knn_ivf_multiprobe",
-    "multi_resolution_rollup",
+    "simhash_near_pairs",   # r06 saturated-bucket guard added (no-op at
+    #                         driver scales — buckets <= 500-doc corpus;
+    #                         parity re-proven at both SFs) — re-verify
+    #                         externally anyway
     # (displacement note for r07: remaining r02-stale queries —
-    # null_handling_showcase,
+    # multi_resolution_rollup, null_handling_showcase,
     # out_of_order_stats, pack_sequences, pivot_status_by_priority,
     # priority_line_counts, promo_revenue_ratio, range_window_revenue,
     # simhash_near_pairs, sliding_window, source_extraction,
