@@ -149,6 +149,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     probe = min(wc_pre, wc_post)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # the probe reference is an sf0.1 measurement — at any other SF the
+    # probe times are still reported but the ratio would conflate data
+    # scale with machine load, so the index is only computed at sf0.1
+    index = round(probe / WORDCOUNT_REF_SEC, 2) if sf == "0.1" else None
     print(
         json.dumps(
             {
@@ -165,7 +169,8 @@ def main() -> None:
                     # >1 means the machine ran this suite slower than
                     # the cooled reference; divide `value` by this for
                     # a contention-adjusted cross-round comparison.
-                    "contention_index": round(probe / WORDCOUNT_REF_SEC, 2),
+                    # null when sf != 0.1 (reference is sf0.1-specific).
+                    "contention_index": index,
                     "pass_totals": [
                         round(sum(p.values()), 3) for p in passes
                     ],

@@ -280,22 +280,43 @@ def simhash_near_pairs(
     )
 
 
+## Absolute posting-length cap for jaccard_pairs' token blocking. The
+## fractional df cutoff alone bounds a token's co-group at
+## max_df_frac·|lang docs| — a bound that GROWS with the corpus, so
+## candidate-pair volume grows quadratically with scale (measured:
+## >10 min at sf1.0's 50k docs where sf0.1 ran in ~2 s). Tokens whose
+## posting list exceeds this absolute cap are dropped from blocking
+## regardless of corpus size — the standard skip-long-postings rule —
+## making per-key co-groups corpus-independent (<= cap²/2 pairs).
+## 1000 is far above any driver-scale posting (0.5·500 = 250 binds
+## first), so the oracled values are unchanged at every driver scale;
+## exact-recall similarity at web scale belongs to the bounded tiers
+## (prefix_filter_jaccard_pairs, minhash_lsh_pairs), which measured
+## 9.8 s / 4.0 s at the same sf1.0.
+JACCARD_MAX_DF_ABS = 1_000
+
+
 def jaccard_pairs(
-    df: DataFrame, threshold: float = 0.5, max_df_frac: float = JACCARD_MAX_DF_FRAC
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = JACCARD_MAX_DF_FRAC,
+    max_df_abs: int = JACCARD_MAX_DF_ABS,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity for document pairs, blocked by
     ``lang``, over DISTINCTIVE tokens only: tokens whose document
-    frequency exceeds ``max_df_frac`` of their language's corpus are
-    dropped before the pair join (the classic stopword/df cutoff).
+    frequency exceeds ``max_df_frac`` of their language's corpus OR the
+    absolute ``max_df_abs`` posting cap are dropped before the pair
+    join (the classic stopword/df cutoff plus the skip-long-postings
+    rule — see JACCARD_MAX_DF_ABS for why the fractional cutoff alone
+    is not corpus-independent).
 
     This is the fix for round 1's scale-killer: joining on raw tokens
     means the hottest token ("the") co-groups nearly every doc pair in
     a language — quadratic blowup on one skewed key. High-df tokens
     carry no similarity signal anyway (they're present in everything),
-    so the cutoff both bounds every join key's co-group at
-    max_df_frac·|lang docs| and sharpens the measure. Jaccard is
-    computed consistently over the filtered sets (intersection AND
-    sizes), mirrored exactly in the oracle SQL.
+    so the cutoff both bounds every join key's co-group and sharpens
+    the measure. Jaccard is computed consistently over the filtered
+    sets (intersection AND sizes), mirrored exactly in the oracle SQL.
 
     The df table is token-dictionary-sized (not corpus-sized), so the
     extra aggregate + semi-join are cheap at any scale.
@@ -315,7 +336,10 @@ def jaccard_pairs(
     word_df = toks_all.groupBy("lang", "word").agg(F.count("*").alias("df"))
     rare = (
         word_df.join(F.broadcast(lang_totals), "lang")
-        .where(F.col("df") <= max_df_frac * F.col("n_docs_lang"))
+        .where(
+            (F.col("df") <= max_df_frac * F.col("n_docs_lang"))
+            & (F.col("df") <= max_df_abs)
+        )
         .select("lang", "word")
     )
     toks = toks_all.join(rare, ["lang", "word"], "left_semi").localCheckpoint()

@@ -320,10 +320,13 @@ def _winnow_sql(k: int = 4) -> str:
 
 
 def _jaccard_sql(
-    threshold: float = 0.5, max_df_frac: float = dedup.JACCARD_MAX_DF_FRAC
+    threshold: float = 0.5,
+    max_df_frac: float = dedup.JACCARD_MAX_DF_FRAC,
+    max_df_abs: int = dedup.JACCARD_MAX_DF_ABS,
 ) -> str:
     """Oracle twin of dedup.jaccard_pairs: distinctive-token Jaccard
-    with the same per-language document-frequency cutoff."""
+    with the same per-language document-frequency cutoff and the same
+    absolute posting cap (a no-op at driver scales)."""
     return f"""
         WITH toks_all AS (
             SELECT DISTINCT doc_id, lang, unnest({TOKENS_SQL}) AS word FROM documents
@@ -337,6 +340,7 @@ def _jaccard_sql(
             JOIN word_df d ON t.lang = d.lang AND t.word = d.word
             JOIN lang_totals lt ON t.lang = lt.lang
             WHERE d.df <= {max_df_frac} * lt.n_docs_lang
+              AND d.df <= {max_df_abs}
         ), sizes AS (
             SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
         ), pairs AS (
@@ -6535,13 +6539,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ivf_histogram",
     "json_props_agg",
     "kmv_distinct_users",
-    "knn_ivf_multiprobe",
     "simhash_near_pairs",   # r06 saturated-bucket guard added (no-op at
     #                         driver scales — buckets <= 500-doc corpus;
     #                         parity re-proven at both SFs) — re-verify
     #                         externally anyway
+    "jaccard_pairs",        # r06 absolute posting cap added (no-op at
+    #                         driver scales — 0.5·500 binds first;
+    #                         parity re-proven at both SFs) — same
+    #                         defensive re-verification
     # (displacement note for r07: remaining r02-stale queries —
-    # multi_resolution_rollup, null_handling_showcase,
+    # knn_ivf_multiprobe (shares every CTE builder with knn_ivf, in
+    # this window), multi_resolution_rollup, null_handling_showcase,
     # out_of_order_stats, pack_sequences, pivot_status_by_priority,
     # priority_line_counts, promo_revenue_ratio, range_window_revenue,
     # simhash_near_pairs, sliding_window, source_extraction,
