@@ -321,17 +321,6 @@ def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, width: int, height: int, n_channels: int) -> float:
-    """STUB decode kernel. A real implementation would be:
-        img = PIL.Image.open(io.BytesIO(payload)); np.asarray(img).mean()
-    Here: a deterministic pseudo-intensity from the payload bytes so
-    tests have stable golden values. Raises on empty payloads the way a
-    real codec raises on truncated files."""
-    if not payload:
-        raise NotImplementedError("empty payload: real codec would fail here")
-    return (sum(payload[:256]) % 2551) / 10.0
-
-
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature stage over (payload, meta) rows.
 
@@ -346,10 +335,11 @@ def extract_features(df: DataFrame) -> DataFrame:
     ``image/bmp`` content type, because the 2-byte "BM" magic is too
     weak to sniff safely against arbitrary binary). A modality with no
     codec RAISES (fails the task): this is the strict variant — there
-    is no silent fake-kernel fallback (r05 verdict #4; the stub
-    survives only behind ``extract_features_quarantined``'s
-    codec-less-modality test path, where the same condition lands in
-    the ``decode_error`` column instead of killing the job)."""
+    is no silent fake-kernel fallback (r05 verdict #4; in
+    ``extract_features_quarantined`` the same condition lands in the
+    ``decode_error`` column instead of killing the job — r06 verdict
+    #2: unknown modalities are ERRORS there too, never fabricated
+    features)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -436,7 +426,12 @@ def extract_features_quarantined(df: DataFrame) -> DataFrame:
                         dw, dh, px = decode_jpeg_gray(bytes(p))
                         dc, mean = 1, (sum(px) / len(px)) if px else 0.0
                     else:
-                        dw, dh, dc, mean = int(w), int(h), int(c), _decode_stub(p, w, h, c)
+                        # No codec for this modality: that is a DECODE
+                        # ERROR, not a license to fabricate features —
+                        # in a 100 TB job a new modality must land in
+                        # the quarantine sink, never pollute the clean
+                        # stream with pseudo-statistics (r06 verdict #2).
+                        raise ValueError(f"no codec for modality {ct!r}")
                     err = None
                 except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
                     dw = dh = dc = mean = None
@@ -1175,10 +1170,11 @@ def multimodal_features(df: DataFrame) -> DataFrame:
     """End-to-end multimodal stage: attach payloads → decode/extract →
     per-modality feature summary (the JVM-side agg after the Python
     stage). Even doc_ids get real PNG payloads, odd ones real 24-bit
-    BMPs — BOTH branches run true codecs in one plan (``_decode_stub``
-    survives only behind ``extract_features_quarantined``'s
-    codec-less-modality test path, and ``extract_features`` now RAISES
-    on unknown modalities — r05 verdict #4).
+    BMPs — BOTH branches run true codecs in one plan (there is no fake
+    decode kernel anywhere anymore: ``extract_features`` RAISES on
+    unknown modalities — r05 verdict #4 — and
+    ``extract_features_quarantined`` records them as ``decode_error``
+    rows with NULL stats — r06 verdict #2).
 
     ORACLED since r06 (the r05 verdict's #3 ask — this was the last
     registry query with no SQL oracle): the aggregate consumes only

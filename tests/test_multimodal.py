@@ -1,4 +1,6 @@
-"""Multimodal binary-column plumbing: real PNG codec + stub fallback."""
+"""Multimodal binary-column plumbing: real codecs only — unknown
+modalities raise (strict) or land in the quarantine split (quarantined);
+no fake decode kernel exists anywhere (r06 verdict #2)."""
 
 from __future__ import annotations
 
@@ -27,17 +29,26 @@ def test_payload_schema(docs):
     assert kinds["meta"].startswith("struct<")
 
 
-def test_feature_extraction_deterministic(docs):
-    # Codec-less modalities go through the QUARANTINE variant — the only
-    # remaining _decode_stub call site (r05 verdict #4): the stub kernel
-    # exercises the quarantine plumbing deterministically.
+def test_quarantine_routes_codecless_modality_to_error_rows(docs):
+    # Codec-less modalities are DECODE ERRORS in the quarantine variant
+    # too (r06 verdict #2): every unknown-modality row must land in the
+    # quarantine split with decode_error set and NULL stats — never a
+    # fabricated feature row with err=None.
     from mapreduce_rs_spark.operators.multimodal import extract_features_quarantined
 
-    f1 = {r["doc_id"]: r["mean_intensity"] for r in extract_features_quarantined(attach_fake_payload(docs)).collect()}
-    f2 = {r["doc_id"]: r["mean_intensity"] for r in extract_features_quarantined(attach_fake_payload(docs)).collect()}
-    assert f1 == f2
-    assert len(f1) == 50
-    assert all(v >= 0 for v in f1.values())
+    feats = extract_features_quarantined(attach_fake_payload(docs))
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r["decode_error"] is not None for r in rows)
+    assert all("no codec for modality" in r["decode_error"] for r in rows)
+    assert all(
+        r["width"] is None and r["height"] is None
+        and r["n_channels"] is None and r["mean_intensity"] is None
+        for r in rows
+    )
+    # The clean split is EMPTY: nothing fake leaks into the good stream.
+    assert feats.where("decode_error IS NULL").count() == 0
+    assert feats.where("decode_error IS NOT NULL").count() == 50
 
 
 def test_strict_extract_raises_on_codecless_modality(docs):
