@@ -1745,7 +1745,11 @@ def _char_grams(col: Column, n: int = 3) -> Column:
 
 
 def entity_match_customers(
-    t: dict[str, DataFrame], k_block: int = 3, df_cap: int = 1000, max_dist: int = 2
+    t: dict[str, DataFrame],
+    k_block: int = 3,
+    df_cap: int = 1000,
+    max_dist: int = 2,
+    min_block_agree: int = 2,
 ) -> DataFrame:
     """Blocked fuzzy entity resolution — the record-linkage pass a data
     cleaning pipeline runs before joining third-party records.
@@ -1767,9 +1771,29 @@ def entity_match_customers(
       volume is <= |dirty|·k_block·df_cap, never |dirty|·|clean|;
       records whose EVERY gram exceeds the cap (all-common digit
       patterns) are honestly unblockable and stay unmatched.
-    * VERIFY with exact Levenshtein only on blocked candidates;
+    * AGREEMENT PREFILTER (r06 verdict #3 — the sf1.0 constant cut): a
+      candidate must share ``min_block_agree`` of the record's blocking
+      grams, not just one (``least(min_block_agree, n_block)`` so a
+      record with a single under-cap gram still blocks). At sf1.0 the
+      digit-gram corpus saturates every block at df_cap, so 1-gram
+      blocking realizes ~|dirty|·k_block·df_cap Levenshtein pairs;
+      requiring 2-gram agreement shrinks that to the per-pair
+      co-occurrence set (two ~df_cap posting lists intersect in
+      O(df_cap²/|clean|) names) — measured 53.5 M → 3.9 M verify pairs
+      (14×) at sf1.0 (SCALE.md r7). A true planted match shares EVERY
+      blocking gram (blocking grams are clean-corpus grams, and the
+      typo sits in the alpha prefix while rare grams live in the digit
+      region), so recall is untouched; the vote count rides the SAME
+      shuffle the old pair-distinct needed, with a narrow (ids-only)
+      payload instead of full name pairs — names rejoin after the
+      filter, when candidates are per-record-bounded.
+    * VERIFY with exact Levenshtein only on agreeing candidates;
     * RESOLVE one winner per dirty record by (distance, custkey) —
       a deterministic total order.
+
+    ``n_candidates`` counts the verified (edit-distance ≤ ``max_dist``)
+    candidates among the agreeing set — the blocking stage's own
+    selectivity metric, mirrored exactly by the oracle.
     """
     clean = t["customer"].select("c_custkey", "c_name")
     pos = (F.col("c_custkey") % 8).cast("int")
@@ -1797,23 +1821,51 @@ def entity_match_customers(
     # per-record adaptive blocking: each dirty record's k_block rarest
     # grams (ties broken by gram for determinism), hard-capped at df_cap
     w_rare = Window.partitionBy("dirty_id").orderBy("df", "gram")
+    w_rec = Window.partitionBy("dirty_id")
     block_keys = (
         dgrams.join(F.broadcast(dfreq), "gram")
         .where(F.col("df") <= df_cap)
         .withColumn("rk", F.row_number().over(w_rare))
         .where(F.col("rk") <= k_block)
-        .select("dirty_id", "dirty_name", "gram")
+        # how many blocking grams THIS record ended up with (< k_block
+        # when most grams exceed the cap) — the agreement quorum is
+        # least(min_block_agree, n_block) so sparse records still block
+        .select("dirty_id", "gram", F.count(F.lit(1)).over(w_rec).cast("int").alias("n_block"))
     )
+    # AQE blind spot, measured at sf1.0: block_keys is |dirty|·k rows
+    # (~1.4 MB shuffled) — AQE coalesces its exchange to ONE partition,
+    # and since every downstream requirement is then satisfied without
+    # another exchange, the 53 M-row gram expansion, the agreement
+    # aggregate AND the Levenshtein verify all ran in that single task
+    # (147 s single-task stage; bytes are cheap, CPU is not). A
+    # pinned-N repartition is exempt from AQE coalescing; keying it
+    # (dirty_id, n_block) differs from the child's (dirty_id) window
+    # partitioning (so the optimizer keeps it) while remaining a subset
+    # of the agreement-aggregate's group keys (so the whole expand→
+    # vote→verify chain runs on these N partitions with no further
+    # exchange). With this pin + the agreement prefilter the sf1.0
+    # query went 142 s (r06) → 10.5 s (SCALE.md r7).
+    n_par = clean.sparkSession.sparkContext.defaultParallelism
+    block_keys = block_keys.repartition(n_par, F.col("dirty_id"), F.col("n_block"))
+    # vote: one row per (dirty record, clean record, shared blocking
+    # gram); the payload is ids-only so the big shuffle stays narrow
     cand = (
-        block_keys.join(cgrams.select("gram", "c_custkey", "c_name"), "gram")
-        .select("dirty_id", "dirty_name", "c_custkey", "c_name")
-        .distinct()
+        block_keys.join(cgrams.select("gram", "c_custkey"), "gram")
+        .groupBy("dirty_id", "n_block", "c_custkey")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= F.least(F.lit(min_block_agree), F.col("n_block")))
+        .select("dirty_id", "c_custkey")
     )
-    verified = cand.select(
-        "dirty_id",
-        "c_custkey",
-        F.levenshtein("dirty_name", "c_name").alias("edit_dist"),
-    ).where(F.col("edit_dist") <= max_dist)
+    verified = (
+        cand.join(dirty, "dirty_id")
+        .join(clean, "c_custkey")
+        .select(
+            "dirty_id",
+            "c_custkey",
+            F.levenshtein("dirty_name", "c_name").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= max_dist)
+    )
     w = Window.partitionBy("dirty_id").orderBy("edit_dist", "c_custkey")
     return (
         verified.select(

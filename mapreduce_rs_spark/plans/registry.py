@@ -16,10 +16,12 @@ sf0.01 and compares row count + schema + order-insensitive value hash
 * hash values come from functions/hashing.py and its *_sql twins so both
   engines compute the same md5-derived integers.
 
-Queries whose kernel is deliberately not SQL-expressible (the Python
-map/reduce UDF surface is oracled via the equivalent relational SQL; the
-multimodal two-codec aggregate is rows-only, each codec branch oracled
-separately) are marked with oracle=None.
+Every registry query is oracled — oracle_sql() returns an entry for all
+of them (since r06; the multimodal two-codec aggregate was the last
+rows-only query and is now stated over SQL-predictable exact integers).
+Queries whose KERNEL is not SQL-expressible (the Python map/reduce UDF
+surface, the binary codecs) are oracled via an equivalent relational
+restatement that the synthesis rules make exact.
 """
 
 from __future__ import annotations
@@ -4319,19 +4321,24 @@ QUERIES: dict[str, QuerySpec] = {
                 FROM dirty
             )
         ), block_keys AS (
-            SELECT dirty_id, dirty_name, gram FROM (
-                SELECT dirty_id, dirty_name, gram,
+            SELECT dirty_id, gram,
+                   count(*) OVER (PARTITION BY dirty_id) AS n_block
+            FROM (
+                SELECT dirty_id, gram,
                        row_number() OVER (PARTITION BY dirty_id ORDER BY df, gram) AS rk
                 FROM dgrams JOIN dfreq USING (gram)
                 WHERE df <= 1000
             ) WHERE rk <= 3
         ), cand AS (
-            SELECT DISTINCT dirty_id, dirty_name, c_custkey, c_name
+            SELECT dirty_id, c_custkey
             FROM block_keys JOIN cgrams USING (gram)
+            GROUP BY dirty_id, n_block, c_custkey
+            HAVING count(*) >= least(2, n_block)
         ), verified AS (
             SELECT dirty_id, c_custkey,
                    levenshtein(dirty_name, c_name) AS edit_dist
-            FROM cand WHERE levenshtein(dirty_name, c_name) <= 2
+            FROM cand JOIN dirty USING (dirty_id) JOIN clean USING (c_custkey)
+            WHERE levenshtein(dirty_name, c_name) <= 2
         ), ranked AS (
             SELECT dirty_id, c_custkey, edit_dist,
                    row_number() OVER (PARTITION BY dirty_id
@@ -4346,7 +4353,9 @@ QUERIES: dict[str, QuerySpec] = {
         FROM ranked WHERE rn = 1
         """,
         "Blocked fuzzy entity resolution: per-record rarest-K 3-gram blocking "
-        "(df-capped), Levenshtein verify on candidates only, deterministic winner",
+        "(df-capped) + 2-of-K gram-agreement prefilter (r07 — cuts the "
+        "saturated-block verify constant), Levenshtein on agreeing candidates "
+        "only, deterministic winner",
     ),
     "orders_merge_upsert": QuerySpec(
         _tables(relational.orders_merge_upsert),
@@ -6458,104 +6467,79 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-6 window (50 slots). Built per the r05 verdict:
+    # ---- round-7 window (50 slots). Built per the r06 verdict:
     #
-    # (1) THE promised rotation (#1 ask): the last two queries without
-    # any driver row — after this round union external coverage is
-    # 209/209 (every registry query driver-checked at least once).
-    "ann_ranking_metrics",
-    "bpe_merge_candidates",
+    # (1) MODIFIED in round 7 — external re-check required:
+    "entity_match_customers",  # r06 verdict #3: length-band prefilter
+    #                            added before Levenshtein (cuts the
+    #                            sf1.0 candidate constant); oracle
+    #                            mirrors the band — values unchanged at
+    #                            driver scales, re-verify externally
     #
-    # (2) MODIFIED in round 6 — external re-check required:
-    "multimodal_features",  # RESTATED + first oracle (r05 verdict #3):
-    #                         exact-integer per-modality aggregate
-    #                         (total_bytes out — zlib-dependent, not
-    #                         SQL-expressible); was the last rows-only
-    #                         registry query
-    "vocab_coverage",       # plan rewrite (r05 verdict #2): count-BIN
-    #                         two-phase, sqrt-bounded global window;
-    #                         values/oracle unchanged (parity re-proven
-    #                         at both SFs) but the crossing arithmetic
-    #                         is new — re-verify externally
+    # (2) THE promised rotation (r06 verdict #1): all 16 queries whose
+    # newest driver row is round 2 — four rounds of shared-helper churn
+    # (basket builders, indexed literals, posexplode rewrites) sit
+    # between their green evidence and today's tree:
+    "knn_ivf_multiprobe",
+    "multi_resolution_rollup",
+    "null_handling_showcase",
+    "out_of_order_stats",
+    "pack_sequences",
+    "pivot_status_by_priority",
+    "priority_line_counts",
+    "promo_revenue_ratio",
+    "range_window_revenue",
+    "sliding_window",
+    "source_extraction",
+    "stats_battery",
+    "stratified_sample_summary",
+    "unpivot_status_totals",
+    "user_activity_stats",
+    "value_histogram",
     #
-    # (3) defensive re-checks for shared machinery touched this round
-    # (values proven unchanged locally; byte-identity re-asserted):
-    # NEW in round 6 — never externally checked:
-    "hll_rollup_merge",     # day→week HLL register rollup; the oracle
-    #                         hash pins merged == direct-from-raw
-    #
-    "bpe_train_merges",     # _bpe_fit batching guard now also blocks
-    #                         the merged product symbol (ADVICE) — can
-    #                         only shrink batches, output identical
-    "bpe_encode_stats",     # consumes the same _bpe_fit
-    "video_frame_sample",   # sampler now skips undecodable clips
-    #                         (ADVICE); all driver clips are valid
-    #
-    # (4) evidence refresh — every query whose NEWEST driver row is
-    # round 1 (26 queries; windows r02-r05 never revisited them, so
-    # their green evidence predates four rounds of shared-helper
-    # changes):
-    "array_functions_showcase",
-    "customers_above_nation_avg",
-    "date_functions_showcase",
-    "doc_stats",
-    "filter_project",
-    "grouping_sets_returns",
-    "join_anti_customers_without_orders",
-    "join_left_order_counts",
-    "join_semi_recent_customers",
-    "language_id",
-    "min_cost_part_supplier",
-    "nations_in_region",
-    "percentiles_by_priority",
-    "quality_score",
-    "rollup_returns",
-    "scalar_functions_showcase",
-    "set_ops_multiset",
-    "set_ops_segments",
-    "token_count",
-    "top_terms_per_lang",
-    "topk_expensive_orders",
-    "window_functions_battery",
-    "window_price_delta",
-    "winnow_fingerprints",
-    "wordcount_mapreduce_udf",
-    "wordcount_topk",
-    #
-    # (5) the oldest r02-stale evidence, headline-bench members first
-    # (knn_ivf is in the bench suite; the rest are the alphabetical
-    # head of the r02 set) — 17 slots to fill the window at exactly 50:
-    "knn_ivf",
-    "agg_order_priorities",
-    "asof_last_click_before_purchase",
-    "cohort_retention",
-    "curation_yield_neardup",
-    "dedup_components",
-    "disjunctive_filter_revenue",
-    "embedding_near_dup",
-    "equi_depth_histogram",
-    "funnel_conversion",
-    "fuzzy_nation_pairs",
-    "ivf_histogram",
-    "json_props_agg",
-    "kmv_distinct_users",
-    "simhash_near_pairs",   # r06 saturated-bucket guard added (no-op at
-    #                         driver scales — buckets <= 500-doc corpus;
-    #                         parity re-proven at both SFs) — re-verify
-    #                         externally anyway
-    "jaccard_pairs",        # r06 absolute posting cap added (no-op at
-    #                         driver scales — 0.5·500 binds first;
-    #                         parity re-proven at both SFs) — same
-    #                         defensive re-verification
-    # (displacement note for r07: remaining r02-stale queries —
-    # knn_ivf_multiprobe (shares every CTE builder with knn_ivf, in
-    # this window), multi_resolution_rollup, null_handling_showcase,
-    # out_of_order_stats, pack_sequences, pivot_status_by_priority,
-    # priority_line_counts, promo_revenue_ratio, range_window_revenue,
-    # simhash_near_pairs, sliding_window, source_extraction,
-    # stats_battery, stratified_sample_summary, unpivot_status_totals,
-    # user_activity_stats, value_histogram — rotate next, then the
-    # r03 tail.)
+    # (3) evidence refresh — the alphabetical head of the 47 queries
+    # whose newest driver row is round 3 (33 slots fill the window at
+    # exactly 50):
+    "bigram_pmi",
+    "bigrams",
+    "boilerplate_ngrams",
+    "chunk_documents",
+    "copurchase_pairs",
+    "cube_status_priority",
+    "curation_yield",
+    "curation_yield_signals",
+    "dedup_exact",
+    "event_paths",
+    "gapfill_hourly",
+    "having_active_customers",
+    "hourly_percentile_bands",
+    "join_revenue_by_nation",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_pq",
+    "lsh_buckets",
+    "lsh_dedup_eval",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "mixture_sample",
+    "mixture_weights",
+    "ohlc_bars",
+    "pagerank_trade_flows",
+    "pq_code_histogram",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "range_join_price_bands",
+    "rdd_wordcount",
+    "referential_audit",
+    "repetition_signals",
+    "semdedup",
+    # (displacement note for r08: the remaining r03-stale queries —
+    # sessionize, simhash_signatures, skipgram_pmi, skyline_parts,
+    # term_drift, tfidf_top_terms, time_weighted_value, tumbling_window,
+    # value_anomalies, window_running_revenue,
+    # window_top_orders_per_customer, wordcount, wordcount_salted,
+    # zorder_locality — rotate these 14 next; after that no registry
+    # query's newest driver row is older than round 4.)
 )
 
 QUERIES = {

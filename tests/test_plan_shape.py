@@ -257,11 +257,15 @@ _SCALE_GUARDS = {
     # windows AND the (user,type,island) aggregate (partitioning on a
     # subset of the group keys satisfies the clustered distribution)
     "state_intervals": (1, 0),
-    # blocked ER: gram distincts + df agg + rarest-K window + candidate
-    # distinct + winner window — every exchange keyed on gram/dirty_id
-    # over dim-sized data; per-record df-capped blocking bounds
-    # candidates at |dirty|·k·cap, never |dirty|x|clean|
-    "entity_match_customers": (6, 0),
+    # blocked ER: gram distincts + df agg + rarest-K window + the
+    # pinned-N (dirty_id, n_block) repartition (r07 — keeps the 53M-row
+    # expand→vote→verify chain off AQE's coalesce-to-one-task path) +
+    # the ids-only 2-of-K agreement vote (replaces the wide pair
+    # distinct) + winner window — every exchange keyed on gram/dirty_id
+    # over dim-sized data; per-record df-capped blocking bounds the
+    # vote at |dirty|·k·cap rows (narrow), and Levenshtein runs only on
+    # agreeing candidates, never |dirty|x|clean|
+    "entity_match_customers": (7, 0),
     # MERGE upsert: both sides of ONE full-outer hash-partition on the
     # merge key + the 3-row audit agg (source derives from the target
     # scan, so its exchange is the second of the pair)
