@@ -393,10 +393,153 @@ def _late_dedup(spark, tmp_path):
     return got, expected
 
 
+def _late_join(spark, tmp_path):
+    """Stream-stream join late/eviction semantics (r06 verdict #8),
+    pinned against the batch twin over the non-late set:
+
+    * LATE INPUT below the global watermark is dropped on BOTH sides
+      at ingest — verified empirically while building this case: a
+      click at wm − 0.5h is discarded even though the engine's own
+      state watermark (wm − 1h, derived from the join's time bound)
+      would have tolerated it, so an on-time purchase whose bound
+      covers that click emits NOTHING (the missed-join consequence of
+      lateness, not just a missing row);
+    * STATE EVICTION runs at the derived threshold: C1's click state
+      (click_ts + 1h = 11h, far below wm 48h) is evicted, so a late
+      purchase replaying its window emits nothing even where a
+      just-in-time row once matched;
+    * OUT OF ORDER but above the watermark is accepted: a click older
+      than the stream's max-seen event time still enters state and
+      joins a later on-time purchase.
+
+    Advancer pitfall pinned while building this case: BOTH sides need
+    an advancer OF THEIR OWN TYPE. The ``withWatermark`` nodes sit
+    above the click/purchase filters, the global watermark is the MIN
+    across the two nodes, and a row of a third type reaches neither —
+    a "view" advancer advances nothing and every late row then joins
+    as if on time.
+    """
+    b0 = [
+        (1, _h(10.0), 1, "click", 1.25),    # joins P1 in-batch
+        (2, _h(10.5), 1, "purchase", 9.50), # -> (P1, C1)
+        # per-side advancers: global wm = min(48h, 48.2h) = 48h
+        (3, _h(50.0), 99, "click", 0.25),
+        (4, _h(50.2), 98, "purchase", 0.25),
+    ]
+    b1 = [  # processed at wm = 48h
+        (11, _h(48.5), 5, "click", 2.75),   # out of order (< max 50h)
+        #                                     but above wm: ACCEPTED
+        (12, _h(47.5), 6, "click", 3.25),   # 0.5h below wm: DROPPED at
+        #                                     ingest despite being
+        #                                     inside P6's join bound
+    ]
+    b2 = [  # wm still 48h (b1 adds nothing above 50h)
+        (10, _h(10.7), 1, "purchase", 8.25),  # LATE purchase: emits
+        #                                       nothing (C1 evicted)
+        (20, _h(49.2), 5, "purchase", 7.75),  # joins the accepted C5
+        (21, _h(48.4), 6, "purchase", 6.25),  # on time, bound covers
+        #                                       the dropped C6: NOTHING
+        (22, _h(60.0), 97, "purchase", 0.25), # flush advancer
+    ]
+
+    def op(stream):
+        return streaming_click_purchase_join(
+            stream.where(F.col("event_type") == "click"),
+            stream.where(F.col("event_type") == "purchase"),
+        )
+
+    got = _drain_arrivals(
+        spark, tmp_path, [_ev_frame(spark, b) for b in (b0, b1, b2)], op
+    )
+    kept = _ev_frame(spark, b0 + b1 + b2).where(
+        ~F.col("event_id").isin([10, 12])  # the two watermark drops
+    )
+    clicks = kept.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    batch = (
+        kept.where(F.col("event_type") == "purchase")
+        .join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("click_ts") <= F.col("ts"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+            "value",
+        )
+    )
+    return got, batch
+
+
+def _late_sessions(spark, tmp_path):
+    """Session-window late/merge semantics (r06 verdict #8):
+
+    * a late event targeting a session the watermark already finalized
+      and EVICTED is dropped — the session is not re-emitted and no
+      spurious single-event session appears;
+    * an out-of-order event WITHIN the watermark that lands in the gap
+      between two still-open sessions MERGES them across micro-batch
+      boundaries into one session (the state operation where session
+      implementations actually break) — emitted once, finalized, with
+      the exact merged extent, count and decimal sum the batch twin
+      computes from the non-late set.
+    """
+    b0 = [
+        # u1: one session [10.0, 10.2 + 30min gap) -> finalized at wm 48
+        (1, _h(10.0), 1, "click", 1.25),
+        (2, _h(10.2), 1, "click", 2.50),
+        # u2: TWO open sessions — [49.0, 49.5) and [49.6, 50.1)
+        (3, _h(49.0), 2, "click", 3.75),
+        (4, _h(49.6), 2, "click", 4.25),
+        (5, _h(50.0), 99, "view", 0.25),  # advancer: wm = 48h
+    ]
+    b1 = [
+        (10, _h(10.4), 1, "click", 9.50),  # LATE: session evicted, drop
+        (11, _h(49.3), 2, "click", 5.25),  # within wm: bridges u2's two
+        #                                    open sessions -> MERGE
+    ]
+    b2 = [(20, _h(60.0), 98, "view", 0.25)]  # wm -> 58h: flush u2/u99
+
+    got = _drain_arrivals(
+        spark, tmp_path, [_ev_frame(spark, b) for b in (b0, b1, b2)],
+        streaming_sessions,
+    )
+    kept = _ev_frame(spark, b0 + b1 + b2).where(~F.col("event_id").isin([10]))
+    batch = (
+        kept.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum(money("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .where(F.col("session_end") <= F.lit(_h(_FINAL_WM_H)))
+    )
+    # the merge actually happened: u2 emits ONE 3-event session
+    u2 = [r for r in got.collect() if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 3, f"u2 sessions: {u2}"
+    return got, batch
+
+
 LATE_CASES = {
     "tumbling_late": _late_tumbling,
     "ohlc_late": _late_ohlc,
     "dedup_eviction": _late_dedup,
+    "join_state_eviction": _late_join,
+    "sessions_late_merge": _late_sessions,
 }
 
 
