@@ -95,6 +95,13 @@ HEADLINE = (
     "embedding_outliers",        # quantized label-centroid dists + per-partition heaps
     "bm25_scores",               # tf/df aggs + broadcast model scoring join
     "weighted_shortest_paths",   # bounded-round Bellman-Ford over materialized edges
+    # round-7 extension (BASELINE.md, r06 verdict #4): the heaviest
+    # registry query and the freshest plan rewrite get round-over-round
+    # signals. Prior definitions (9 / 12 / 15 / 18 / 21 / 24 / 27)
+    # remain comparable PREFIXES; compare totals only within one
+    # definition.
+    "entity_match_customers",    # blocked ER: rarest-K grams + 2-of-K agreement vote
+    "vocab_coverage",            # count-bin two-phase coverage (r06 rewrite)
 )
 
 
