@@ -1335,7 +1335,12 @@ def dsir_importance_weights(
     and the scoring join); the per-doc sum is the second real exchange.
     The raw token stream is never joined or re-shuffled. At 100 TB the
     model stays 512 rows regardless of corpus size — this operator's
-    whole reason to exist.
+    whole reason to exist. Scan accounting (r07 audit, executed plans
+    at sf1.0): the corpus parquet is read exactly ONCE (inside the tf
+    materialization; the final plan contains zero parquet scans — no
+    cloned subtree escapes the checkpoint), and the corpus-sized tf
+    checkpoint exactly TWICE (model fit + scoring join; the 512-row
+    buckets materialization below is what holds it at two).
     """
     from mapreduce_rs_spark.functions.hashing import h32
     from mapreduce_rs_spark.operators.materialize import materialize
@@ -1370,6 +1375,12 @@ def dsir_importance_weights(
         .cast("long")
         .alias("cnt_t"),
     )
+    # buckets feeds BOTH totals and the log-ratio projection: without
+    # this 512-row materialization Catalyst clones the subtree and the
+    # corpus-sized tf checkpoint is aggregated TWICE (r07 scan audit:
+    # tf read 3x; with it, exactly the designed 2x — model fit +
+    # scoring join). 512 rows, so the checkpoint itself is free.
+    buckets = materialize(buckets, persist_dir, "dsir_buckets")
     totals = buckets.agg(
         F.sum("cnt_raw").cast("long").alias("total_raw"),
         F.sum("cnt_t").cast("long").alias("total_t"),

@@ -6470,11 +6470,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     # ---- round-7 window (50 slots). Built per the r06 verdict:
     #
     # (1) MODIFIED in round 7 — external re-check required:
-    "entity_match_customers",  # r06 verdict #3: length-band prefilter
-    #                            added before Levenshtein (cuts the
-    #                            sf1.0 candidate constant); oracle
-    #                            mirrors the band — values unchanged at
-    #                            driver scales, re-verify externally
+    "entity_match_customers",  # r06 verdict #3: 2-of-K gram-agreement
+    #                            prefilter before Levenshtein + the
+    #                            pinned-N repartition (cuts the sf1.0
+    #                            candidate constant 14x and the wall
+    #                            13.5x); oracle mirrors the agreement
+    #                            quorum — re-verify externally
+    "dsir_importance_weights", # r07 scan audit: 512-row bucket-model
+    #                            materialization stops Catalyst cloning
+    #                            the corpus-sized tf aggregation
+    #                            (checkpoint read 3x -> 2x); values
+    #                            provably unchanged, re-verify anyway
     #
     # (2) THE promised rotation (r06 verdict #1): all 16 queries whose
     # newest driver row is round 2 — four rounds of shared-helper churn
@@ -6532,13 +6538,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "rdd_wordcount",
     "referential_audit",
     "repetition_signals",
-    "semdedup",
     # (displacement note for r08: the remaining r03-stale queries —
-    # sessionize, simhash_signatures, skipgram_pmi, skyline_parts,
+    # semdedup, sessionize, simhash_signatures, skipgram_pmi, skyline_parts,
     # term_drift, tfidf_top_terms, time_weighted_value, tumbling_window,
     # value_anomalies, window_running_revenue,
     # window_top_orders_per_customer, wordcount, wordcount_salted,
-    # zorder_locality — rotate these 14 next; after that no registry
+    # zorder_locality — rotate these 15 next; after that no registry
     # query's newest driver row is older than round 4.)
 )
 
