@@ -1795,7 +1795,14 @@ def entity_match_customers(
     candidates among the agreeing set — the blocking stage's own
     selectivity metric, mirrored exactly by the oracle.
     """
-    clean = t["customer"].select("c_custkey", "c_name")
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
+    # The one-small-file rescue (r07 one-task sweep): a single-split
+    # customer table makes BOTH gram explodes + their distinct partials
+    # run one-task (3 stages of 6-10 s at sf1.0 on one core). Plan-time
+    # no-op whenever the scan already has >= cores splits — i.e. always
+    # at real scale.
+    clean = ensure_parallelism(t["customer"].select("c_custkey", "c_name"))
     pos = (F.col("c_custkey") % 8).cast("int")
     dirty = clean.where(F.col("c_custkey") % 3 == 0).select(
         (F.col("c_custkey") + 1_000_000).alias("dirty_id"),
@@ -1843,8 +1850,9 @@ def entity_match_customers(
     # partitioning (so the optimizer keeps it) while remaining a subset
     # of the agreement-aggregate's group keys (so the whole expand→
     # vote→verify chain runs on these N partitions with no further
-    # exchange). With this pin + the agreement prefilter the sf1.0
-    # query went 142 s (r06) → 10.5 s (SCALE.md r7).
+    # exchange). With this pin + the agreement prefilter + the
+    # one-small-file scan rescue the sf1.0 query went 142 s (r06) →
+    # 9.0 s (SCALE.md r7).
     n_par = clean.sparkSession.sparkContext.defaultParallelism
     block_keys = block_keys.repartition(n_par, F.col("dirty_id"), F.col("n_block"))
     # vote: one row per (dirty record, clean record, shared blocking

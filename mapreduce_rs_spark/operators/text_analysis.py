@@ -1166,6 +1166,12 @@ def bigram_surprisal_scores(
     two 1-row totals broadcast as usual.
     """
     from mapreduce_rs_spark.operators.materialize import materialize
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
+    # One-small-file rescue (r07 one-task sweep; see
+    # dsir_importance_weights): parallelize both tokenize legs when the
+    # corpus arrives as fewer splits than cores. No-op at real scale.
+    df = ensure_parallelism(df)
 
     pair_tf = materialize(
         df.select("doc_id", F.explode(token_ngrams("text", 2)).alias("pair"))
@@ -1344,6 +1350,14 @@ def dsir_importance_weights(
     """
     from mapreduce_rs_spark.functions.hashing import h32
     from mapreduce_rs_spark.operators.materialize import materialize
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
+    # One-small-file rescue (r07 one-task sweep): a single-split corpus
+    # makes the tokenize+explode+partial-agg leg run one-task (6 s on
+    # one core at sf1.0). No-op whenever splits >= cores — always at
+    # real scale, where this shuffle of raw text would be the wrong
+    # trade.
+    df = ensure_parallelism(df)
 
     # Tokenize ONCE into a materialized array column, then build both
     # gram families from it. Interpreted higher-order functions get no

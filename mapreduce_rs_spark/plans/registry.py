@@ -6479,8 +6479,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dsir_importance_weights", # r07 scan audit: 512-row bucket-model
     #                            materialization stops Catalyst cloning
     #                            the corpus-sized tf aggregation
-    #                            (checkpoint read 3x -> 2x); values
+    #                            (checkpoint read 3x -> 2x) + the
+    #                            one-small-file tokenize rescue; values
     #                            provably unchanged, re-verify anyway
+    "bigram_surprisal_scores", # r07: one-small-file tokenize rescue
+    #                            (ensure_parallelism — pure
+    #                            repartition, values unchanged)
     #
     # (2) THE promised rotation (r06 verdict #1): all 16 queries whose
     # newest driver row is round 2 — four rounds of shared-helper churn
@@ -6537,13 +6541,13 @@ _CHECK_FIRST: tuple[str, ...] = (
     "range_join_price_bands",
     "rdd_wordcount",
     "referential_audit",
-    "repetition_signals",
     # (displacement note for r08: the remaining r03-stale queries —
-    # semdedup, sessionize, simhash_signatures, skipgram_pmi, skyline_parts,
+    # repetition_signals, semdedup, sessionize, simhash_signatures,
+    # skipgram_pmi, skyline_parts,
     # term_drift, tfidf_top_terms, time_weighted_value, tumbling_window,
     # value_anomalies, window_running_revenue,
     # window_top_orders_per_customer, wordcount, wordcount_salted,
-    # zorder_locality — rotate these 15 next; after that no registry
+    # zorder_locality — rotate these 16 next; after that no registry
     # query's newest driver row is older than round 4.)
 )
 
