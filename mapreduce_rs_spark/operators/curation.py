@@ -103,7 +103,13 @@ def pack_sequences(df: DataFrame, budget: int = PACK_TOKEN_BUDGET) -> DataFrame:
     Output: per (lang, bin) doc count, token sum, and budget overshoot
     — all integers, so the oracle comparison is exact by construction.
     """
-    kept = curated_documents(df)
+    # one-small-file rescue (r07 one-task sweep: the gate's tokenize +
+    # fingerprint leg ran one-task on a single-split corpus; wrapped
+    # HERE rather than inside curated_documents to keep the blast
+    # radius to this query; no-op at scale)
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
+    kept = curated_documents(ensure_parallelism(df))
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")

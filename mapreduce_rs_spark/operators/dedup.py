@@ -460,7 +460,9 @@ def lsh_dedup_eval(
         .limit(cap)
         .select("doc_id")
     )
-    sh = df.select(
+    # one-small-file rescue (r07 one-task sweep: sh feeds several
+    # consumers, each clone re-shingled one-task; no-op at scale)
+    sh = ensure_parallelism(df.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.array_distinct(_shingles("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -604,7 +606,8 @@ def duplicate_spans(df: DataFrame, n: int = SPAN_N, min_docs: int = 2) -> DataFr
     except the final dup_fraction division.
     """
     toks = F.filter(tokens("text"), lambda t: t != "")
-    base = df.select(
+    # one-small-file rescue (r07 one-task sweep; no-op at scale)
+    base = ensure_parallelism(df.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.size(toks).alias("n_tokens"), F.col("text")
     )
     grams = base.select(

@@ -65,7 +65,14 @@ def map_reduce(
                 rows.extend(mapper(record))
             yield pd.DataFrame(rows, columns=["key", "value"])
 
-    pairs = df.mapInPandas(run_map, schema="key string, value string")
+    # One-small-file rescue (r07 one-task sweep): the reference's own
+    # trap is map_n == file count (src/bin/mrcoordinator.rs:13-16) —
+    # one input file means one map task no matter the worker count.
+    # This surface must not inherit it: spread the records when the
+    # scan has fewer splits than cores (plan-time no-op at real scale).
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
+    pairs = ensure_parallelism(df).mapInPandas(run_map, schema="key string, value string")
     if num_partitions is not None:
         # Mirrors the reference's explicit reduce_n routing
         # (hash(key) % reduce_n, src/mr/worker.rs:133-137,151); normally
@@ -109,9 +116,15 @@ def rdd_word_count(df: DataFrame, input_col: str = "text") -> DataFrame:
     Python lambdas run row-at-a-time. ``reduceByKey`` does combine
     map-side (the combiner the reference lacks), and ``sortByKey`` is
     the range-partitioned total sort of reference op 12. Result is
-    oracle-checked identical to the declarative flagship."""
+    oracle-checked identical to the declarative flagship.
+
+    One-small-file rescue (r07 one-task sweep): one input file = one
+    RDD partition = one flatMap task — the reference's map_n == file
+    count trap verbatim; spread first (plan-time no-op at scale)."""
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+
     counted = (
-        df.select(input_col).rdd
+        ensure_parallelism(df.select(input_col)).rdd
         .flatMap(lambda row: wc_map(row[0]))
         .map(lambda kv: (kv[0], 1))
         .reduceByKey(lambda a, b: a + b)

@@ -30,6 +30,7 @@ from mapreduce_rs_spark.functions.text import (
     token_ngrams,
     tokens,
 )
+from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
 # Tiny per-language stopword marker lists for the heuristic language ID.
 # Counting is done on the space-padded text so only whole tokens match.
@@ -138,9 +139,14 @@ def ngrams(df: DataFrame, n: int = 2) -> DataFrame:
     array without leaving the row, so the only shuffle is the final
     count groupBy. Replaces the round-1 positional self-join, which
     shuffled the full token stream once per extra gram — same result
-    (oracle hash-checked), strictly better plan at any scale."""
+    (oracle hash-checked), strictly better plan at any scale.
+
+    One-small-file rescue (r07 one-task sweep): a single-split corpus
+    serializes the n-gram expansion onto one core; no-op whenever the
+    scan already has >= cores splits — always at real scale."""
     return (
-        df.select(F.explode(token_ngrams("text", n)).alias("ngram"))
+        ensure_parallelism(df.select("text"))
+        .select(F.explode(token_ngrams("text", n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -297,7 +303,9 @@ def repetition_signals(df: DataFrame) -> DataFrame:
     )
     is_tok = F.col("kind") == "t"
     per_doc = (
-        df.select("doc_id", F.explode(tagged).alias("g"))
+        # one-small-file rescue (r07 one-task sweep; no-op at scale)
+        ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.explode(tagged).alias("g"))
         .select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
         .groupBy("doc_id", "kind", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -374,7 +382,9 @@ def chunk_documents(
         )
     )
     return (
-        df.where(F.size(F.filter(tokens("text"), lambda t: t != "")) > 0)
+        # one-small-file rescue (r07 one-task sweep; no-op at scale)
+        ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+        .where(F.size(F.filter(tokens("text"), lambda t: t != "")) > 0)
         .select("doc_id", chunk.alias("c"))
         .select(
             "doc_id",
@@ -549,7 +559,12 @@ def cdc_chunk_dedup(df: DataFrame, d: int = CDC_DIVISOR) -> DataFrame:
     the duplicate-chunk fraction (one exact-int division).
     """
     toks = F.filter(tokens("text"), lambda t: t != "")
-    base = df.where(F.size(toks) > 0).select("doc_id", toks.alias("tk"))
+    # one-small-file rescue (r07 one-task sweep; no-op at scale)
+    base = (
+        ensure_parallelism(df.select("doc_id", "text"), "doc_id")
+        .where(F.size(toks) > 0)
+        .select("doc_id", toks.alias("tk"))
+    )
     # Guard n < 2: Spark sequence(1, 0) DESCENDS to [1, 0] and
     # element_at(tk, 0) is a runtime error — single-token docs must
     # yield an empty boundary list (DuckDB range(1, 1) is [] natively).
@@ -667,7 +682,12 @@ def boilerplate_ngrams(
     document (left join from the doc spine keeps zero-token docs,
     NULL ratio).
     """
-    grams = df.select("doc_id", F.explode(token_ngrams("text", n)).alias("gram"))
+    # one-small-file rescue (r07 one-task sweep: grams feeds TWO
+    # consumers, so Catalyst clones the tokenize — BOTH clones ran
+    # one-task; no-op at scale)
+    grams = ensure_parallelism(df.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(token_ngrams("text", n)).alias("gram")
+    )
     boiler = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("dfreq"))
@@ -754,12 +774,16 @@ def bigram_pmi(df: DataFrame, min_pair: int = 3) -> DataFrame:
     Returns (w1, w2, n_xy, n_x, n_y, pmi) for pairs seen >= min_pair
     times.
     """
+    # one-small-file rescue (r07 one-task sweep: the bigram and unigram
+    # legs each re-tokenize, both one-task on a single-split corpus;
+    # no-op at scale)
+    src = ensure_parallelism(df.select("text"))
     grams = (
-        df.select(F.explode(token_ngrams("text", 2)).alias("ngram"))
+        src.select(F.explode(token_ngrams("text", 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("n_xy"))
     )
-    toks = explode_tokens(df)
+    toks = explode_tokens(src)
     uni = toks.groupBy("word").agg(F.count("*").alias("n_w"))
     totals = toks.agg(F.count("*").alias("t_uni")).crossJoin(
         grams.agg(F.sum("n_xy").alias("t_bi"))
@@ -814,13 +838,15 @@ def skipgram_pmi(df: DataFrame, window: int = 2, min_pair: int = 3) -> DataFrame
     pair_arrays = F.flatten(
         F.array(*[pairs_at_distance_of(F.col("tk"), d) for d in range(1, window + 1)])
     )
+    # one-small-file rescue (r07 one-task sweep; no-op at scale)
+    src = ensure_parallelism(df.select("text"))
     grams = (
-        df.select(tk.alias("tk"))
+        src.select(tk.alias("tk"))
         .select(F.explode(pair_arrays).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").alias("n_xy"))
     )
-    toks = explode_tokens(df)
+    toks = explode_tokens(src)
     uni = toks.groupBy("word").agg(F.count("*").alias("n_w"))
     totals = toks.agg(F.count("*").alias("t_uni")).crossJoin(
         grams.agg(F.sum("n_xy").alias("t_pairs"))
@@ -1166,7 +1192,6 @@ def bigram_surprisal_scores(
     two 1-row totals broadcast as usual.
     """
     from mapreduce_rs_spark.operators.materialize import materialize
-    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
     # One-small-file rescue (r07 one-task sweep; see
     # dsir_importance_weights): parallelize both tokenize legs when the
@@ -1350,7 +1375,6 @@ def dsir_importance_weights(
     """
     from mapreduce_rs_spark.functions.hashing import h32
     from mapreduce_rs_spark.operators.materialize import materialize
-    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
 
     # One-small-file rescue (r07 one-task sweep): a single-split corpus
     # makes the tokenize+explode+partial-agg leg run one-task (6 s on
@@ -1669,7 +1693,10 @@ def feature_hashing_stats(docs: DataFrame, dim: int = FH_DIM) -> DataFrame:
     """
     from mapreduce_rs_spark.functions.hashing import h32
 
-    tok = explode_tokens(docs, "text", "doc_id")
+    # one-small-file rescue (r07 one-task sweep; no-op at scale)
+    tok = explode_tokens(
+        ensure_parallelism(docs.select("doc_id", "text"), "doc_id"), "text", "doc_id"
+    )
     hashed = tok.select(
         "doc_id",
         "word",

@@ -6485,6 +6485,22 @@ _CHECK_FIRST: tuple[str, ...] = (
     "bigram_surprisal_scores", # r07: one-small-file tokenize rescue
     #                            (ensure_parallelism — pure
     #                            repartition, values unchanged)
+    # r07 one-task sweep: the same rescue applied to every query the
+    # sf1.0 sweep flagged (one-task stage > 3 s from a single-split
+    # corpus scan). Pure repartitions, values unchanged; rotated in
+    # because their plans changed. (The flagged queries already in
+    # this window — bigrams, boilerplate_ngrams, chunk_documents,
+    # bigram_pmi, curation_yield_signals, lsh_dedup_eval,
+    # pack_sequences — are re-checked by their existing slots.)
+    "skipgram_pmi",
+    "repetition_signals",
+    "duplicate_spans",
+    "cdc_chunk_dedup",
+    "feature_hashing_stats",
+    "wordcount_mapreduce_udf",
+    "rdd_wordcount",           # same rescue on the RDD twin (one file
+    #                            = one flatMap task, the reference's
+    #                            own map_n trap)
     #
     # (2) THE promised rotation (r06 verdict #1): all 16 queries whose
     # newest driver row is round 2 — four rounds of shared-helper churn
@@ -6534,20 +6550,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "mixture_sample",
     "mixture_weights",
     "ohlc_bars",
-    "pagerank_trade_flows",
-    "pq_code_histogram",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "range_join_price_bands",
-    "rdd_wordcount",
-    "referential_audit",
     # (displacement note for r08: the remaining r03-stale queries —
-    # repetition_signals, semdedup, sessionize, simhash_signatures,
-    # skipgram_pmi, skyline_parts,
+    # pagerank_trade_flows, pq_code_histogram, q1_pricing_summary,
+    # q3_shipping_priority, range_join_price_bands, referential_audit,
+    # semdedup, sessionize, simhash_signatures, skyline_parts,
     # term_drift, tfidf_top_terms, time_weighted_value, tumbling_window,
     # value_anomalies, window_running_revenue,
     # window_top_orders_per_customer, wordcount, wordcount_salted,
-    # zorder_locality — rotate these 16 next; after that no registry
+    # zorder_locality — rotate these 20 next; after that no registry
     # query's newest driver row is older than round 4.)
 )
 

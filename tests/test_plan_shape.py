@@ -77,7 +77,13 @@ def test_ngrams_has_no_join(spark, sf_dir):
     for n in (2, 3):
         plan = _plan(ngrams(load_table(spark, sf_dir, "documents"), n))
         assert "Join" not in plan, f"n={n} plan regressed to a join"
-        assert plan.count("Exchange") == 1, f"n={n}: expected only the groupBy shuffle"
+        # the groupBy shuffle + (locally only) the one-small-file
+        # rescue's round-robin spread before the gram expansion — the
+        # rescue is a plan-time no-op once the scan has >= cores splits
+        assert plan.count("Exchange hashpartitioning") == 1, (
+            f"n={n}: expected only the groupBy shuffle"
+        )
+        assert plan.count("Exchange") <= 2, f"n={n}: unexpected extra shuffle"
 
 
 def test_jaccard_tokenizes_corpus_once(spark, sf_dir):
@@ -192,7 +198,7 @@ _SCALE_GUARDS = {
     # per-user agg (the sessionize shape)
     "ewma_value": (1, 0),
     # dim-key agg; the two count-distincts make it two-phase
-    "feature_hashing_stats": (2, 0),
+    "feature_hashing_stats": (3, 0),  # +1: local-only one-small-file rescue (r07)
     # (layout, file) agg + 3-key layout rollup; bounds broadcast
     "zone_map_pruning": (2, 0),
     # pure narrow mapInPandas window fan-out — NO shuffle at all
@@ -300,7 +306,7 @@ _SCALE_GUARDS = {
     # every exchange on doc_id/lang/gram keys, never a wide row
     "curation_yield_signals": (8, 0),
     # pure narrow sequence+slice chunker: zero shuffles, zero joins
-    "chunk_documents": (0, 0),
+    "chunk_documents": (1, 0),  # the local-only one-small-file rescue (r07); narrow otherwise
     # Arrow-batched synthesize->decode stages: strictly narrow, the
     # whole point of mapInPandas for megabyte payloads
     "png_decode_stats": (0, 0),
@@ -392,7 +398,7 @@ _SCALE_GUARDS = {
     # evaluation harness composing truth (shingle join over the bounded
     # 10% sample) + the LSH pipeline + 3 count aggregates — the
     # ann_recall pattern for the dedup family
-    "lsh_dedup_eval": (11, 0),
+    "lsh_dedup_eval": (12, 0),  # +1: local-only one-small-file rescue (r07)
     # one (hour, type) exchange; exact percentile sorts within groups
     "hourly_percentile_bands": (1, 0),
     # word-count agg + pair agg; the top-k window runs SinglePartition
@@ -448,7 +454,7 @@ _SCALE_GUARDS = {
     # the islands window and span/doc rollups + the base join-back;
     # flagged positions come back via a left-semi equi-join on the
     # 8-byte hash — never a text self-join
-    "duplicate_spans": (3, 0),
+    "duplicate_spans": (4, 0),  # +1: local-only one-small-file rescue (r07)
     # theta sketch: the ONLY event-scale stages (distinct day-user agg,
     # per-day top-k window) are inside the two materialize() builds and
     # never appear in the assembled plan; every counted exchange below
