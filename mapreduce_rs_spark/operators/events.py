@@ -2328,6 +2328,105 @@ def kmv_quantile_sketch(
     )
 
 
+def kmv_quantile_rollup_merge(
+    t: dict[str, DataFrame],
+    k: int = QSKETCH_K,
+    quantiles_bp: tuple[int, ...] = QSKETCH_QUANTILES_BP,
+) -> DataFrame:
+    """Quantile-sketch MERGEABILITY as a first-class rollup — the KMV
+    twin of ``hll_rollup_merge``: compute the k-smallest-hash row
+    sample ONCE at the fine (event_type, day) grain, then roll it up
+    to weeks by UNION + re-take-k ALONE — never re-touching the raw
+    stream. The day-grain sample table (types × days × ≤k rows) is the
+    persisted artifact; every coarser grain's quantiles are a window
+    over kilobytes, not a re-scan of the corpus.
+
+    The query PROVES the claim instead of asserting it: min-k under
+    the (h, event_id) total order is associative, so the merged week
+    sample is the SAME ROW SET as the week sample taken straight from
+    raw — est_merged and est_direct (the evaluation twin, dropped in
+    production) are emitted side by side and the oracle hash flags any
+    drift bit-for-bit. This is the property that lets daily sketch
+    tables serve month/quarter/ad-hoc-range quantiles at 100 TB.
+
+    Determinism discipline (the kmv_quantile_sketch contract): exact
+    integer cents throughout; the quantile crossing is an integer
+    cross-multiplication; the only float is ONE division by a literal,
+    identical on both legs and both engines.
+    """
+    ev = t["events"].select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "event_id",
+        (money("value") * 100).cast("long").alias("cents"),
+        h64(F.col("event_id").cast("string")).alias("h"),
+    )
+    # the ONE corpus-scale pass: per-(type, day) k-smallest-hash rows
+    # (WindowGroupLimit caps per-partition state at k BEFORE the
+    # exchange, as in kmv_quantile_sketch)
+    w_day = Window.partitionBy("event_type", "day").orderBy("h", "event_id")
+    day_sk = (
+        ev.withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") <= k)
+        .select("week", "event_type", "event_id", "cents", "h")
+    )
+    # rollup WITHOUT raw data: day → week by union + re-take-k
+    w_week = Window.partitionBy("event_type", "week").orderBy("h", "event_id")
+    merged = (
+        day_sk.withColumn("rn", F.row_number().over(w_week))
+        .where(F.col("rn") <= k)
+        .select("week", "event_type", "event_id", "cents")
+    )
+    # evaluation twin: the week sample straight from raw — dropped in
+    # production, kept so the oracle hash pins the merge identity
+    direct = (
+        ev.withColumn("rn", F.row_number().over(w_week))
+        .where(F.col("rn") <= k)
+        .select("week", "event_type", "event_id", "cents")
+    )
+    q_arr = F.array(*[F.lit(q).cast("int") for q in quantiles_bp])
+
+    def estimate(sample: DataFrame, alias: str) -> DataFrame:
+        w_rank = Window.partitionBy("week", "event_type").orderBy("cents", "event_id")
+        ranked = sample.select(
+            "week",
+            "event_type",
+            "cents",
+            F.row_number().over(w_rank).alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("week", "event_type"))
+            .cast("long")
+            .alias("n_sk"),
+        )
+        return (
+            ranked.select(
+                "week", "event_type", "cents", "r", "n_sk",
+                F.explode(q_arr).alias("q_bp"),
+            )
+            .where(F.col("r").cast("long") * 10000 >= F.col("q_bp").cast("long") * F.col("n_sk"))
+            .groupBy("week", "event_type", "q_bp")
+            .agg(
+                F.min_by("cents", "r").alias(f"{alias}_cents"),
+                F.min("n_sk").cast("long").alias(f"n_{alias}"),
+            )
+        )
+
+    return (
+        estimate(merged, "merged")
+        .join(estimate(direct, "direct"), ["week", "event_type", "q_bp"])
+        .select(
+            "week",
+            "event_type",
+            "q_bp",
+            "n_merged",
+            "n_direct",
+            (F.col("merged_cents").cast("double") / 100.0).alias("est_merged"),
+            (F.col("direct_cents").cast("double") / 100.0).alias("est_direct"),
+        )
+    )
+
+
 # Chi-square drift: micro-unit quantization of the per-bucket terms
 # (the temperature_mixture recipe — quantize each term, sum exactly).
 CHI2_SCALE = 1_000_000

@@ -5538,6 +5538,96 @@ def _kmv_quantile_sql() -> str:
         """
 
 
+def _kmv_rollup_sql() -> str:
+    """Oracle twin of events.kmv_quantile_rollup_merge: day-grain
+    k-smallest-hash samples rolled up to weeks by union + re-take-k vs
+    the week sample straight from raw — the hash pins the merge
+    identity bit-for-bit (min-k under the (h, event_id) total order is
+    associative). Same construction as _kmv_quantile_sql: integer
+    cents, integer rank crossing, one UNION leg per quantile."""
+    k = events.QSKETCH_K
+
+    def legs(src: str, alias: str) -> str:
+        return "\n            UNION ALL\n            ".join(
+            f"""SELECT week, event_type, CAST({q} AS INTEGER) AS q_bp,
+                       cents AS {alias}_cents, n_sk AS n_{alias} FROM (
+                SELECT week, event_type, cents, n_sk,
+                       row_number() OVER (PARTITION BY week, event_type
+                                          ORDER BY r) AS rn2
+                FROM {src} WHERE r * 10000 >= {q} * n_sk) {alias}{q}
+            WHERE rn2 = 1"""
+            for q in events.QSKETCH_QUANTILES_BP
+        )
+
+    return f"""
+        WITH ev AS (
+            SELECT date_trunc('week', ts) AS week,
+                   date_trunc('day', ts) AS day,
+                   event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                   {h64_sql("CAST(event_id AS VARCHAR)")} AS h
+            FROM events
+        ), day_sk AS (
+            SELECT week, event_type, event_id, cents, h FROM (
+                SELECT week, event_type, event_id, cents, h,
+                       row_number() OVER (PARTITION BY event_type, day
+                                          ORDER BY h, event_id) AS rn
+                FROM ev) s WHERE rn <= {k}
+        ), merged AS (
+            SELECT week, event_type, event_id, cents FROM (
+                SELECT week, event_type, event_id, cents,
+                       row_number() OVER (PARTITION BY event_type, week
+                                          ORDER BY h, event_id) AS rn
+                FROM day_sk) s WHERE rn <= {k}
+        ), direct AS (
+            SELECT week, event_type, event_id, cents FROM (
+                SELECT week, event_type, event_id, cents,
+                       row_number() OVER (PARTITION BY event_type, week
+                                          ORDER BY h, event_id) AS rn
+                FROM ev) s WHERE rn <= {k}
+        ), m_ranked AS (
+            SELECT week, event_type, cents,
+                   row_number() OVER (PARTITION BY week, event_type
+                                      ORDER BY cents, event_id) AS r,
+                   CAST(count(*) OVER (PARTITION BY week, event_type)
+                        AS BIGINT) AS n_sk
+            FROM merged
+        ), d_ranked AS (
+            SELECT week, event_type, cents,
+                   row_number() OVER (PARTITION BY week, event_type
+                                      ORDER BY cents, event_id) AS r,
+                   CAST(count(*) OVER (PARTITION BY week, event_type)
+                        AS BIGINT) AS n_sk
+            FROM direct
+        ), est_m AS (
+            {legs("m_ranked", "merged")}
+        ), est_d AS (
+            {legs("d_ranked", "direct")}
+        )
+        SELECT m.week, m.event_type, m.q_bp,
+               CAST(m.n_merged AS BIGINT) AS n_merged,
+               CAST(d.n_direct AS BIGINT) AS n_direct,
+               CAST(m.merged_cents AS DOUBLE) / 100.0 AS est_merged,
+               CAST(d.direct_cents AS DOUBLE) / 100.0 AS est_direct
+        FROM est_m m JOIN est_d d ON m.week = d.week
+                                 AND m.event_type = d.event_type
+                                 AND m.q_bp = d.q_bp
+        """
+
+
+QUERIES["kmv_quantile_rollup_merge"] = QuerySpec(
+    _tables(events.kmv_quantile_rollup_merge),
+    None,  # replaced below — parameter-derived twin
+    "quantile-sketch mergeability as a rollup: day-grain k-smallest-hash "
+    "samples roll up to weeks by union + re-take-k alone (no raw "
+    "re-scan); the direct-from-raw week estimate is emitted alongside "
+    "so the oracle hash pins merged == direct bit-for-bit",
+)
+QUERIES["kmv_quantile_rollup_merge"] = dataclasses.replace(
+    QUERIES["kmv_quantile_rollup_merge"], oracle=_kmv_rollup_sql()
+)
+
+
 QUERIES["bm25_scores"] = QuerySpec(
     _docs(ta.bm25_scores),
     f"""
@@ -6430,6 +6520,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     # (ab_test_conversion emits a single row — no sort needed, the
     # lsh_dedup_eval precedent.)
     "kmv_quantile_sketch": ("event_type", "q_bp"),
+    "kmv_quantile_rollup_merge": ("week", "event_type", "q_bp"),
     "asof_customer_maturity": ("orders_so_far",),
     "value_drift_chi2": ("event_type",),
     "dp_noisy_counts": ("event_type",),
@@ -6470,6 +6561,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     # ---- round-7 window (50 slots). Built per the r06 verdict:
     #
     # (1) MODIFIED in round 7 — external re-check required:
+    # (1b) NEW in round 7 — never externally checked:
+    "kmv_quantile_rollup_merge",  # day->week KMV sample rollup; the
+    #                               oracle hash pins merged == direct
+    #                               (the hll_rollup_merge twin for the
+    #                               quantile family)
     "entity_match_customers",  # r06 verdict #3: 2-of-K gram-agreement
     #                            prefilter before Levenshtein + the
     #                            pinned-N repartition (cuts the sf1.0
@@ -6549,15 +6645,14 @@ _CHECK_FIRST: tuple[str, ...] = (
     "minhash_signatures",
     "mixture_sample",
     "mixture_weights",
-    "ohlc_bars",
     # (displacement note for r08: the remaining r03-stale queries —
-    # pagerank_trade_flows, pq_code_histogram, q1_pricing_summary,
+    # ohlc_bars, pagerank_trade_flows, pq_code_histogram, q1_pricing_summary,
     # q3_shipping_priority, range_join_price_bands, referential_audit,
     # semdedup, sessionize, simhash_signatures, skyline_parts,
     # term_drift, tfidf_top_terms, time_weighted_value, tumbling_window,
     # value_anomalies, window_running_revenue,
     # window_top_orders_per_customer, wordcount, wordcount_salted,
-    # zorder_locality — rotate these 20 next; after that no registry
+    # zorder_locality — rotate these 21 next; after that no registry
     # query's newest driver row is older than round 4.)
 )
 

@@ -67,6 +67,7 @@ EVENT_QUERIES = (
     "erasure_plan",
     "ab_test_conversion",
     "kmv_quantile_sketch",
+    "kmv_quantile_rollup_merge",
     "value_drift_chi2",
     "dp_noisy_counts",
     "rollup_incremental_refresh",

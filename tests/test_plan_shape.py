@@ -481,6 +481,10 @@ _SCALE_GUARDS = {
     # crossing aggs on each branch (explode-crossing form measured at
     # 2 vs 6 for the naive per-quantile union)
     "kmv_quantile_sketch": (2, 0),
+    # day-sample window + week re-take window + the direct twin's raw
+    # window; quantile legs ride those exchanges (WindowGroupLimit caps
+    # per-partition state at k before each one)
+    "kmv_quantile_rollup_merge": (3, 0),
     # union-trick as-of: lineitem⋈orders custkey fetch + ONE custkey
     # carry window + maturity agg — replaces the time-range join that
     # would explode on active customers
