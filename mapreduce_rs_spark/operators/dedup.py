@@ -90,6 +90,23 @@ def minhash_signatures(df: DataFrame, k: int = MINHASH_SEEDS) -> DataFrame:
     return digests.groupBy("doc_id").agg(*aggs)
 
 
+def _banded(sigs: DataFrame, k: int = MINHASH_SEEDS, band_size: int = MINHASH_BAND_SIZE) -> DataFrame:
+    """(doc_id, band, band_key) from a signature table — the LSH
+    banding split shared by the self-join pair finder and the
+    incremental-ingest admission probe. One narrow explode; the
+    band_key is the comma-joined signature slice."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]).alias("band_key"),
+        )
+        for b in range(k // band_size)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = MINHASH_SEEDS,
@@ -115,16 +132,7 @@ def minhash_lsh_pairs(
     tests/test_materialize.py).
     """
     sigs = materialize(minhash_signatures(df, k), persist_dir, "minhash_sigs")
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[F.col(f"mh{b * band_size + j}").cast("string") for j in range(band_size)]).alias("band_key"),
-        )
-        for b in range(k // band_size)
-    ]
-    banded = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    banded = _banded(sigs, k, band_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -572,6 +580,159 @@ def incremental_ingest_dedup(df: DataFrame) -> DataFrame:
         F.count_if(F.col("dup_corpus")).alias("n_dup_vs_corpus"),
         F.count_if(~F.col("dup_corpus") & F.col("dup_batch")).alias("n_dup_in_batch"),
         F.count_if(~F.col("dup_corpus") & ~F.col("dup_batch")).alias("n_admitted"),
+    )
+
+
+# Near-dup ingest synthesis knobs (oracle mirrors all of these):
+# NEAR plants append one token — sources with doc_id % 20 == 0 are
+# corpus docs (0 % 10 < 8) and plant a near-dup-vs-CORPUS case;
+# % 20 == 9 are natural batch docs (9 >= 8) and plant a
+# near-dup-WITHIN-BATCH case. EXACT plants copy the text verbatim —
+# % 20 == 5 (corpus) plants an exact-dup-vs-corpus, % 20 == 19 (batch)
+# an exact echo within the batch. All four rejection branches are
+# exercised non-vacuously at every SF.
+INGEST_PLANT_MODS = (0, 9)
+INGEST_EXACT_PLANT_MODS = (5, 19)
+INGEST_PLANT_OFFSET = 1_000_000
+INGEST_PLANT_SUFFIX = " ingestnd"
+
+
+def incremental_ingest_neardup(df: DataFrame, persist_dir: str | None = None) -> DataFrame:
+    """Continuous ingestion with a NEAR-duplicate admission tier — the
+    missing half of ``incremental_ingest_dedup`` (r07 verdict #3): a
+    production curation loop admits a crawl batch only where it is
+    novel against the standing corpus by fingerprint AND by MinHash-LSH
+    similarity, without ever re-reading the corpus text.
+
+    Deterministic synthesis (the entity_match/PII discipline): the
+    split is ``doc_id % 10`` as in the exact variant, and near-dup
+    probes are PLANTED — every source doc with
+    ``doc_id % 20 in {0, 9}`` contributes a batch variant
+    (``doc_id + 1_000_000``, one token appended). Appending one token
+    adds a single shingle, so the variant's MinHash signature is almost
+    always identical to its source's → a guaranteed band collision
+    against the corpus (%20==0 sources) or against an earlier batch row
+    (%20==9 sources), making both near-dup branches non-vacuous.
+
+    Admission cascade per batch row (first rejection wins, counts are
+    disjoint and sum to n_batch):
+
+    1. exact duplicate vs corpus — fingerprint semi-join;
+    2. exact echo within the batch — not the min-doc_id of its
+       fingerprint group;
+    3. near-dup vs corpus — shares any (band, band_key) with the
+       corpus signature table;
+    4. near-dup within the batch — shares a band with a SMALLER-doc_id
+       batch row that itself survived stages 1-3 (the one-pass
+       band-representative rule: the survivor set is fixed by stages
+       1-3, not recomputed as stage 4 rejects — chain c~b~a resolves in
+       one shuffle instead of an iterative loop, and the kept set is
+       deterministic).
+
+    Scale shape: the corpus appears ONLY as (a) a distinct fingerprint
+    column and (b) its signature table — ``persist_dir`` persists the
+    signatures as the standing index artifact a nightly loop reuses
+    (the ``minhash_lsh_pairs`` materialization discipline); corpus text
+    never shuffles. The admission probes are (band, band_key)
+    equi-joins — batch-sized left side, never all-pairs. The
+    within-batch self-join is batch² bounded by band collisions, the
+    same envelope as ``minhash_lsh_pairs`` at batch scale.
+
+    Returns per-language accounting: batch size, each rejection tier,
+    rows admitted.
+    """
+    base = df.select("doc_id", "lang", "text")
+    corpus = base.where(F.col("doc_id") % 10 < 8)
+    near_plants = base.where((F.col("doc_id") % 20).isin(*INGEST_PLANT_MODS)).select(
+        (F.col("doc_id") + INGEST_PLANT_OFFSET).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(INGEST_PLANT_SUFFIX)).alias("text"),
+    )
+    exact_plants = base.where(
+        (F.col("doc_id") % 20).isin(*INGEST_EXACT_PLANT_MODS)
+    ).select((F.col("doc_id") + INGEST_PLANT_OFFSET).alias("doc_id"), "lang", "text")
+    batch = (
+        base.where(F.col("doc_id") % 10 >= 8)
+        .unionByName(near_plants)
+        .unionByName(exact_plants)
+    )
+
+    fp = text_fingerprint("text")
+    corpus_fps = corpus.select(fp.alias("fingerprint")).distinct()
+    batch_fp = batch.select("doc_id", "lang", fp.alias("fingerprint"))
+
+    # standing index artifact: the corpus band table (signatures are
+    # the thing a real loop persists; bands are a narrow derivation)
+    corpus_bands = materialize(
+        _banded(minhash_signatures(corpus)).select("band", "band_key").distinct(),
+        persist_dir,
+        "ingest_corpus_bands",
+    )
+    # batch bands feed two probes (corpus + self) — materialize once so
+    # Catalyst doesn't clone the shingle→md5 pipeline per consumer
+    batch_bands = materialize(
+        _banded(minhash_signatures(batch)), persist_dir, "ingest_batch_bands"
+    )
+
+    winners = batch_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    near_corpus_ids = (
+        batch_bands.join(corpus_bands, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    staged = (
+        batch_fp.join(
+            corpus_fps.select("fingerprint", F.lit(1).alias("in_corpus")),
+            "fingerprint",
+            "left",
+        )
+        .join(winners, "fingerprint")
+        .join(
+            near_corpus_ids.select("doc_id", F.lit(1).alias("near_c")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("in_corpus").isNotNull().alias("exact_corpus"),
+            (F.col("doc_id") != F.col("keep_doc_id")).alias("exact_batch"),
+            F.col("near_c").isNotNull().alias("near_corpus"),
+        )
+    )
+    # survivors of stages 1-3 anchor the within-batch probe's left side
+    survivors = staged.where(
+        ~F.col("exact_corpus") & ~F.col("exact_batch") & ~F.col("near_corpus")
+    ).select("doc_id")
+    near_batch_ids = (
+        batch_bands.alias("l")
+        .join(survivors.alias("s"), F.col("l.doc_id") == F.col("s.doc_id"), "left_semi")
+        .join(
+            batch_bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("r.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = staged.join(
+        near_batch_ids.select("doc_id", F.lit(1).alias("near_b")), "doc_id", "left"
+    ).select(
+        "lang",
+        "exact_corpus",
+        "exact_batch",
+        "near_corpus",
+        F.col("near_b").isNotNull().alias("near_batch"),
+    )
+    fresh = ~F.col("exact_corpus") & ~F.col("exact_batch")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_batch"),
+        F.count_if(F.col("exact_corpus")).alias("n_exact_vs_corpus"),
+        F.count_if(~F.col("exact_corpus") & F.col("exact_batch")).alias("n_exact_in_batch"),
+        F.count_if(fresh & F.col("near_corpus")).alias("n_near_vs_corpus"),
+        F.count_if(fresh & ~F.col("near_corpus") & F.col("near_batch")).alias("n_near_in_batch"),
+        F.count_if(fresh & ~F.col("near_corpus") & ~F.col("near_batch")).alias("n_admitted"),
     )
 
 

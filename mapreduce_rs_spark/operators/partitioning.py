@@ -21,13 +21,69 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _estimated_scan_splits(df: DataFrame, target: int) -> int | None:
+    """Estimate how many input splits the file scan under ``df`` will
+    produce, from the FILE INDEX alone — no physical planning, no RDD
+    conversion (ADVICE r07: ``df.rdd.getNumPartitions()`` at every call
+    site eagerly planned the upstream subtree and baked a build-time
+    count into the plan).
+
+    Mirrors ``FilePartition.maxSplitBytes``: each file pads
+    ``openCostInBytes``; the split size is
+    ``min(maxPartitionBytes, max(openCost, totalPadded/target))`` and
+    files pack greedily. Two consequences this relies on:
+
+    * ``len(files) >= target`` alone implies >= ~target partitions (the
+      per-file open cost stops small files collapsing into one split),
+      so the common at-scale case short-circuits before any size lookup;
+    * otherwise the handful of file sizes come from one Hadoop
+      ``getFileStatus`` each — metadata the driver's file index has
+      already touched to plan the scan at all.
+
+    Returns None when the plan has no file source (in-memory ranges,
+    streaming) — callers fall back to the RDD count.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= target:
+        return len(files)
+    try:
+        spark = df.sparkSession
+        conf = spark._jsc.hadoopConfiguration()
+        jvm = spark._jvm
+        sizes = []
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            sizes.append(p.getFileSystem(conf).getFileStatus(p).getLen())
+        open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        total = sum(sizes) + open_cost * len(sizes)
+        split = min(max_pb, max(open_cost, total // max(target, 1)))
+        return max(1, -(-total // split))  # ceil division
+    except Exception:
+        return None
+
+
 def ensure_parallelism(df: DataFrame, *cols: str, min_partitions: int | None = None) -> DataFrame:
-    """Repartition only if the plan currently has fewer partitions than
-    the cluster has cores — the 'one small file' rescue. ``cols`` keys
-    the redistribution (keeps later groupBys on the same keys local);
-    without cols, round-robin."""
+    """Repartition only if the scan under ``df`` will produce fewer
+    splits than the cluster has cores — the 'one small file' rescue.
+    ``cols`` keys the redistribution (keeps later groupBys on the same
+    keys local); without cols, round-robin.
+
+    The split count is read from the scan's file index (sizes +
+    open-cost packing, ``_estimated_scan_splits``), not from
+    ``df.rdd`` — so the check neither forces physical planning of the
+    subtree nor bakes a runtime-dependent partition count into the
+    plan; non-file sources fall back to the RDD count."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    splits = _estimated_scan_splits(df, target)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits >= target:
         return df
     return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
 

@@ -1744,12 +1744,23 @@ def _char_grams(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Entity-resolution tuning knobs. Module-level so the registry oracle
+# derives its SQL from the SAME constants the operator defaults to —
+# changing a knob here changes both sides together, and a caller who
+# overrides a parameter is visibly stepping outside the oracled
+# configuration (the _kmv_rollup_sql discipline).
+ER_K_BLOCK = 3          # rarest-K blocking grams per dirty record
+ER_DF_CAP = 1000        # hard bound on any single block's size
+ER_MAX_DIST = 2         # Levenshtein acceptance threshold
+MIN_BLOCK_AGREE = 2     # gram-agreement quorum (least(quorum, n_block))
+
+
 def entity_match_customers(
     t: dict[str, DataFrame],
-    k_block: int = 3,
-    df_cap: int = 1000,
-    max_dist: int = 2,
-    min_block_agree: int = 2,
+    k_block: int = ER_K_BLOCK,
+    df_cap: int = ER_DF_CAP,
+    max_dist: int = ER_MAX_DIST,
+    min_block_agree: int = MIN_BLOCK_AGREE,
 ) -> DataFrame:
     """Blocked fuzzy entity resolution — the record-linkage pass a data
     cleaning pipeline runs before joining third-party records.
@@ -1852,8 +1863,17 @@ def entity_match_customers(
     # vote→verify chain runs on these N partitions with no further
     # exchange). With this pin + the agreement prefilter + the
     # one-small-file scan rescue the sf1.0 query went 142 s (r06) →
-    # 9.0 s (SCALE.md r7).
-    n_par = clean.sparkSession.sparkContext.defaultParallelism
+    # 9.0 s (SCALE.md r7). The pin count is max(defaultParallelism,
+    # shuffle.partitions): build-time core count alone under-partitions
+    # the CPU-heavy chain when executors are added after planning
+    # (dynamic allocation) or the session sizes shuffles wider than the
+    # driver's core view — and since AQE is deliberately bypassed here,
+    # nothing would correct a too-small N at runtime (ADVICE r07).
+    sess = clean.sparkSession
+    n_par = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     block_keys = block_keys.repartition(n_par, F.col("dirty_id"), F.col("n_block"))
     # vote: one row per (dirty record, clean record, shared blocking
     # gram); the payload is ids-only so the big shuffle stays narrow

@@ -2019,6 +2019,94 @@ QUERIES: dict[str, QuerySpec] = {
         "the standing corpus (fingerprints-only anti join — corpus text never "
         "moves) and within itself",
     ),
+    "incremental_ingest_neardup": QuerySpec(
+        _docs(dedup.incremental_ingest_neardup),
+        # Synthesis knobs (plant mods / offset / suffix) are f-string
+        # derived from the dedup.py constants the operator uses, so the
+        # two sides cannot desynchronize. The signature/banding chain is
+        # the SAME builder minhash_lsh_pairs is oracled with, applied to
+        # the corpus∪batch union (one pass — the oracle mirrors values,
+        # not the operator's standing-artifact staging).
+        f"""
+        WITH src AS (
+            SELECT doc_id, lang, text FROM documents
+        ), plants AS (
+            SELECT doc_id + {dedup.INGEST_PLANT_OFFSET} AS doc_id, lang,
+                   text || '{dedup.INGEST_PLANT_SUFFIX}' AS text
+            FROM src WHERE doc_id % 20 IN {dedup.INGEST_PLANT_MODS}
+            UNION ALL
+            SELECT doc_id + {dedup.INGEST_PLANT_OFFSET} AS doc_id, lang, text
+            FROM src WHERE doc_id % 20 IN {dedup.INGEST_EXACT_PLANT_MODS}
+        ), batch AS (
+            SELECT doc_id, lang, text FROM src WHERE doc_id % 10 >= 8
+            UNION ALL
+            SELECT doc_id, lang, text FROM plants
+        ), all_docs AS (
+            SELECT doc_id, text FROM src WHERE doc_id % 10 < 8
+            UNION ALL
+            SELECT doc_id, text FROM batch
+        ), {_minhash_pairs_ctes(source="all_docs")}, corpus_bands AS (
+            SELECT DISTINCT band, band_key FROM banded
+            WHERE doc_id < {dedup.INGEST_PLANT_OFFSET} AND doc_id % 10 < 8
+        ), batch_bands AS (
+            SELECT bd.doc_id, bd.band, bd.band_key
+            FROM banded bd JOIN batch b ON bd.doc_id = b.doc_id
+        ), fps AS (
+            SELECT doc_id, {text_fingerprint_sql('text')} AS fingerprint
+            FROM all_docs
+        ), corpus_fps AS (
+            SELECT DISTINCT fingerprint FROM fps
+            WHERE doc_id < {dedup.INGEST_PLANT_OFFSET} AND doc_id % 10 < 8
+        ), batch_fp AS (
+            SELECT b.doc_id, b.lang, f.fingerprint
+            FROM batch b JOIN fps f ON b.doc_id = f.doc_id
+        ), winners AS (
+            SELECT fingerprint, min(doc_id) AS keep_doc_id
+            FROM batch_fp GROUP BY fingerprint
+        ), near_corpus AS (
+            SELECT DISTINCT bb.doc_id
+            FROM batch_bands bb JOIN corpus_bands cb
+              ON bb.band = cb.band AND bb.band_key = cb.band_key
+        ), staged AS (
+            SELECT b.doc_id, b.lang,
+                   (cf.fingerprint IS NOT NULL) AS exact_corpus,
+                   (b.doc_id != w.keep_doc_id) AS exact_batch,
+                   (nc.doc_id IS NOT NULL) AS near_corpus
+            FROM batch_fp b
+            JOIN winners w ON b.fingerprint = w.fingerprint
+            LEFT JOIN corpus_fps cf ON b.fingerprint = cf.fingerprint
+            LEFT JOIN near_corpus nc ON b.doc_id = nc.doc_id
+        ), survivors AS (
+            SELECT doc_id FROM staged
+            WHERE NOT exact_corpus AND NOT exact_batch AND NOT near_corpus
+        ), near_batch AS (
+            SELECT DISTINCT r.doc_id
+            FROM batch_bands l JOIN batch_bands r
+              ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+            WHERE l.doc_id IN (SELECT doc_id FROM survivors)
+        ), flagged AS (
+            SELECT s.lang, s.exact_corpus, s.exact_batch, s.near_corpus,
+                   (nb.doc_id IS NOT NULL) AS near_batch
+            FROM staged s LEFT JOIN near_batch nb ON s.doc_id = nb.doc_id
+        )
+        SELECT lang,
+               count(*) AS n_batch,
+               count(*) FILTER (WHERE exact_corpus) AS n_exact_vs_corpus,
+               count(*) FILTER (WHERE NOT exact_corpus AND exact_batch) AS n_exact_in_batch,
+               count(*) FILTER (WHERE NOT exact_corpus AND NOT exact_batch
+                                AND near_corpus) AS n_near_vs_corpus,
+               count(*) FILTER (WHERE NOT exact_corpus AND NOT exact_batch
+                                AND NOT near_corpus AND near_batch) AS n_near_in_batch,
+               count(*) FILTER (WHERE NOT exact_corpus AND NOT exact_batch
+                                AND NOT near_corpus AND NOT near_batch) AS n_admitted
+        FROM flagged GROUP BY lang ORDER BY lang
+        """,
+        "continuous ingestion with a MinHash-LSH near-dup admission tier: the "
+        "corpus appears only as fingerprints + its persisted band table (the "
+        "standing index artifact); planted one-token variants exercise both "
+        "the near-vs-corpus and near-within-batch rejection branches",
+    ),
     "pii_scrub_stats": QuerySpec(
         _docs(ta.pii_scrub_stats),
         f"""
@@ -4296,7 +4384,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "entity_match_customers": QuerySpec(
         _tables(relational.entity_match_customers),
-        """
+        # The four tuning knobs (rarest-K, df cap, quorum, max edit
+        # distance) are f-string-derived from the SAME relational.py
+        # constants the operator defaults to, so retuning cannot
+        # desynchronize the two sides (ADVICE r07; the _kmv_rollup_sql
+        # discipline).
+        f"""
         WITH clean AS (
             SELECT c_custkey, c_name FROM customer
         ), dirty AS (
@@ -4327,18 +4420,18 @@ QUERIES: dict[str, QuerySpec] = {
                 SELECT dirty_id, gram,
                        row_number() OVER (PARTITION BY dirty_id ORDER BY df, gram) AS rk
                 FROM dgrams JOIN dfreq USING (gram)
-                WHERE df <= 1000
-            ) WHERE rk <= 3
+                WHERE df <= {relational.ER_DF_CAP}
+            ) WHERE rk <= {relational.ER_K_BLOCK}
         ), cand AS (
             SELECT dirty_id, c_custkey
             FROM block_keys JOIN cgrams USING (gram)
             GROUP BY dirty_id, n_block, c_custkey
-            HAVING count(*) >= least(2, n_block)
+            HAVING count(*) >= least({relational.MIN_BLOCK_AGREE}, n_block)
         ), verified AS (
             SELECT dirty_id, c_custkey,
                    levenshtein(dirty_name, c_name) AS edit_dist
             FROM cand JOIN dirty USING (dirty_id) JOIN clean USING (c_custkey)
-            WHERE levenshtein(dirty_name, c_name) <= 2
+            WHERE levenshtein(dirty_name, c_name) <= {relational.ER_MAX_DIST}
         ), ranked AS (
             SELECT dirty_id, c_custkey, edit_dist,
                    row_number() OVER (PARTITION BY dirty_id
@@ -6445,6 +6538,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "rfm_segments": ("r_score", "f_score", "m_score"),
     "pii_scrub_stats": ("lang",),
     "incremental_ingest_dedup": ("lang",),
+    "incremental_ingest_neardup": ("lang",),
     "q18_large_orders": ("o_orderkey",),
     "q21_sole_late_supplier": ("s_suppkey",),
     "q4_order_priority_checking": ("o_orderpriority",),

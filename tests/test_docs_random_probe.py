@@ -58,6 +58,7 @@ DOC_QUERIES = (
     "leakage_safe_splits",
     "pii_scrub_stats",
     "incremental_ingest_dedup",
+    "incremental_ingest_neardup",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
     "bigram_surprisal_scores",

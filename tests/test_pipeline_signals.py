@@ -481,3 +481,37 @@ def test_bpe_train_merges_matches_pure_python_bpe(spark):
             sum(len(w) for w in words),
         )
     assert enc == exp_enc
+
+
+def test_incremental_ingest_neardup_classifies_planted_cases(spark):
+    """Intent test for the near-dup admission cascade: a hand-built
+    corpus where every rejection tier has exactly one known member.
+    ids are chosen against the operator's own %10 split and %20 plant
+    rules — 20 spawns a near-plant of a CORPUS doc, 29 a near-plant of
+    a BATCH doc, 25 an exact plant of a corpus doc, 39 an exact plant
+    of a batch doc, and 18 is plain novel batch content."""
+    from mapreduce_rs_spark.operators.dedup import incremental_ingest_neardup
+
+    def words(seed: str, n: int = 30) -> str:
+        return " ".join(f"{seed}{i} common{i % 5}" for i in range(n))
+
+    rows = [
+        (1, "en", words("alpha")),    # corpus filler
+        (2, "en", words("bravo")),    # corpus filler
+        (3, "en", words("charlie")),  # corpus filler
+        (20, "en", words("delta")),   # corpus; spawns NEAR plant 1000020
+        (25, "en", words("echo")),    # corpus; spawns EXACT plant 1000025
+        (18, "en", words("foxtrot")), # batch; novel -> admitted
+        (29, "en", words("golf")),    # batch; spawns NEAR plant 1000029
+        (39, "en", words("hotel")),   # batch; spawns EXACT plant 1000039
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    (out,) = incremental_ingest_neardup(df).collect()
+
+    # batch = {18, 29, 39} natural + 4 plants
+    assert out["n_batch"] == 7
+    assert out["n_exact_vs_corpus"] == 1   # 1000025 (copy of corpus 25)
+    assert out["n_exact_in_batch"] == 1    # 1000039 (copy of batch 39)
+    assert out["n_near_vs_corpus"] == 1    # 1000020 (~corpus 20)
+    assert out["n_near_in_batch"] == 1     # 1000029 (~batch survivor 29)
+    assert out["n_admitted"] == 3          # 18, 29, 39

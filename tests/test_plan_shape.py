@@ -332,6 +332,10 @@ _SCALE_GUARDS = {
     # winners agg + the two admission joins + final lang agg — all
     # keyed on the 16-byte fingerprint, never document text
     "incremental_ingest_dedup": (7, 0),
+    # near-dup admission cascade: two signature builds (corpus/batch,
+    # each checkpointed once), the fingerprint stages, and the two
+    # band-probe joins — all equi-joins, never all-pairs
+    "incremental_ingest_neardup": (9, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
