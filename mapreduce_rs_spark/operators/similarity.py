@@ -1478,6 +1478,91 @@ def label_centroid_drift(df: DataFrame) -> DataFrame:
     )
 
 
+# Integer refit threshold as an exact fraction: refit a list when
+# n_new * DEN >= n_before * NUM, i.e. growth >= NUM/DEN (30%). Integer
+# cross-multiply so the decision boolean can never flip on float ULP
+# between engines (the vocab_coverage threshold discipline).
+IVF_REFIT_GROWTH = (3, 10)
+
+
+def ivf_index_maintenance(df: DataFrame) -> DataFrame:
+    """IVF index lifecycle under ingest — the production gap between
+    "fitted index" and "index kept serving": a NEW vector batch
+    (deterministic split, ``vec_id % 10 >= 8``, the incremental-ingest
+    discipline) is assigned to the SHIPPED centroid literals, and each
+    inverted list reports what a serving system's maintenance loop
+    needs: growth, post-ingest centroid drift, and an integer-threshold
+    refit decision.
+
+    Per list: ``n_before`` / ``n_new`` / ``n_after`` membership counts;
+    ``growth_bp`` integer basis points (exact ``div``, NULL for lists
+    born this batch); ``drift_cos`` — cosine between the shipped
+    centroid literal and the post-ingest list SUM vector (scale
+    invariance makes the mean unnecessary; coordinates quantized to
+    integer micro-units and summed as BIGINTs — the
+    ``label_centroid_drift`` arithmetic, exact and
+    partition-invariant); ``refit_needed`` — growth >= 30% as an
+    integer cross-multiply (``IVF_REFIT_GROWTH``), true for some lists
+    and false for others at every test SF (both branches non-vacuous).
+
+    Scale shape: assignment (16 x 64-dim dots per vector, the
+    expensive narrow stage) is computed ONCE — counts and coordinate
+    sums both come from the same posexploded stream, aggregated per
+    (centroid, pos) with the membership tallies carried on the pos-0
+    rows, so Catalyst cannot clone the scoring subtree the way two
+    separate aggregates over the assignment would. State after the
+    first shuffle is |centroids| x dim integers regardless of corpus
+    size; the centroid literals ride along as a constant-folded
+    element_at lookup, never a join.
+    """
+    cents = centroids()
+    num, den = IVF_REFIT_GROWTH
+    marked = ivf_assign(df).withColumn("is_new", F.col("vec_id") % 10 >= 8)
+    per = (
+        marked.select(
+            "centroid_id",
+            "is_new",
+            F.posexplode(F.col("embedding").cast(_DBL)).alias("pos", "x"),
+        )
+        .select(
+            "centroid_id",
+            "is_new",
+            "pos",
+            F.round(F.col("x") * DRIFT_SCALE, 0).cast("long").alias("q"),
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count_if(~F.col("is_new")).alias("nb"),
+            F.count_if(F.col("is_new")).alias("nn"),
+        )
+    )
+    vec_of = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+    )
+    final = per.groupBy("centroid_id").agg(
+        vec_of.alias("vec"),
+        # every vector contributes one row per pos, so the membership
+        # tallies are identical across pos — read them off pos 0
+        F.max(F.when(F.col("pos") == 0, F.col("nb"))).alias("n_before"),
+        F.max(F.when(F.col("pos") == 0, F.col("nn"))).alias("n_new"),
+    )
+    cents_sql = "array(" + ",".join(_vec_sql(c) for c in cents) + ")"
+    cv = F.expr(f"element_at({cents_sql}, centroid_id + 1)")
+    lv = F.col("vec").cast(_DBL)
+    return final.select(
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        "n_before",
+        "n_new",
+        (F.col("n_before") + F.col("n_new")).alias("n_after"),
+        F.when(
+            F.col("n_before") > 0, F.expr("n_new * 10000 div n_before")
+        ).alias("growth_bp"),
+        (_dot_raw(lv, cv) / (_l2_raw(lv) * _l2_raw(cv))).alias("drift_cos"),
+        (F.col("n_new") * den >= F.col("n_before") * num).alias("refit_needed"),
+    )
+
+
 OUTLIER_TOP_K = 50
 
 

@@ -2579,6 +2579,50 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
         """,
     ),
+    "ivf_index_maintenance": QuerySpec(
+        _emb(similarity.ivf_index_maintenance),
+        # refit fraction + drift quantization are f-string-derived from
+        # the similarity.py constants the operator uses.
+        f"""{_ivf_assigned_cte()}, marked AS (
+            SELECT centroid_id, (vec_id % 10 >= 8) AS is_new, emb FROM assigned
+        ), q AS (
+            SELECT centroid_id, is_new, u.pos AS pos, u.q AS q FROM (
+                SELECT centroid_id, is_new,
+                       unnest(list_transform(range(1, len(emb) + 1),
+                              i -> struct_pack(pos := i,
+                                   q := CAST(round(emb[CAST(i AS INTEGER)]
+                                        * {float(similarity.DRIFT_SCALE)!r}, 0)
+                                        AS BIGINT)))) AS u
+                FROM marked
+            )
+        ), per AS (
+            SELECT centroid_id, pos, CAST(sum(q) AS BIGINT) AS s,
+                   count(*) FILTER (WHERE NOT is_new) AS nb,
+                   count(*) FILTER (WHERE is_new) AS nn
+            FROM q GROUP BY 1, 2
+        ), final AS (
+            SELECT centroid_id,
+                   list_transform(list(s ORDER BY pos), v -> CAST(v AS DOUBLE)) AS vec,
+                   CAST(max(CASE WHEN pos = 1 THEN nb END) AS BIGINT) AS n_before,
+                   CAST(max(CASE WHEN pos = 1 THEN nn END) AS BIGINT) AS n_new
+            FROM per GROUP BY centroid_id
+        ), cents AS (
+            {" UNION ALL ".join(f"SELECT {i} AS centroid_id, {_plane_literal(c)} AS cvec" for i, c in enumerate(_CENTROIDS))}
+        )
+        SELECT CAST(f.centroid_id AS INTEGER) AS centroid_id,
+               n_before, n_new, n_before + n_new AS n_after,
+               CASE WHEN n_before > 0 THEN (n_new * 10000) // n_before END AS growth_bp,
+               {_cosine_sql('f.vec', 'c.cvec')} AS drift_cos,
+               (n_new * {similarity.IVF_REFIT_GROWTH[1]}
+                >= n_before * {similarity.IVF_REFIT_GROWTH[0]}) AS refit_needed
+        FROM final f JOIN cents c ON f.centroid_id = c.centroid_id
+        """,
+        "IVF index lifecycle under ingest: per-list growth, post-ingest "
+        "centroid drift on exact integer micro-unit sums, and an integer "
+        "cross-multiplied refit decision — one pass over the assignment "
+        "stream (membership tallies ride the pos-0 rows, so the 16x64-dot "
+        "scoring subtree is never cloned)",
+    ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
         f"""{_ivf_assigned_cte()}, {_qids_cte()}, qprobe AS (
@@ -6465,6 +6509,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "lsh_buckets": ("bucket",),
     "knn_lsh": ("q_id", "rnk"),
     "ivf_histogram": ("centroid_id",),
+    "ivf_index_maintenance": ("centroid_id",),
     "knn_ivf": ("q_id", "rnk"),
     "knn_ivf_multiprobe": ("q_id", "rnk"),
     "embedding_near_dup": ("vec_a", "vec_b"),

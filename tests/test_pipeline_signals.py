@@ -515,3 +515,27 @@ def test_incremental_ingest_neardup_classifies_planted_cases(spark):
     assert out["n_near_vs_corpus"] == 1    # 1000020 (~corpus 20)
     assert out["n_near_in_batch"] == 1     # 1000029 (~batch survivor 29)
     assert out["n_admitted"] == 3          # 18, 29, 39
+
+
+def test_ivf_maintenance_branches_and_identities(spark, sf_dir):
+    """Both refit branches must be live at the test SF (a threshold
+    that never fires tests nothing), and the per-list report must be
+    internally consistent."""
+    from mapreduce_rs_spark.operators.similarity import (
+        IVF_REFIT_GROWTH,
+        ivf_index_maintenance,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    rows = ivf_index_maintenance(
+        load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    num, den = IVF_REFIT_GROWTH
+    assert any(r["refit_needed"] for r in rows)
+    assert any(not r["refit_needed"] for r in rows)
+    for r in rows:
+        assert r["n_after"] == r["n_before"] + r["n_new"]
+        assert r["refit_needed"] == (r["n_new"] * den >= r["n_before"] * num)
+        if r["n_before"] > 0:
+            assert r["growth_bp"] == (r["n_new"] * 10000) // r["n_before"]
+        assert -1.0 - 1e-9 <= r["drift_cos"] <= 1.0 + 1e-9

@@ -144,6 +144,10 @@ _SCALE_GUARDS = {
     "jaccard_pairs": (3, 0),              # df agg + pair agg + sizes joins
     "tfidf_top_terms": (2, 0),            # dfs agg + rank window (counts checkpointed)
     "knn_ivf": (3, 0),
+    # single-pass maintenance: (centroid,pos) partial-agg, per-centroid
+    # rollup, final join of the two k-row frames — one corpus scan
+    # (the 16x64-dot assignment subtree is never cloned)
+    "ivf_index_maintenance": (3, 0),
     "curation_yield_neardup": (4, 0),
     # round-3 TPC-H battery (measured at sf0.01; the 3-exchange entries
     # are the two SMJ sides of the lineitem⋈orders edge + the final agg —
@@ -681,3 +685,15 @@ def test_vocab_coverage_min_count_semantics(spark, sf_dir):
         assert r["covered_tokens"] == full[t]["covered_tokens"]
     with _pytest.raises(ValueError):
         vocab_coverage(docs, min_count=0)
+
+
+def test_ivf_maintenance_single_assignment_subtree(spark, sf_dir):
+    """ivf_index_maintenance computes membership tallies and coordinate
+    sums from ONE posexploded assignment stream — two separate
+    aggregates over the assignment would let Catalyst clone the
+    16x64-dot scoring subtree (the most expensive narrow stage),
+    doubling the corpus scan. Pin: exactly one parquet scan."""
+    from mapreduce_rs_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["ivf_index_maintenance"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
