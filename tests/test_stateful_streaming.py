@@ -271,3 +271,114 @@ def test_stateful_quantile_sketch_recovers_across_runs(spark, sf_dir, tmp_path):
             want[etype][9500],
             want[etype][9900],
         ), etype
+
+
+def test_stateful_latest_state_late_arrival_cannot_regress(spark, sf_dir, tmp_path):
+    """LATE data for the custom-state compactor (r07 verdict #7): the
+    NEWER half of the events arrives first; the OLDER half lands in a
+    later micro-batch (out-of-order at the batch grain). The op has no
+    watermark — latest-wins state must FOLD late rows in silently:
+
+    * a late row older than a user's held state emits nothing (the
+      monotone guarantee — state can never regress);
+    * exactly the users whose global latest event lives in the late
+      half (= users with no rows in the early half) emit in drain 2;
+    * the final compacted state equals the batch twin over ALL data,
+      as if arrival order had been chronological.
+    """
+    import datetime
+
+    import pyspark.sql.functions as SF
+    from mapreduce_rs_spark.streaming.stateful import stateful_latest_state
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(SF.max("ts")).collect()[0][0]
+    split_ts = cutoff - datetime.timedelta(hours=36)
+    inp = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    # NEWER half first...
+    events.where(SF.col("ts") >= SF.lit(split_ts)).coalesce(2).write.parquet(inp)
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+        return _drain(spark, stateful_latest_state(stream), out, ckpt)
+
+    first_rows = {(r.user_id, r.ts, r.event_id) for r in drain().collect()}
+    # ...then the OLDER half arrives late
+    events.where(SF.col("ts") < SF.lit(split_ts)).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    all_rows = drain().collect()
+    late_emissions = [
+        r for r in all_rows if (r.user_id, r.ts, r.event_id) not in first_rows
+    ]
+    # only users ABSENT from the early half can advance on late data
+    expect_late_users = {
+        r.user_id
+        for r in events.groupBy("user_id")
+        .agg(SF.max("ts").alias("mx"))
+        .where(SF.col("mx") < SF.lit(split_ts))
+        .collect()
+    }
+    assert {r.user_id for r in late_emissions} == expect_late_users
+    # every late emission is itself older than the split (it IS late data)
+    assert all(r.ts < split_ts for r in late_emissions)
+    # and the compaction equals the batch twin over the full union
+    assert _compact(all_rows) == _batch_latest(spark, sf_dir)
+
+
+def test_stateful_quantile_sketch_arrival_order_invariant(spark, sf_dir, tmp_path):
+    """OUT-OF-ORDER arrival for the streaming quantile sketch (r07
+    verdict #7): the same three time slices drained chronologically vs
+    NEWEST-FIRST (so the two older slices are late) must converge to
+    the IDENTICAL final emission per type, equal to the batch
+    kmv_quantile_sketch — the mergeable-sketch property is what makes
+    the op watermark-free, so arrival order must be provably
+    irrelevant, not assumed."""
+    import datetime
+
+    import pyspark.sql.functions as SF
+    from mapreduce_rs_spark.operators.events import kmv_quantile_sketch
+    from mapreduce_rs_spark.streaming.stateful import stateful_quantile_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    hi = events.agg(SF.max("ts")).collect()[0][0]
+    c1, c2 = (hi - datetime.timedelta(hours=48), hi - datetime.timedelta(hours=24))
+    slices = [
+        events.where(SF.col("ts") < SF.lit(c1)),
+        events.where((SF.col("ts") >= SF.lit(c1)) & (SF.col("ts") < SF.lit(c2))),
+        events.where(SF.col("ts") >= SF.lit(c2)),
+    ]
+    assert all(s.count() > 0 for s in slices)
+
+    def run(order, tag):
+        inp = str(tmp_path / f"in_{tag}")
+        out, ckpt = str(tmp_path / f"out_{tag}"), str(tmp_path / f"ck_{tag}")
+        final = {}
+        for s in order:
+            s.coalesce(1).write.mode("append").parquet(inp)
+            stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+            got = _drain(spark, stateful_quantile_sketch(stream), out, ckpt)
+            for r in got.collect():
+                if r.event_type not in final or r.n_seen > final[r.event_type][0]:
+                    final[r.event_type] = (
+                        r.n_seen,
+                        r.est_p50_cents,
+                        r.est_p95_cents,
+                        r.est_p99_cents,
+                    )
+        return final
+
+    fwd = run(slices, "fwd")
+    rev = run(list(reversed(slices)), "rev")  # older slices arrive LATE
+    assert fwd == rev
+    want = {}
+    for r in kmv_quantile_sketch(load_tables(spark, sf_dir)).collect():
+        want.setdefault(r.event_type, {})[r.q_bp] = int(round(r.est_value * 100))
+    assert sum(v[0] for v in fwd.values()) == events.count()
+    for etype, (_, p50, p95, p99) in fwd.items():
+        assert (p50, p95, p99) == (
+            want[etype][5000],
+            want[etype][9500],
+            want[etype][9900],
+        ), etype
