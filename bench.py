@@ -18,7 +18,12 @@ probe timed before/after the suite vs its cooled cross-round reference)
 so machine contention is readable from the artifact itself instead of
 from prose — see BASELINE.md "Reading BENCH_r{N}.json". r01-r05 values
 are single-shot; best-of-2 compares cleanly against their COOLED runs
-(BASELINE.md records those).
+(BASELINE.md records those). Since round 8 each timed pass starts with
+a Python-worker pool warm-up: Spark reaps idle Python workers after a
+hardcoded 60 s, so the mapInPandas codec members (gif/jpeg) otherwise
+measured pool-respawn cost (0.95 <-> 4.0 s swing) instead of plan cost
+— the gif_frame_stats variance channel, settled in BASELINE.md's r08
+note.
 
 What is timed is the OPERATOR form (QuerySpec.fn): since round 3 the
 deterministic presentation orderBy each registry query carries for the
@@ -135,6 +140,24 @@ def main() -> None:
     # measure the plans, not first-touch overheads.
     run_full_plan("wordcount")
 
+    def warm_python_pool() -> None:
+        # Python-worker pool warm-up (r07 verdict #2, the gif_frame_stats
+        # variance channel): Spark reaps idle Python workers after a
+        # HARDCODED 1 minute, so a codec member's measured time swings
+        # 0.95 <-> 4.0 s (measured, BASELINE.md r08 A/B) depending on how
+        # long the suite's JVM-only stretch before it ran — pool-respawn
+        # cost, not plan cost, and at 100 TB workers amortize to zero.
+        # One 32-partition identity mapInPandas forces a full pool spawn
+        # right before each timed pass, so every pass meets a warm pool
+        # (pool decay WITHIN a pass is bounded: the longest JVM-only
+        # stretch between Python members is ~25 s < the 60 s reaper).
+        def ident(it):
+            yield from it
+
+        spark.range(0, 32, 1, 32).mapInPandas(ident, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     # Self-calibration against machine contention (r05 verdict #5): the
     # r05 driver read was ~1.5x inflated by co-tenant load and only
     # out-of-band prose could deflate it. Two instruments, in-band:
@@ -147,6 +170,7 @@ def main() -> None:
     wc_pre = run_full_plan("wordcount")
     passes: list[dict[str, float]] = []
     for _ in range(2):
+        warm_python_pool()
         passes.append({name: run_full_plan(name) for name in HEADLINE})
     wc_post = run_full_plan("wordcount")
 
