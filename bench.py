@@ -107,6 +107,12 @@ HEADLINE = (
     # definition.
     "entity_match_customers",    # blocked ER: rarest-K grams + 2-of-K agreement vote
     "vocab_coverage",            # count-bin two-phase coverage (r06 rewrite)
+    # round-8 extension (BASELINE.md, r07 verdict #3/#4): the round's
+    # two new operator families. Prior definitions (9 / 12 / 15 / 18 /
+    # 21 / 24 / 27 / 29) remain comparable PREFIXES; compare totals
+    # only within one definition.
+    "incremental_ingest_neardup",  # LSH admission cascade: 2 sig builds + band probes
+    "ivf_index_maintenance",       # single-pass assignment rollup + drift
 )
 
 
@@ -116,7 +122,11 @@ HEADLINE = (
 # calibration read far above ~1.0 means the MACHINE was loaded during
 # the run (the r05 driver read was ~1.5x inflated by exactly this) —
 # deflate the suite total accordingly before comparing across rounds.
+# The sf1.0 reference makes the standing sf1.0 record (SCALE.md, r07
+# verdict #5) self-calibrating the same way: 0.79 s is the r06/r07
+# cooled best-of-2 on this machine's sf1.0 replica corpus.
 WORDCOUNT_REF_SEC = 0.61
+WORDCOUNT_REF_BY_SF = {"0.1": WORDCOUNT_REF_SEC, "1.0": 0.79}
 
 
 def main() -> None:
@@ -180,10 +190,11 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     probe = min(wc_pre, wc_post)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # the probe reference is an sf0.1 measurement — at any other SF the
-    # probe times are still reported but the ratio would conflate data
-    # scale with machine load, so the index is only computed at sf0.1
-    index = round(probe / WORDCOUNT_REF_SEC, 2) if sf == "0.1" else None
+    # probe references are per-SF cooled measurements; at an SF without
+    # one the probe times are still reported but the ratio would
+    # conflate data scale with machine load, so no index is computed
+    ref = WORDCOUNT_REF_BY_SF.get(sf)
+    index = round(probe / ref, 2) if ref else None
     print(
         json.dumps(
             {
@@ -196,7 +207,7 @@ def main() -> None:
                     "definition": "per-query best-of-2 across two full passes",
                     "wordcount_probe_pre": wc_pre,
                     "wordcount_probe_post": wc_post,
-                    "wordcount_ref_sec": WORDCOUNT_REF_SEC,
+                    "wordcount_ref_sec": ref,
                     # >1 means the machine ran this suite slower than
                     # the cooled reference; divide `value` by this for
                     # a contention-adjusted cross-round comparison.

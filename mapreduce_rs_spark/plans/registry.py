@@ -6697,102 +6697,91 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-7 window (50 slots). Built per the r06 verdict:
+    # ---- round-8 window (50 slots). Built per the r07 verdict:
     #
-    # (1) MODIFIED in round 7 — external re-check required:
-    # (1b) NEW in round 7 — never externally checked:
-    "kmv_quantile_rollup_merge",  # day->week KMV sample rollup; the
-    #                               oracle hash pins merged == direct
-    #                               (the hll_rollup_merge twin for the
-    #                               quantile family)
-    "entity_match_customers",  # r06 verdict #3: 2-of-K gram-agreement
-    #                            prefilter before Levenshtein + the
-    #                            pinned-N repartition (cuts the sf1.0
-    #                            candidate constant 14x and the wall
-    #                            13.5x); oracle mirrors the agreement
-    #                            quorum — re-verify externally
-    "dsir_importance_weights", # r07 scan audit: 512-row bucket-model
-    #                            materialization stops Catalyst cloning
-    #                            the corpus-sized tf aggregation
-    #                            (checkpoint read 3x -> 2x) + the
-    #                            one-small-file tokenize rescue; values
-    #                            provably unchanged, re-verify anyway
-    "bigram_surprisal_scores", # r07: one-small-file tokenize rescue
-    #                            (ensure_parallelism — pure
-    #                            repartition, values unchanged)
-    # r07 one-task sweep: the same rescue applied to every query the
-    # sf1.0 sweep flagged (one-task stage > 3 s from a single-split
-    # corpus scan). Pure repartitions, values unchanged; rotated in
-    # because their plans changed. (The flagged queries already in
-    # this window — bigrams, boilerplate_ngrams, chunk_documents,
-    # bigram_pmi, curation_yield_signals, lsh_dedup_eval,
-    # pack_sequences — are re-checked by their existing slots.)
-    "skipgram_pmi",
-    "repetition_signals",
-    "duplicate_spans",
-    "cdc_chunk_dedup",
-    "feature_hashing_stats",
-    "wordcount_mapreduce_udf",
-    "rdd_wordcount",           # same rescue on the RDD twin (one file
-    #                            = one flatMap task, the reference's
-    #                            own map_n trap)
+    # (1) NEW in round 8 — never externally checked:
+    "incremental_ingest_neardup",  # MinHash-LSH admission tier on the
+    #                                continuous-ingest shape (r07 #3);
+    #                                all four rejection branches planted
+    "ivf_index_maintenance",   # IVF lifecycle under ingest: growth +
+    #                            integer-sum drift + integer-threshold
+    #                            refit decision (r07 #4)
+    # (1b) MODIFIED in round 8 — external re-check required:
+    "entity_match_customers",  # ADVICE r07: oracle now derives every ER
+    #                            knob from the relational.py constants
+    #                            (identical SQL string), and the pinned-N
+    #                            repartition scales with
+    #                            max(defaultParallelism, shuffle
+    #                            partitions) — values unchanged, plan
+    #                            changed, re-verify externally
     #
-    # (2) THE promised rotation (r06 verdict #1): all 16 queries whose
-    # newest driver row is round 2 — four rounds of shared-helper churn
-    # (basket builders, indexed literals, posexplode rewrites) sit
-    # between their green evidence and today's tree:
-    "knn_ivf_multiprobe",
-    "multi_resolution_rollup",
-    "null_handling_showcase",
-    "out_of_order_stats",
-    "pack_sequences",
-    "pivot_status_by_priority",
-    "priority_line_counts",
-    "promo_revenue_ratio",
-    "range_window_revenue",
-    "sliding_window",
-    "source_extraction",
-    "stats_battery",
-    "stratified_sample_summary",
-    "unpivot_status_totals",
-    "user_activity_stats",
-    "value_histogram",
+    # (2) THE promised rotation (r07 verdict #1): all 21 queries whose
+    # newest driver row is round 3 — the freshness program's final
+    # r03 tranche; after this window lands, no registry query's newest
+    # external row is older than round 4:
+    "ohlc_bars",
+    "pagerank_trade_flows",
+    "pq_code_histogram",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "range_join_price_bands",
+    "referential_audit",
+    "semdedup",
+    "sessionize",
+    "simhash_signatures",
+    "skyline_parts",
+    "term_drift",
+    "tfidf_top_terms",
+    "time_weighted_value",
+    "tumbling_window",
+    "value_anomalies",
+    "window_running_revenue",
+    "window_top_orders_per_customer",
+    "wordcount",
+    "wordcount_salted",
+    "zorder_locality",
     #
     # (3) evidence refresh — the alphabetical head of the 47 queries
-    # whose newest driver row is round 3 (33 slots fill the window at
+    # whose newest driver row is round 4 (26 slots fill the window at
     # exactly 50):
-    "bigram_pmi",
-    "bigrams",
-    "boilerplate_ngrams",
-    "chunk_documents",
-    "copurchase_pairs",
-    "cube_status_priority",
-    "curation_yield",
-    "curation_yield_signals",
-    "dedup_exact",
-    "event_paths",
-    "gapfill_hourly",
-    "having_active_customers",
-    "hourly_percentile_bands",
-    "join_revenue_by_nation",
-    "knn_bruteforce",
-    "knn_lsh",
-    "knn_pq",
-    "lsh_buckets",
-    "lsh_dedup_eval",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "mixture_sample",
-    "mixture_weights",
-    # (displacement note for r08: the remaining r03-stale queries —
-    # ohlc_bars, pagerank_trade_flows, pq_code_histogram, q1_pricing_summary,
-    # q3_shipping_priority, range_join_price_bands, referential_audit,
-    # semdedup, sessionize, simhash_signatures, skyline_parts,
-    # term_drift, tfidf_top_terms, time_weighted_value, tumbling_window,
-    # value_anomalies, window_running_revenue,
-    # window_top_orders_per_customer, wordcount, wordcount_salted,
-    # zorder_locality — rotate these 21 next; after that no registry
-    # query's newest driver row is older than round 4.)
+    "ab_test_conversion",
+    "ann_rank_fusion",
+    "ann_recall",
+    "asof_customer_maturity",
+    "benford_digit_audit",
+    "bloom_prefilter_stats",
+    "bm25_scores",
+    "bmp_decode_stats",
+    "burst_hours",
+    "compaction_plan",
+    "corpus_profile",
+    "decontaminate",
+    "dp_noisy_counts",
+    "embedding_outliers",
+    "erasure_plan",
+    "ewma_value",
+    "gif_frame_stats",
+    "hll_distinct_users",
+    "join_size_estimate",
+    "jpeg_decode_stats",
+    "k_anonymity_audit",
+    "kcore_decomposition",
+    "kmv_quantile_sketch",
+    "label_propagation_communities",
+    "link_prediction_scores",
+    "ngram_containment_pairs",
+    # (displacement note for r09: the remaining 21 r04-stale queries —
+    # orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
+    # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
+    # q21_sole_late_supplier, q7_volume_shipping, q9_profit_by_nation,
+    # robust_value_anomalies, rollup_incremental_refresh,
+    # session_window_stats, sql_text_passthrough, state_snapshot_diff,
+    # target_encoding_nations, temperature_mixture,
+    # token_budget_allocation, unigram_surprisal_scores,
+    # value_drift_chi2, wav_frame_features, weighted_shortest_paths,
+    # zone_map_pruning — rotate these 21 next (the alphabetical tail),
+    # then begin the r05 tranche with the remaining slots; after the
+    # r09 window no query's newest row is older than round 5.)
 )
 
 QUERIES = {
