@@ -71,3 +71,52 @@ def test_word_count_invariant_under_repartition(spark, docs, n_parts):
     base = {(r["word"], r["cnt"]) for r in word_count(docs).collect()}
     got = {(r["word"], r["cnt"]) for r in word_count(docs.repartition(n_parts)).collect()}
     assert got == base
+
+
+def test_split_estimator_single_small_file_fires(spark, docs, sf_dir):
+    """The file-index estimate (ADVICE r07: no physical planning, no
+    df.rdd) must still see a single small parquet file as < cores
+    splits so the rescue fires."""
+    from mapreduce_rs_spark.operators.partitioning import _estimated_scan_splits
+
+    target = spark.sparkContext.defaultParallelism
+    est = _estimated_scan_splits(docs.select("doc_id", "text"), target)
+    assert est is not None and est < max(target, 2)
+
+
+def test_split_estimator_matches_spark_partition_count(spark, sf_dir):
+    """The estimate mirrors FilePartition.maxSplitBytes — it must agree
+    with the partition count Spark actually plans for the same scan
+    (within one: greedy packing vs the ceil estimate)."""
+    from mapreduce_rs_spark.operators.partitioning import _estimated_scan_splits
+
+    for table in ("documents", "orders", "lineitem"):
+        df = load_table(spark, sf_dir, table)
+        target = spark.sparkContext.defaultParallelism
+        est = _estimated_scan_splits(df, target)
+        real = df.rdd.getNumPartitions()
+        assert est is not None
+        assert abs(est - real) <= 1, f"{table}: est {est} vs real {real}"
+
+
+def test_split_estimator_many_files_short_circuits(spark, tmp_path):
+    """>= target files -> the per-file open cost guarantees >= ~target
+    partitions; the estimator must answer from the file COUNT alone."""
+    from mapreduce_rs_spark.operators.partitioning import _estimated_scan_splits
+
+    p = str(tmp_path / "many")
+    spark.range(1000).repartition(12).write.parquet(p)
+    df = spark.read.parquet(p)
+    est = _estimated_scan_splits(df, 8)
+    assert est is not None and est >= 8
+
+
+def test_split_estimator_non_file_source_falls_back(spark):
+    """createDataFrame / range plans have no file index: the estimator
+    returns None and ensure_parallelism falls back to the RDD count —
+    same behavior as before the ADVICE change."""
+    from mapreduce_rs_spark.operators.partitioning import _estimated_scan_splits
+
+    df = spark.range(100).repartition(4)
+    assert _estimated_scan_splits(df, 32) is None
+    assert ensure_parallelism(df).rdd.getNumPartitions() >= 4
