@@ -336,10 +336,12 @@ _SCALE_GUARDS = {
     # winners agg + the two admission joins + final lang agg — all
     # keyed on the 16-byte fingerprint, never document text
     "incremental_ingest_dedup": (7, 0),
-    # near-dup admission cascade: two signature builds (corpus/batch,
-    # each checkpointed once), the fingerprint stages, and the two
-    # band-probe joins — all equi-joins, never all-pairs
-    "incremental_ingest_neardup": (9, 0),
+    # near-dup admission cascade: the signature builds AND the stage-1..3
+    # ledger are checkpointed once each (without the ledger checkpoint
+    # Catalyst cloned the fingerprint chain into 14 scans / 42 md5
+    # sites), so the FINAL plan is just the within-batch band probe +
+    # the accounting joins over checkpointed inputs
+    "incremental_ingest_neardup": (3, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
