@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Subtree-clone audit: count parquet scans in every registry query's
-FINAL executed plan and flag queries that re-read inputs more often
-than they declare.
+"""Subtree-clone regression audit: per-table parquet-scan multiplicity
+of every registry query's FINAL executed plan, diffed against a
+committed baseline.
 
 Why this exists (SCALE.md rounds 7-8): Catalyst expands a DataFrame
 DAG into a TREE — any frame consumed by two downstream branches is
@@ -19,19 +19,25 @@ Byte counters can't see this (Spark 4's vectorized reader ticks
 neither stage inputBytes nor FS statistics) — the executed plan's scan
 operators are the ground truth. Checkpoint-time subplans execute at
 plan BUILD for materialize()-based queries, so their heavy legs
-disappear from the final plan — this audit bounds what's LEFT, which
-is exactly the part Catalyst may clone freely.
+disappear from the final plan; this audit bounds what's LEFT — the
+part Catalyst may clone freely.
 
-Each query declares its expected ceiling in EXPECTED_MAX_SCANS when it
-deliberately reads an input more than once (bigram families: one scan
-per gram family is the right trade vs persisting a corpus-sized token
-intermediate). Everything else is held to
-  scans <= number of distinct tables the query loads.
+Why a BASELINE, not an absolute ceiling: many queries read a table
+more than once BY DESIGN — the knn family probes the corpus with a
+bounded query sample (2 reads of embeddings per leg, ann_ranking's
+four legs = 12), TPC-H shapes self-join lineitem/nation, the
+sketch-rollup proofs read events twice to pin merged == direct. An
+absolute rule either blesses clones or flags designs. The committed
+baseline (tools/scan_baseline.json) records each query's reviewed
+multiplicity; the audit fails ONLY on an increase — i.e. a refactor
+that introduced a NEW clone — and reports decreases so the baseline
+can be ratcheted down.
 
 Usage:
-    python tools/scan_audit.py                  # audit all, report
-    python tools/scan_audit.py --queries a,b    # subset
-Exit 1 if any query exceeds its ceiling.
+    python tools/scan_audit.py                    # diff vs baseline
+    python tools/scan_audit.py --write-baseline   # re-record (review the diff first!)
+    python tools/scan_audit.py --queries a,b      # subset diff
+Exit 1 on any regression (or any new query missing from the baseline).
 """
 
 from __future__ import annotations
@@ -46,46 +52,24 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-# Queries allowed to exceed the distinct-input-table bound, with the
-# documented reason. Keep this list SHORT — every entry is a standing
-# claim that the extra read is cheaper than the materialization.
-EXPECTED_MAX_SCANS: dict[str, int] = {
-    # one scan per gram family (unigram + bigram / the two skip grains):
-    # persisting the corpus-sized token intermediate costs more than the
-    # second columnar scan (r07 executed-plan audit, SCALE.md)
-    "bigram_pmi": 2,
-    "bigram_surprisal_scores": 2,
-    "skipgram_pmi": 2,
-}
+BASELINE_PATH = os.path.join(_REPO_ROOT, "tools", "scan_baseline.json")
 
 
-def audit(names: list[str] | None = None, sf_dir: str = "/root/testdata/sf0.001") -> list[dict]:
+def measure(names: list[str] | None = None, sf_dir: str = "/root/testdata/sf0.001") -> dict[str, dict[str, int]]:
+    """query -> {table: scan count} from the final executed plan."""
     from mapreduce_rs_spark.plans.registry import QUERIES
     from mapreduce_rs_spark.session import get_spark
 
     spark = get_spark("scan_audit")
     names = names or list(QUERIES)
-    out = []
+    out: dict[str, dict[str, int]] = {}
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        scans = plan.count("Scan parquet")
-        # distinct table files referenced by the final plan's scans
-        files = {
-            m
-            for m in re.findall(r"file:[^\s,\]]*?/(\w+)\.parquet", plan)
-        }
-        ceiling = EXPECTED_MAX_SCANS.get(name, max(len(files), 1) if scans else 0)
-        rec = {
-            "query": name,
-            "scans": scans,
-            "distinct_tables_in_plan": sorted(files),
-            "ceiling": ceiling,
-            "over": scans > ceiling,
-        }
-        if rec["over"]:
-            print(json.dumps(rec), flush=True)
-        out.append(rec)
+        counts: dict[str, int] = {}
+        for m in re.findall(r"file:[^\s,\]]*?/(\w+)\.parquet", plan):
+            counts[m] = counts.get(m, 0) + 1
+        out[name] = dict(sorted(counts.items()))
     return out
 
 
@@ -93,20 +77,53 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--queries", default=None)
+    ap.add_argument("--write-baseline", action="store_true")
     args = ap.parse_args()
     names = args.queries.split(",") if args.queries else None
-    records = audit(names, args.sf_dir)
-    over = [r for r in records if r["over"]]
+    got = measure(names, args.sf_dir)
+
+    if args.write_baseline:
+        baseline = {}
+        if os.path.exists(BASELINE_PATH):
+            baseline = json.load(open(BASELINE_PATH))
+        baseline.update(got)
+        json.dump(
+            dict(sorted(baseline.items())), open(BASELINE_PATH, "w"), indent=0
+        )
+        print(f"baseline written: {len(baseline)} queries -> {BASELINE_PATH}")
+        return
+
+    baseline = json.load(open(BASELINE_PATH)) if os.path.exists(BASELINE_PATH) else {}
+    regressions, improvements, missing = [], [], []
+    for name, counts in got.items():
+        if name not in baseline:
+            missing.append(name)
+            continue
+        base = baseline[name]
+        for table, n in counts.items():
+            b = base.get(table, 0)
+            if n > b:
+                regressions.append(
+                    {"query": name, "table": table, "baseline": b, "now": n}
+                )
+            elif n < b:
+                improvements.append(
+                    {"query": name, "table": table, "baseline": b, "now": n}
+                )
+    for r in regressions:
+        print(json.dumps({"REGRESSION": r}), flush=True)
     print(
         json.dumps(
             {
-                "metric": "scan_audit_over_ceiling",
-                "queries_run": len(records),
-                "flagged": sorted(r["query"] for r in over),
+                "metric": "scan_audit",
+                "queries_run": len(got),
+                "regressions": len(regressions),
+                "improvements": improvements,
+                "missing_from_baseline": sorted(missing),
             }
         )
     )
-    sys.exit(1 if over else 0)
+    sys.exit(1 if regressions or missing else 0)
 
 
 if __name__ == "__main__":
