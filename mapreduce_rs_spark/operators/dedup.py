@@ -657,16 +657,46 @@ def incremental_ingest_neardup(df: DataFrame, persist_dir: str | None = None) ->
         .unionByName(exact_plants)
     )
 
-    fp = text_fingerprint("text")
-    corpus_fps = corpus.select(fp.alias("fingerprint")).distinct()
-    batch_fp = batch.select("doc_id", "lang", fp.alias("fingerprint"))
-
     # standing index artifact: the corpus band table (signatures are
     # the thing a real loop persists; bands are a narrow derivation)
+    corpus_fps = corpus.select(text_fingerprint("text").alias("fingerprint")).distinct()
     corpus_bands = materialize(
         _banded(minhash_signatures(corpus)).select("band", "band_key").distinct(),
         persist_dir,
         "ingest_corpus_bands",
+    )
+    flagged = admit_batch(batch, corpus_fps, corpus_bands, persist_dir=persist_dir)
+    fresh = ~F.col("exact_corpus") & ~F.col("exact_batch")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_batch"),
+        F.count_if(F.col("exact_corpus")).alias("n_exact_vs_corpus"),
+        F.count_if(~F.col("exact_corpus") & F.col("exact_batch")).alias("n_exact_in_batch"),
+        F.count_if(fresh & F.col("near_corpus")).alias("n_near_vs_corpus"),
+        F.count_if(fresh & ~F.col("near_corpus") & F.col("near_batch")).alias("n_near_in_batch"),
+        F.count_if(fresh & ~F.col("near_corpus") & ~F.col("near_batch")).alias("n_admitted"),
+    )
+
+
+def admit_batch(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    corpus_bands: DataFrame,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """The near-dup admission core, shared by the batch operator above
+    and the streaming foreachBatch loop (streaming/pipeline.py) — one
+    implementation of the cascade so the two forms cannot drift.
+
+    ``batch`` is (doc_id, lang, text); ``corpus_fps`` (fingerprint) and
+    ``corpus_bands`` (band, band_key) are the standing corpus's
+    admission artifacts — the only corpus state this ever touches.
+    Returns one row per batch doc: (doc_id, lang, exact_corpus,
+    exact_batch, near_corpus, near_batch) with the flags ordered by
+    rejection precedence (earlier True wins; a row is admitted iff all
+    four are False).
+    """
+    batch_fp = batch.select(
+        "doc_id", "lang", text_fingerprint("text").alias("fingerprint")
     )
     # batch bands feed two probes (corpus + self) — materialize once so
     # Catalyst doesn't clone the shingle→md5 pipeline per consumer
@@ -724,23 +754,15 @@ def incremental_ingest_neardup(df: DataFrame, persist_dir: str | None = None) ->
         .select(F.col("r.doc_id").alias("doc_id"))
         .distinct()
     )
-    flagged = staged.join(
+    return staged.join(
         near_batch_ids.select("doc_id", F.lit(1).alias("near_b")), "doc_id", "left"
     ).select(
+        "doc_id",
         "lang",
         "exact_corpus",
         "exact_batch",
         "near_corpus",
         F.col("near_b").isNotNull().alias("near_batch"),
-    )
-    fresh = ~F.col("exact_corpus") & ~F.col("exact_batch")
-    return flagged.groupBy("lang").agg(
-        F.count("*").alias("n_batch"),
-        F.count_if(F.col("exact_corpus")).alias("n_exact_vs_corpus"),
-        F.count_if(~F.col("exact_corpus") & F.col("exact_batch")).alias("n_exact_in_batch"),
-        F.count_if(fresh & F.col("near_corpus")).alias("n_near_vs_corpus"),
-        F.count_if(fresh & ~F.col("near_corpus") & F.col("near_batch")).alias("n_near_in_batch"),
-        F.count_if(fresh & ~F.col("near_corpus") & ~F.col("near_batch")).alias("n_admitted"),
     )
 
 

@@ -16,6 +16,8 @@ unbounded run.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from mapreduce_rs_spark.operators.relational import money, stable_sum
@@ -432,6 +434,104 @@ def run_cms_stream(
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_streaming_neardup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The near-dup admission loop in its CONTINUOUS form: each
+    micro-batch of documents is admitted against a persisted band/
+    fingerprint store via ``dedup.admit_batch`` — the SAME cascade the
+    batch operator runs (one implementation, two arrival modes), with
+    the store playing the standing corpus.
+
+    foreachBatch is the honest shape for this op: the admission
+    decision needs a keyed probe against ever-growing state that must
+    OUTLIVE the stream (the next nightly batch, an ad-hoc backfill and
+    the streaming loop all probe the same store), which is a table
+    concern, not a state-store concern — the run_foreach_batch_upsert
+    pattern. Per batch:
+
+    * the store is read as (doc_id, fingerprint) + (doc_id, band,
+      band_key) parquet — the ONLY corpus state; admitted text lands in
+      ``admitted_dir`` but is never re-read by admission;
+    * the store view EXCLUDES rows contributed by this batch's own
+      doc_ids before probing, so a replayed micro-batch (restart after
+      a sink write but before offset commit) reaches the same
+      decisions — idempotent admission, keyed on doc_id;
+    * admitted docs append their text to ``admitted_dir`` and their
+      fingerprint + band rows to the store.
+
+    At 100 TB the store is partitioned parquet/Delta keyed by band —
+    the probe is the same (band, band_key) equi-join; nothing here
+    assumes the store fits anywhere.
+    """
+    from mapreduce_rs_spark.functions.hashing import text_fingerprint
+    from mapreduce_rs_spark.operators.dedup import (
+        _banded,
+        admit_batch,
+        minhash_signatures,
+    )
+
+    fps_dir = os.path.join(store_dir, "fps")
+    bands_dir = os.path.join(store_dir, "bands")
+
+    def admit(batch_df, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "lang", "text").localCheckpoint(eager=True)
+        batch_ids = batch.select("doc_id")
+        try:
+            store_fps = sess.read.parquet(fps_dir)
+            store_bands = sess.read.parquet(bands_dir)
+        except Exception:  # first batch: empty store
+            store_fps = sess.createDataFrame([], "doc_id long, fingerprint string")
+            store_bands = sess.createDataFrame(
+                [], "doc_id long, band int, band_key string"
+            )
+        # replay idempotency: a restarted batch must not collide with
+        # its own earlier store contributions
+        corpus_fps = (
+            store_fps.join(batch_ids, "doc_id", "left_anti")
+            .select("fingerprint")
+            .distinct()
+        )
+        corpus_bands = (
+            store_bands.join(batch_ids, "doc_id", "left_anti")
+            .select("band", "band_key")
+            .distinct()
+        )
+        flagged = admit_batch(batch, corpus_fps, corpus_bands)
+        admitted_ids = flagged.where(
+            ~F.col("exact_corpus")
+            & ~F.col("exact_batch")
+            & ~F.col("near_corpus")
+            & ~F.col("near_batch")
+        ).select("doc_id")
+        admitted = batch.join(admitted_ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        # append admitted docs + their admission artifacts; replays
+        # append duplicate doc_id rows, which every reader (including
+        # the left_anti above) treats as one key — idempotent by key
+        admitted.write.mode("append").parquet(admitted_dir)
+        admitted.select(
+            "doc_id", text_fingerprint("text").alias("fingerprint")
+        ).write.mode("append").parquet(fps_dir)
+        _banded(minhash_signatures(admitted)).write.mode("append").parquet(bands_dir)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(admit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -351,3 +351,59 @@ def test_streaming_cms_counters_match_batch(spark, sf_dir, tmp_path):
     n_tokens = explode_tokens(docs).count()
     for lane in range(CMS_D):
         assert sum(c for l, _, c in streamed if l == lane) == n_tokens
+
+
+def test_streaming_neardup_ingest_loop(spark, tmp_path):
+    """The continuous form of the near-dup admission cascade
+    (run_streaming_neardup_ingest): micro-batches probe a persisted
+    fingerprint/band store via the SAME admit_batch core as the batch
+    operator. Planted cases across two arrivals exercise every tier
+    cross-batch, and a re-drain on the same checkpoint proves the loop
+    is restart-idempotent."""
+    from mapreduce_rs_spark.streaming.pipeline import run_streaming_neardup_ingest
+
+    def words(seed: str, n: int = 30) -> str:
+        return " ".join(f"{seed}{i} shared{i % 4}" for i in range(n))
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    admitted_dir = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ck")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def land(rows):
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows], cols
+        )
+        df.coalesce(1).write.mode("append").parquet(inp)
+
+    def drain():
+        run_streaming_neardup_ingest(spark, inp, store, admitted_dir, ckpt)
+
+    a, b, c = words("alpha"), words("bravo"), words("charlie")
+    land([(1, a), (2, b), (3, c)])
+    drain()
+    first = {r.doc_id for r in spark.read.parquet(admitted_dir).collect()}
+    assert first == {1, 2, 3}  # empty store: everything novel
+
+    f = words("foxtrot")
+    land(
+        [
+            (4, a),              # exact copy of stored 1 -> exact_corpus
+            (5, b + " omega"),   # near-dup of stored 2  -> near_corpus
+            (6, f),              # novel                 -> admitted
+            (7, f + " omega"),   # near-dup of 6 (same batch) -> near_batch
+            (8, f + " omega"),   # exact copy of 7 in-batch  -> exact_batch
+        ]
+    )
+    drain()
+    admitted = {r.doc_id for r in spark.read.parquet(admitted_dir).collect()}
+    assert admitted == {1, 2, 3, 6}
+
+    # restart on the same checkpoint with no new files: no re-admission,
+    # store unchanged (idempotent loop)
+    drain()
+    again = [r.doc_id for r in spark.read.parquet(admitted_dir).collect()]
+    assert sorted(again) == sorted(admitted)  # no duplicate appends
+    n_fp = spark.read.parquet(store + "/fps").count()
+    assert n_fp == 4  # one fingerprint row per admitted doc
