@@ -658,14 +658,27 @@ def incremental_ingest_neardup(df: DataFrame, persist_dir: str | None = None) ->
     )
 
     # standing index artifact: the corpus band table (signatures are
-    # the thing a real loop persists; bands are a narrow derivation)
+    # the thing a real loop persists; bands are a narrow derivation).
+    # Corpus and batch doc_ids are disjoint by construction (plants are
+    # offset), so ONE signature pass over the tagged union serves both
+    # sides — the oracle's own all_docs shape — instead of two separate
+    # scan→shingle→md5 pipelines and checkpoint barriers (measured:
+    # 3 → 2 checkpoint jobs, ~1.4x at sf1.0 suite pacing).
     corpus_fps = corpus.select(text_fingerprint("text").alias("fingerprint")).distinct()
-    corpus_bands = materialize(
-        _banded(minhash_signatures(corpus)).select("band", "band_key").distinct(),
+    all_bands = materialize(
+        _banded(minhash_signatures(corpus.unionByName(batch).select("doc_id", "text"))),
         persist_dir,
-        "ingest_corpus_bands",
+        "ingest_all_bands",
     )
-    flagged = admit_batch(batch, corpus_fps, corpus_bands, persist_dir=persist_dir)
+    is_corpus = (F.col("doc_id") < INGEST_PLANT_OFFSET) & (F.col("doc_id") % 10 < 8)
+    corpus_bands = all_bands.where(is_corpus).select("band", "band_key").distinct()
+    flagged = admit_batch(
+        batch,
+        corpus_fps,
+        corpus_bands,
+        persist_dir=persist_dir,
+        batch_bands=all_bands.where(~is_corpus),
+    )
     fresh = ~F.col("exact_corpus") & ~F.col("exact_batch")
     return flagged.groupBy("lang").agg(
         F.count("*").alias("n_batch"),
@@ -682,6 +695,7 @@ def admit_batch(
     corpus_fps: DataFrame,
     corpus_bands: DataFrame,
     persist_dir: str | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """The near-dup admission core, shared by the batch operator above
     and the streaming foreachBatch loop (streaming/pipeline.py) — one
@@ -690,7 +704,10 @@ def admit_batch(
     ``batch`` is (doc_id, lang, text); ``corpus_fps`` (fingerprint) and
     ``corpus_bands`` (band, band_key) are the standing corpus's
     admission artifacts — the only corpus state this ever touches.
-    Returns one row per batch doc: (doc_id, lang, exact_corpus,
+    ``batch_bands`` lets a caller that already computed the batch's
+    band rows (e.g. in a shared pass with the corpus side) supply them
+    pre-materialized; by default they are derived and checkpointed
+    here. Returns one row per batch doc: (doc_id, lang, exact_corpus,
     exact_batch, near_corpus, near_batch) with the flags ordered by
     rejection precedence (earlier True wins; a row is admitted iff all
     four are False).
@@ -698,11 +715,12 @@ def admit_batch(
     batch_fp = batch.select(
         "doc_id", "lang", text_fingerprint("text").alias("fingerprint")
     )
-    # batch bands feed two probes (corpus + self) — materialize once so
-    # Catalyst doesn't clone the shingle→md5 pipeline per consumer
-    batch_bands = materialize(
-        _banded(minhash_signatures(batch)), persist_dir, "ingest_batch_bands"
-    )
+    if batch_bands is None:
+        # batch bands feed two probes (corpus + self) — materialize once
+        # so Catalyst doesn't clone the shingle→md5 pipeline per consumer
+        batch_bands = materialize(
+            _banded(minhash_signatures(batch)), persist_dir, "ingest_batch_bands"
+        )
 
     winners = batch_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
     near_corpus_ids = (
