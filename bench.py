@@ -40,6 +40,7 @@ history that keeps rounds comparable.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -142,6 +143,14 @@ def main() -> None:
     def run_full_plan(name: str) -> float:
         # noop datasource: full execution (sorts, projections, Python
         # stages) with zero write cost — the honest end-to-end timer.
+        # gc.collect() first: localCheckpoint blocks from PREVIOUS
+        # queries are pinned until their Python DataFrame refs are
+        # collected (ContextCleaner is weak-ref driven), and the debris
+        # inflates later checkpoint-heavy members by ~1.5-2x (measured:
+        # ingest 5.5 -> 3.5 s at sf1.0 after a collect). Each query's
+        # number should measure ITS plan, not its predecessors'
+        # allocation history — same rationale as the pool warm-up.
+        gc.collect()
         start = time.perf_counter()
         QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - start, 3)
