@@ -1,0 +1,117 @@
+"""Randomized three-way probe for the embeddings-family registry: Spark
+and DuckDB run the same registry query + oracle SQL over a RANDOM
+embeddings table — the similarity/ANN/drift family's first randomized
+parity sweep (docs/events/relational each have one; the embeddings
+family only ever saw the fixed corpus).
+
+Hazards this generates on purpose, none of which the shipped corpus
+exercises: exact duplicate vectors (cosine TIES in every top-k — the
+(cos DESC, vec_id) tie-break must agree across engines), near-identical
+vectors (1e-4 one-dim perturbation: semdedup / near-dup candidates
+whose float chains must land bit-compatibly), tiny-norm vectors
+(1e-3 scale — division stability in cosine), coordinates at exact
+half-micro-unit quantization boundaries (round(x * 1e6) half-away-from-
+zero agreement, the label_centroid_drift / ivf maintenance
+arithmetic), and a skewed label distribution (one label with a single
+member — drift denominators at their minimum).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mapreduce_rs_spark.plans.registry import QUERIES, queries
+from tests.parity import assert_frames_match, run_oracle
+
+EMB_QUERIES = (
+    "lsh_buckets",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "knn_ivf_multiprobe",
+    "knn_ivfpq",
+    "knn_pq",
+    "knn_pca",
+    "ivf_histogram",
+    "ivf_index_maintenance",
+    "pq_code_histogram",
+    "pq_reconstruction_error",
+    "array_functions_showcase",
+    "embedding_near_dup",
+    "semdedup",
+    "ann_recall",
+    "ann_ranking_metrics",
+    "ann_rank_fusion",
+    "label_centroid_drift",
+    "embedding_outliers",
+)
+
+SEED = 1729
+N_VECS = 150
+DIM = 64
+
+
+def _random_embeddings() -> pd.DataFrame:
+    rng = np.random.RandomState(SEED)
+    vecs = rng.normal(0.0, 1.0, size=(N_VECS, DIM)).astype(np.float32)
+    # exact duplicates: cosine ties through every ranking chain
+    vecs[50] = vecs[10]
+    vecs[51] = vecs[11]
+    vecs[52] = vecs[12]
+    # near-identical: one-dim 1e-4 perturbation (near-dup candidates)
+    vecs[60] = vecs[20]
+    vecs[60][0] += np.float32(1e-4)
+    vecs[61] = vecs[21]
+    vecs[61][3] += np.float32(1e-4)
+    # tiny-norm vectors: cosine denominators near the float floor
+    vecs[70] = (vecs[70] * np.float32(1e-3)).astype(np.float32)
+    vecs[71] = (vecs[71] * np.float32(1e-3)).astype(np.float32)
+    # exact half-micro-unit quantization boundaries for round(x * 1e6):
+    # 2.5e-6 and -7.5e-6 (as float32) must round away from zero in BOTH
+    # engines through the identical float32 -> double cast
+    vecs[80][:4] = np.float32(2.5e-6)
+    vecs[80][4:8] = np.float32(-7.5e-6)
+    labels = rng.randint(0, 7, size=N_VECS)
+    labels[140:] = 7  # a small-but-plural label
+    labels[149] = 8  # a single-member label (drift n_vecs = 1)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(1, N_VECS + 1, dtype=np.int64),
+            "embedding": [v.tolist() for v in vecs],
+            "label": labels.astype(np.int32),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def random_emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("random_emb_catalog")
+    src = os.path.abspath("/root/testdata/sf0.001")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    pdf = _random_embeddings()
+    table = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+            "embedding": pa.array(pdf["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(pdf["label"], pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_emb_query_matches_oracle_on_random_vectors(spark, random_emb_dir, name):
+    spdf = queries()[name](spark, random_emb_dir).toPandas()
+    oracle_pdf = run_oracle(QUERIES[name].oracle, random_emb_dir)
+    assert_frames_match(spdf, oracle_pdf, f"{name}[random-emb]")
