@@ -509,7 +509,14 @@ def run_streaming_neardup_ingest(
             .select("band", "band_key")
             .distinct()
         )
-        flagged = admit_batch(batch, corpus_fps, corpus_bands)
+        # bands computed ONCE per batch: admit_batch probes with them
+        # and the store write below reuses the same checkpointed rows
+        # (recomputing signatures for the admitted subset would run the
+        # shingle->md5 pipeline a second time per micro-batch)
+        batch_bands = _banded(minhash_signatures(batch)).localCheckpoint(eager=True)
+        flagged = admit_batch(
+            batch, corpus_fps, corpus_bands, batch_bands=batch_bands
+        )
         admitted_ids = flagged.where(
             ~F.col("exact_corpus")
             & ~F.col("exact_batch")
@@ -526,7 +533,9 @@ def run_streaming_neardup_ingest(
         admitted.select(
             "doc_id", text_fingerprint("text").alias("fingerprint")
         ).write.mode("append").parquet(fps_dir)
-        _banded(minhash_signatures(admitted)).write.mode("append").parquet(bands_dir)
+        batch_bands.join(admitted_ids, "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(bands_dir)
 
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(input_dir)
     (
