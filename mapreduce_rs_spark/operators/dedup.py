@@ -784,6 +784,150 @@ def admit_batch(
     )
 
 
+# LSH S-curve calibration knobs (oracle mirrors all three). Variants
+# are synthesized at token-keep fractions p/4 for p in 0..4, so the
+# exact-Jaccard deciles are populated from ~0 to 1 at every SF — a
+# corpus's organic pair-similarity distribution is almost entirely
+# decile 0 and would leave the curve unmeasured.
+SCURVE_SAMPLE_CAP = 64     # KMV-sampled source docs
+SCURVE_GRADES = (0, 1, 2, 3, 4)   # keep p/4 of the tokens
+SCURVE_MIN_TOKENS = 8      # eligibility: slicing needs some length
+
+
+def lsh_scurve_calibration(df: DataFrame, cap: int = SCURVE_SAMPLE_CAP) -> DataFrame:
+    """Empirical LSH S-curve — the banding-parameter calibration table:
+    for pairs of known exact shingle-Jaccard similarity, how often does
+    the (k=8, r=2, b=4) banding actually collide? ``lsh_dedup_eval``
+    grades the index at ONE threshold; this measures the whole
+    acceptance curve, which is what you consult before changing k / r /
+    b on a 100 TB corpus (theory says P(collide) = 1-(1-s^r)^b; this
+    query reports what the IMPLEMENTED hash family + banding delivers).
+
+    Controlled similarity ladder (the entity_match/PII synthesis
+    discipline): for each of ``cap`` KMV-sampled eligible docs (>=
+    SCURVE_MIN_TOKENS tokens; cap smallest h32(doc_id)), five variants
+    keep the first ceil(L*p/4) tokens and replace the tail with
+    variant-unique filler tokens — pair similarities land across the
+    decile range at every SF instead of piling into decile 0. Jaccard
+    is then computed EXACTLY from the synthesized texts (the ladder
+    only spreads the deciles; nothing is assumed), bucketed by integer
+    cross-multiply: decile = (10 * |A∩B|) div |A∪B|.
+
+    Scale shape: the only corpus-wide work is the KMV sample scan
+    (TakeOrdered, O(cap) driver state); everything downstream is
+    O(cap · grades) rows. Signatures for originals and variants come
+    from ONE checkpointed pass over the union (the ingest all_docs
+    discipline); collision = (band, band_key) equi-join restricted to
+    ladder pairs.
+
+    Returns (sim_decile, n_pairs, n_collisions, collision_rate).
+    """
+    tk = F.filter(tokens("text"), lambda t: t != "")
+    sample = materialize(
+        df.select("doc_id", "text")
+        .where(F.size(tk) >= SCURVE_MIN_TOKENS)
+        .withColumn("h", h32(F.col("doc_id").cast("string")))
+        .orderBy("h", "doc_id")
+        .limit(cap)
+        .select("doc_id", F.filter(tokens("text"), lambda t: t != "").alias("tk")),
+        None,
+        "scurve_sample",
+    )
+    grades = F.explode(
+        F.array(*[F.lit(p) for p in SCURVE_GRADES])
+    ).alias("p")
+    ln = F.size("tk")
+    keep = ((ln * F.col("p") + 3) / 4).cast("long")  # ceil(L*p/4), exact: see below
+    # ceil via integer arithmetic, not float division: (L*p + 3) div 4
+    keep = F.expr("(size(tk) * p + 3) div 4")
+    filler = F.when(
+        ln - keep > 0,
+        F.transform(
+            F.sequence(F.lit(1), (ln - keep).cast("int")),
+            lambda i: F.concat(
+                F.lit("zz"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                F.col("p").cast("string"),
+                F.lit("w"),
+                i.cast("string"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    variants = sample.select("doc_id", "tk", grades).select(
+        (F.col("doc_id") * 10 + F.col("p") + 1).alias("vid"),
+        F.col("doc_id").alias("src_id"),
+        F.concat_ws(
+            " ", F.concat(F.slice(F.col("tk"), 1, keep.cast("int")), filler)
+        ).alias("text"),
+    )
+    # one signature/shingle pass over originals ∪ variants (disjoint
+    # ids: vid = src*10 + p + 1 cannot equal any sampled doc_id times
+    # nothing — originals keep their ids, variants get the derived ids)
+    all_docs = materialize(
+        sample.select("doc_id", F.array_join("tk", " ").alias("text")).unionByName(
+            variants.select(F.col("vid").alias("doc_id"), "text")
+        ),
+        None,
+        "scurve_docs",
+    )
+    ssh = all_docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles("text"))).alias("shingle")
+    )
+    sizes = ssh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = variants.select("src_id", "vid")
+    inter = (
+        ssh.alias("l")
+        .join(ssh.alias("r"), F.col("l.shingle") == F.col("r.shingle"))
+        .join(
+            pairs,
+            (F.col("l.doc_id") == F.col("src_id"))
+            & (F.col("r.doc_id") == F.col("vid")),
+            "left_semi",
+        )
+        .groupBy(F.col("l.doc_id").alias("src_id"), F.col("r.doc_id").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    banded = _banded(minhash_signatures(all_docs))
+    coll = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
+        )
+        .join(
+            pairs,
+            (F.col("l.doc_id") == F.col("src_id"))
+            & (F.col("r.doc_id") == F.col("vid")),
+            "left_semi",
+        )
+        .select(F.col("l.doc_id").alias("src_id"), F.col("r.doc_id").alias("vid"))
+        .distinct()
+    )
+    sa = sizes.select(F.col("doc_id").alias("src_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("vid"), F.col("sz").alias("sz_b"))
+    graded = (
+        pairs.join(sa, "src_id")
+        .join(sb, "vid")
+        .join(inter, ["src_id", "vid"], "left")
+        .join(coll.select("src_id", "vid", F.lit(1).alias("c")), ["src_id", "vid"], "left")
+        .select(
+            F.expr(
+                "(10 * coalesce(n_inter, 0)) div (sz_a + sz_b - coalesce(n_inter, 0))"
+            ).alias("sim_decile"),
+            F.col("c").isNotNull().alias("collided"),
+        )
+    )
+    return graded.groupBy(F.col("sim_decile").cast("int").alias("sim_decile")).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_if(F.col("collided")).alias("n_collisions"),
+        (
+            F.count_if(F.col("collided")).cast("double") / F.count("*")
+        ).alias("collision_rate"),
+    )
+
+
 SPAN_N = 5  # token n-gram grain for exact substring-span detection
 
 

@@ -2314,6 +2314,74 @@ QUERIES: dict[str, QuerySpec] = {
         "O(E^1.5)) vs naive id-ordered 3-way self-join (oracle): the "
         "orientation trick changes the plan, not the answer",
     ),
+    "lsh_scurve_calibration": QuerySpec(
+        _docs(dedup.lsh_scurve_calibration),
+        # Synthesis knobs (sample cap / grades / eligibility) f-string
+        # derived from the dedup.py constants the operator uses; the
+        # signature/banding chain is the SAME builder minhash_lsh_pairs
+        # is oracled with, over the originals∪variants union.
+        f"""
+        WITH eligible AS (
+            SELECT doc_id, {TOKENS_SQL} AS tk FROM documents
+            WHERE len({TOKENS_SQL}) >= {dedup.SCURVE_MIN_TOKENS}
+        ), sample AS (
+            SELECT doc_id, tk FROM eligible
+            ORDER BY {h32_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+            LIMIT {dedup.SCURVE_SAMPLE_CAP}
+        ), variants AS (
+            SELECT doc_id * 10 + p + 1 AS vid, doc_id AS src_id,
+                   array_to_string(
+                       list_concat(
+                           tk[1:CAST((len(tk) * p + 3) // 4 AS INTEGER)],
+                           list_transform(
+                               range(1, len(tk) - CAST((len(tk) * p + 3) // 4 AS INTEGER) + 1),
+                               i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x'
+                                    || CAST(p AS VARCHAR) || 'w' || CAST(i AS VARCHAR))),
+                       ' ') AS text
+            FROM sample
+            CROSS JOIN (SELECT unnest({list(dedup.SCURVE_GRADES)}) AS p)
+        ), all_docs AS (
+            SELECT doc_id, array_to_string(tk, ' ') AS text FROM sample
+            UNION ALL
+            SELECT vid AS doc_id, text FROM variants
+        ), {_minhash_pairs_ctes(source="all_docs")}, ssh AS (
+            SELECT DISTINCT doc_id, shingle FROM shingles
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM ssh GROUP BY doc_id
+        ), pairs AS (
+            SELECT src_id, vid FROM variants
+        ), inter AS (
+            SELECT l.doc_id AS src_id, r.doc_id AS vid, count(*) AS n_inter
+            FROM ssh l JOIN ssh r ON l.shingle = r.shingle
+            WHERE (l.doc_id, r.doc_id) IN (SELECT (src_id, vid) FROM pairs)
+            GROUP BY 1, 2
+        ), coll AS (
+            SELECT DISTINCT l.doc_id AS src_id, r.doc_id AS vid
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.band_key = r.band_key
+            WHERE (l.doc_id, r.doc_id) IN (SELECT (src_id, vid) FROM pairs)
+        ), graded AS (
+            SELECT (10 * COALESCE(i.n_inter, 0))
+                   // (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS sim_decile,
+                   (c.src_id IS NOT NULL) AS collided
+            FROM pairs p
+            JOIN sizes sa ON p.src_id = sa.doc_id
+            JOIN sizes sb ON p.vid = sb.doc_id
+            LEFT JOIN inter i ON p.src_id = i.src_id AND p.vid = i.vid
+            LEFT JOIN coll c ON p.src_id = c.src_id AND p.vid = c.vid
+        )
+        SELECT CAST(sim_decile AS INTEGER) AS sim_decile,
+               count(*) AS n_pairs,
+               count(*) FILTER (WHERE collided) AS n_collisions,
+               CAST(count(*) FILTER (WHERE collided) AS DOUBLE) / count(*)
+                   AS collision_rate
+        FROM graded GROUP BY sim_decile ORDER BY sim_decile
+        """,
+        "empirical LSH S-curve: collision rate of the (k=8, r=2, b=4) banding "
+        "per exact-Jaccard decile over a synthesized similarity ladder "
+        "(KMV-sampled docs x 5 token-keep grades) — the banding-parameter "
+        "calibration table; only corpus-wide work is the sample scan",
+    ),
     "lsh_dedup_eval": QuerySpec(
         _docs(dedup.lsh_dedup_eval),
         f"""
@@ -6487,6 +6555,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "duplicate_spans": ("doc_id",),
     "minhash_signatures": ("doc_id",),
     "minhash_lsh_pairs": ("doc_a", "doc_b"),
+    "lsh_scurve_calibration": ("sim_decile",),
     "simhash_signatures": ("doc_id",),
     "winnow_fingerprints": ("doc_id",),
     "jaccard_pairs": ("doc_a", "doc_b"),
@@ -6706,6 +6775,10 @@ _CHECK_FIRST: tuple[str, ...] = (
     "ivf_index_maintenance",   # IVF lifecycle under ingest: growth +
     #                            integer-sum drift + integer-threshold
     #                            refit decision (r07 #4)
+    "lsh_scurve_calibration",  # empirical LSH S-curve over a synthesized
+    #                            similarity ladder — the banding-parameter
+    #                            calibration table (displaces one r04
+    #                            refresh slot to keep the window at 50)
     # (1b) MODIFIED in round 8 — external re-check required:
     "entity_match_customers",  # ADVICE r07: oracle now derives every ER
     #                            knob from the relational.py constants
@@ -6769,9 +6842,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "kmv_quantile_sketch",
     "label_propagation_communities",
     "link_prediction_scores",
-    "ngram_containment_pairs",
-    # (displacement note for r09: the remaining 21 r04-stale queries —
-    # orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
+    # (displacement note for r09: the remaining 22 r04-stale queries —
+    # ngram_containment_pairs, orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
     # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
     # q21_sole_late_supplier, q7_volume_shipping, q9_profit_by_nation,
     # robust_value_anomalies, rollup_incremental_refresh,
@@ -6779,7 +6851,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # target_encoding_nations, temperature_mixture,
     # token_budget_allocation, unigram_surprisal_scores,
     # value_drift_chi2, wav_frame_features, weighted_shortest_paths,
-    # zone_map_pruning — rotate these 21 next (the alphabetical tail),
+    # zone_map_pruning — rotate these 22 next,
     # then begin the r05 tranche with the remaining slots; after the
     # r09 window no query's newest row is older than round 5.)
 )

@@ -59,6 +59,7 @@ DOC_QUERIES = (
     "pii_scrub_stats",
     "incremental_ingest_dedup",
     "incremental_ingest_neardup",
+    "lsh_scurve_calibration",
     "bpe_merge_candidates",
     "unigram_surprisal_scores",
     "bigram_surprisal_scores",

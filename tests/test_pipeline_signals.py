@@ -539,3 +539,24 @@ def test_ivf_maintenance_branches_and_identities(spark, sf_dir):
         if r["n_before"] > 0:
             assert r["growth_bp"] == (r["n_new"] * 10000) // r["n_before"]
         assert -1.0 - 1e-9 <= r["drift_cos"] <= 1.0 + 1e-9
+
+
+def test_lsh_scurve_endpoints(spark, sf_dir):
+    """The S-curve's deterministic endpoints: the p=4 variant is a
+    verbatim copy (identical signature -> every band collides ->
+    decile 10 rate must be exactly 1.0), and the p=0 variant shares no
+    content (decile 0 collisions are random 32-bit band-key matches —
+    the rate must sit near 0). The transition region must be populated
+    (some decile strictly between the endpoints has pairs)."""
+    from mapreduce_rs_spark.operators.dedup import lsh_scurve_calibration
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    rows = {
+        r["sim_decile"]: r
+        for r in lsh_scurve_calibration(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert rows[10]["collision_rate"] == 1.0
+    assert rows[0]["collision_rate"] < 0.2
+    assert any(0 < d < 10 for d in rows)

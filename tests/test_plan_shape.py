@@ -342,6 +342,10 @@ _SCALE_GUARDS = {
     # sites), so the FINAL plan is just the within-batch band probe +
     # the accounting joins over checkpointed inputs
     "incremental_ingest_neardup": (3, 0),
+    # S-curve calibration: sample + originals∪variants both checkpointed
+    # at build (0 scans in the final plan); the two exchanges are the
+    # shingle-size/intersection aggregates over O(cap·grades) rows
+    "lsh_scurve_calibration": (2, 0),
     # bloom runtime-filter harness: the PROBE is a pure narrow
     # expression on the orders scan (no join/shuffle below it — the
     # property a runtime filter needs); exchanges are the dim distinct
