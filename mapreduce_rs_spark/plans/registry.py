@@ -741,6 +741,82 @@ def _ivf_assigned_cte() -> str:
             ) r WHERE rn = 1
         )"""
 
+def _nnd_ctes(
+    k: int = similarity.NND_K,
+    rounds: int = similarity.NND_ROUNDS,
+    cap: int = similarity.NND_SEED_CAP,
+) -> tuple[str, str]:
+    """NN-Descent CTE chain (WITH included) — oracle twin of
+    similarity.nn_descent_knn_graph, every knob f-string-derived from
+    the SAME similarity.py constants the operator defaults to (the
+    entity_match ADVICE rule). Returns (with_clause, final_edges_cte).
+    Chain: v (emb + LSH bucket) -> per-bucket h32-capped reps ->
+    Hamming-<=1 multiprobe seed pairs -> seeded top-k e_s -> per round:
+    forward + cos-capped reverse neighborhoods b{r}, center self-join +
+    previous edges, DISTINCT, exact re-score, top-k e{r}."""
+    emb = "CAST(embedding AS DOUBLE[])"
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(len(_PLANES))]
+    )
+    parts = [
+        f"""v AS MATERIALIZED (
+            SELECT vec_id, {emb} AS emb, {_bucket_sql(emb, _PLANES)} AS bucket
+            FROM embeddings
+        ), reps AS (
+            SELECT bucket, vec_id AS dst FROM (
+                SELECT bucket, vec_id,
+                       row_number() OVER (PARTITION BY bucket
+                           ORDER BY {h32_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
+                FROM v) r WHERE rn <= {cap}
+        ), probes AS (
+            SELECT vec_id AS src, unnest([{probe_list}]) AS pbucket FROM v
+        ), pairs_s AS (
+            SELECT p.src, r.dst
+            FROM probes p JOIN reps r ON r.bucket = p.pbucket AND p.src <> r.dst
+        ), scored_s AS (
+            SELECT p.src, p.dst, {_cosine_sql('sa.emb', 'sb.emb')} AS cos_sim
+            FROM pairs_s p JOIN v sa ON sa.vec_id = p.src
+                           JOIN v sb ON sb.vec_id = p.dst
+        ), e_s AS MATERIALIZED (
+            SELECT src, dst, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+                SELECT src, dst, cos_sim,
+                       row_number() OVER (PARTITION BY src
+                           ORDER BY cos_sim DESC, dst) AS rnk
+                FROM scored_s) r WHERE rnk <= {k}
+        )"""
+    ]
+    prev = "e_s"
+    for r in range(rounds):
+        parts.append(f"""b{r} AS MATERIALIZED (
+            SELECT src AS center, dst AS member FROM {prev}
+            UNION ALL
+            SELECT center, member FROM (
+                SELECT dst AS center, src AS member,
+                       row_number() OVER (PARTITION BY dst
+                           ORDER BY cos_sim DESC, src) AS rn
+                FROM {prev}) rv WHERE rn <= {k}
+        ), cand{r} AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT x.member AS src, y.member AS dst
+                FROM b{r} x JOIN b{r} y
+                  ON x.center = y.center AND x.member <> y.member
+                UNION ALL
+                SELECT src, dst FROM {prev})
+        ), scored{r} AS (
+            SELECT c.src, c.dst, {_cosine_sql('sa.emb', 'sb.emb')} AS cos_sim
+            FROM cand{r} c JOIN v sa ON sa.vec_id = c.src
+                           JOIN v sb ON sb.vec_id = c.dst
+        ), e{r} AS MATERIALIZED (
+            SELECT src, dst, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+                SELECT src, dst, cos_sim,
+                       row_number() OVER (PARTITION BY src
+                           ORDER BY cos_sim DESC, dst) AS rnk
+                FROM scored{r}) r WHERE rnk <= {k}
+        )""")
+        prev = f"e{r}"
+    return "WITH " + ",\n        ".join(parts), prev
+
+
 def _pq_subslice(emb: str, sub: int) -> str:
     lo, hi = sub * similarity.PQ_SUBDIM + 1, (sub + 1) * similarity.PQ_SUBDIM
     return f"{emb}[{lo}:{hi}]"
@@ -2711,6 +2787,48 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
         """,
         "IVF nprobe=2: disjoint inverted lists, no candidate dedup needed",
+    ),
+    "nn_descent_knn_graph": QuerySpec(
+        _emb(similarity.nn_descent_knn_graph),
+        (lambda chain: f"""{chain[0]}
+        SELECT src AS vec_id, dst AS nbr_id, cos_sim, rnk
+        FROM {chain[1]} ORDER BY vec_id, rnk
+        """)(_nnd_ctes()),
+        "Graph-based ANN tier: whole-corpus approximate k-NN graph via "
+        "multiprobe-LSH-seeded NN-Descent (WWW'11) — bounded local joins only "
+        "(<= k forward + cos-capped <= k reverse neighbors per center), "
+        "per-round edge materialization, exact cosine re-score of the "
+        "DISTINCT candidate set; the batch artifact serving indexes are "
+        "built from",
+    ),
+    "nn_descent_recall": QuerySpec(
+        _emb(similarity.nn_descent_recall),
+        (lambda chain: f"""{chain[0]}, {_qids_cte()}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE {_QFILTER}
+        ), xscored AS (
+            SELECT q_id, v.vec_id, {_cosine_sql('q_emb', 'v.emb')} AS cos_sim
+            FROM q JOIN v ON q_id <> v.vec_id
+        ), exact AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos_sim DESC, vec_id) AS rnk
+                FROM xscored) r WHERE rnk <= {similarity.NND_K}
+        ), gpairs AS (
+            SELECT src AS q_id, dst AS vec_id FROM {chain[1]}
+            WHERE src IN (SELECT q_id FROM qids)
+        ), hits AS (
+            SELECT q_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM exact JOIN gpairs USING (q_id, vec_id) GROUP BY q_id
+        )
+        SELECT qids.q_id,
+               CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(coalesce(n_hit, 0) * 10000 // {similarity.NND_K} AS BIGINT) AS recall_bp
+        FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id
+        """)(_nnd_ctes()),
+        "NN-Descent graph quality vs exact top-k on the KMV query cap: "
+        "integer recall basis points (the ann_recall companion for the "
+        "graph tier; ground truth bounded at cap * N like knn_bruteforce)",
     ),
     "array_functions_showcase": QuerySpec(
         _emb(similarity.array_functions_showcase),
@@ -6581,6 +6699,8 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "ivf_index_maintenance": ("centroid_id",),
     "knn_ivf": ("q_id", "rnk"),
     "knn_ivf_multiprobe": ("q_id", "rnk"),
+    "nn_descent_knn_graph": ("vec_id", "rnk"),
+    "nn_descent_recall": ("q_id",),
     "embedding_near_dup": ("vec_a", "vec_b"),
     "q1_pricing_summary": ("l_returnflag", "l_linestatus"),
     "join_revenue_by_nation": ("r_name", "n_name"),
@@ -6779,6 +6899,12 @@ _CHECK_FIRST: tuple[str, ...] = (
     #                            similarity ladder — the banding-parameter
     #                            calibration table (displaces one r04
     #                            refresh slot to keep the window at 50)
+    "nn_descent_knn_graph",    # graph-based ANN tier: LSH-seeded
+    #                            NN-Descent k-NN graph (displaces one r04
+    #                            refresh slot)
+    "nn_descent_recall",       # its eval companion — graph recall vs
+    #                            exact top-k on the KMV cap (displaces
+    #                            one r04 refresh slot)
     # (1b) MODIFIED in round 8 — external re-check required:
     "entity_match_customers",  # ADVICE r07: oracle now derives every ER
     #                            knob from the relational.py constants
@@ -6815,7 +6941,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zorder_locality",
     #
     # (3) evidence refresh — the alphabetical head of the 47 queries
-    # whose newest driver row is round 4 (26 slots fill the window at
+    # whose newest driver row is round 4 (24 slots fill the window at
     # exactly 50):
     "ab_test_conversion",
     "ann_rank_fusion",
@@ -6840,9 +6966,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "k_anonymity_audit",
     "kcore_decomposition",
     "kmv_quantile_sketch",
-    "label_propagation_communities",
-    "link_prediction_scores",
-    # (displacement note for r09: the remaining 22 r04-stale queries —
+    # (displacement note for r09: the remaining 24 r04-stale queries —
+    # label_propagation_communities, link_prediction_scores,
     # ngram_containment_pairs, orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
     # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
     # q21_sole_late_supplier, q7_volume_shipping, q9_profit_by_nation,
@@ -6851,7 +6976,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # target_encoding_nations, temperature_mixture,
     # token_budget_allocation, unigram_surprisal_scores,
     # value_drift_chi2, wav_frame_features, weighted_shortest_paths,
-    # zone_map_pruning — rotate these 22 next,
+    # zone_map_pruning — rotate these 24 next,
     # then begin the r05 tranche with the remaining slots; after the
     # r09 window no query's newest row is older than round 5.)
 )

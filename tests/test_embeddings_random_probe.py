@@ -48,6 +48,12 @@ EMB_QUERIES = (
     "ann_rank_fusion",
     "label_centroid_drift",
     "embedding_outliers",
+    # graph tier: duplicate vectors put cosine TIES inside both the
+    # seed top-k and every descent round's re-rank; the (cos DESC, id)
+    # tie-break must agree across engines through 3 rounds of
+    # fixed-point iteration for the hashes to match
+    "nn_descent_knn_graph",
+    "nn_descent_recall",
 )
 
 SEED = 1729

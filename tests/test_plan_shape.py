@@ -135,6 +135,15 @@ _SCALE_GUARDS = {
     "dedup_exact": (1, 0),
     "minhash_signatures": (1, 0),
     "knn_bruteforce": (2, 0),             # parallelism spread + top-k window
+    # NN-Descent: every heavy stage (seed scoring, per-round candidate
+    # join + re-score + top-k) lives inside the per-round materialize()
+    # builds; the FINAL plan reads the last checkpoint — zero exchanges
+    "nn_descent_knn_graph": (0, 0),
+    # recall eval: brute-force ground truth (spread + window) + the
+    # hit-intersection join/agg chain — every frame past the corpus
+    # scan is bounded by the KMV cap (cap*k rows), so the exchanges
+    # move O(cap*k) rows regardless of corpus size
+    "nn_descent_recall": (6, 0),
     "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
     # native session_window: partial agg -> ONE exchange on user_id ->
     # local sort -> MergingSessions -> final agg; no window functions
