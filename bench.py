@@ -114,6 +114,10 @@ HEADLINE = (
     # only within one definition.
     "incremental_ingest_neardup",  # LSH admission cascade: 2 sig builds + band probes
     "ivf_index_maintenance",       # single-pass assignment rollup + drift
+    # round-8 second extension (BASELINE.md): the graph-ANN tier. Prior
+    # definitions (… / 29 / 31) remain comparable PREFIXES; compare
+    # totals only within one definition.
+    "nn_descent_knn_graph",        # 3 NN-Descent rounds: local joins + re-rank
 )
 
 
