@@ -54,6 +54,9 @@ EMB_QUERIES = (
     # fixed-point iteration for the hashes to match
     "nn_descent_knn_graph",
     "nn_descent_recall",
+    # serving path: ties must also survive the beam's monotone
+    # union-dedup-rescore loop and the final self-exclusion
+    "knn_graph_search",
 )
 
 SEED = 1729

@@ -144,6 +144,9 @@ _SCALE_GUARDS = {
     # scan is bounded by the KMV cap (cap*k rows), so the exchanges
     # move O(cap*k) rows regardless of corpus size
     "nn_descent_recall": (6, 0),
+    # serving path: final plan = last beam checkpoint -> self-filter ->
+    # one top-k window exchange over cap*beam rows
+    "knn_graph_search": (1, 0),
     "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
     # native session_window: partial agg -> ONE exchange on user_id ->
     # local sort -> MergingSessions -> final agg; no window functions
