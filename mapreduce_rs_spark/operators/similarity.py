@@ -1719,6 +1719,27 @@ def _nnd_corpus(
     )
 
 
+def _nnd_reps(v: DataFrame, seed_cap: int) -> DataFrame:
+    """(bucket, rep_id): the <= seed_cap h32-smallest members of every
+    LSH bucket — the deterministic bounded sample both the build's seed
+    and the serving path's entry beam probe (ONE definition, so
+    build/serve symmetry cannot drift)."""
+    w = Window.partitionBy("bucket").orderBy(
+        h32(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        v.select("bucket", "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= seed_cap)
+        .select("bucket", F.col("vec_id").alias("rep_id"))
+    )
+
+
+def _probe_masks(planes: list[list[float]]) -> list[int]:
+    """Hamming-<=1 multiprobe XOR masks: self + one flip per plane."""
+    return [0] + [1 << p for p in range(len(planes))]
+
+
 def _nnd_topk(pairs: DataFrame, v: DataFrame, k: int) -> DataFrame:
     """Score DISTINCT (src, dst) candidate pairs with exact cosine and
     keep each src's top-k by (cos DESC, dst). The window is bounded by
@@ -1764,6 +1785,7 @@ def nn_descent_knn_graph(
     planes: list[list[float]] | None = None,
     persist_dir: str | None = None,
     corpus: DataFrame | None = None,
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph via LSH-seeded NN-Descent.
 
@@ -1793,26 +1815,24 @@ def nn_descent_knn_graph(
     # shared-sample discipline). Must have been built with the same
     # ``planes``.
     v = corpus if corpus is not None else _nnd_corpus(df, planes, persist_dir)
-    reps_w = Window.partitionBy("bucket").orderBy(
-        h32(F.col("vec_id").cast("string")), "vec_id"
-    )
-    reps = (
-        v.select("bucket", "vec_id")
-        .withColumn("rn", F.row_number().over(reps_w))
-        .where(F.col("rn") <= seed_cap)
-        .select(F.col("bucket").alias("pbucket"), F.col("vec_id").alias("dst"))
-    )
+    # ``reps`` mirrors ``corpus``: knn_graph_search materializes the
+    # same (bucket, rep_id) frame for its entry beam and passes it in,
+    # so the full-corpus reps window isn't computed twice per serve.
+    if reps is None:
+        reps = _nnd_reps(v, seed_cap)
+    reps = reps.select("bucket", F.col("rep_id").alias("dst"))
     # Hamming-<=1 multiprobe: each node probes its own bucket plus the
     # one-bit-flip buckets (distinct masks -> distinct probe targets ->
     # unique (src, dst) pairs, no dedup needed). The probe fan-out is a
     # narrow explode; candidate generation stays an equi-join on the
     # probed bucket id.
-    probe_masks = [0] + [1 << p for p in range(len(planes))]
-    probe_arr = F.array(*[F.expr(f"bucket ^ {m}") for m in probe_masks])
+    probe_arr = F.array(
+        *[F.expr(f"bucket ^ {m}") for m in _probe_masks(planes)]
+    )
     seed_pairs = (
         v.select(F.col("vec_id").alias("src"), "bucket")
-        .select("src", F.explode(probe_arr).alias("pbucket"))
-        .join(reps, "pbucket")
+        .select("src", F.explode(probe_arr).alias("bucket"))
+        .join(reps, "bucket")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
@@ -1885,7 +1905,8 @@ def nn_descent_recall(
     # ONE cap-row sample, materialized, feeds all three consumers
     # (ground-truth queries, the graph-side filter, the final left
     # join) — un-materialized, each consumer cloned its own full-corpus
-    # TakeOrdered scan (scan audit read 4 corpus scans; now 2).
+    # TakeOrdered scan (scan audit read 4 corpus scans; now 1 — the
+    # committed tools/scan_baseline.json value).
     q = materialize(_query_set(df), persist_dir, "nnd_qids")
     qids = q.select("q_id")
     exact = knn_bruteforce(df, k=k, queries=q).select("q_id", "vec_id")
@@ -1945,20 +1966,37 @@ def knn_graph_search(
     partition."""
     planes = hyperplanes()
     v = _nnd_corpus(df, planes, persist_dir)
-    g = materialize(
-        nn_descent_knn_graph(
-            df, rounds=rounds, seed_cap=seed_cap, planes=planes,
-            persist_dir=persist_dir, corpus=v,
-        ).select(F.col("vec_id").alias("gsrc"), F.col("nbr_id").alias("gdst")),
+    # The reps frame serves BOTH the build's seed and the entry beam —
+    # materialized once here, threaded into the build (like corpus=v),
+    # so the full-corpus reps window runs once per serve, not twice.
+    reps = materialize(_nnd_reps(v, seed_cap), persist_dir, "gs_reps")
+    # nn_descent_knn_graph already returns a checkpointed frame under a
+    # narrow rename select — re-materializing it would copy N*k rows
+    # for nothing (review finding); the per-hop consumers recompute
+    # only the projection.
+    g = nn_descent_knn_graph(
+        df, rounds=rounds, seed_cap=seed_cap, planes=planes,
+        persist_dir=persist_dir, corpus=v, reps=reps,
+    ).select(F.col("vec_id").alias("gsrc"), F.col("nbr_id").alias("gdst"))
+    # KMV query sample derived from the CHECKPOINTED v (its cast, norm
+    # and bucket are the per-row values the sample needs — recomputing
+    # them from the raw corpus would add a second full raw scan that
+    # the final-plan scan audit cannot see), in the oracle's own shape
+    # (qv AS ... FROM v). One projection + TakeOrdered, materialized
+    # for the per-hop scoring broadcasts.
+    qf = materialize(
+        v.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embd").alias("q_embd"),
+            F.col("c_norm").alias("q_norm"),
+            F.col("bucket").alias("q_bucket"),
+            h32(F.col("vec_id").cast("string")).alias("qh"),
+        )
+        .orderBy("qh", "q_id")
+        .limit(N_QUERIES_CAP)
+        .select("q_id", "q_embd", "q_norm", "q_bucket"),
         persist_dir,
-        "gs_graph",
-    )
-    q = materialize(_query_set(df), persist_dir, "gs_qids")
-    qf = q.select(
-        "q_id",
-        _q_embd_expr().alias("q_embd"),
-        _l2_raw(_q_embd_expr()).alias("q_norm"),
-        _bucket_expr(_Q_EMBD_SQL, planes).alias("q_bucket"),
+        "gs_qids",
     )
     cv = v.select(
         F.col("vec_id").alias("cand"),
@@ -1986,20 +2024,12 @@ def knn_graph_search(
             .select("q_id", "cand", "cs")
         )
 
-    probe_masks = [0] + [1 << p for p in range(len(planes))]
-    probe_arr = F.array(*[F.expr(f"q_bucket ^ {m}") for m in probe_masks])
-    reps_w = Window.partitionBy("bucket").orderBy(
-        h32(F.col("vec_id").cast("string")), "vec_id"
-    )
-    reps = (
-        v.select("bucket", "vec_id")
-        .withColumn("rn", F.row_number().over(reps_w))
-        .where(F.col("rn") <= seed_cap)
-        .select(F.col("bucket").alias("pbucket"), F.col("vec_id").alias("cand"))
+    probe_arr = F.array(
+        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(planes)]
     )
     entry = (
-        qf.select("q_id", F.explode(probe_arr).alias("pbucket"))
-        .join(reps, "pbucket")
+        qf.select("q_id", F.explode(probe_arr).alias("bucket"))
+        .join(reps.select("bucket", F.col("rep_id").alias("cand")), "bucket")
         .select("q_id", "cand")
     )
     frontier = materialize(scored_top(entry, beam), persist_dir, "gs_f0")

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Full-registry Spark-vs-DuckDB parity sweep at an arbitrary SF.
+
+The per-round standing claim (SCALE.md) is "every registry query is
+value-exact vs the oracle at sf1.0"; until now the sweep backing it was
+an ad-hoc script pasted into each session. This commits it as the
+third leg of the regression toolbox (one_task_sweep = stage health,
+scan_audit = clone health, parity_sweep = value health).
+
+Method: the driver's own comparison, at scale — run each registry
+query's driver form (operator + presentation sort) on a get_spark
+session (16 g heap: vanilla 1 g sessions OOM or crawl at sf1.0 —
+BASELINE.md's poisoned-A/B lesson; values are session-independent),
+toPandas, replay the oracle SQL in DuckDB over the same parquet, and
+assert row counts, schemas, and values via tests/parity's
+sort-and-compare (bit-exact on non-floats, 1e-9 rel on floats — the
+driver's own hash gate is stricter on floats, which is why money/value
+sums are DECIMAL-accumulated on both sides by construction).
+
+Usage:
+    python tools/parity_sweep.py --sf-dir /root/repo/.localdata/sf1.0
+    python tools/parity_sweep.py --queries nn_descent_recall,knn_pq
+    python tools/parity_sweep.py --sf-dir /root/testdata/sf0.01
+
+Prints OK/FAIL per query, then one JSON summary line; exit 1 on any
+failure. Rows-only queries (no oracle) are run and counted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/.localdata/sf1.0")
+    ap.add_argument("--queries", default=None, help="comma list; default all")
+    args = ap.parse_args()
+
+    from mapreduce_rs_spark.plans.registry import QUERIES, queries
+    from mapreduce_rs_spark.session import get_spark
+    from tests.parity import assert_frames_match, run_oracle
+
+    spark = get_spark("parity-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    driver_form = queries()
+    names = (
+        args.queries.split(",") if args.queries else sorted(driver_form)
+    )
+    t0 = time.time()
+    bad: list[str] = []
+    rows_only = 0
+    for name in names:
+        try:
+            sp = driver_form[name](spark, args.sf_dir).toPandas()
+            spec = QUERIES[name]
+            if spec.oracle is not None:
+                assert_frames_match(
+                    sp, run_oracle(spec.oracle, args.sf_dir), name
+                )
+            else:
+                rows_only += 1
+            print(f"OK {name} rows={len(sp)}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            bad.append(name)
+            print(f"FAIL {name} {str(e)[:200]}", flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "parity_sweep",
+                "sf_dir": args.sf_dir,
+                "queries_run": len(names),
+                "rows_only": rows_only,
+                "failures": bad,
+                "wall_min": round((time.time() - t0) / 60, 1),
+            }
+        )
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
