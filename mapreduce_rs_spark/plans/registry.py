@@ -3641,21 +3641,30 @@ QUERIES: dict[str, QuerySpec] = {
         "capstone v2: quality -> language -> exact dedup -> near-dup cluster dedup (LSH pairs + transitive closure) -> yield",
     ),
     "source_extraction": QuerySpec(
+        # try_cast, not cast: a source id without the src<N> token makes
+        # regexp_extract return '' and an ANSI cast KILLS THE JOB — at
+        # 100 TB some URL always breaks the pattern; non-matching rows
+        # land in a NULL bucket instead (random-docs probe regression).
+        # Values on any corpus where every source matches (the shipped
+        # data) are byte-identical to the pre-r08 form.
         _docs(
             lambda df: df.select(
-                F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+                F.regexp_extract("source", r"src(\d+)", 1)
+                .try_cast("int")
+                .alias("src_num"),
                 "n_chars",
             )
             .groupBy("src_num")
             .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         ),
         """
-        SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
+        SELECT TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS src_num,
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY src_num
         """,
-        "regexp group extraction over a semi-structured id column",
+        "regexp group extraction over a semi-structured id column "
+        "(try_cast: unmatched ids bucket under NULL instead of failing)",
     ),
     # ---- multimodal ----
     # The PNG path is oracle-checked via the synthesis rules: the oracle
@@ -3690,6 +3699,39 @@ QUERIES: dict[str, QuerySpec] = {
         FROM sums ORDER BY doc_id
         """,
         "PNG decode round-trip vs a pure-text oracle: codec losslessness is the correctness claim",
+    ),
+    "image_resize_stats": QuerySpec(
+        _docs(multimodal.image_resize_stats),
+        # Closed-form replay of encode -> decode -> nearest-neighbor
+        # resample: source pixel p is text byte (p % len) by the tiling
+        # rule, and the resample picks p = sy*w + sx with the integer
+        # floor mapping — every knob f-string-derived from the operator
+        # constants (out grid {W}x{H}).
+        (lambda W, H: f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS len,
+                   CAST(length(text) % 16 + 1 AS INTEGER) AS w,
+                   CAST(length(text) % 12 + 1 AS INTEGER) AS h
+            FROM documents WHERE doc_id % 2 = 0
+        ), sums AS (
+            SELECT doc_id,
+                   COALESCE(CAST(list_aggregate(list_transform(range(0, {W * H}),
+                       i -> CASE WHEN len = 0 THEN 0 ELSE ascii(substr(text,
+                            CAST(((((i // {W}) * h) // {H}) * w
+                                  + (((i % {W}) * w) // {W})) % len + 1 AS INTEGER),
+                            1)) END), 'sum') AS BIGINT), 0) AS s
+            FROM base
+        )
+        SELECT doc_id, CAST({W} AS INTEGER) AS width, CAST({H} AS INTEGER) AS height,
+               CAST({W * H} AS BIGINT) AS n_pixels,
+               s AS sum_intensity,
+               CAST(s AS DOUBLE) / {W * H} AS mean_intensity
+        FROM sums ORDER BY doc_id
+        """)(multimodal.RESIZE_STATS_W, multimodal.RESIZE_STATS_H),
+        "REAL-resize round-trip one stage past png_decode_stats: full "
+        "PNG decode -> integer-floor nearest-neighbor resample -> stats "
+        "of the RESIZED image, vs a closed-form pure-text oracle — "
+        "proves the resampler (not just its plumbing) byte-exact",
     ),
     "bmp_decode_stats": QuerySpec(
         _docs(multimodal.bmp_decode_stats),
@@ -6834,6 +6876,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "curation_yield_neardup": ("lang",),
     "source_extraction": ("src_num",),
     "png_decode_stats": ("doc_id",),
+    "image_resize_stats": ("doc_id",),
     "bmp_decode_stats": ("doc_id",),
     "multimodal_features": ("modality",),
     "hll_rollup_merge": ("week", "event_type"),
@@ -6983,7 +7026,15 @@ _CHECK_FIRST: tuple[str, ...] = (
     "knn_graph_search",        # the graph tier's serving path: beam
     #                            search over the built graph (displaces
     #                            one r04 refresh slot)
+    "image_resize_stats",      # real NN-resample round-trip vs the
+    #                            closed-form text oracle (displaces one
+    #                            r04 refresh slot)
     # (1b) MODIFIED in round 8 — external re-check required:
+    "source_extraction",       # cast -> try_cast hardening (random-docs
+    #                            probe found the ANSI kill on unmatched
+    #                            ids); values on the shipped corpus are
+    #                            byte-identical, plan changed — re-verify
+    #                            (displaces one r04 refresh slot)
     "entity_match_customers",  # ADVICE r07: oracle now derives every ER
     #                            knob from the relational.py constants
     #                            (identical SQL string), and the pinned-N
@@ -7019,7 +7070,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zorder_locality",
     #
     # (3) evidence refresh — the alphabetical head of the 47 queries
-    # whose newest driver row is round 4 (23 slots fill the window at
+    # whose newest driver row is round 4 (21 slots fill the window at
     # exactly 50):
     "ab_test_conversion",
     "ann_rank_fusion",
@@ -7041,10 +7092,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "hll_distinct_users",
     "join_size_estimate",
     "jpeg_decode_stats",
-    "k_anonymity_audit",
-    "kcore_decomposition",
-    # (displacement note for r09: the remaining 25 r04-stale queries —
-    # kmv_quantile_sketch,
+    # (displacement note for r09: the remaining 27 r04-stale queries —
+    # k_anonymity_audit, kcore_decomposition, kmv_quantile_sketch,
     # label_propagation_communities, link_prediction_scores,
     # ngram_containment_pairs, orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
     # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
@@ -7054,7 +7103,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # target_encoding_nations, temperature_mixture,
     # token_budget_allocation, unigram_surprisal_scores,
     # value_drift_chi2, wav_frame_features, weighted_shortest_paths,
-    # zone_map_pruning — rotate these 25 next,
+    # zone_map_pruning — rotate these 27 next,
     # then begin the r05 tranche with the remaining slots; after the
     # r09 window no query's newest row is older than round 5.)
 )

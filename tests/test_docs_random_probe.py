@@ -81,6 +81,20 @@ DOC_QUERIES = (
     "token_budget_allocation",
     "k_anonymity_audit",
     "bm25_scores",
+    # probe-coverage completion (r08 second batch): every docs-family
+    # registry query now runs on the random corpus
+    "curation_yield",
+    "curation_yield_neardup",
+    "curation_yield_signals",
+    "decontaminate",
+    "mixture_weights",
+    "pack_sequences",
+    "rdd_wordcount",
+    "wordcount_mapreduce_udf",
+    "source_extraction",
+    # r08 second batch: the real-resample round-trip must hold on
+    # random texts (every width/height residue class, empty docs)
+    "image_resize_stats",
 )
 
 SEED = 813

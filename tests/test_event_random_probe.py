@@ -71,6 +71,9 @@ EVENT_QUERIES = (
     "value_drift_chi2",
     "dp_noisy_counts",
     "rollup_incremental_refresh",
+    # probe-coverage completion (r08 second batch): the fitted literal
+    # cutpoints must bucket RANDOM values identically in both engines
+    "equi_depth_histogram",
 )
 
 SEED = 20260813

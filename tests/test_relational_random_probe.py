@@ -87,6 +87,20 @@ REL_QUERIES = (
     "asof_customer_maturity",
     "weighted_shortest_paths",
     "sql_text_passthrough",
+    # probe-coverage completion (r08 second batch): every relational-
+    # family query that touches a RANDOMIZED table now probes. The two
+    # remaining un-probed relational queries read ONLY the fixed dims
+    # (nations_in_region: nation+region; fuzzy_nation_pairs: nation) —
+    # a random fact-table probe adds no evidence for them, and their
+    # dims are FK targets the generator keeps fixed by design.
+    "filter_project",
+    "date_functions_showcase",
+    "scalar_functions_showcase",
+    "window_functions_battery",
+    "null_handling_showcase",
+    "min_cost_part_supplier",
+    "skyline_parts",
+    "bfs_hops",
 )
 
 SEED = 4217
