@@ -84,8 +84,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, float]:
-    """Decode an 8-bit PNG: (width, height, n_channels, mean_intensity).
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit PNG to its raw pixel buffer:
+    (width, height, n_channels, pixels) with ``len(pixels) ==
+    width*height*n_channels`` in scanline order.
 
     Pure Python: chunk walk → zlib inflate → per-scanline unfilter
     (None/Sub/Up/Average/Paeth). Raises on anything that isn't a valid
@@ -126,7 +128,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     if len(raw) != (stride + 1) * height:
         raise ValueError("truncated PNG: bad IDAT length")
     prev = bytearray(stride)
-    total = 0
+    pixels = bytearray()
     for y in range(height):
         row_start = y * (stride + 1)
         filt = raw[row_start]
@@ -148,9 +150,16 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
                 line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
         elif filt != 0:
             raise ValueError(f"unknown PNG filter {filt}")
-        total += sum(line)
+        pixels.extend(line)
         prev = line
-    return width, height, channels, total / (stride * height)
+    return width, height, channels, bytes(pixels)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode an 8-bit PNG: (width, height, n_channels, mean_intensity).
+    Thin stats wrapper over decode_png_pixels (one decode, one sum)."""
+    width, height, channels, pixels = decode_png_pixels(payload)
+    return width, height, channels, sum(pixels) / len(pixels)
 
 BMP_MAGIC = b"BM"
 _BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
@@ -218,6 +227,23 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
         row_start = off_bits + y * stride
         total += sum(payload[row_start : row_start + width * 3])  # pad excluded
     return width, height, 3, total / (width * height * 3)
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 24-bit BMP to natural RGB row-major TOP-DOWN pixels —
+    the full inverse of encode_bmp's two spec transforms (bottom-up
+    rows un-flipped, BGR swapped back to RGB, padding dropped):
+    (width, height, 3, pixels) with ``len(pixels) == width*height*3``.
+    Validation identical to decode_bmp."""
+    w, h, ch, _ = decode_bmp(payload)  # full validation, one pass
+    _, _, _, _, off_bits = struct.unpack("<2sIHHI", payload[:14])
+    stride = _bmp_stride(w)
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray(payload[off_bits + y * stride : off_bits + y * stride + w * 3])
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # BGR -> RGB
+        out.extend(row)
+    return w, h, 3, bytes(out)
 
 
 # Output schema of the decode/feature stage. Keeping it flat and typed
@@ -465,37 +491,118 @@ FRAME_SCHEMA = (
 )
 
 
-def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
-    """Resize stage over (payload, meta) rows — Arrow-batched, 1:1.
+def _nn_resize(
+    pixels: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a raw scanline-order pixel buffer:
+    out[y][x] = in[(y*h)//out_h][(x*w)//out_w] — the standard floor
+    mapping, integer-exact (so the DuckDB oracle can replay it in
+    closed form over the text the pixels derive from)."""
+    out = bytearray(out_w * out_h * ch)
+    pos = 0
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        row = sy * w * ch
+        for x in range(out_w):
+            src = row + ((x * w) // out_w) * ch
+            out[pos : pos + ch] = pixels[src : src + ch]
+            pos += ch
+    return bytes(out)
 
-    STUB kernel: a real implementation is PIL's ``Image.resize``; here
-    the output payload is a deterministic byte fold of the input sized
-    to out_w·out_h·channels, so tests can assert exact shapes and
-    deterministic content. The Spark-side contract (binary in/out,
-    bounded batches, schema) is the real thing."""
+
+# content_type -> pixel decoder for the resize stage. A modality
+# without a pixel decoder RAISES (the extract_features strict rule —
+# no fake kernels; route through a quarantined variant to keep rows).
+_PIXEL_CODECS = {
+    "image/png": decode_png_pixels,
+    "image/bmp": decode_bmp_pixels,
+}
+
+
+def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
+    """Resize stage over (payload, meta) rows — Arrow-batched, 1:1,
+    REAL kernel: decode via the row's content_type (the repo's own
+    PNG/BMP codecs), nearest-neighbor resample to (out_w, out_h), emit
+    the raw resized pixel buffer. Unknown modalities raise (strict
+    rule; ``image/fake`` has no pixel decoder on purpose)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             meta = pd.DataFrame(list(batch["meta"]))
-            resized = []
-            for p, ch in zip(batch["payload"], meta["n_channels"]):
-                # Output length honors the per-row channel count so the
-                # payload-length == w*h*channels contract holds.
-                n_out = out_w * out_h * int(ch)
-                resized.append(
-                    bytes((p * (n_out // max(len(p), 1) + 1))[:n_out]) if p else b"\x00" * n_out
-                )
+            resized, chans = [], []
+            for p, ctype in zip(batch["payload"], meta["content_type"]):
+                codec = _PIXEL_CODECS.get(ctype)
+                if codec is None:
+                    raise ValueError(f"no pixel codec for modality {ctype!r}")
+                w, h, ch, pixels = codec(bytes(p))
+                resized.append(_nn_resize(pixels, w, h, ch, out_w, out_h))
+                chans.append(ch)
             yield pd.DataFrame(
                 {
                     "doc_id": batch["doc_id"],
                     "payload": resized,
                     "width": out_w,
                     "height": out_h,
-                    "n_channels": meta["n_channels"].astype("int32"),
+                    "n_channels": pd.array(chans, dtype="int32"),
                 }
             )
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# Resize-stats output grid: 96 pixels keeps the oracle's closed-form
+# per-pixel list small, and with source dims ranging 1..16 x 1..12
+# (the attach rule) both downscale (in_w > 12 / in_h > 8) and upscale
+# paths are exercised across documents at every SF.
+RESIZE_STATS_W = 12
+RESIZE_STATS_H = 8
+
+
+def image_resize_stats(
+    df: DataFrame, out_w: int = RESIZE_STATS_W, out_h: int = RESIZE_STATS_H
+) -> DataFrame:
+    """Oracle-checkable REAL-resize round-trip (the png_decode_stats
+    pattern, one stage deeper): synthesize spec-valid PNGs from
+    even-doc_id documents, decode with the full codec, nearest-neighbor
+    resample with the integer floor mapping, and emit per-document
+    stats of the RESIZED image. The DuckDB oracle recomputes them from
+    the raw text alone — pixel p of the source is text byte
+    ``(sy*w + sx) % len`` (the tiling rule), so the resized sum is a
+    closed-form 96-term integer sum. Agreement proves encoder → decoder
+    → resampler end-to-end, byte-exact."""
+    feats = resize_images(
+        attach_png_payload(df.where(F.col("doc_id") % 2 == 0)),
+        out_w=out_w,
+        out_h=out_h,
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sums = [sum(p) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "width": batch["width"],
+                    "height": batch["height"],
+                    "n_pixels": pd.array(
+                        [int(w) * int(h) for w, h in zip(batch["width"], batch["height"])],
+                        dtype="int64",
+                    ),
+                    "sum_intensity": pd.array(sums, dtype="int64"),
+                    "mean_intensity": [
+                        s / (int(w) * int(h))
+                        for s, w, h in zip(sums, batch["width"], batch["height"])
+                    ],
+                }
+            )
+
+    return feats.mapInPandas(
+        stats,
+        schema=(
+            "doc_id long, width int, height int, n_pixels long, "
+            "sum_intensity long, mean_intensity double"
+        ),
+    )
 
 
 # Evenly spaced playback timestamps per clip — the sampling density a

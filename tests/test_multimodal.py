@@ -61,12 +61,66 @@ def test_strict_extract_raises_on_codecless_modality(docs):
 
 
 def test_resize_stage_shapes(docs):
+    # The resize kernel is REAL (decode via content_type + NN
+    # resample), so it runs over actual PNG payloads now.
+    from mapreduce_rs_spark.operators.multimodal import (
+        attach_png_payload,
+        resize_images,
+    )
+
+    out = resize_images(attach_png_payload(docs), out_w=8, out_h=6).collect()
+    assert len(out) == 50
+    assert all(len(r["payload"]) == 8 * 6 * 1 for r in out)  # grayscale
+    assert all(r["width"] == 8 and r["height"] == 6 for r in out)
+
+
+def test_resize_rejects_codecless_modality(docs):
+    # Strict rule (the extract_features contract): a modality without a
+    # pixel decoder fails the task, never resamples garbage bytes.
+    from pyspark.errors import PythonException
+
     from mapreduce_rs_spark.operators.multimodal import resize_images
 
-    out = resize_images(attach_fake_payload(docs), out_w=8, out_h=6).collect()
-    assert len(out) == 50
-    assert all(len(r["payload"]) == 8 * 6 * 3 for r in out)
-    assert all(r["width"] == 8 and r["height"] == 6 for r in out)
+    with pytest.raises(PythonException, match="no pixel codec"):
+        resize_images(attach_fake_payload(docs.limit(2))).collect()
+
+
+def test_nn_resize_matches_numpy():
+    # Pixel-exact cross-check of the kernel against an independent
+    # numpy formulation, both directions (down/up) and multi-channel.
+    import numpy as np
+
+    from mapreduce_rs_spark.operators.multimodal import _nn_resize
+
+    rng = np.random.RandomState(7)
+    for w, h, ch, ow, oh in [(16, 12, 1, 12, 8), (3, 2, 1, 8, 6), (5, 7, 3, 4, 9)]:
+        pixels = rng.randint(0, 256, size=h * w * ch, dtype=np.uint8)
+        got = _nn_resize(bytes(pixels), w, h, ch, ow, oh)
+        arr = pixels.reshape(h, w, ch)
+        ys = (np.arange(oh) * h) // oh
+        xs = (np.arange(ow) * w) // ow
+        want = arr[np.ix_(ys, xs)].tobytes()
+        assert got == want, (w, h, ch, ow, oh)
+
+
+def test_resize_roundtrip_bmp():
+    # The BMP pixel decoder un-flips bottom-up rows; resizing to the
+    # SAME dims must reproduce the original top-down pixel buffer.
+    from mapreduce_rs_spark.operators.multimodal import (
+        _nn_resize,
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    w, h = 5, 4
+    pixels = bytes(rng.randint(0, 256, size=w * h * 3, dtype=np.uint8))
+    got_w, got_h, ch, decoded = decode_bmp_pixels(encode_bmp(w, h, pixels))
+    assert (got_w, got_h, ch) == (w, h, 3)
+    assert decoded == pixels
+    assert _nn_resize(decoded, w, h, 3, w, h) == pixels
 
 
 def test_frame_sampling_expands_1_to_n(docs):

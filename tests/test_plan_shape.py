@@ -147,6 +147,9 @@ _SCALE_GUARDS = {
     # serving path: final plan = last beam checkpoint -> self-filter ->
     # one top-k window exchange over cap*beam rows
     "knn_graph_search": (1, 0),
+    # scan -> three chained Arrow stages (encode, decode+resample,
+    # stats), all narrow: zero exchanges
+    "image_resize_stats": (0, 0),
     "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
     # native session_window: partial agg -> ONE exchange on user_id ->
     # local sort -> MergingSessions -> final agg; no window functions
