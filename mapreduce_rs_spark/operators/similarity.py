@@ -2055,3 +2055,82 @@ def knn_graph_search(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# Semantic-decontamination knobs. TAU = 0.35 measured non-vacuous at
+# every shipped SF (85 / 93 / 1307 all-pairs eval-train hits at
+# sf0.001/0.01/0.1); the eval split is the incremental-ingest
+# convention (vec_id % 10 >= 8). TOP_K bounds the REPORT, not the
+# audit: on a clustered corpus a fixed cosine bar can flag nearly
+# everything (the sf1.0 replica flags 15,999 of 16,000 train vectors
+# at 0.35), and a 16k-row "removal list" is triage noise — production
+# review works the queue strongest-evidence-first, so the query emits
+# the top-K by (max_cos DESC, vec_id), TakeOrdered at any corpus size.
+DECON_TAU = 0.35
+DECON_TOP_K = 100
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    tau: float = DECON_TAU,
+    top_k: int = DECON_TOP_K,
+    planes: list[list[float]] | None = None,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC twin of the
+    lexical ``decontaminate`` (text_analysis): a training corpus is
+    contaminated not only where it shares n-grams with the eval set but
+    where it is a paraphrase — lexically disjoint, semantically
+    near-identical — so a modern curation pass runs BOTH audits. Flags
+    train vectors whose cosine to ANY eval vector (the
+    vec_id %% 10 >= 8 split, the ingest convention) reaches ``tau``,
+    and emits the ``top_k`` strongest-evidence rows
+    (vec_id, n_eval_hits, max_cos) ordered by (max_cos DESC, vec_id) —
+    the triage queue a human reviews first (see DECON_TOP_K: the bound
+    is what keeps the report meaningful on corpora where a fixed bar
+    flags nearly everything).
+
+    Scale shape (the decontaminate discipline, embedding-grain): the
+    eval side fans out through the Hamming<=1 multiprobe explode and
+    meets the train side in a bucket equi-join — never all-pairs; a
+    train vector lives in exactly one bucket and eval probe targets are
+    distinct, so each (eval, train) pair scores at most once and the
+    per-train aggregate needs no dedup. Candidate recall is the LSH
+    trade documented for every bucket-blocked tier (multiprobe lifts
+    it the same way it lifts the NN-Descent seed). The corpus frame is
+    the same materialized (vec_id, embd, norm, bucket) artifact the
+    graph tier uses — eval and train branches read the ONE checkpoint.
+    """
+    planes = planes or hyperplanes()
+    v = _nnd_corpus(df, planes, persist_dir)
+    is_eval = F.col("vec_id") % 10 >= 8
+    probe_arr = F.array(
+        *[F.expr(f"bucket ^ {m}") for m in _probe_masks(planes)]
+    )
+    ev = (
+        v.where(is_eval)
+        .select(
+            F.col("vec_id").alias("e_id"),
+            F.col("embd").alias("e_emb"),
+            F.col("c_norm").alias("e_norm"),
+            F.explode(probe_arr).alias("bucket"),
+        )
+    )
+    train = v.where(~is_eval)
+    scored = (
+        train.join(ev, "bucket")
+        .select(
+            "vec_id",
+            _cos_pair(
+                F.col("e_emb"), F.col("embd"), F.col("e_norm"), F.col("c_norm")
+            ).alias("cs"),
+        )
+        .where(F.col("cs") >= tau)
+    )
+    flagged = scored.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        F.max("cs").alias("max_cos"),
+    )
+    # TakeOrderedAndProject: per-partition top_k heaps, driver merge —
+    # the report stays O(top_k) no matter how much the bar flags.
+    return flagged.orderBy(F.col("max_cos").desc(), "vec_id").limit(top_k)

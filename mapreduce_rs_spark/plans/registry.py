@@ -2904,6 +2904,41 @@ QUERIES: dict[str, QuerySpec] = {
         "97% at sf0.01 / 79% at sf0.1, ABOVE the graph's edge recall "
         "because the beam explores past direct edges",
     ),
+    "semantic_decontaminate": QuerySpec(
+        _emb(similarity.semantic_decontaminate),
+        (lambda tau, probes: f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])', _PLANES)} AS bucket
+            FROM embeddings
+        ), ep AS (
+            SELECT vec_id AS e_id, emb AS e_emb,
+                   unnest([{probes}]) AS pbucket
+            FROM v WHERE vec_id % 10 >= 8
+        ), scored AS (
+            SELECT t.vec_id, {_cosine_sql('ep.e_emb', 't.emb')} AS cs
+            FROM ep JOIN v t ON t.bucket = ep.pbucket AND t.vec_id % 10 < 8
+        )
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+               max(cs) AS max_cos
+        FROM scored WHERE cs >= {tau!r}
+        GROUP BY vec_id
+        ORDER BY max_cos DESC, vec_id LIMIT {similarity.DECON_TOP_K}
+        """)(
+            float(similarity.DECON_TAU),
+            ", ".join(
+                ["bucket"]
+                + [f"xor(bucket, {1 << p})" for p in range(len(_PLANES))]
+            ),
+        ),
+        "Embedding-space decontamination — the semantic twin of the "
+        "lexical decontaminate: train vectors flagged where cosine to "
+        "ANY eval-split vector reaches tau, via the Hamming<=1 "
+        "multiprobe bucket equi-join (never all-pairs; each pair "
+        "scores at most once by construction); reports the top-K "
+        "strongest-evidence rows (TakeOrdered — O(K) at any corpus "
+        "size; a fixed bar flags ~all of a clustered corpus)",
+    ),
     "array_functions_showcase": QuerySpec(
         _emb(similarity.array_functions_showcase),
         """
@@ -6818,6 +6853,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "nn_descent_knn_graph": ("vec_id", "rnk"),
     "nn_descent_recall": ("q_id",),
     "knn_graph_search": ("q_id", "rnk"),
+    "semantic_decontaminate": ("vec_id",),
     "embedding_near_dup": ("vec_a", "vec_b"),
     "q1_pricing_summary": ("l_returnflag", "l_linestatus"),
     "join_revenue_by_nation": ("r_name", "n_name"),
@@ -7029,6 +7065,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "image_resize_stats",      # real NN-resample round-trip vs the
     #                            closed-form text oracle (displaces one
     #                            r04 refresh slot)
+    "semantic_decontaminate",  # embedding-space decontamination: the
+    #                            lexical decontaminate's semantic twin
+    #                            (displaces one r04 refresh slot)
     # (1b) MODIFIED in round 8 — external re-check required:
     "source_extraction",       # cast -> try_cast hardening (random-docs
     #                            probe found the ANSI kill on unmatched
@@ -7070,7 +7109,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     "zorder_locality",
     #
     # (3) evidence refresh — the alphabetical head of the 47 queries
-    # whose newest driver row is round 4 (21 slots fill the window at
+    # whose newest driver row is round 4 (20 slots fill the window at
     # exactly 50):
     "ab_test_conversion",
     "ann_rank_fusion",
@@ -7091,9 +7130,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "gif_frame_stats",
     "hll_distinct_users",
     "join_size_estimate",
-    "jpeg_decode_stats",
-    # (displacement note for r09: the remaining 27 r04-stale queries —
-    # k_anonymity_audit, kcore_decomposition, kmv_quantile_sketch,
+    # (displacement note for r09: the remaining 28 r04-stale queries —
+    # jpeg_decode_stats, k_anonymity_audit, kcore_decomposition, kmv_quantile_sketch,
     # label_propagation_communities, link_prediction_scores,
     # ngram_containment_pairs, orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
     # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
@@ -7103,7 +7141,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # target_encoding_nations, temperature_mixture,
     # token_budget_allocation, unigram_surprisal_scores,
     # value_drift_chi2, wav_frame_features, weighted_shortest_paths,
-    # zone_map_pruning — rotate these 27 next,
+    # zone_map_pruning — rotate these 28 next,
     # then begin the r05 tranche with the remaining slots; after the
     # r09 window no query's newest row is older than round 5.)
 )

@@ -57,6 +57,10 @@ EMB_QUERIES = (
     # serving path: ties must also survive the beam's monotone
     # union-dedup-rescore loop and the final self-exclusion
     "knn_graph_search",
+    # duplicate/near-identical vectors straddling the eval split make
+    # max_cos ties at the top-K boundary; (max_cos DESC, vec_id) must
+    # cut identically in both engines
+    "semantic_decontaminate",
 )
 
 SEED = 1729

@@ -150,6 +150,10 @@ _SCALE_GUARDS = {
     # scan -> three chained Arrow stages (encode, decode+resample,
     # stats), all narrow: zero exchanges
     "image_resize_stats": (0, 0),
+    # eval-probe explode meets train in ONE bucket equi-join over the
+    # checkpointed corpus frame; the per-train agg is the one exchange;
+    # the top-K report is TakeOrderedAndProject (asserted), not a sort
+    "semantic_decontaminate": (1, 0),
     "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
     # native session_window: partial agg -> ONE exchange on user_id ->
     # local sort -> MergingSessions -> final agg; no window functions
