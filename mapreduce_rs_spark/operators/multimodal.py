@@ -195,12 +195,11 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return file_header + info_header + body
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
-    """Decode a 24-bit uncompressed BMP: (width, height, 3,
-    mean_intensity over all channel bytes). Pure Python: header walk →
-    bottom-up padded-row pixel array. Raises loudly on anything that
-    isn't a baseline 24-bit BI_RGB BMP (palette/RLE/top-down files are
-    out of scope), so the pipeline can quarantine corrupt rows."""
+def _bmp_header(payload: bytes) -> tuple[int, int, int]:
+    """Shared header walk + full validation for the BMP decoders:
+    (width, height, off_bits). Raises loudly on anything that isn't a
+    baseline 24-bit BI_RGB BMP (palette/RLE/top-down files are out of
+    scope), so the pipeline can quarantine corrupt rows."""
     if not payload.startswith(BMP_MAGIC):
         raise ValueError("not a BMP payload")
     if len(payload) < _BMP_HEADER_SIZE:
@@ -222,6 +221,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     stride = _bmp_stride(width)
     if len(payload) < off_bits + stride * height:
         raise ValueError("truncated BMP: bad pixel-array length")
+    return width, height, off_bits
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode a 24-bit uncompressed BMP: (width, height, 3,
+    mean_intensity over all channel bytes). Pure Python: header walk →
+    bottom-up padded-row pixel array."""
+    width, height, off_bits = _bmp_header(payload)
+    stride = _bmp_stride(width)
     total = 0
     for y in range(height):
         row_start = off_bits + y * stride
@@ -234,9 +242,11 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     the full inverse of encode_bmp's two spec transforms (bottom-up
     rows un-flipped, BGR swapped back to RGB, padding dropped):
     (width, height, 3, pixels) with ``len(pixels) == width*height*3``.
-    Validation identical to decode_bmp."""
-    w, h, ch, _ = decode_bmp(payload)  # full validation, one pass
-    _, _, _, _, off_bits = struct.unpack("<2sIHHI", payload[:14])
+    Validation identical to decode_bmp (shared header walk); one pixel
+    pass (review finding: validating via decode_bmp summed every byte
+    for a mean that was thrown away — 2x reads on the resize hot path).
+    """
+    w, h, off_bits = _bmp_header(payload)
     stride = _bmp_stride(w)
     out = bytearray()
     for y in range(h - 1, -1, -1):

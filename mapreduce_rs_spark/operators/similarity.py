@@ -2095,11 +2095,17 @@ def semantic_decontaminate(
     meets the train side in a bucket equi-join — never all-pairs; a
     train vector lives in exactly one bucket and eval probe targets are
     distinct, so each (eval, train) pair scores at most once and the
-    per-train aggregate needs no dedup. Candidate recall is the LSH
-    trade documented for every bucket-blocked tier (multiprobe lifts
-    it the same way it lifts the NN-Descent seed). The corpus frame is
-    the same materialized (vec_id, embd, norm, bucket) artifact the
-    graph tier uses — eval and train branches read the ONE checkpoint.
+    per-train aggregate needs no dedup. At test scale the eval side
+    broadcasts and the aggregate is the only exchange; under the %10
+    split the eval-probe frame is O(corpus), so past the broadcast
+    threshold the join correctly demotes to a shuffle on the bucket
+    key (two more exchanges — the plan guard leaves that room; a real
+    deployment's eval set is a fixed small artifact and stays
+    broadcast). Candidate recall is the LSH trade documented for every
+    bucket-blocked tier (multiprobe lifts it the same way it lifts the
+    NN-Descent seed). The corpus frame is the same materialized
+    (vec_id, embd, norm, bucket) artifact the graph tier uses — eval
+    and train branches read the ONE checkpoint.
     """
     planes = planes or hyperplanes()
     v = _nnd_corpus(df, planes, persist_dir)

@@ -52,9 +52,16 @@ def main() -> int:
     spark = get_spark("parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     driver_form = queries()
-    names = (
-        args.queries.split(",") if args.queries else sorted(driver_form)
-    )
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in driver_form]
+        if unknown:
+            # A typo must be an argument error, not a recorded parity
+            # failure backing a standing claim (review finding).
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+    else:
+        names = sorted(driver_form)
     t0 = time.time()
     bad: list[str] = []
     rows_only = 0
