@@ -197,10 +197,6 @@ def main() -> None:
         passes.append({name: run_full_plan(name) for name in HEADLINE})
     wc_post = run_full_plan("wordcount")
 
-    timings = {
-        name: min(p[name] for p in passes) for name in HEADLINE
-    }
-    total = round(sum(timings.values()), 3)
     probe = min(wc_pre, wc_post)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # probe references are per-SF cooled measurements; at an SF without
@@ -208,6 +204,26 @@ def main() -> None:
     # conflate data scale with machine load, so no index is computed
     ref = WORDCOUNT_REF_BY_SF.get(sf)
     index = round(probe / ref, 2) if ref else None
+
+    # Second in-band load signal (r08 verdict #4): the JVM-only probe
+    # under-detects ambient load that inflates only the FIRST pass (it
+    # runs before/after the suite, when a transient co-tenant burst may
+    # already have passed). The pass-total gap pass1/pass2 sees exactly
+    # that: on a quiet machine the two passes read within ~10% of each
+    # other; first-pass ≫ second-pass means the run started loaded.
+    # When the two instruments DISAGREE — probe says cool but the gap
+    # says loaded — the best-of-2 min may still carry contention, so
+    # run a THIRD pass and take per-query minima over all three.
+    pass_gap = round(sum(passes[0].values()) / sum(passes[1].values()), 2)
+    disagree = index is not None and index <= 1.1 and pass_gap > 1.15
+    if disagree:
+        warm_python_pool()
+        passes.append({name: run_full_plan(name) for name in HEADLINE})
+
+    timings = {
+        name: min(p[name] for p in passes) for name in HEADLINE
+    }
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
@@ -226,6 +242,13 @@ def main() -> None:
                     # a contention-adjusted cross-round comparison.
                     # null when sf != 0.1 (reference is sf0.1-specific).
                     "contention_index": index,
+                    # pass1/pass2 total ratio — the first-pass-inflation
+                    # signal the JVM probe cannot see (r08 verdict #4).
+                    # ~1.0 = quiet; ≫1 = the run STARTED loaded. When
+                    # the probe reads cool but the gap reads loaded, a
+                    # third pass ran and the minima cover all three.
+                    "pass_gap": pass_gap,
+                    "third_pass_ran": disagree,
                     "pass_totals": [
                         round(sum(p.values()), 3) for p in passes
                     ],

@@ -6,7 +6,9 @@ resize / frame-sample as Arrow-batched Python stages (``mapInPandas``) —
 the one place imperative Python is the right tool, because codecs aren't
 column expressions.
 
-FOUR real codecs — one per modality class — plus a stub fallback:
+FIVE real codecs — no stub fallback (retired round 7; a payload whose
+content_type has no codec here RAISES, and the pipeline routes it to
+the ``decode_error`` quarantine column instead of fabricating stats):
 
 * ``image/png`` — pure-Python PNG decoder (zlib + struct, no PIL)
   handling 8-bit grayscale/RGB/RGBA with all five scanline filters.
@@ -15,6 +17,10 @@ FOUR real codecs — one per modality class — plus a stub fallback:
 * ``image/bmp`` — 24-bit uncompressed (BI_RGB) Windows BMP:
   BITMAPFILEHEADER/BITMAPINFOHEADER walk, bottom-up row order, 4-byte
   row padding, BGR channel order all handled.
+* ``image/jpeg`` — baseline sequential DCT grayscale JPEG: spec Annex
+  K quantization/Huffman tables, entropy decode, dequantize, IDCT,
+  level shift — real pixels, exercised by ``jpeg_decode_stats`` and
+  the resize kernel.
 * ``audio/wav`` — 16-bit PCM RIFF/WAVE: word-aligned chunk walk, fmt
   validation, int16 LE sample unpack; frames/channels/rate/amplitudes
   all from the parsed file.
@@ -23,10 +29,10 @@ FOUR real codecs — one per modality class — plus a stub fallback:
   9→12-bit codes, CLEAR resets, LSB-first packing, hand-packed spec
   vector pinned in tests); per-frame delays from Graphic Control
   Extensions.
-* anything else — a clearly-marked deterministic STUB (the container
-  has no general codecs); the Spark-side contract (schema, batch
-  iteration, partitioning, UDF signature) is identical on all paths,
-  so swapping the stub for PIL/ffmpeg is a one-function change.
+
+The Spark-side contract (schema, batch iteration, partitioning, UDF
+signature) is identical on all paths, so adding a PIL/ffmpeg-backed
+codec for a new content_type is a one-function change.
 """
 
 from __future__ import annotations
@@ -264,6 +270,25 @@ FEATURE_SCHEMA = (
 )
 
 
+def _oracle_ascii_bytes(text: str) -> bytes:
+    """utf-8 bytes of ``text``, asserted pure-ASCII — the synthesis
+    contract guard (ADVICE r08). Every attach_* synthesis derives
+    pixels/samples from utf-8 BYTES, while the DuckDB oracles replay
+    them with per-CHARACTER ``ascii()``/``length()`` — identical only
+    for pure-ASCII text. The shipped corpora and the random-doc probes
+    are ASCII by construction; this guard makes a future non-ASCII
+    corpus fail LOUDLY at the synthesis site instead of silently
+    hash-mismatching the byte-vs-character replay downstream."""
+    data = text.encode("utf-8")
+    if len(data) != len(text):
+        raise ValueError(
+            "multimodal payload synthesis requires pure-ASCII text (the "
+            "DuckDB oracles replay bytes via per-character ascii()); got "
+            f"non-ASCII document text starting {text[:40]!r}"
+        )
+    return data
+
+
 def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthesize an opaque binary column + metadata struct from text
     (deterministic stand-in for real image bytes). Mirrors how a real
@@ -290,7 +315,7 @@ def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = text.encode("utf-8")
+                data = _oracle_ascii_bytes(text)
                 w = len(data) % 16 + 1
                 h = len(data) % 12 + 1
                 pixels = (data * (w * h // max(len(data), 1) + 1))[: w * h]
@@ -328,7 +353,7 @@ def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = text.encode("utf-8")
+                data = _oracle_ascii_bytes(text)
                 w = len(data) % 12 + 1
                 h = len(data) % 8 + 1
                 n = w * h * 3
@@ -867,7 +892,7 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         out: dict[str, list] = {k: [] for k in cols}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = text.encode("utf-8")
+                data = _oracle_ascii_bytes(text)
                 n = len(data)
                 ch = n % 2 + 1
                 n_frames = n % 48 + 1
@@ -1190,7 +1215,7 @@ def attach_gif_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         out: dict[str, list] = {k: [] for k in cols}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = text.encode("utf-8")
+                data = _oracle_ascii_bytes(text)
                 n = len(data)
                 w, h, n_frames = n % 10 + 1, n % 6 + 1, n % 4 + 1
                 npix = w * h
@@ -1693,7 +1718,7 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
         out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = text.encode("utf-8")
+                data = _oracle_ascii_bytes(text)
                 bw = len(data) % 4 + 1
                 bh = len(data) % 3 + 1
                 w, h = bw * 8, bh * 8
