@@ -208,17 +208,24 @@ def main() -> None:
     # Second in-band load signal (r08 verdict #4): the JVM-only probe
     # under-detects ambient load that inflates only the FIRST pass (it
     # runs before/after the suite, when a transient co-tenant burst may
-    # already have passed). The pass-total gap pass1/pass2 sees exactly
-    # that: on a quiet machine the two passes read within ~10% of each
-    # other; first-pass ≫ second-pass means the run started loaded.
-    # When the two instruments DISAGREE — probe says cool but the gap
-    # says loaded — the best-of-2 min may still carry contention, so
-    # run a THIRD pass and take per-query minima over all three.
+    # already have passed). The pass-total gap pass1/pass2 sees that —
+    # but it CONFLATES ambient load with per-query first-touch costs
+    # (codegen, parquet footers: quiet r06/r08 reads gapped 1.3-1.6x
+    # too), so a large gap alone is ambiguous. Disambiguate with a
+    # THIRD pass whenever the gap is large and the probe didn't already
+    # flag the run: pass2/pass3 ~ 1.0 proves the gap was first-touch
+    # (quiet run, minima stand); pass2/pass3 >> 1 means the run was
+    # contention-limited and the extra pass tightened the minima.
     pass_gap = round(sum(passes[0].values()) / sum(passes[1].values()), 2)
-    disagree = index is not None and index <= 1.1 and pass_gap > 1.15
-    if disagree:
+    third = pass_gap > 1.15 and (index is None or index <= 1.1)
+    if third:
         warm_python_pool()
         passes.append({name: run_full_plan(name) for name in HEADLINE})
+    pass_gap_23 = (
+        round(sum(passes[1].values()) / sum(passes[2].values()), 2)
+        if third
+        else None
+    )
 
     timings = {
         name: min(p[name] for p in passes) for name in HEADLINE
@@ -244,11 +251,14 @@ def main() -> None:
                     "contention_index": index,
                     # pass1/pass2 total ratio — the first-pass-inflation
                     # signal the JVM probe cannot see (r08 verdict #4).
-                    # ~1.0 = quiet; ≫1 = the run STARTED loaded. When
-                    # the probe reads cool but the gap reads loaded, a
-                    # third pass ran and the minima cover all three.
+                    # Conflates first-touch with ambient load, so when
+                    # it is large and the probe read cool, a third pass
+                    # runs: pass_gap_23 ~ 1.0 = the gap was first-touch
+                    # (quiet run); >> 1 = the run was contention-limited
+                    # and the minima cover all three passes.
                     "pass_gap": pass_gap,
-                    "third_pass_ran": disagree,
+                    "pass_gap_23": pass_gap_23,
+                    "third_pass_ran": third,
                     "pass_totals": [
                         round(sum(p.values()), 3) for p in passes
                     ],

@@ -348,8 +348,9 @@ def kmeans_fit(
       ``ivf_k_for`` (E[cluster] ~ IVF_TARGET_CLUSTER), the round-3
       verdict's scale fix: a fixed k turns semdedup's per-cluster pair
       join quadratic as N grows. At very large k, raise sample_cap in
-      step (the assert below keeps >= 8 points per centroid) or fit
-      the coarse quantizer with distributed k-means.
+      step (the assert below keeps >= 8 points per centroid) or switch
+      to ``kmeans_refit_distributed`` — the full-corpus Lloyd rounds as
+      Spark aggregates, which has no sample and no driver-side ceiling.
     """
     if k is None:
         k = ivf_k_for(df.count())
@@ -366,7 +367,9 @@ def kmeans_fit(
     if len(sample) < 8 * k:
         raise AssertionError(
             f"sample of {len(sample)} too small for k={k} centroids "
-            "(need >= 8 points each) — raise sample_cap in step with k"
+            "(need >= 8 points each) — raise sample_cap in step with k, "
+            "or fit with kmeans_refit_distributed (full-corpus Lloyd "
+            "rounds as Spark aggregates; no sample, no driver ceiling)"
         )
     x = np.array([row.embedding for row in sample], dtype=np.float64)
     cents = np.array(_init_centroids(k, dim), dtype=np.float64)
@@ -1568,6 +1571,183 @@ def ivf_index_maintenance(df: DataFrame) -> DataFrame:
         ).alias("growth_bp"),
         (_dot_raw(lv, cv) / (_l2_raw(lv) * _l2_raw(cv))).alias("drift_cos"),
         (F.col("n_new") * den >= F.col("n_before") * num).alias("refit_needed"),
+    )
+
+
+# Distributed Lloyd rounds for the coarse-quantizer refit (r08 verdict
+# #2 — the ANN family's one driver-side ceiling): kmeans_fit collects a
+# hard-capped SAMPLE and iterates locally, which stops supplying >= 8
+# points per centroid once ivf_k_for's derived k outgrows the cap. This
+# path never samples: assignment and the mean updates both run over the
+# FULL corpus as Spark aggregates, and the only per-round state is
+# |centroids| x dim integers. Two rounds demonstrate the update chain
+# (assign -> exact integer sums -> renormalize -> reassign) end to end;
+# production would loop until the assignment delta converges.
+KMEANS_DIST_ROUNDS = 2
+
+
+def kmeans_init_q(cents: list[list[float]] | None = None) -> list[list[int]]:
+    """The distributed refit's INIT state: the shipped centroid literals
+    quantized to integer micro-units (round(c * DRIFT_SCALE) — lossless
+    for the 6-decimal literals, since DRIFT_SCALE = 1e6). ONE definition
+    shared by the operator and the DuckDB oracle (the entity_match
+    ADVICE rule: every oracle knob derives from the operator's own
+    constants)."""
+    return [
+        [int(round(x * DRIFT_SCALE)) for x in c] for c in (cents or centroids())
+    ]
+
+
+def kmeans_refit_distributed(
+    df: DataFrame,
+    rounds: int = KMEANS_DIST_ROUNDS,
+    init: list[list[int]] | None = None,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Distributed coarse-quantizer refit: ``rounds`` Lloyd iterations
+    of spherical k-means executed ENTIRELY as Spark aggregates — the
+    successor path ``kmeans_fit``'s sample-size assert points at. At
+    billions of vectors the driver-side fit cannot supply >= 8 sample
+    points per centroid once ``ivf_k_for``'s derived k outgrows the
+    capped sample; this path has no sample: every round assigns the
+    FULL corpus and re-estimates every centroid from exact full-corpus
+    sums.
+
+    Exact-arithmetic design (the fixed-point discipline — pagerank /
+    ivf_index_maintenance):
+
+    * corpus coordinates quantize ONCE to integer micro-units
+      (round(x · 1e6) as BIGINT, the DRIFT_SCALE recipe);
+    * centroid state is integer micro-unit UNIT vectors (norm ~ 1e6),
+      so assignment scores are exact 64-term BIGINT dot products
+      (|q·cq| <= ~5.5e12/term — the double the oracle accumulates in
+      stays exact below 2^53), argmax ties -> higher cid (the
+      ``_nearest_centroid_expr`` convention);
+    * the update is one (cid, pos)-key aggregate with map-side
+      partials — per-round shuffle state is k x dim BIGINTs no matter
+      the corpus size; membership tallies ride the pos-0 rows (the
+      ``ivf_index_maintenance`` single-pass shape, so the assignment
+      subtree is never cloned);
+    * renormalization divides the exact integer sum vector by
+      sqrt(ss) once and re-quantizes (each step a single
+      correctly-rounded IEEE op on bit-identical inputs, so both
+      engines land the same integers); spherical k-means makes the
+      mean's 1/n cancel — cos(x, s/n) = cos(x, s);
+    * an empty (or zero-sum) cluster keeps its previous centroid —
+      the guard never fires on the shipped corpora (every cluster is
+      populated) and is unit-tested on a synthetic 3-vector corpus.
+
+    Assignment broadcasts the k-row centroid state rolled into ONE
+    array-of-structs row (a crossJoin of a 1-row frame — the
+    relational.py broadcast-aggregate idiom), so no corpus-sized
+    shuffle exists anywhere in the round: scan -> narrow argmax ->
+    partial agg -> k x dim-row final agg. Per-round centroid frames
+    are materialized (k rows — the iterative-op rule at trivial cost).
+
+    Returns one row per centroid: final-round membership, two integer
+    checksums of the refit vector (cq_sum, cq_norm2 — these pin the
+    fitted values in the oracle hash), and shift_cos — cosine between
+    the init and refit centroid (the drift the refit corrected).
+    """
+    init = init or kmeans_init_q()
+    k = len(init)
+    spark = df.sparkSession
+
+    def cq_sql(vec: list[int]) -> str:
+        return "array(" + ",".join(f"{x}L" for x in vec) + ")"
+
+    init_arr = (
+        "array("
+        + ",".join(
+            f"named_struct('cid', {i}, 'cq', {cq_sql(c)})" for i, c in enumerate(init)
+        )
+        + ")"
+    )
+    cent = spark.range(1).select(
+        F.explode(F.expr(init_arr)).alias("c")
+    ).select(
+        F.col("c.cid").alias("cid"),
+        F.col("c.cq").alias("cq"),
+        F.lit(0).cast("long").alias("n_members"),
+    )
+    q = materialize(
+        ensure_parallelism(df, "vec_id").select(
+            "vec_id",
+            F.expr(
+                f"transform(CAST(embedding AS {_DBL}), "
+                f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+            ).alias("qv"),
+        ),
+        persist_dir,
+        "dkm_corpus",
+    )
+    argmax_cid = F.expr(
+        "array_max(transform(carr, c -> named_struct("
+        "'score', aggregate(zip_with(qv, c.cq, (x, y) -> x * y), 0L, (a, x) -> a + x), "
+        "'cid', c.cid))).cid"
+    )
+    vec_of = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+    )
+    for r in range(rounds):
+        rolled = cent.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cq")))
+            ).alias("carr")
+        )
+        upd = (
+            q.crossJoin(F.broadcast(rolled))
+            .select("qv", argmax_cid.alias("cid"))
+            .select("cid", F.posexplode("qv").alias("pos", "qx"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum("qx").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .groupBy("cid")
+            .agg(
+                vec_of.alias("svec"),
+                # every member contributes one row per pos — tallies
+                # ride the pos-0 rows (ivf_index_maintenance shape)
+                F.max(F.when(F.col("pos") == 0, F.col("n"))).alias("nm"),
+            )
+            .withColumn(
+                "ss",
+                F.expr(
+                    "aggregate(svec, CAST(0 AS DECIMAL(38,0)), "
+                    "(acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"
+                ),
+            )
+        )
+        cq_new = F.expr(
+            "transform(svec, s -> CAST(round(CAST(s AS DOUBLE) "
+            f"/ sqrt(CAST(ss AS DOUBLE)) * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+        )
+        cent = materialize(
+            cent.select("cid", "cq")
+            .join(upd, "cid", "left")
+            .select(
+                "cid",
+                F.when(
+                    F.col("ss").isNull() | (F.col("ss") == 0), F.col("cq")
+                ).otherwise(cq_new).alias("cq"),
+                F.coalesce(F.col("nm"), F.lit(0).cast("long")).alias("n_members"),
+            ),
+            persist_dir,
+            f"dkm_c{r}",
+        )
+    iv = F.expr(
+        "CAST(element_at("
+        + "array(" + ",".join(cq_sql(c) for c in init) + ")"
+        + f", cid + 1) AS {_DBL})"
+    )
+    cv = F.col("cq").cast(_DBL)
+    return cent.select(
+        F.col("cid").cast("int").alias("centroid_id"),
+        "n_members",
+        F.expr("aggregate(cq, 0L, (a, x) -> a + x)").alias("cq_sum"),
+        F.expr("aggregate(cq, 0L, (a, x) -> a + x * x)").alias("cq_norm2"),
+        (_dot_raw(cv, iv) / (_l2_raw(cv) * _l2_raw(iv))).alias("shift_cos"),
     )
 
 

@@ -741,6 +741,82 @@ def _ivf_assigned_cte() -> str:
             ) r WHERE rn = 1
         )"""
 
+def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.kmeans_refit_distributed: the Lloyd
+    rounds unrolled as a MATERIALIZED CTE chain (assignment cross-join
+    re-reads v and the centroid state per round — the clone rule).
+    Every knob f-string-derived from the similarity.py constants: init
+    centroids from kmeans_init_q() (the shipped literals quantized to
+    micro-units), quantization scale DRIFT_SCALE, round count
+    KMEANS_DIST_ROUNDS. Assignment scores are list_dot_product over
+    integer lists cast to double — exact below 2^53 (|term| <= ~5.5e12,
+    64 terms), so the argmax matches Spark's BIGINT fold bit-for-bit."""
+    scale = float(similarity.DRIFT_SCALE)
+    init = similarity.kmeans_init_q()
+    init_rows = "\n            UNION ALL ".join(
+        f"SELECT {i} AS cid, [{', '.join(str(x) for x in c)}]::BIGINT[] AS cq"
+        for i, c in enumerate(init)
+    )
+    parts = [
+        f"""v AS MATERIALIZED (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
+            FROM embeddings
+        ), c_init AS MATERIALIZED (
+            {init_rows}
+        )"""
+    ]
+    prev = "c_init"
+    for r in range(rounds):
+        parts.append(f"""a{r} AS MATERIALIZED (
+            SELECT vec_id, qv, cid FROM (
+                SELECT v.vec_id, v.qv, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
+                                    CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
+                FROM v CROSS JOIN {prev} c
+            ) r WHERE rn = 1
+        ), per{r} AS (
+            SELECT cid, pos, CAST(sum(q) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT cid, u.pos AS pos, u.q AS q FROM (
+                    SELECT cid,
+                           unnest(list_transform(range(1, len(qv) + 1),
+                                  i -> struct_pack(pos := i,
+                                       q := qv[CAST(i AS INTEGER)]))) AS u
+                    FROM a{r}
+                )
+            ) GROUP BY 1, 2
+        ), upd{r} AS (
+            SELECT cid, list(s ORDER BY pos) AS svec,
+                   CAST(max(CASE WHEN pos = 1 THEN n END) AS BIGINT) AS nm,
+                   sum(CAST(s AS HUGEINT) * s) AS ss
+            FROM per{r} GROUP BY cid
+        ), c{r} AS MATERIALIZED (
+            SELECT p.cid,
+                   CASE WHEN u.cid IS NULL OR u.ss = 0 THEN p.cq
+                        ELSE list_transform(u.svec,
+                             s -> CAST(round(CAST(s AS DOUBLE)
+                                  / sqrt(CAST(u.ss AS DOUBLE)) * {scale!r}, 0)
+                                  AS BIGINT)) END AS cq,
+                   CAST(coalesce(u.nm, 0) AS BIGINT) AS n_members
+            FROM {prev} p LEFT JOIN upd{r} u USING (cid)
+        )""")
+        prev = f"c{r}"
+    return (
+        "WITH " + ",\n        ".join(parts)
+        + f"""
+        SELECT CAST(f.cid AS INTEGER) AS centroid_id, f.n_members,
+               CAST(list_sum(f.cq) AS BIGINT) AS cq_sum,
+               CAST(list_sum(list_transform(f.cq, x -> x * x)) AS BIGINT) AS cq_norm2,
+               {_cosine_sql('CAST(f.cq AS DOUBLE[])', 'CAST(i.cq AS DOUBLE[])')} AS shift_cos
+        FROM {prev} f JOIN c_init i USING (cid)
+        ORDER BY centroid_id
+        """
+    )
+
+
 def _nnd_ctes(
     k: int = similarity.NND_K,
     rounds: int = similarity.NND_ROUNDS,
@@ -2828,6 +2904,18 @@ QUERIES: dict[str, QuerySpec] = {
         "cross-multiplied refit decision — one pass over the assignment "
         "stream (membership tallies ride the pos-0 rows, so the 16x64-dot "
         "scoring subtree is never cloned)",
+    ),
+    "kmeans_refit_distributed": QuerySpec(
+        _emb(similarity.kmeans_refit_distributed),
+        _dkm_sql(),
+        "Distributed coarse-quantizer refit (r08 verdict #2): Lloyd "
+        "rounds of spherical k-means executed entirely as Spark "
+        "aggregates — full-corpus assignment against the broadcast "
+        "k-row centroid state, exact integer micro-unit sums per "
+        "(centroid, pos), renormalize, repeat; retires the ANN "
+        "family's driver-side sample-fit ceiling (kmeans_fit's assert "
+        "points here). Output pins the refit vectors via integer "
+        "checksums + init-vs-refit cosine",
     ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
@@ -7001,6 +7089,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "erasure_plan": ("day",),
     # (ab_test_conversion emits a single row — no sort needed, the
     # lsh_dedup_eval precedent.)
+    "kmeans_refit_distributed": ("centroid_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
     "kmv_quantile_rollup_merge": ("week", "event_type", "q_bp"),
     "asof_customer_maturity": ("orders_so_far",),

@@ -61,6 +61,11 @@ EMB_QUERIES = (
     # max_cos ties at the top-K boundary; (max_cos DESC, vec_id) must
     # cut identically in both engines
     "semantic_decontaminate",
+    # distributed refit: random coordinates hit half-micro-unit round
+    # boundaries in the quantization AND the renormalized centroid
+    # re-quantization; assignment argmax ties (duplicate vectors) must
+    # break to the higher cid identically through both Lloyd rounds
+    "kmeans_refit_distributed",
 )
 
 SEED = 1729

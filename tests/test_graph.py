@@ -155,6 +155,116 @@ def test_kmeans_fit_deterministic(spark, sf_dir):
         assert abs(sum(x * x for x in c) - 1.0) < 1e-3
 
 
+def test_kmeans_fit_reproduces_shipped_literals(spark):
+    """Provenance: re-running kmeans_fit on its documented fit input
+    (the sf0.01 embeddings corpus) must reproduce ivf_model.py's
+    FITTED_CENTROIDS exactly — the literals are a data artifact, not
+    hand-written numbers (the pca_model.py provenance discipline).
+    kmeans_refit_distributed is the successor once ivf_k_for's k
+    outgrows the sample cap; its own exactness test is the integer
+    replica below."""
+    from mapreduce_rs_spark.operators.ivf_model import FITTED_CENTROIDS
+    from mapreduce_rs_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert kmeans_fit(emb) == FITTED_CENTROIDS
+
+
+def test_kmeans_refit_distributed_matches_integer_replica(spark, sf_dir):
+    """The distributed Lloyd rounds must EXACTLY match a pure-Python
+    integer replica of the algorithm (quantize → argmax-dot assign with
+    tie → higher cid → exact integer sums → renormalize+requantize) —
+    the fixed-point discipline means equality is byte-wise, not
+    approximate."""
+    import decimal
+    import math
+
+    from mapreduce_rs_spark.operators.similarity import (
+        DRIFT_SCALE,
+        KMEANS_DIST_ROUNDS,
+        kmeans_init_q,
+        kmeans_refit_distributed,
+    )
+
+    def rnd(x: float) -> int:  # round-half-away, the Spark/DuckDB round()
+        return int(decimal.Decimal(x).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = {
+        r["vec_id"]: [rnd(float(x) * DRIFT_SCALE) for x in r["e"]]
+        for r in emb.selectExpr("vec_id", "CAST(embedding AS array<double>) AS e")
+        .collect()
+    }
+    cents = kmeans_init_q()
+    k = len(cents)
+    nm = [0] * k
+    for _ in range(KMEANS_DIST_ROUNDS):
+        sums = [[0] * len(next(iter(qv.values()))) for _ in range(k)]
+        nm = [0] * k
+        for v in qv.values():
+            best = max(
+                range(k), key=lambda c: (sum(x * y for x, y in zip(v, cents[c])), c)
+            )
+            nm[best] += 1
+            for p, x in enumerate(v):
+                sums[best][p] += x
+        nxt = []
+        for c in range(k):
+            ss = sum(s * s for s in sums[c])
+            if nm[c] == 0 or ss == 0:
+                nxt.append(cents[c])
+            else:
+                norm = math.sqrt(float(ss))
+                nxt.append([rnd(float(s) / norm * DRIFT_SCALE) for s in sums[c]])
+        cents = nxt
+
+    rows = kmeans_refit_distributed(emb).orderBy("centroid_id").collect()
+    assert len(rows) == k
+    for r in rows:
+        c = r["centroid_id"]
+        assert r["n_members"] == nm[c], f"cid {c} membership"
+        assert r["cq_sum"] == sum(cents[c]), f"cid {c} cq_sum"
+        assert r["cq_norm2"] == sum(x * x for x in cents[c]), f"cid {c} cq_norm2"
+    # partition-invariance: exact integer arithmetic end to end
+    again = {
+        r["centroid_id"]: (r["n_members"], r["cq_sum"], r["cq_norm2"])
+        for r in kmeans_refit_distributed(emb.repartition(7)).collect()
+    }
+    assert again == {
+        r["centroid_id"]: (r["n_members"], r["cq_sum"], r["cq_norm2"]) for r in rows
+    }
+
+
+def test_kmeans_refit_distributed_empty_cluster_carries_init(spark):
+    """A cluster no vector chooses must keep its previous centroid
+    (the guard is vacuous on the shipped corpora — every cluster is
+    populated — so prove the branch on a corpus engineered to starve
+    most clusters)."""
+    from mapreduce_rs_spark.operators.similarity import (
+        DRIFT_SCALE,
+        kmeans_init_q,
+        kmeans_refit_distributed,
+    )
+
+    init = kmeans_init_q()
+    # three identical-direction vectors: exactly ONE cluster wins them
+    # all in round 1 and keeps them in round 2; the other 15 stay empty
+    base = [0.1] * 64
+    emb = spark.createDataFrame(
+        [(i, base) for i in range(1, 4)], ["vec_id", "embedding"]
+    )
+    rows = kmeans_refit_distributed(emb).collect()
+    populated = [r for r in rows if r["n_members"] > 0]
+    empty = [r for r in rows if r["n_members"] == 0]
+    assert len(populated) == 1 and populated[0]["n_members"] == 3
+    assert len(empty) == len(init) - 1
+    for r in empty:
+        c = init[r["centroid_id"]]
+        assert r["cq_sum"] == sum(c), "empty cluster must carry its init vector"
+        assert r["cq_norm2"] == sum(x * x for x in c)
+        assert abs(r["shift_cos"] - 1.0) < 1e-12  # unmoved → cosine exactly 1
+
+
 def test_simhash_near_pairs_exact_copies_distance_zero(spark):
     from mapreduce_rs_spark.operators.dedup import simhash_near_pairs
 

@@ -170,6 +170,11 @@ _SCALE_GUARDS = {
     # rollup, final join of the two k-row frames — one corpus scan
     # (the 16x64-dot assignment subtree is never cloned)
     "ivf_index_maintenance": (3, 0),
+    # distributed refit: every round's heavy stage (broadcast argmax +
+    # the (cid,pos) partial agg) lives inside the per-round materialize
+    # builds; the FINAL plan is a narrow projection over the last k-row
+    # centroid checkpoint — zero exchanges (the NN-Descent discipline)
+    "kmeans_refit_distributed": (0, 0),
     "curation_yield_neardup": (4, 0),
     # round-3 TPC-H battery (measured at sf0.01; the 3-exchange entries
     # are the two SMJ sides of the lineitem⋈orders edge + the final agg —
