@@ -2237,6 +2237,260 @@ def knn_graph_search(
     )
 
 
+# Graph-ingest knobs (r08 verdict #3 — the ivf_index_maintenance analog
+# for the NN-Descent tier). The new split (vec_id % 10 >= 8, the ingest
+# convention) arrives as NND_INGEST_BATCHES deterministic micro-batches;
+# rebuild triggers when CUMULATIVE admitted growth reaches 15% of the
+# standing corpus (integer cross-multiply, the IVF_REFIT_GROWTH
+# discipline) — at the %10 split the four batches land ~6.25/12.5/18.75/
+# 25% cumulative, so both decision branches are live at every SF.
+NND_INGEST_BATCHES = 4
+GRAPH_REBUILD_GROWTH = (3, 20)
+
+
+def knn_graph_ingest(
+    df: DataFrame,
+    k: int = NND_K,
+    beam: int = NND_BEAM,
+    hops: int = NND_HOPS,
+    rounds: int = NND_ROUNDS,
+    seed_cap: int = NND_SEED_CAP,
+    n_batches: int = NND_INGEST_BATCHES,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Graph-index maintenance under ingest — what ``ivf_index_
+    maintenance`` is to the IVF tier: the standing NN-Descent graph is
+    built over the STANDING corpus (vec_id % 10 < 8), and the new
+    split arrives as ``n_batches`` deterministic micro-batches
+    (batch_id = (vec_id div 10) % n_batches). Each new vector is
+    ADMITTED via the serving tier's own beam search (``knn_graph_
+    search``'s loop — the insertion primitive in every HNSW-style
+    system): its final beam's top-k become its forward edges into the
+    standing graph, so per-vector admission work is O(beam · k · hops)
+    scored candidates — batch-proportional, never corpus-proportional,
+    which is the entire point of maintaining the graph instead of
+    rebuilding it.
+
+    Per micro-batch the maintenance loop reports what a serving system
+    decides on:
+
+    * ``n_vectors`` / ``n_edges`` — admitted vectors and forward edges
+      created (<= n_vectors · k);
+    * ``sum_best_cos_bp`` — Σ round(best_cos · 1e4) over admitted
+      vectors (integer basis points so the per-batch sum is exact and
+      partition-invariant — the quantize-then-sum rule); a falling
+      per-batch mean says new data is drifting away from the corpus;
+    * ``n_rev_improved`` — how many found edges (x → o) BEAT standing
+      node o's current worst edge (cos > min edge cos): the reverse-
+      edge pressure this batch puts on the standing lists — high
+      pressure means the graph's edges are going stale;
+    * ``n_eval`` / ``recall_bp`` — admission-search quality drift: for
+      the KMV-capped members of the batch (the family's bounded eval
+      discipline), integer recall of the beam-found edges vs the exact
+      top-k over the standing corpus (NULL when the cap put no member
+      in this batch — integer-guarded on both engines);
+    * ``cum_growth_bp`` / ``rebuild_needed`` — cumulative admitted
+      growth in basis points against the standing corpus size, and the
+      integer cross-multiplied rebuild decision (growth >= 3/20): a
+      graph absorbs edge inserts only so long before descent quality
+      decays, so past the threshold the maintenance loop schedules a
+      full NN-Descent rebuild (both branches live at every SF).
+
+    Scale shape: the standing build is the ``nn_descent_knn_graph``
+    artifact (bounded per-round local joins, per-round materialization);
+    admission reuses its checkpointed corpus + reps frames (the
+    shared-sample discipline), and every admission join is an equi-join
+    on bucket / cand / q_id over batch-bounded frames; the exact-eval
+    leg is hard-capped at N_QUERIES_CAP queries; the per-batch rollup
+    is an ``n_batches``-row aggregate with a window cumsum over it.
+    """
+    planes = hyperplanes()
+    num, den = GRAPH_REBUILD_GROWTH
+    full = ensure_parallelism(df, "vec_id").select(
+        "vec_id", F.col("embedding").cast(_DBL).alias("embd")
+    )
+    old = full.where(F.col("vec_id") % 10 < 8)
+    # standing corpus frame (embd + norm + bucket), shared by the build,
+    # the admission scoring, and the exact-eval leg (>= 2x rule)
+    v = materialize(
+        old.select(
+            "vec_id",
+            "embd",
+            _l2_raw(F.col("embd")).alias("c_norm"),
+            _bucket_expr("embd", planes).alias("bucket"),
+        ),
+        persist_dir,
+        "gi_corpus",
+    )
+    reps = materialize(_nnd_reps(v, seed_cap), persist_dir, "gi_reps")
+    g = nn_descent_knn_graph(
+        old, k=k, rounds=rounds, seed_cap=seed_cap, planes=planes,
+        persist_dir=persist_dir, corpus=v, reps=reps,
+    )
+    ge = g.select(F.col("vec_id").alias("gsrc"), F.col("nbr_id").alias("gdst"))
+    # standing nodes' worst edge: the insertion bar a new vector must
+    # beat to create reverse pressure (min cos over the <= k edges)
+    worst = g.groupBy(F.col("vec_id").alias("cand")).agg(
+        F.min("cos_sim").alias("worst_cos")
+    )
+    # new batch, enriched once (norm + bucket + micro-batch id)
+    nq = materialize(
+        full.where(F.col("vec_id") % 10 >= 8).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embd").alias("q_embd"),
+            _l2_raw(F.col("embd")).alias("q_norm"),
+            _bucket_expr("embd", planes).alias("q_bucket"),
+            F.expr(f"CAST((vec_id div 10) % {n_batches} AS INT)").alias(
+                "batch_id"
+            ),
+        ),
+        persist_dir,
+        "gi_new",
+    )
+    cv = v.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embd").alias("c_embd"),
+        F.col("c_norm").alias("cv_norm"),
+    )
+
+    def scored_top(pairs: DataFrame, cap: int) -> DataFrame:
+        s = (
+            pairs.join(nq.select("q_id", "q_embd", "q_norm"), "q_id")
+            .join(cv, "cand")
+            .select(
+                "q_id",
+                "cand",
+                _cos_pair(
+                    F.col("q_embd"), F.col("c_embd"),
+                    F.col("q_norm"), F.col("cv_norm"),
+                ).alias("cs"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
+        return (
+            s.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= cap)
+            .select("q_id", "cand", "cs")
+        )
+
+    probe_arr = F.array(
+        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(planes)]
+    )
+    entry = (
+        nq.select("q_id", F.explode(probe_arr).alias("bucket"))
+        .join(reps.select("bucket", F.col("rep_id").alias("cand")), "bucket")
+        .select("q_id", "cand")
+    )
+    frontier = materialize(scored_top(entry, beam), persist_dir, "gi_f0")
+    for h in range(hops):
+        nxt = (
+            frontier.select("q_id", "cand")
+            .join(ge, frontier.cand == ge.gsrc)
+            .select("q_id", F.col("gdst").alias("cand"))
+        )
+        pairs = nxt.unionByName(frontier.select("q_id", "cand")).distinct()
+        frontier = materialize(
+            scored_top(pairs, beam), persist_dir, f"gi_f{h + 1}"
+        )
+    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
+    found = materialize(
+        frontier.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "cand", "cs"),
+        persist_dir,
+        "gi_found",
+    )
+    # exact ground truth for the KMV-capped eval subset (bounded:
+    # cap x |standing|, the knn_bruteforce shape)
+    qcap = (
+        nq.select("q_id", "q_embd", "q_norm", "batch_id",
+                  h32(F.col("q_id").cast("string")).alias("qh"))
+        .orderBy("qh", "q_id")
+        .limit(N_QUERIES_CAP)
+        .select("q_id", "q_embd", "q_norm")
+    )
+    xw = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
+    exact = (
+        qcap.join(cv)
+        .select(
+            "q_id",
+            "cand",
+            _cos_pair(
+                F.col("q_embd"), F.col("c_embd"),
+                F.col("q_norm"), F.col("cv_norm"),
+            ).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(xw))
+        .where(F.col("rn") <= k)
+        .select("q_id", "cand")
+    )
+    hits = (
+        found.join(exact, ["q_id", "cand"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    evald = (
+        qcap.select("q_id")
+        .join(hits, "q_id", "left")
+        .select("q_id", F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"))
+    )
+    # per-vector rollup -> per-batch rollup
+    perv = found.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(F.max("cs") * 10000).cast("long").alias("best_cos_bp"),
+    )
+    # NOT broadcast-hinted: worst is a standing-corpus-sized frame
+    # (one row per graph node), so at scale this equi-join correctly
+    # demotes to a shuffle on cand; locally AQE broadcasts it anyway
+    rev = (
+        found.join(worst, "cand")
+        .where(F.col("cs") > F.col("worst_cos"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rev"))
+    )
+    per_batch = (
+        nq.select("q_id", "batch_id")
+        .join(perv, "q_id", "left")
+        .join(rev, "q_id", "left")
+        .join(evald, "q_id", "left")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.coalesce(F.sum("n_edges"), F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce(F.sum("best_cos_bp"), F.lit(0))
+            .cast("long")
+            .alias("sum_best_cos_bp"),
+            F.coalesce(F.sum("n_rev"), F.lit(0)).cast("long").alias("n_rev_improved"),
+            F.count("n_hit").cast("long").alias("n_eval"),
+            F.sum("n_hit").cast("long").alias("n_hit"),
+        )
+    )
+    n_standing = v.agg(F.count(F.lit(1)).cast("long").alias("n_standing"))
+    cum_w = (
+        Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_batch.crossJoin(F.broadcast(n_standing))
+        .withColumn("cum_new", F.sum("n_vectors").over(cum_w))
+        .select(
+            "batch_id",
+            "n_vectors",
+            "n_edges",
+            "sum_best_cos_bp",
+            "n_rev_improved",
+            "n_eval",
+            F.when(
+                F.col("n_eval") > 0,
+                F.expr(f"n_hit * 10000 div ({k} * n_eval)"),
+            ).alias("recall_bp"),
+            F.expr("cum_new * 10000 div n_standing").alias("cum_growth_bp"),
+            (F.col("cum_new") * den >= F.col("n_standing") * num).alias(
+                "rebuild_needed"
+            ),
+        )
+    )
+
+
 # Semantic-decontamination knobs. TAU = 0.35 measured non-vacuous at
 # every shipped SF (85 / 93 / 1307 all-pairs eval-train hits at
 # sf0.001/0.01/0.1); the eval split is the incremental-ingest

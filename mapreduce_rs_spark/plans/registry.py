@@ -741,6 +741,128 @@ def _ivf_assigned_cte() -> str:
             ) r WHERE rn = 1
         )"""
 
+def _gi_sql(
+    k: int = similarity.NND_K,
+    beam: int = similarity.NND_BEAM,
+    hops: int = similarity.NND_HOPS,
+    n_batches: int = similarity.NND_INGEST_BATCHES,
+) -> str:
+    """Oracle twin of similarity.knn_graph_ingest: the NN-Descent chain
+    built over the STANDING split (vec_id % 10 < 8 — `_nnd_ctes`
+    reused with a corpus filter, the builder-reuse rule), the NEW split
+    as beam-search admission queries (the `_nnd_search_sql` hop unroll
+    with qv = the whole new split instead of the KMV cap), then the
+    per-micro-batch maintenance rollup: edges created, quantized
+    best-cos mass, reverse-edge pressure vs the standing worst edges,
+    capped-eval recall, cumulative growth + integer rebuild decision.
+    Every knob f-string-derived from the similarity.py constants."""
+    chain, last = _nnd_ctes(corpus_where=" WHERE vec_id % 10 < 8")
+    num, den = similarity.GRAPH_REBUILD_GROWTH
+    emb = "CAST(embedding AS DOUBLE[])"
+    probe_list = ", ".join(
+        ["q_bucket"] + [f"xor(q_bucket, {1 << p})" for p in range(len(_PLANES))]
+    )
+    score = _cosine_sql("nq.q_emb", "v.emb")
+    parts = [
+        f"""{chain}, nq AS MATERIALIZED (
+            SELECT vec_id AS q_id, {emb} AS q_emb,
+                   {_bucket_sql(emb, _PLANES)} AS q_bucket,
+                   CAST((vec_id // 10) % {n_batches} AS INTEGER) AS batch_id
+            FROM embeddings WHERE vec_id % 10 >= 8
+        ), worst AS MATERIALIZED (
+            SELECT src AS cand, min(cos_sim) AS worst_cos
+            FROM {last} GROUP BY src
+        ), g AS MATERIALIZED (
+            SELECT src AS gsrc, dst AS gdst FROM {last}
+        ), p0 AS (
+            SELECT q.q_id, r.dst AS cand
+            FROM (SELECT q_id, unnest([{probe_list}]) AS pbucket FROM nq) q
+            JOIN reps r ON r.bucket = q.pbucket
+        )"""
+    ]
+    prev_pairs = "p0"
+    for h in range(hops + 1):
+        parts.append(f"""s{h} AS (
+            SELECT p.q_id, p.cand, {score} AS cs
+            FROM {prev_pairs} p JOIN nq ON p.q_id = nq.q_id
+                                JOIN v ON v.vec_id = p.cand
+        ), f{h} AS MATERIALIZED (
+            SELECT q_id, cand, cs FROM (
+                SELECT q_id, cand, cs,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY cs DESC, cand) AS rn
+                FROM s{h}) r WHERE rn <= {beam}
+        )""")
+        if h < hops:
+            parts.append(f"""p{h + 1} AS (
+            SELECT f.q_id, g.gdst AS cand
+            FROM f{h} f JOIN g ON f.cand = g.gsrc
+            UNION
+            SELECT q_id, cand FROM f{h}
+        )""")
+            prev_pairs = f"p{h + 1}"
+    parts.append(f"""found AS MATERIALIZED (
+            SELECT q_id, cand, cs FROM (
+                SELECT q_id, cand, cs,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY cs DESC, cand) AS rnk
+                FROM f{hops}) r WHERE rnk <= {k}
+        ), qcap AS (
+            SELECT q_id FROM nq ORDER BY
+                {h32_sql('CAST(q_id AS VARCHAR)')}, q_id LIMIT {similarity.N_QUERIES_CAP}
+        ), exact AS (
+            SELECT q_id, cand FROM (
+                SELECT c.q_id, v.vec_id AS cand,
+                       row_number() OVER (PARTITION BY c.q_id
+                           ORDER BY {_cosine_sql('nq.q_emb', 'v.emb')} DESC, v.vec_id) AS rn
+                FROM qcap c JOIN nq ON nq.q_id = c.q_id CROSS JOIN v
+            ) r WHERE rn <= {k}
+        ), evald AS (
+            SELECT c.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+            FROM qcap c LEFT JOIN (
+                SELECT q_id, count(*) AS n_hit
+                FROM found JOIN exact USING (q_id, cand) GROUP BY q_id
+            ) h USING (q_id)
+        ), perv AS (
+            SELECT q_id, CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(round(max(cs) * 10000, 0) AS BIGINT) AS best_cos_bp
+            FROM found GROUP BY q_id
+        ), rev AS (
+            SELECT q_id, CAST(count(*) AS BIGINT) AS n_rev
+            FROM found f JOIN worst w ON f.cand = w.cand
+            WHERE f.cs > w.worst_cos GROUP BY q_id
+        ), per_batch AS (
+            SELECT batch_id,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(coalesce(sum(p.n_edges), 0) AS BIGINT) AS n_edges,
+                   CAST(coalesce(sum(p.best_cos_bp), 0) AS BIGINT) AS sum_best_cos_bp,
+                   CAST(coalesce(sum(r.n_rev), 0) AS BIGINT) AS n_rev_improved,
+                   CAST(count(e.n_hit) AS BIGINT) AS n_eval,
+                   CAST(sum(e.n_hit) AS BIGINT) AS n_hit
+            FROM nq LEFT JOIN perv p USING (q_id)
+                    LEFT JOIN rev r USING (q_id)
+                    LEFT JOIN evald e USING (q_id)
+            GROUP BY batch_id
+        ), standing AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_standing FROM v
+        )
+        SELECT batch_id, n_vectors, n_edges, sum_best_cos_bp, n_rev_improved,
+               n_eval,
+               CASE WHEN n_eval > 0
+                    THEN n_hit * 10000 // ({k} * n_eval) END AS recall_bp,
+               cum_new * 10000 // n_standing AS cum_growth_bp,
+               (cum_new * {den} >= n_standing * {num}) AS rebuild_needed
+        FROM (
+            SELECT *, CAST(sum(n_vectors) OVER (ORDER BY batch_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_new
+            FROM per_batch
+        ) b CROSS JOIN standing
+        ORDER BY batch_id
+        """)
+    return ",\n        ".join(parts)
+
+
 def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     """Oracle twin of similarity.kmeans_refit_distributed: the Lloyd
     rounds unrolled as a MATERIALIZED CTE chain (assignment cross-join
@@ -821,6 +943,7 @@ def _nnd_ctes(
     k: int = similarity.NND_K,
     rounds: int = similarity.NND_ROUNDS,
     cap: int = similarity.NND_SEED_CAP,
+    corpus_where: str = "",
 ) -> tuple[str, str]:
     """NN-Descent CTE chain (WITH included) — oracle twin of
     similarity.nn_descent_knn_graph, every knob f-string-derived from
@@ -829,7 +952,10 @@ def _nnd_ctes(
     Chain: v (emb + LSH bucket) -> per-bucket h32-capped reps ->
     Hamming-<=1 multiprobe seed pairs -> seeded top-k e_s -> per round:
     forward + cos-capped reverse neighborhoods b{r}, center self-join +
-    previous edges, DISTINCT, exact re-score, top-k e{r}."""
+    previous edges, DISTINCT, exact re-score, top-k e{r}.
+    ``corpus_where`` filters the corpus CTE (the graph-ingest oracle
+    builds the STANDING graph over vec_id % 10 < 8); the default empty
+    filter keeps the three r08 graph-tier oracle strings byte-stable."""
     emb = "CAST(embedding AS DOUBLE[])"
     probe_list = ", ".join(
         ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(len(_PLANES))]
@@ -837,7 +963,7 @@ def _nnd_ctes(
     parts = [
         f"""v AS MATERIALIZED (
             SELECT vec_id, {emb} AS emb, {_bucket_sql(emb, _PLANES)} AS bucket
-            FROM embeddings
+            FROM embeddings{corpus_where}
         ), reps AS (
             SELECT bucket, vec_id AS dst FROM (
                 SELECT bucket, vec_id,
@@ -2991,6 +3117,21 @@ QUERIES: dict[str, QuerySpec] = {
         "O(beam*k*hops) scored candidates, not O(N) — replica recall@10 "
         "97% at sf0.01 / 79% at sf0.1, ABOVE the graph's edge recall "
         "because the beam explores past direct edges",
+    ),
+    "knn_graph_ingest": QuerySpec(
+        _emb(similarity.knn_graph_ingest),
+        _gi_sql(),
+        "Graph-index maintenance under ingest (r08 verdict #3 — the "
+        "ivf_index_maintenance analog for the NN-Descent tier): the "
+        "standing graph is built over vec_id % 10 < 8; the new split "
+        "arrives as deterministic micro-batches admitted via the "
+        "serving tier's beam search (the HNSW insertion primitive — "
+        "per-vector work is O(beam*k*hops), batch-proportional, never "
+        "corpus-proportional); per batch: edges created, quantized "
+        "best-cos mass, reverse-edge pressure vs the standing worst "
+        "edges, capped-eval admission recall, cumulative growth + "
+        "integer cross-multiplied rebuild decision (both branches live "
+        "at every SF)",
     ),
     "semantic_decontaminate": QuerySpec(
         _emb(similarity.semantic_decontaminate),
@@ -7090,6 +7231,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     # (ab_test_conversion emits a single row — no sort needed, the
     # lsh_dedup_eval precedent.)
     "kmeans_refit_distributed": ("centroid_id",),
+    "knn_graph_ingest": ("batch_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
     "kmv_quantile_rollup_merge": ("week", "event_type", "q_bp"),
     "asof_customer_maturity": ("orders_so_far",),

@@ -66,6 +66,11 @@ EMB_QUERIES = (
     # re-quantization; assignment argmax ties (duplicate vectors) must
     # break to the higher cid identically through both Lloyd rounds
     "kmeans_refit_distributed",
+    # ingest maintenance: duplicate vectors straddle the %10 split, so
+    # cosine TIES appear in the admission beam, the worst-edge bar
+    # (cs > worst is an exact-equality boundary for a duplicate of a
+    # standing node), and the capped-eval exact top-k
+    "knn_graph_ingest",
 )
 
 SEED = 1729

@@ -541,6 +541,47 @@ def test_ivf_maintenance_branches_and_identities(spark, sf_dir):
         assert -1.0 - 1e-9 <= r["drift_cos"] <= 1.0 + 1e-9
 
 
+def test_knn_graph_ingest_branches_and_identities(spark, sf_dir):
+    """The graph tier's maintenance loop: both rebuild branches live at
+    the test SF (the ivf_index_maintenance discipline), the cumulative
+    growth ledger consistent, admission bounded by k edges per vector,
+    and the capped eval non-vacuous."""
+    from mapreduce_rs_spark.operators.similarity import (
+        GRAPH_REBUILD_GROWTH,
+        N_QUERIES_CAP,
+        NND_K,
+        knn_graph_ingest,
+    )
+    from mapreduce_rs_spark.sources.catalog import load_table
+
+    rows = sorted(
+        knn_graph_ingest(load_table(spark, sf_dir, "embeddings")).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    num, den = GRAPH_REBUILD_GROWTH
+    assert any(r["rebuild_needed"] for r in rows)
+    assert any(not r["rebuild_needed"] for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r["n_vectors"]
+        assert r["n_edges"] <= r["n_vectors"] * NND_K
+        assert r["n_edges"] > 0  # every vector finds SOME standing edge
+        assert r["n_rev_improved"] <= r["n_edges"]
+        if r["n_eval"] > 0:
+            assert 0 <= r["recall_bp"] <= 10000
+        else:
+            assert r["recall_bp"] is None
+    total_new = sum(r["n_vectors"] for r in rows)
+    # the %10 split puts ~20% in the new side -> ~25% growth overall
+    assert 2000 <= rows[-1]["cum_growth_bp"] <= 3000
+    assert sum(r["n_eval"] for r in rows) == min(N_QUERIES_CAP, total_new)
+    running = 0
+    for r in rows:
+        running += r["n_vectors"]
+        prev = rows[rows.index(r) - 1]["cum_growth_bp"] if rows.index(r) else 0
+        assert r["cum_growth_bp"] >= prev  # monotone ledger
+
+
 def test_lsh_scurve_endpoints(spark, sf_dir):
     """The S-curve's deterministic endpoints: the p=4 variant is a
     verbatim copy (identical signature -> every band collides ->

@@ -147,6 +147,14 @@ _SCALE_GUARDS = {
     # serving path: final plan = last beam checkpoint -> self-filter ->
     # one top-k window exchange over cap*beam rows
     "knn_graph_search": (1, 0),
+    # ingest maintenance: heavy stages (standing build, per-hop beam
+    # scoring) live in materialize() builds; the final plan's exchanges
+    # move batch-bounded frames (found = batch*k rows: per-vector and
+    # per-batch rollups, reverse-pressure join), the capped-eval leg
+    # (cap*N window, the knn_bruteforce shape), and two SinglePartition
+    # rollups over the n_batches-row frame; cap leaves AQE room for the
+    # worst-edge join (a corpus-row frame) to demote its broadcast
+    "knn_graph_ingest": (12, 0),
     # scan -> three chained Arrow stages (encode, decode+resample,
     # stats), all narrow: zero exchanges
     "image_resize_stats": (0, 0),
