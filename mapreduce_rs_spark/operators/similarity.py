@@ -1526,10 +1526,20 @@ def ivf_index_maintenance(df: DataFrame) -> DataFrame:
     size; the centroid literals ride along as a constant-folded
     element_at lookup, never a join.
     """
-    cents = centroids()
-    num, den = IVF_REFIT_GROWTH
+    return ivf_maintenance_rollup(ivf_maintenance_partials(df))
+
+
+def ivf_maintenance_partials(df: DataFrame) -> DataFrame:
+    """The per-arrival half of ``ivf_index_maintenance``: assignment +
+    the one-pass (centroid_id, pos) aggregate producing (s, nb, nn).
+    Split out so the STREAMING loop (``streaming/pipeline.run_
+    streaming_ivf_maintenance``) runs the identical computation per
+    micro-batch — one implementation, two arrival modes (the
+    ``admit_batch`` discipline). Integer sums make the partials
+    MERGEABLE: summing per-batch (s, nb, nn) over any batching equals
+    the single-pass aggregate bit-for-bit."""
     marked = ivf_assign(df).withColumn("is_new", F.col("vec_id") % 10 >= 8)
-    per = (
+    return (
         marked.select(
             "centroid_id",
             "is_new",
@@ -1548,6 +1558,15 @@ def ivf_index_maintenance(df: DataFrame) -> DataFrame:
             F.count_if(F.col("is_new")).alias("nn"),
         )
     )
+
+
+def ivf_maintenance_rollup(per: DataFrame) -> DataFrame:
+    """The report half of ``ivf_index_maintenance``: per-centroid
+    rollup of the (centroid_id, pos, s, nb, nn) partials into the
+    growth/drift/refit report. Shared by the batch operator and the
+    streaming state report so the two cannot drift."""
+    cents = centroids()
+    num, den = IVF_REFIT_GROWTH
     vec_of = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
     )

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from mapreduce_rs_spark.operators.relational import money, stable_sum
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -541,6 +543,90 @@ def run_streaming_neardup_ingest(
     (
         stream.writeStream.outputMode("append")
         .foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# Embeddings arrive as vector micro-batches in the ingest loop; label
+# is irrelevant to index maintenance and deliberately absent.
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def ivf_state_update(batch_df: DataFrame, state_dir: str, epoch_id: int) -> None:
+    """One micro-batch of the streaming IVF maintenance loop: compute
+    the batch's (centroid_id, pos, s, nb, nn) partials — the IDENTICAL
+    ``ivf_maintenance_partials`` the batch operator runs — and land
+    them under ``state_dir/epoch=<epoch_id>``.
+
+    OVERWRITE per epoch directory is what makes the loop
+    restart-idempotent: Structured Streaming replays a micro-batch
+    under the SAME epoch id when the sink wrote but the offset commit
+    didn't land, and a replay then overwrites its own partials with
+    byte-identical rows instead of double-counting them (exposed
+    module-level so the replay path is directly testable)."""
+    from mapreduce_rs_spark.operators.similarity import ivf_maintenance_partials
+
+    ivf_maintenance_partials(batch_df).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={epoch_id}")
+    )
+
+
+def streaming_ivf_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintenance report over the accumulated streaming state:
+    merge the per-epoch partials (integer sums — order- and
+    batching-independent, so the merge equals the single-pass batch
+    aggregate bit-for-bit) and run the SAME rollup as
+    ``ivf_index_maintenance``. Cross-batch state is |centroids| x dim
+    integer rows per epoch — the bounded-state story: at any corpus
+    size the state table grows with EPOCHS, not with vectors."""
+    from mapreduce_rs_spark.operators.similarity import ivf_maintenance_rollup
+
+    merged = (
+        spark.read.parquet(state_dir)
+        .groupBy("centroid_id", "pos")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("nb").alias("nb"),
+            F.sum("nn").alias("nn"),
+        )
+    )
+    return ivf_maintenance_rollup(merged)
+
+
+def run_streaming_ivf_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The IVF index-maintenance aggregate in its CONTINUOUS form (r08
+    verdict #7): vector micro-batches fold into per-epoch
+    (centroid, pos) integer partials via foreachBatch; the report reads
+    the merged state. foreachBatch is the honest shape for the same
+    reason as the near-dup loop: the maintenance state must OUTLIVE the
+    stream (the nightly refit decision, an ad-hoc drift audit and the
+    streaming loop all read the same partials), which is a table
+    concern, not a state-store concern."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda batch_df, epoch_id: ivf_state_update(
+                batch_df, state_dir, epoch_id
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -551,3 +551,70 @@ def test_streaming_late_data_hash_matches_nonlate_batch_twin(
     assert got.count() > 0, f"{case}: stream emitted nothing"
     assert sorted(got.columns) == sorted(batch.columns)
     assert frame_hash(got) == frame_hash(batch), f"{case}: hash mismatch"
+
+
+def test_streaming_ivf_maintenance_matches_batch_after_multibatch_drain(
+    spark, sf_dir, tmp_path
+):
+    """r08 verdict #7: the IVF maintenance aggregate's streaming twin.
+    The embeddings corpus arrives as FORCED multiple micro-batches
+    (one file per trigger); the merged per-epoch integer partials must
+    roll up to the batch ivf_index_maintenance output bit-for-bit
+    (integer sums are batching-independent — the mergeability the
+    sketch families already prove). A replayed epoch (sink wrote,
+    offset commit lost) must overwrite its own partials, not
+    double-count them."""
+    from mapreduce_rs_spark.operators.similarity import ivf_index_maintenance
+    from mapreduce_rs_spark.streaming.pipeline import (
+        ivf_state_update,
+        run_streaming_ivf_maintenance,
+        streaming_ivf_state_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    # land the corpus as 4 files -> 4 micro-batches under
+    # maxFilesPerTrigger=1 (multi-batch is the point of the test)
+    emb.select("vec_id", "embedding").repartition(4).write.parquet(inp)
+    run_streaming_ivf_maintenance(
+        spark, inp, state, ckpt, max_files_per_trigger=1
+    )
+    import glob as _glob
+    import os as _os
+
+    epochs = _glob.glob(_os.path.join(state, "epoch=*"))
+    assert len(epochs) >= 3, f"expected a multi-batch drain, got {epochs}"
+
+    got = streaming_ivf_state_report(spark, state)
+    batch = ivf_index_maintenance(emb)
+    assert sorted(got.columns) == sorted(batch.columns)
+    assert frame_hash(got) == frame_hash(batch)
+
+    # restart idempotency 1: re-drain the same checkpoint with no new
+    # files — no new epochs, report unchanged
+    run_streaming_ivf_maintenance(
+        spark, inp, state, ckpt, max_files_per_trigger=1
+    )
+    assert frame_hash(streaming_ivf_state_report(spark, state)) == frame_hash(batch)
+
+    # restart idempotency 2: simulate the replay window (sink write
+    # landed, offset commit lost) by re-running one epoch's update
+    # directly with the exact file the checkpoint's file-source log
+    # assigned it — the per-epoch OVERWRITE must land byte-identical
+    # partials, leaving the merged report unmoved (the double-count
+    # this guards against would shift every n_before/n_new)
+    import json as _json
+
+    src_log = _os.path.join(ckpt, "sources", "0", "0")
+    with open(src_log) as fh:
+        entries = [
+            _json.loads(line)
+            for line in fh
+            if line.strip().startswith("{")
+        ]
+    epoch0_files = [e["path"] for e in entries]
+    assert len(epoch0_files) == 1  # maxFilesPerTrigger=1
+    ivf_state_update(spark.read.parquet(*epoch0_files), state, 0)
+    assert frame_hash(streaming_ivf_state_report(spark, state)) == frame_hash(batch)
