@@ -7271,110 +7271,96 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-8 window (50 slots). Built per the r07 verdict:
+    # ---- round-9 window (50 slots). Built per the r08 verdict:
     #
-    # (1) NEW in round 8 — never externally checked:
-    "incremental_ingest_neardup",  # MinHash-LSH admission tier on the
-    #                                continuous-ingest shape (r07 #3);
-    #                                all four rejection branches planted
-    "ivf_index_maintenance",   # IVF lifecycle under ingest: growth +
-    #                            integer-sum drift + integer-threshold
-    #                            refit decision (r07 #4)
-    "lsh_scurve_calibration",  # empirical LSH S-curve over a synthesized
-    #                            similarity ladder — the banding-parameter
-    #                            calibration table (displaces one r04
-    #                            refresh slot to keep the window at 50)
-    "nn_descent_knn_graph",    # graph-based ANN tier: LSH-seeded
-    #                            NN-Descent k-NN graph (displaces one r04
-    #                            refresh slot)
-    "nn_descent_recall",       # its eval companion — graph recall vs
-    #                            exact top-k on the KMV cap (displaces
-    #                            one r04 refresh slot)
-    "knn_graph_search",        # the graph tier's serving path: beam
-    #                            search over the built graph (displaces
-    #                            one r04 refresh slot)
-    "image_resize_stats",      # real NN-resample round-trip vs the
-    #                            closed-form text oracle (displaces one
-    #                            r04 refresh slot)
-    "semantic_decontaminate",  # embedding-space decontamination: the
-    #                            lexical decontaminate's semantic twin
-    #                            (displaces one r04 refresh slot)
-    # (1b) MODIFIED in round 8 — external re-check required:
-    "source_extraction",       # cast -> try_cast hardening (random-docs
-    #                            probe found the ANSI kill on unmatched
-    #                            ids); values on the shipped corpus are
-    #                            byte-identical, plan changed — re-verify
-    #                            (displaces one r04 refresh slot)
-    "entity_match_customers",  # ADVICE r07: oracle now derives every ER
-    #                            knob from the relational.py constants
-    #                            (identical SQL string), and the pinned-N
-    #                            repartition scales with
-    #                            max(defaultParallelism, shuffle
-    #                            partitions) — values unchanged, plan
-    #                            changed, re-verify externally
-    #
-    # (2) THE promised rotation (r07 verdict #1): all 21 queries whose
-    # newest driver row is round 3 — the freshness program's final
-    # r03 tranche; after this window lands, no registry query's newest
-    # external row is older than round 4:
-    "ohlc_bars",
-    "pagerank_trade_flows",
-    "pq_code_histogram",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "range_join_price_bands",
-    "referential_audit",
-    "semdedup",
-    "sessionize",
-    "simhash_signatures",
-    "skyline_parts",
-    "term_drift",
-    "tfidf_top_terms",
-    "time_weighted_value",
-    "tumbling_window",
-    "value_anomalies",
-    "window_running_revenue",
-    "window_top_orders_per_customer",
-    "wordcount",
-    "wordcount_salted",
-    "zorder_locality",
-    #
-    # (3) evidence refresh — the alphabetical head of the 47 queries
-    # whose newest driver row is round 4 (20 slots fill the window at
-    # exactly 50):
-    "ab_test_conversion",
-    "ann_rank_fusion",
-    "ann_recall",
-    "asof_customer_maturity",
-    "benford_digit_audit",
-    "bloom_prefilter_stats",
-    "bm25_scores",
+    # (1) NEW in round 9 — never externally checked:
+    "kmeans_refit_distributed",  # distributed coarse-quantizer fit:
+    #                              full-corpus Lloyd rounds as Spark
+    #                              aggregates (r08 verdict #2)
+    "knn_graph_ingest",        # graph-index maintenance under ingest:
+    #                            beam-search admission + rebuild ledger
+    #                            (r08 verdict #3)
+    # (1b) MODIFIED in round 9 — external re-check required. The ASCII
+    # synthesis guard (_oracle_ascii_bytes, ADVICE r08) changed the
+    # attach_* UDF code inside every payload-synthesis query — values
+    # on the shipped ASCII corpora are byte-identical, code changed, so
+    # the source_extraction precedent applies (png/jpeg/wav_frame are
+    # covered by the r04 rotation below):
     "bmp_decode_stats",
-    "burst_hours",
-    "compaction_plan",
-    "corpus_profile",
-    "decontaminate",
-    "dp_noisy_counts",
-    "embedding_outliers",
-    "erasure_plan",
-    "ewma_value",
     "gif_frame_stats",
-    "hll_distinct_users",
-    "join_size_estimate",
-    # (displacement note for r09: the remaining 28 r04-stale queries —
-    # jpeg_decode_stats, k_anonymity_audit, kcore_decomposition, kmv_quantile_sketch,
-    # label_propagation_communities, link_prediction_scores,
-    # ngram_containment_pairs, orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
-    # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
-    # q21_sole_late_supplier, q7_volume_shipping, q9_profit_by_nation,
-    # robust_value_anomalies, rollup_incremental_refresh,
-    # session_window_stats, sql_text_passthrough, state_snapshot_diff,
-    # target_encoding_nations, temperature_mixture,
-    # token_budget_allocation, unigram_surprisal_scores,
-    # value_drift_chi2, wav_frame_features, weighted_shortest_paths,
-    # zone_map_pruning — rotate these 28 next,
-    # then begin the r05 tranche with the remaining slots; after the
-    # r09 window no query's newest row is older than round 5.)
+    "image_resize_stats",
+    "multimodal_features",
+    "video_frame_sample",
+    "wav_decode_stats",        # (also the r05 tranche's alphabetical member)
+    "ivf_index_maintenance",   # split into shareable partials/rollup
+    #                            halves for the streaming twin (r08
+    #                            verdict #7) — identical composition,
+    #                            re-verify externally
+    #
+    # (2) THE promised rotation (r08 verdict #1): all 28 queries whose
+    # newest driver row is round 4 — after this window lands, no
+    # registry query's newest external row is older than round 5:
+    "jpeg_decode_stats",
+    "k_anonymity_audit",
+    "kcore_decomposition",
+    "kmv_quantile_sketch",
+    "label_propagation_communities",
+    "link_prediction_scores",
+    "ngram_containment_pairs",
+    "orders_merge_upsert",
+    "png_decode_stats",
+    "pq_reconstruction_error",
+    "prefix_filter_jaccard_pairs",
+    "q20_surplus_suppliers",
+    "q21_sole_late_supplier",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "robust_value_anomalies",
+    "rollup_incremental_refresh",
+    "session_window_stats",
+    "sql_text_passthrough",
+    "state_snapshot_diff",
+    "target_encoding_nations",
+    "temperature_mixture",
+    "token_budget_allocation",
+    "unigram_surprisal_scores",
+    "value_drift_chi2",
+    "wav_frame_features",
+    "weighted_shortest_paths",
+    "zone_map_pruning",
+    #
+    # (3) evidence refresh — the alphabetical head of the r05 tranche
+    # (44 queries whose newest driver row is round 5; wav_decode_stats
+    # rides the modified group above). 13 slots fill the window at
+    # exactly 50:
+    "abandoned_clicks",
+    "bfs_hops",
+    "bootstrap_ci_mean",
+    "cms_word_counts",
+    "domain_stats",
+    "dq_rule_violations",
+    "event_transition_matrix",
+    "frequent_triples",
+    "incremental_ingest_dedup",
+    "inter_event_gaps",
+    "key_skew_profile",
+    "knn_ivfpq",
+    "knn_pca",
+    # (displacement note for r10: the remaining 30 r05-stale queries —
+    # label_centroid_drift, language_id_confusion, latest_event_state,
+    # leakage_safe_splits, log2_value_histogram, multitouch_attribution,
+    # oov_rate_scores, pii_scrub_stats, q10_returned_items,
+    # q11_important_stock, q12_priority_by_returnflag,
+    # q13_customer_distribution, q15_top_supplier,
+    # q16_supplier_part_types, q17_small_quantity_revenue,
+    # q18_large_orders, q22_dormant_customers,
+    # q4_order_priority_checking, q5_local_supplier_volume,
+    # q6_forecast_revenue, q8_market_share, rfm_segments,
+    # seasonality_profile, state_intervals, theta_daily_overlap,
+    # triangle_counts, user_value_trend, weekly_growth,
+    # weighted_median_price, weighted_sample — rotate these 30 next,
+    # then begin the r06 tranche with the remaining slots; after the
+    # r10 window no query's newest row is older than round 6.)
 )
 
 QUERIES = {
