@@ -118,6 +118,11 @@ HEADLINE = (
     # definitions (… / 29 / 31) remain comparable PREFIXES; compare
     # totals only within one definition.
     "nn_descent_knn_graph",        # 3 NN-Descent rounds: local joins + re-rank
+    # round-9 extension (BASELINE.md): the round's two new operator
+    # families. Prior definitions (… / 31 / 32) remain comparable
+    # PREFIXES; compare totals only within one definition.
+    "kmeans_refit_distributed",    # 2 Lloyd rounds: broadcast argmax + k×dim agg
+    "knn_graph_ingest",            # standing build + beam admission + ledger
 )
 
 
