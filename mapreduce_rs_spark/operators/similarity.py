@@ -2267,6 +2267,83 @@ NND_INGEST_BATCHES = 4
 GRAPH_REBUILD_GROWTH = (3, 20)
 
 
+def graph_admit_batch(
+    nq: DataFrame,
+    v: DataFrame,
+    reps: DataFrame,
+    ge: DataFrame,
+    k: int = NND_K,
+    beam: int = NND_BEAM,
+    hops: int = NND_HOPS,
+    persist_dir: str | None = None,
+    tag: str = "gi",
+) -> DataFrame:
+    """The ADMISSION core shared by ``knn_graph_ingest`` (batch) and
+    ``streaming/pipeline.run_streaming_graph_ingest`` (continuous) —
+    one implementation, two arrival modes (the ``admit_batch``
+    discipline): beam-search each new vector of ``nq`` (q_id, q_embd,
+    q_norm, q_bucket) through the standing graph ``ge`` (gsrc, gdst)
+    over the standing corpus ``v`` / bucket reps ``reps``, returning
+    each vector's <= k forward edges (q_id, cand, cs), materialized.
+    Admissions read ONLY standing state, so they are independent
+    across vectors — any micro-batching of ``nq`` yields byte-identical
+    edges (the property the streaming parity test pins)."""
+    cv = v.select(
+        F.col("vec_id").alias("cand"),
+        F.col("embd").alias("c_embd"),
+        F.col("c_norm").alias("cv_norm"),
+    )
+
+    def scored_top(pairs: DataFrame, cap: int) -> DataFrame:
+        s = (
+            pairs.join(nq.select("q_id", "q_embd", "q_norm"), "q_id")
+            .join(cv, "cand")
+            .select(
+                "q_id",
+                "cand",
+                _cos_pair(
+                    F.col("q_embd"), F.col("c_embd"),
+                    F.col("q_norm"), F.col("cv_norm"),
+                ).alias("cs"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
+        return (
+            s.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= cap)
+            .select("q_id", "cand", "cs")
+        )
+
+    planes = hyperplanes()
+    probe_arr = F.array(
+        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(planes)]
+    )
+    entry = (
+        nq.select("q_id", F.explode(probe_arr).alias("bucket"))
+        .join(reps.select("bucket", F.col("rep_id").alias("cand")), "bucket")
+        .select("q_id", "cand")
+    )
+    frontier = materialize(scored_top(entry, beam), persist_dir, f"{tag}_f0")
+    for h in range(hops):
+        nxt = (
+            frontier.select("q_id", "cand")
+            .join(ge, frontier.cand == ge.gsrc)
+            .select("q_id", F.col("gdst").alias("cand"))
+        )
+        pairs = nxt.unionByName(frontier.select("q_id", "cand")).distinct()
+        frontier = materialize(
+            scored_top(pairs, beam), persist_dir, f"{tag}_f{h + 1}"
+        )
+    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
+    return materialize(
+        frontier.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "cand", "cs"),
+        persist_dir,
+        f"{tag}_found",
+    )
+
+
 def knn_graph_ingest(
     df: DataFrame,
     k: int = NND_K,
@@ -2371,53 +2448,8 @@ def knn_graph_ingest(
         F.col("embd").alias("c_embd"),
         F.col("c_norm").alias("cv_norm"),
     )
-
-    def scored_top(pairs: DataFrame, cap: int) -> DataFrame:
-        s = (
-            pairs.join(nq.select("q_id", "q_embd", "q_norm"), "q_id")
-            .join(cv, "cand")
-            .select(
-                "q_id",
-                "cand",
-                _cos_pair(
-                    F.col("q_embd"), F.col("c_embd"),
-                    F.col("q_norm"), F.col("cv_norm"),
-                ).alias("cs"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
-        return (
-            s.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= cap)
-            .select("q_id", "cand", "cs")
-        )
-
-    probe_arr = F.array(
-        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(planes)]
-    )
-    entry = (
-        nq.select("q_id", F.explode(probe_arr).alias("bucket"))
-        .join(reps.select("bucket", F.col("rep_id").alias("cand")), "bucket")
-        .select("q_id", "cand")
-    )
-    frontier = materialize(scored_top(entry, beam), persist_dir, "gi_f0")
-    for h in range(hops):
-        nxt = (
-            frontier.select("q_id", "cand")
-            .join(ge, frontier.cand == ge.gsrc)
-            .select("q_id", F.col("gdst").alias("cand"))
-        )
-        pairs = nxt.unionByName(frontier.select("q_id", "cand")).distinct()
-        frontier = materialize(
-            scored_top(pairs, beam), persist_dir, f"gi_f{h + 1}"
-        )
-    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
-    found = materialize(
-        frontier.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select("q_id", "cand", "cs"),
-        persist_dir,
-        "gi_found",
+    found = graph_admit_batch(
+        nq, v, reps, ge, k=k, beam=beam, hops=hops, persist_dir=persist_dir
     )
     # exact ground truth for the KMV-capped eval subset (bounded:
     # cap x |standing|, the knn_bruteforce shape)

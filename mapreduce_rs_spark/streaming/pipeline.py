@@ -632,3 +632,114 @@ def run_streaming_ivf_maintenance(
         .start()
         .awaitTermination()
     )
+
+
+def build_graph_store(spark: SparkSession, corpus: DataFrame, store_dir: str) -> None:
+    """Materialize the standing graph-ANN serving artifacts to parquet —
+    the state the continuous admission loop reads: the enriched corpus
+    frame (vec_id, embd, c_norm, bucket), the per-bucket h32-capped
+    reps, and the NN-Descent edge list. In production this runs on the
+    rebuild cadence ``knn_graph_ingest``'s ledger decides; the
+    streaming loop between rebuilds reads these artifacts only."""
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+    from mapreduce_rs_spark.operators.similarity import (
+        _bucket_expr,
+        _l2_raw,
+        _nnd_reps,
+        hyperplanes,
+        nn_descent_knn_graph,
+        NND_SEED_CAP,
+    )
+
+    planes = hyperplanes()
+    base = ensure_parallelism(corpus, "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embd")
+    )
+    v = base.select(
+        "vec_id",
+        "embd",
+        _l2_raw(F.col("embd")).alias("c_norm"),
+        _bucket_expr("embd", planes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    v.write.mode("overwrite").parquet(os.path.join(store_dir, "corpus"))
+    reps = _nnd_reps(v, NND_SEED_CAP).localCheckpoint(eager=True)
+    reps.write.mode("overwrite").parquet(os.path.join(store_dir, "reps"))
+    nn_descent_knn_graph(corpus, planes=planes, corpus=v, reps=reps).select(
+        F.col("vec_id").alias("gsrc"), F.col("nbr_id").alias("gdst")
+    ).write.mode("overwrite").parquet(os.path.join(store_dir, "edges"))
+
+
+def graph_ingest_update(batch_df: DataFrame, store_dir: str, edges_dir: str) -> None:
+    """One micro-batch of the continuous graph-admission loop: enrich
+    the batch (norm + probe bucket), beam-search it through the
+    persisted standing artifacts via the SAME ``graph_admit_batch``
+    core the batch operator runs, and append the found edges.
+
+    Replay idempotency is the near-dup loop's: admission reads ONLY
+    standing state, so a replayed micro-batch re-derives byte-identical
+    edges; the left_anti against the batch's own q_ids drops rows a
+    half-committed earlier attempt already appended, so the edge table
+    stays one-logical-row-per-(q_id, cand) under any replay."""
+    from mapreduce_rs_spark.operators.similarity import (
+        _bucket_expr,
+        _l2_raw,
+        graph_admit_batch,
+        hyperplanes,
+    )
+
+    sess = batch_df.sparkSession
+    planes = hyperplanes()
+    nq = batch_df.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_embd"),
+    ).select(
+        "q_id",
+        "q_embd",
+        _l2_raw(F.col("q_embd")).alias("q_norm"),
+        _bucket_expr("q_embd", planes).alias("q_bucket"),
+    ).localCheckpoint(eager=True)
+    v = sess.read.parquet(os.path.join(store_dir, "corpus"))
+    reps = sess.read.parquet(os.path.join(store_dir, "reps"))
+    ge = sess.read.parquet(os.path.join(store_dir, "edges"))
+    found = graph_admit_batch(nq, v, reps, ge, tag="sgi")
+    try:
+        existing = sess.read.parquet(edges_dir).select("q_id").distinct()
+        found = found.join(existing, "q_id", "left_anti")
+    except Exception:  # first batch: no edge table yet
+        pass
+    found.write.mode("append").parquet(edges_dir)
+
+
+def run_streaming_graph_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    edges_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The graph tier's admission loop in its CONTINUOUS form: vector
+    micro-batches beam-search the PERSISTED standing artifacts (built
+    once by ``build_graph_store``, refreshed on the rebuild cadence the
+    batch ledger decides) and append their forward edges. Admissions
+    are independent across vectors — they read only standing state —
+    so any micro-batching yields the batch operator's edges
+    byte-for-byte (pinned by the parity test), and per-batch work is
+    O(|batch| · beam · k · hops): the continuous form inherits the
+    batch form's batch-proportional cost by construction."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda batch_df, _epoch: graph_ingest_update(
+                batch_df, store_dir, edges_dir
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

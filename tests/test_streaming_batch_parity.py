@@ -618,3 +618,77 @@ def test_streaming_ivf_maintenance_matches_batch_after_multibatch_drain(
     assert len(epoch0_files) == 1  # maxFilesPerTrigger=1
     ivf_state_update(spark.read.parquet(*epoch0_files), state, 0)
     assert frame_hash(streaming_ivf_state_report(spark, state)) == frame_hash(batch)
+
+
+def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path):
+    """The graph tier's continuous admission loop: micro-batched
+    vectors beam-searched against the PERSISTED standing artifacts must
+    produce the batch admission core's edges byte-for-byte (admissions
+    read only standing state, so batching cannot move an edge), and a
+    re-drain on the same checkpoint plus a simulated half-committed
+    replay must not duplicate edge rows."""
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+    from mapreduce_rs_spark.operators.similarity import (
+        _bucket_expr,
+        _l2_raw,
+        graph_admit_batch,
+        hyperplanes,
+    )
+    from mapreduce_rs_spark.streaming.pipeline import (
+        build_graph_store,
+        graph_ingest_update,
+        run_streaming_graph_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.where(F.col("vec_id") % 10 < 8)
+    new = emb.where(F.col("vec_id") % 10 >= 8).select("vec_id", "embedding")
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    edges_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ck")
+    build_graph_store(spark, standing, store)
+    new.repartition(3).write.parquet(inp)
+    run_streaming_graph_ingest(
+        spark, inp, store, edges_dir, ckpt, max_files_per_trigger=1
+    )
+    got = spark.read.parquet(edges_dir)
+
+    # batch twin: the SAME admission core over the whole new split at
+    # once, against the same persisted artifacts
+    planes = hyperplanes()
+    nq = (
+        ensure_parallelism(new, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_embd"),
+        )
+        .select(
+            "q_id",
+            "q_embd",
+            _l2_raw(F.col("q_embd")).alias("q_norm"),
+            _bucket_expr("q_embd", planes).alias("q_bucket"),
+        )
+    )
+    batch = graph_admit_batch(
+        nq,
+        spark.read.parquet(store + "/corpus"),
+        spark.read.parquet(store + "/reps"),
+        spark.read.parquet(store + "/edges"),
+    )
+    assert got.count() == batch.count() > 0
+    assert frame_hash(got) == frame_hash(batch)
+
+    # re-drain, no new files: nothing appended
+    run_streaming_graph_ingest(
+        spark, inp, store, edges_dir, ckpt, max_files_per_trigger=1
+    )
+    assert frame_hash(spark.read.parquet(edges_dir)) == frame_hash(batch)
+
+    # simulated replay (sink write landed, offset commit lost):
+    # re-admitting an already-admitted batch must append nothing
+    one_file = sorted(
+        p for p in __import__("glob").glob(inp + "/*.parquet")
+    )[0]
+    graph_ingest_update(spark.read.parquet(one_file), store, edges_dir)
+    assert frame_hash(spark.read.parquet(edges_dir)) == frame_hash(batch)
