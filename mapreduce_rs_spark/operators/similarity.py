@@ -2197,51 +2197,15 @@ def knn_graph_search(
         persist_dir,
         "gs_qids",
     )
-    cv = v.select(
-        F.col("vec_id").alias("cand"),
-        F.col("embd").alias("c_embd"),
-        F.col("c_norm").alias("cv_norm"),
+    # the shared beam loop (_beam_frontier) with the serving-path
+    # asymmetry: the query side is the hard-capped KMV sample, so its
+    # broadcast is hinted (an ingest batch must NOT hint — see
+    # graph_admit_batch); the finale self-excludes because queries ARE
+    # corpus members here
+    frontier = _beam_frontier(
+        qf, v, reps, g, beam, hops, persist_dir, "gs",
+        hint_broadcast_queries=True,
     )
-
-    def scored_top(pairs: DataFrame, cap: int) -> DataFrame:
-        s = (
-            pairs.join(F.broadcast(qf), "q_id")
-            .join(cv, "cand")
-            .select(
-                "q_id",
-                "cand",
-                _cos_pair(
-                    F.col("q_embd"), F.col("c_embd"),
-                    F.col("q_norm"), F.col("cv_norm"),
-                ).alias("cs"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
-        return (
-            s.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= cap)
-            .select("q_id", "cand", "cs")
-        )
-
-    probe_arr = F.array(
-        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(planes)]
-    )
-    entry = (
-        qf.select("q_id", F.explode(probe_arr).alias("bucket"))
-        .join(reps.select("bucket", F.col("rep_id").alias("cand")), "bucket")
-        .select("q_id", "cand")
-    )
-    frontier = materialize(scored_top(entry, beam), persist_dir, "gs_f0")
-    for h in range(hops):
-        nxt = (
-            frontier.select("q_id", "cand")
-            .join(g, frontier.cand == g.gsrc)
-            .select("q_id", F.col("gdst").alias("cand"))
-        )
-        pairs = nxt.unionByName(frontier.select("q_id", "cand")).distinct()
-        frontier = materialize(
-            scored_top(pairs, beam), persist_dir, f"gs_f{h + 1}"
-        )
     w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
     return (
         frontier.where(F.col("cand") != F.col("q_id"))
@@ -2267,36 +2231,43 @@ NND_INGEST_BATCHES = 4
 GRAPH_REBUILD_GROWTH = (3, 20)
 
 
-def graph_admit_batch(
+def _beam_frontier(
     nq: DataFrame,
     v: DataFrame,
     reps: DataFrame,
     ge: DataFrame,
-    k: int = NND_K,
-    beam: int = NND_BEAM,
-    hops: int = NND_HOPS,
-    persist_dir: str | None = None,
-    tag: str = "gi",
+    beam: int,
+    hops: int,
+    persist_dir: str | None,
+    tag: str,
+    hint_broadcast_queries: bool = False,
 ) -> DataFrame:
-    """The ADMISSION core shared by ``knn_graph_ingest`` (batch) and
-    ``streaming/pipeline.run_streaming_graph_ingest`` (continuous) —
-    one implementation, two arrival modes (the ``admit_batch``
-    discipline): beam-search each new vector of ``nq`` (q_id, q_embd,
-    q_norm, q_bucket) through the standing graph ``ge`` (gsrc, gdst)
-    over the standing corpus ``v`` / bucket reps ``reps``, returning
-    each vector's <= k forward edges (q_id, cand, cs), materialized.
-    Admissions read ONLY standing state, so they are independent
-    across vectors — any micro-batching of ``nq`` yields byte-identical
-    edges (the property the streaming parity test pins)."""
+    """THE beam-search loop — the single implementation behind the
+    serving path (``knn_graph_search``), the batch admission
+    (``graph_admit_batch``) and through it the streaming loop: entry
+    candidates from the query's Hamming<=1 probe-bucket reps, then
+    ``hops`` rounds of expand-through-out-edges, union-the-beam,
+    dedup, exact re-score, keep top-``beam``; each frontier
+    materialized. Returns the final (q_id, cand, cs) frontier.
+
+    ``nq`` must carry (q_id, q_embd, q_norm, q_bucket).
+    ``hint_broadcast_queries`` encodes the one batch/serve asymmetry:
+    the serving path's query set is hard-capped (N_QUERIES_CAP rows),
+    so hinting its broadcast is the scale-correct plan; an ingest
+    batch is corpus-fraction-sized and must be allowed to demote to a
+    shuffle (the semantic_decontaminate convention)."""
     cv = v.select(
         F.col("vec_id").alias("cand"),
         F.col("embd").alias("c_embd"),
         F.col("c_norm").alias("cv_norm"),
     )
+    qside = nq.select("q_id", "q_embd", "q_norm")
+    if hint_broadcast_queries:
+        qside = F.broadcast(qside)
 
     def scored_top(pairs: DataFrame, cap: int) -> DataFrame:
         s = (
-            pairs.join(nq.select("q_id", "q_embd", "q_norm"), "q_id")
+            pairs.join(qside, "q_id")
             .join(cv, "cand")
             .select(
                 "q_id",
@@ -2314,9 +2285,8 @@ def graph_admit_batch(
             .select("q_id", "cand", "cs")
         )
 
-    planes = hyperplanes()
     probe_arr = F.array(
-        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(planes)]
+        *[F.expr(f"q_bucket ^ {m}") for m in _probe_masks(hyperplanes())]
     )
     entry = (
         nq.select("q_id", F.explode(probe_arr).alias("bucket"))
@@ -2334,6 +2304,33 @@ def graph_admit_batch(
         frontier = materialize(
             scored_top(pairs, beam), persist_dir, f"{tag}_f{h + 1}"
         )
+    return frontier
+
+
+def graph_admit_batch(
+    nq: DataFrame,
+    v: DataFrame,
+    reps: DataFrame,
+    ge: DataFrame,
+    k: int = NND_K,
+    beam: int = NND_BEAM,
+    hops: int = NND_HOPS,
+    persist_dir: str | None = None,
+    tag: str = "gi",
+) -> DataFrame:
+    """The ADMISSION core shared by ``knn_graph_ingest`` (batch) and
+    ``streaming/pipeline.run_streaming_graph_ingest`` (continuous) —
+    one implementation, two arrival modes (the ``admit_batch``
+    discipline): beam-search each new vector of ``nq`` (q_id, q_embd,
+    q_norm, q_bucket) through the standing graph ``ge`` (gsrc, gdst)
+    over the standing corpus ``v`` / bucket reps ``reps``, returning
+    each vector's <= k forward edges (q_id, cand, cs), materialized
+    (the frame feeds four rollup consumers). Admissions read ONLY
+    standing state, so they are independent across vectors — any
+    micro-batching of ``nq`` yields byte-identical edges (the property
+    the streaming parity test pins). No self-exclusion: new vectors
+    are not in the standing corpus by construction."""
+    frontier = _beam_frontier(nq, v, reps, ge, beam, hops, persist_dir, tag)
     w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
     return materialize(
         frontier.withColumn("rnk", F.row_number().over(w))
@@ -2452,13 +2449,17 @@ def knn_graph_ingest(
         nq, v, reps, ge, k=k, beam=beam, hops=hops, persist_dir=persist_dir
     )
     # exact ground truth for the KMV-capped eval subset (bounded:
-    # cap x |standing|, the knn_bruteforce shape)
-    qcap = (
+    # cap x |standing|, the knn_bruteforce shape); materialized — the
+    # cap-row sample feeds BOTH the exact leg and the evald join (the
+    # nn_descent_recall shared-sample rule; review finding)
+    qcap = materialize(
         nq.select("q_id", "q_embd", "q_norm", "batch_id",
                   h32(F.col("q_id").cast("string")).alias("qh"))
         .orderBy("qh", "q_id")
         .limit(N_QUERIES_CAP)
-        .select("q_id", "q_embd", "q_norm")
+        .select("q_id", "q_embd", "q_norm"),
+        persist_dir,
+        "gi_qcap",
     )
     xw = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
     exact = (

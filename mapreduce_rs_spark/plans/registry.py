@@ -750,8 +750,8 @@ def _gi_sql(
     """Oracle twin of similarity.knn_graph_ingest: the NN-Descent chain
     built over the STANDING split (vec_id % 10 < 8 — `_nnd_ctes`
     reused with a corpus filter, the builder-reuse rule), the NEW split
-    as beam-search admission queries (the `_nnd_search_sql` hop unroll
-    with qv = the whole new split instead of the KMV cap), then the
+    as beam-search admission queries (the shared `_beam_hop_parts`
+    unroll with the whole new split instead of the KMV cap), then the
     per-micro-batch maintenance rollup: edges created, quantized
     best-cos mass, reverse-edge pressure vs the standing worst edges,
     capped-eval recall, cumulative growth + integer rebuild decision.
@@ -759,10 +759,7 @@ def _gi_sql(
     chain, last = _nnd_ctes(corpus_where=" WHERE vec_id % 10 < 8")
     num, den = similarity.GRAPH_REBUILD_GROWTH
     emb = "CAST(embedding AS DOUBLE[])"
-    probe_list = ", ".join(
-        ["q_bucket"] + [f"xor(q_bucket, {1 << p})" for p in range(len(_PLANES))]
-    )
-    score = _cosine_sql("nq.q_emb", "v.emb")
+    hop_parts = _beam_hop_parts("nq", beam, hops)
     parts = [
         f"""{chain}, nq AS MATERIALIZED (
             SELECT vec_id AS q_id, {emb} AS q_emb,
@@ -774,40 +771,15 @@ def _gi_sql(
             FROM {last} GROUP BY src
         ), g AS MATERIALIZED (
             SELECT src AS gsrc, dst AS gdst FROM {last}
-        ), p0 AS (
-            SELECT q.q_id, r.dst AS cand
-            FROM (SELECT q_id, unnest([{probe_list}]) AS pbucket FROM nq) q
-            JOIN reps r ON r.bucket = q.pbucket
-        )"""
-    ]
-    prev_pairs = "p0"
-    for h in range(hops + 1):
-        parts.append(f"""s{h} AS (
-            SELECT p.q_id, p.cand, {score} AS cs
-            FROM {prev_pairs} p JOIN nq ON p.q_id = nq.q_id
-                                JOIN v ON v.vec_id = p.cand
-        ), f{h} AS MATERIALIZED (
-            SELECT q_id, cand, cs FROM (
-                SELECT q_id, cand, cs,
-                       row_number() OVER (PARTITION BY q_id
-                           ORDER BY cs DESC, cand) AS rn
-                FROM s{h}) r WHERE rn <= {beam}
-        )""")
-        if h < hops:
-            parts.append(f"""p{h + 1} AS (
-            SELECT f.q_id, g.gdst AS cand
-            FROM f{h} f JOIN g ON f.cand = g.gsrc
-            UNION
-            SELECT q_id, cand FROM f{h}
-        )""")
-            prev_pairs = f"p{h + 1}"
+        ), """ + hop_parts[0]
+    ] + hop_parts[1:]
     parts.append(f"""found AS MATERIALIZED (
             SELECT q_id, cand, cs FROM (
                 SELECT q_id, cand, cs,
                        row_number() OVER (PARTITION BY q_id
                            ORDER BY cs DESC, cand) AS rnk
                 FROM f{hops}) r WHERE rnk <= {k}
-        ), qcap AS (
+        ), qcap AS MATERIALIZED (
             SELECT q_id FROM nq ORDER BY
                 {h32_sql('CAST(q_id AS VARCHAR)')}, q_id LIMIT {similarity.N_QUERIES_CAP}
         ), exact AS (
@@ -1019,30 +991,24 @@ def _nnd_ctes(
     return "WITH " + ",\n        ".join(parts), prev
 
 
-def _nnd_search_sql(
-    k: int = 10,
-    beam: int = similarity.NND_BEAM,
-    hops: int = similarity.NND_HOPS,
-) -> str:
-    """Oracle twin of similarity.knn_graph_search: the NN-Descent chain
-    (reused verbatim — evaluator/consumer shares the builder), then the
-    KMV query set with probe buckets, the rep-seeded entry beam, and
-    ``hops`` unrolled expand→union→dedup→re-score→top-beam rounds.
-    Every knob f-string-derived from the similarity.py constants."""
-    chain, last = _nnd_ctes()
+def _beam_hop_parts(qcte: str, beam: int, hops: int) -> list[str]:
+    """The beam-search hop unroll — THE single oracle-side
+    implementation of entry-probe → per-hop expand/union/dedup/
+    re-score/top-beam, shared by the serving-path oracle
+    (`_nnd_search_sql`, query CTE ``qv``) and the ingest-admission
+    oracle (`_gi_sql`, query CTE ``nq``) — the Spark twin is
+    similarity._beam_frontier. ``qcte`` must expose (q_id, q_emb,
+    q_bucket); the surrounding chain must define ``v``, ``reps`` and
+    ``g`` (gsrc, gdst). Returns CTE list elements ending at f{hops};
+    callers join with ',\\n        ' and add their own finale."""
     probe_list = ", ".join(
         ["q_bucket"] + [f"xor(q_bucket, {1 << p})" for p in range(len(_PLANES))]
     )
-    score = _cosine_sql("qv.q_emb", "v.emb")
+    score = _cosine_sql(f"{qcte}.q_emb", "v.emb")
     parts = [
-        f"""{chain}, {_qids_cte()}, qv AS MATERIALIZED (
-            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
-            FROM v WHERE {_QFILTER}
-        ), g AS MATERIALIZED (
-            SELECT src AS gsrc, dst AS gdst FROM {last}
-        ), p0 AS (
+        f"""p0 AS (
             SELECT q.q_id, r.dst AS cand
-            FROM (SELECT q_id, unnest([{probe_list}]) AS pbucket FROM qv) q
+            FROM (SELECT q_id, unnest([{probe_list}]) AS pbucket FROM {qcte}) q
             JOIN reps r ON r.bucket = q.pbucket
         )"""
     ]
@@ -1050,7 +1016,7 @@ def _nnd_search_sql(
     for h in range(hops + 1):
         parts.append(f"""s{h} AS (
             SELECT p.q_id, p.cand, {score} AS cs
-            FROM {prev_pairs} p JOIN qv ON p.q_id = qv.q_id
+            FROM {prev_pairs} p JOIN {qcte} ON p.q_id = {qcte}.q_id
                                 JOIN v ON v.vec_id = p.cand
         ), f{h} AS MATERIALIZED (
             SELECT q_id, cand, cs FROM (
@@ -1067,6 +1033,29 @@ def _nnd_search_sql(
             SELECT q_id, cand FROM f{h}
         )""")
             prev_pairs = f"p{h + 1}"
+    return parts
+
+
+def _nnd_search_sql(
+    k: int = 10,
+    beam: int = similarity.NND_BEAM,
+    hops: int = similarity.NND_HOPS,
+) -> str:
+    """Oracle twin of similarity.knn_graph_search: the NN-Descent chain
+    (reused verbatim — evaluator/consumer shares the builder), then the
+    KMV query set with probe buckets, and the shared beam hop unroll
+    (`_beam_hop_parts`). Every knob f-string-derived from the
+    similarity.py constants."""
+    chain, last = _nnd_ctes()
+    hop_parts = _beam_hop_parts("qv", beam, hops)
+    parts = [
+        f"""{chain}, {_qids_cte()}, qv AS MATERIALIZED (
+            SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+            FROM v WHERE {_QFILTER}
+        ), g AS MATERIALIZED (
+            SELECT src AS gsrc, dst AS gdst FROM {last}
+        ), """ + hop_parts[0]
+    ] + hop_parts[1:]
     return (
         ",\n        ".join(parts)
         + f"""

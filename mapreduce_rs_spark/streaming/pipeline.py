@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from mapreduce_rs_spark.operators.relational import money, stable_sum
@@ -494,7 +495,12 @@ def run_streaming_neardup_ingest(
         try:
             store_fps = sess.read.parquet(fps_dir)
             store_bands = sess.read.parquet(bands_dir)
-        except Exception:  # first batch: empty store
+        # ONLY the first-batch empty-store case (PATH_NOT_FOUND /
+        # schema-inference AnalysisException); any other read error
+        # must FAIL the batch so the replay retries — swallowing it
+        # would admit the whole batch against an empty corpus view
+        # (duplicate admissions forever; review-finding class r09)
+        except AnalysisException:
             store_fps = sess.createDataFrame([], "doc_id long, fingerprint string")
             store_bands = sess.createDataFrame(
                 [], "doc_id long, band int, band_key string"
@@ -669,17 +675,24 @@ def build_graph_store(spark: SparkSession, corpus: DataFrame, store_dir: str) ->
     ).write.mode("overwrite").parquet(os.path.join(store_dir, "edges"))
 
 
-def graph_ingest_update(batch_df: DataFrame, store_dir: str, edges_dir: str) -> None:
+def graph_ingest_update(
+    batch_df: DataFrame, store_dir: str, edges_dir: str, epoch_id: int
+) -> None:
     """One micro-batch of the continuous graph-admission loop: enrich
     the batch (norm + probe bucket), beam-search it through the
     persisted standing artifacts via the SAME ``graph_admit_batch``
-    core the batch operator runs, and append the found edges.
+    core the batch operator runs, and land the found edges under
+    ``edges_dir/epoch=<epoch_id>``.
 
-    Replay idempotency is the near-dup loop's: admission reads ONLY
-    standing state, so a replayed micro-batch re-derives byte-identical
-    edges; the left_anti against the batch's own q_ids drops rows a
-    half-committed earlier attempt already appended, so the edge table
-    stays one-logical-row-per-(q_id, cand) under any replay."""
+    OVERWRITE per epoch directory is the replay story (the
+    ``ivf_state_update`` discipline, which closed three review
+    findings at once): Structured Streaming replays a micro-batch
+    under the SAME epoch id when the sink wrote but the offset commit
+    didn't land, and admission reads ONLY standing state, so the
+    replay re-derives byte-identical edges and overwrites its own
+    directory — no partial-append row loss, no error-swallowing
+    first-batch probe, and no per-batch scan of the full edge history
+    (per-batch work stays O(|batch| · beam · k · hops))."""
     from mapreduce_rs_spark.operators.similarity import (
         _bucket_expr,
         _l2_raw,
@@ -701,13 +714,9 @@ def graph_ingest_update(batch_df: DataFrame, store_dir: str, edges_dir: str) -> 
     v = sess.read.parquet(os.path.join(store_dir, "corpus"))
     reps = sess.read.parquet(os.path.join(store_dir, "reps"))
     ge = sess.read.parquet(os.path.join(store_dir, "edges"))
-    found = graph_admit_batch(nq, v, reps, ge, tag="sgi")
-    try:
-        existing = sess.read.parquet(edges_dir).select("q_id").distinct()
-        found = found.join(existing, "q_id", "left_anti")
-    except Exception:  # first batch: no edge table yet
-        pass
-    found.write.mode("append").parquet(edges_dir)
+    graph_admit_batch(nq, v, reps, ge, tag="sgi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(edges_dir, f"epoch={epoch_id}"))
 
 
 def run_streaming_graph_ingest(
@@ -734,8 +743,8 @@ def run_streaming_graph_ingest(
     (
         stream.writeStream.outputMode("append")
         .foreachBatch(
-            lambda batch_df, _epoch: graph_ingest_update(
-                batch_df, store_dir, edges_dir
+            lambda batch_df, epoch_id: graph_ingest_update(
+                batch_df, store_dir, edges_dir, epoch_id
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -652,7 +652,9 @@ def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path)
     run_streaming_graph_ingest(
         spark, inp, store, edges_dir, ckpt, max_files_per_trigger=1
     )
-    got = spark.read.parquet(edges_dir)
+    # per-epoch layout: reading the root adds the epoch partition
+    # column — the logical edge table is the 3-column projection
+    got = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
 
     # batch twin: the SAME admission core over the whole new split at
     # once, against the same persisted artifacts
@@ -679,16 +681,27 @@ def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path)
     assert got.count() == batch.count() > 0
     assert frame_hash(got) == frame_hash(batch)
 
-    # re-drain, no new files: nothing appended
+    # re-drain, no new files: no new epochs, table unchanged
     run_streaming_graph_ingest(
         spark, inp, store, edges_dir, ckpt, max_files_per_trigger=1
     )
-    assert frame_hash(spark.read.parquet(edges_dir)) == frame_hash(batch)
+    reread = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
+    assert frame_hash(reread) == frame_hash(batch)
 
-    # simulated replay (sink write landed, offset commit lost):
-    # re-admitting an already-admitted batch must append nothing
-    one_file = sorted(
-        p for p in __import__("glob").glob(inp + "/*.parquet")
-    )[0]
-    graph_ingest_update(spark.read.parquet(one_file), store, edges_dir)
-    assert frame_hash(spark.read.parquet(edges_dir)) == frame_hash(batch)
+    # simulated replay (sink write landed, offset commit lost): re-run
+    # epoch 0's update with the exact file the checkpoint's source log
+    # assigned it — the overwrite lands byte-identical edges and the
+    # table must not move
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(ckpt, "sources", "0", "0")) as fh:
+        entries = [
+            _json.loads(line) for line in fh if line.strip().startswith("{")
+        ]
+    assert len(entries) == 1  # maxFilesPerTrigger=1
+    graph_ingest_update(
+        spark.read.parquet(entries[0]["path"]), store, edges_dir, 0
+    )
+    replayed = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
+    assert frame_hash(replayed) == frame_hash(batch)
