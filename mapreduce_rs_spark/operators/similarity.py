@@ -1669,16 +1669,44 @@ def kmeans_refit_distributed(
     the init and refit centroid (the drift the refit corrected).
     """
     init = init or kmeans_init_q()
-    k = len(init)
-    spark = df.sparkSession
+    q, cent = _kmeans_rounds(df, rounds, init, persist_dir)
+    iv = F.expr(
+        "CAST(element_at("
+        + "array(" + ",".join(_cq_sql(c) for c in init) + ")"
+        + f", cid + 1) AS {_DBL})"
+    )
+    cv = F.col("cq").cast(_DBL)
+    return cent.select(
+        F.col("cid").cast("int").alias("centroid_id"),
+        "n_members",
+        F.expr("aggregate(cq, 0L, (a, x) -> a + x)").alias("cq_sum"),
+        F.expr("aggregate(cq, 0L, (a, x) -> a + x * x)").alias("cq_norm2"),
+        (_dot_raw(cv, iv) / (_l2_raw(cv) * _l2_raw(iv))).alias("shift_cos"),
+    )
 
-    def cq_sql(vec: list[int]) -> str:
-        return "array(" + ",".join(f"{x}L" for x in vec) + ")"
+
+def _cq_sql(vec: list[int]) -> str:
+    return "array(" + ",".join(f"{x}L" for x in vec) + ")"
+
+
+def _kmeans_rounds(
+    df: DataFrame,
+    rounds: int,
+    init: list[list[int]],
+    persist_dir: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The Lloyd-round engine behind ``kmeans_refit_distributed`` and
+    its quality eval (``kmeans_refit_eval``): returns (q, cent) — the
+    materialized integer-quantized corpus frame (vec_id, qv) and the
+    final materialized centroid state (cid, cq, n_members) after
+    ``rounds`` distributed iterations from ``init``. Arithmetic and
+    plan shape are documented on the public report operator."""
+    spark = df.sparkSession
 
     init_arr = (
         "array("
         + ",".join(
-            f"named_struct('cid', {i}, 'cq', {cq_sql(c)})" for i, c in enumerate(init)
+            f"named_struct('cid', {i}, 'cq', {_cq_sql(c)})" for i, c in enumerate(init)
         )
         + ")"
     )
@@ -1755,18 +1783,92 @@ def kmeans_refit_distributed(
             persist_dir,
             f"dkm_c{r}",
         )
-    iv = F.expr(
-        "CAST(element_at("
-        + "array(" + ",".join(cq_sql(c) for c in init) + ")"
-        + f", cid + 1) AS {_DBL})"
+    return q, cent
+
+
+def kmeans_refit_eval(
+    df: DataFrame,
+    rounds: int = KMEANS_DIST_ROUNDS,
+    init: list[list[int]] | None = None,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """The refit's QUALITY eval — the swap decision a model-maintenance
+    loop makes after ``kmeans_refit_distributed`` produces a candidate
+    model: for every corpus vector, compare assignment quality (cosine
+    to the ASSIGNED centroid; assignment by the family's argmax-dot,
+    tie -> higher cid convention) under the SHIPPED init model vs the
+    refit model, rolled up per refit cluster. Completes the fit → eval
+    → swap lifecycle the other index tiers already have (ann_recall,
+    nn_descent_recall, lsh_dedup_eval).
+
+    Exactness: both cosines are single double chains on exact integers
+    (the BIGINT dot carried through the argmax winner / (sqrt of the
+    exact |qv|² · sqrt of the exact |cq|²)), quantized to integer
+    basis points (round(cos · 1e4)) per vector and SUMMED AS BIGINTs —
+    per-cluster quality mass is exact and partition-invariant, and
+    ``refit_improves`` is an integer compare of two exact sums over
+    the SAME vector set (the integer-threshold rule). The winner
+    struct carries its cq through the argmax (struct compares score
+    then cid; cid is unique, so the vector field never decides).
+
+    Scale shape: ONE pass over the checkpointed quantized corpus —
+    both models ride along (init as constant-folded literals, refit as
+    the broadcast rolled k-row state) — then one (refit cid)-key
+    aggregate with map-side partials; k rows out. ``n_members`` here
+    is assignment under the FINAL model; the report operator's
+    membership is the last update round's (assignment under
+    C_{rounds-1}) — the off-by-one is inherent to Lloyd's."""
+    init = init or kmeans_init_q()
+    q, cent = _kmeans_rounds(df, rounds, init, persist_dir)
+    rolled = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cq")))
+        ).alias("carr")
     )
-    cv = F.col("cq").cast(_DBL)
-    return cent.select(
-        F.col("cid").cast("int").alias("centroid_id"),
-        "n_members",
-        F.expr("aggregate(cq, 0L, (a, x) -> a + x)").alias("cq_sum"),
-        F.expr("aggregate(cq, 0L, (a, x) -> a + x * x)").alias("cq_norm2"),
-        (_dot_raw(cv, iv) / (_l2_raw(cv) * _l2_raw(iv))).alias("shift_cos"),
+    init_carr = (
+        "array("
+        + ",".join(
+            f"named_struct('cid', {i}, 'cq', {_cq_sql(c)})"
+            for i, c in enumerate(init)
+        )
+        + ")"
+    )
+
+    def winner(carr_sql: str) -> str:
+        return (
+            f"array_max(transform({carr_sql}, c -> named_struct("
+            "'score', aggregate(zip_with(qv, c.cq, (x, y) -> x * y), "
+            "0L, (a, x) -> a + x), 'cid', c.cid, 'cq', c.cq)))"
+        )
+
+    def cos_bp(w_col: str) -> F.Column:
+        return F.round(
+            F.expr(f"CAST({w_col}.score AS DOUBLE)")
+            / (
+                _l2_raw(F.col("qv").cast(_DBL))
+                * _l2_raw(F.expr(f"CAST({w_col}.cq AS {_DBL})"))
+            )
+            * 10000
+        ).cast("long")
+
+    scored = (
+        q.crossJoin(F.broadcast(rolled))
+        .select(
+            F.expr(winner("carr")).alias("wr"),
+            F.expr(winner(init_carr)).alias("wi"),
+            "qv",
+        )
+        .select(
+            F.expr("wr.cid").alias("cid"),
+            cos_bp("wr").alias("r_bp"),
+            cos_bp("wi").alias("i_bp"),
+        )
+    )
+    return scored.groupBy(F.col("cid").cast("int").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("i_bp").alias("sum_cos_init_bp"),
+        F.sum("r_bp").alias("sum_cos_refit_bp"),
+        (F.sum("r_bp") > F.sum("i_bp")).alias("refit_improves"),
     )
 
 

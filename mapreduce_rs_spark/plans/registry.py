@@ -911,6 +911,56 @@ def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     )
 
 
+def _dkm_eval_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.kmeans_refit_eval: the SAME Lloyd
+    chain as `_dkm_sql` (rebuilt here with identical f-string pieces —
+    the chain text is shared by construction since both call _dkm_sql's
+    builder body), then one eval pass assigning every vector under
+    BOTH models (argmax dot, tie -> higher cid), quantizing the
+    assigned-centroid cosine to integer basis points with the exact
+    operator arithmetic (score / (sqrt|qv|² · sqrt|cq|²) · 1e4, one
+    rounding), and rolling up per refit cluster."""
+    chain = _dkm_sql(rounds)
+    # reuse the full chain: strip _dkm_sql's final SELECT (everything
+    # after the last CTE's closing line) and re-terminate
+    marker = "\n        SELECT CAST(f.cid AS INTEGER) AS centroid_id"
+    with_clause = chain[: chain.index(marker)]
+    last = f"c{rounds - 1}"
+
+    def assign(cents: str) -> str:
+        return f"""(
+            SELECT vec_id, CAST(round(score
+                       / (sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                               CAST(qv AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(cq AS DOUBLE[]),
+                                 CAST(cq AS DOUBLE[]))))
+                       * 10000, 0) AS BIGINT) AS bp, cid
+            FROM (
+                SELECT v.vec_id, v.qv, c.cid, c.cq,
+                       list_dot_product(CAST(v.qv AS DOUBLE[]),
+                                        CAST(c.cq AS DOUBLE[])) AS score,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
+                                    CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
+                FROM v CROSS JOIN {cents} c
+            ) x WHERE rn = 1
+        )"""
+
+    return (
+        with_clause
+        + f""", ar AS {assign(last)}, ai AS {assign("c_init")}
+        SELECT CAST(ar.cid AS INTEGER) AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(ai.bp) AS BIGINT) AS sum_cos_init_bp,
+               CAST(sum(ar.bp) AS BIGINT) AS sum_cos_refit_bp,
+               (sum(ar.bp) > sum(ai.bp)) AS refit_improves
+        FROM ar JOIN ai USING (vec_id)
+        GROUP BY ar.cid
+        ORDER BY centroid_id
+        """
+    )
+
+
 def _nnd_ctes(
     k: int = similarity.NND_K,
     rounds: int = similarity.NND_ROUNDS,
@@ -3031,6 +3081,18 @@ QUERIES: dict[str, QuerySpec] = {
         "family's driver-side sample-fit ceiling (kmeans_fit's assert "
         "points here). Output pins the refit vectors via integer "
         "checksums + init-vs-refit cosine",
+    ),
+    "kmeans_refit_eval": QuerySpec(
+        _emb(similarity.kmeans_refit_eval),
+        _dkm_eval_sql(),
+        "The distributed refit's QUALITY eval — the swap decision: "
+        "per-vector assigned-centroid cosine under the shipped init "
+        "model vs the refit model (one pass over the quantized corpus, "
+        "both models riding along), quantized to integer basis points "
+        "and summed exactly per refit cluster; refit_improves is an "
+        "integer compare of two exact sums over the same vector set. "
+        "Completes the fit -> eval -> swap lifecycle (the ann_recall "
+        "pattern for the coarse quantizer)",
     ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
@@ -7220,6 +7282,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     # (ab_test_conversion emits a single row — no sort needed, the
     # lsh_dedup_eval precedent.)
     "kmeans_refit_distributed": ("centroid_id",),
+    "kmeans_refit_eval": ("centroid_id",),
     "knn_graph_ingest": ("batch_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
     "kmv_quantile_rollup_merge": ("week", "event_type", "q_bp"),
@@ -7269,6 +7332,9 @@ _CHECK_FIRST: tuple[str, ...] = (
     "knn_graph_ingest",        # graph-index maintenance under ingest:
     #                            beam-search admission + rebuild ledger
     #                            (r08 verdict #3)
+    "kmeans_refit_eval",       # the refit's quality eval / swap decision
+    #                            (displaces one r05 refresh slot —
+    #                            knn_pca moves to the r10 note)
     # (1b) MODIFIED in round 9 — external re-check required. The ASCII
     # synthesis guard (_oracle_ascii_bytes, ADVICE r08) changed the
     # attach_* UDF code inside every payload-synthesis query — values
@@ -7334,8 +7400,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "inter_event_gaps",
     "key_skew_profile",
     "knn_ivfpq",
-    "knn_pca",
-    # (displacement note for r10: the remaining 30 r05-stale queries —
+    # (displacement note for r10: the remaining 31 r05-stale queries —
+    # knn_pca (displaced by kmeans_refit_eval),
     # label_centroid_drift, language_id_confusion, latest_event_state,
     # leakage_safe_splits, log2_value_histogram, multitouch_attribution,
     # oov_rate_scores, pii_scrub_stats, q10_returned_items,
@@ -7347,7 +7413,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # q6_forecast_revenue, q8_market_share, rfm_segments,
     # seasonality_profile, state_intervals, theta_daily_overlap,
     # triangle_counts, user_value_trend, weekly_growth,
-    # weighted_median_price, weighted_sample — rotate these 30 next,
+    # weighted_median_price, weighted_sample — rotate these 31 next,
     # then begin the r06 tranche with the remaining slots; after the
     # r10 window no query's newest row is older than round 6.)
 )

@@ -66,6 +66,10 @@ EMB_QUERIES = (
     # re-quantization; assignment argmax ties (duplicate vectors) must
     # break to the higher cid identically through both Lloyd rounds
     "kmeans_refit_distributed",
+    # its eval: duplicate vectors make exact cosine-bp ties; the
+    # two-model argmax (init literals vs refit state) must land the
+    # same winners through both engines
+    "kmeans_refit_eval",
     # ingest maintenance: duplicate vectors straddle the %10 split, so
     # cosine TIES appear in the admission beam, the worst-edge bar
     # (cs > worst is an exact-equality boundary for a duplicate of a

@@ -235,6 +235,34 @@ def test_kmeans_refit_distributed_matches_integer_replica(spark, sf_dir):
     }
 
 
+def test_kmeans_refit_eval_semantics(spark):
+    """The eval's load-bearing property: on the corpus the shipped
+    model was FIT on (sf0.01), two more Lloyd rounds are near the
+    fixed point, so most clusters must NOT improve (their quality sums
+    are identical) — while BOTH decision branches stay live; and the
+    identity sum_refit >= sum_init need not hold per cluster (members
+    move between clusters), but total refit mass must be >= total init
+    mass (Lloyd's monotonicity in the assignment objective carries to
+    the cosine mass here because centroids are ~unit)."""
+    from mapreduce_rs_spark.operators.similarity import kmeans_refit_eval
+
+    rows = kmeans_refit_eval(
+        load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ).collect()
+    assert len(rows) == 16
+    improved = [r for r in rows if r["refit_improves"]]
+    assert improved and len(improved) < len(rows)  # both branches live
+    for r in rows:
+        assert r["refit_improves"] == (
+            r["sum_cos_refit_bp"] > r["sum_cos_init_bp"]
+        )
+        assert 0 < r["n_members"]
+    assert sum(r["n_members"] for r in rows) == 500  # every vector scored
+    assert sum(r["sum_cos_refit_bp"] for r in rows) >= sum(
+        r["sum_cos_init_bp"] for r in rows
+    )
+
+
 def test_kmeans_refit_distributed_empty_cluster_carries_init(spark):
     """A cluster no vector chooses must keep its previous centroid
     (the guard is vacuous on the shipped corpora — every cluster is

@@ -183,6 +183,10 @@ _SCALE_GUARDS = {
     # builds; the FINAL plan is a narrow projection over the last k-row
     # centroid checkpoint — zero exchanges (the NN-Descent discipline)
     "kmeans_refit_distributed": (0, 0),
+    # its quality eval: one pass over the corpus checkpoint with both
+    # models riding along (literal init + broadcast rolled refit), one
+    # per-refit-cid aggregate — a single exchange moving k rows
+    "kmeans_refit_eval": (1, 0),
     "curation_yield_neardup": (4, 0),
     # round-3 TPC-H battery (measured at sf0.01; the 3-exchange entries
     # are the two SMJ sides of the lineitem⋈orders edge + the final agg —
