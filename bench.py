@@ -123,6 +123,9 @@ HEADLINE = (
     # PREFIXES; compare totals only within one definition.
     "kmeans_refit_distributed",    # 2 Lloyd rounds: broadcast argmax + k×dim agg
     "knn_graph_ingest",            # standing build + beam admission + ledger
+    # round-9 second extension (BASELINE.md): the refit's quality eval.
+    # Prior definitions (… / 32 / 34) remain comparable PREFIXES.
+    "kmeans_refit_eval",           # two-model assignment scoring, one pass
 )
 
 
