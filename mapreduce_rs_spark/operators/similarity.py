@@ -1689,6 +1689,31 @@ def _cq_sql(vec: list[int]) -> str:
     return "array(" + ",".join(f"{x}L" for x in vec) + ")"
 
 
+def _init_struct_arr(init: list[list[int]]) -> str:
+    """The init model as a SQL array-of-(cid, cq)-structs literal —
+    ONE builder for the round engine's seed state and the eval's
+    init-side argmax, so fit and eval assignment can never drift."""
+    return (
+        "array("
+        + ",".join(
+            f"named_struct('cid', {i}, 'cq', {_cq_sql(c)})"
+            for i, c in enumerate(init)
+        )
+        + ")"
+    )
+
+
+def _rolled_state(cent: DataFrame) -> DataFrame:
+    """The k-row centroid state rolled into ONE broadcastable
+    array-of-structs row — shared by every assignment consumer (the
+    round engine and the eval) for the same no-drift reason."""
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cq")))
+        ).alias("carr")
+    )
+
+
 def _kmeans_rounds(
     df: DataFrame,
     rounds: int,
@@ -1703,13 +1728,7 @@ def _kmeans_rounds(
     plan shape are documented on the public report operator."""
     spark = df.sparkSession
 
-    init_arr = (
-        "array("
-        + ",".join(
-            f"named_struct('cid', {i}, 'cq', {_cq_sql(c)})" for i, c in enumerate(init)
-        )
-        + ")"
-    )
+    init_arr = _init_struct_arr(init)
     cent = spark.range(1).select(
         F.explode(F.expr(init_arr)).alias("c")
     ).select(
@@ -1737,11 +1756,7 @@ def _kmeans_rounds(
         F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
     )
     for r in range(rounds):
-        rolled = cent.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cid"), F.col("cq")))
-            ).alias("carr")
-        )
+        rolled = _rolled_state(cent)
         upd = (
             q.crossJoin(F.broadcast(rolled))
             .select("qv", argmax_cid.alias("cid"))
@@ -1820,19 +1835,8 @@ def kmeans_refit_eval(
     C_{rounds-1}) — the off-by-one is inherent to Lloyd's."""
     init = init or kmeans_init_q()
     q, cent = _kmeans_rounds(df, rounds, init, persist_dir)
-    rolled = cent.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cq")))
-        ).alias("carr")
-    )
-    init_carr = (
-        "array("
-        + ",".join(
-            f"named_struct('cid', {i}, 'cq', {_cq_sql(c)})"
-            for i, c in enumerate(init)
-        )
-        + ")"
-    )
+    rolled = _rolled_state(cent)
+    init_carr = _init_struct_arr(init)
 
     def winner(carr_sql: str) -> str:
         return (

@@ -835,9 +835,11 @@ def _gi_sql(
     return ",\n        ".join(parts)
 
 
-def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
-    """Oracle twin of similarity.kmeans_refit_distributed: the Lloyd
-    rounds unrolled as a MATERIALIZED CTE chain (assignment cross-join
+def _dkm_ctes(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> tuple[str, str]:
+    """The Lloyd-round CTE chain shared by the refit-report oracle
+    (`_dkm_sql`) and the quality-eval oracle (`_dkm_eval_sql`) — the
+    _nnd_ctes convention: returns (with_clause, final_centroid_cte).
+    Rounds unrolled as MATERIALIZED CTEs (assignment cross-join
     re-reads v and the centroid state per round — the clone rule).
     Every knob f-string-derived from the similarity.py constants: init
     centroids from kmeans_init_q() (the shipped literals quantized to
@@ -898,14 +900,21 @@ def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
             FROM {prev} p LEFT JOIN upd{r} u USING (cid)
         )""")
         prev = f"c{r}"
+    return "WITH " + ",\n        ".join(parts), prev
+
+
+def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.kmeans_refit_distributed: the shared
+    Lloyd chain (`_dkm_ctes`) + the per-centroid report finale."""
+    chain, last = _dkm_ctes(rounds)
     return (
-        "WITH " + ",\n        ".join(parts)
+        chain
         + f"""
         SELECT CAST(f.cid AS INTEGER) AS centroid_id, f.n_members,
                CAST(list_sum(f.cq) AS BIGINT) AS cq_sum,
                CAST(list_sum(list_transform(f.cq, x -> x * x)) AS BIGINT) AS cq_norm2,
                {_cosine_sql('CAST(f.cq AS DOUBLE[])', 'CAST(i.cq AS DOUBLE[])')} AS shift_cos
-        FROM {prev} f JOIN c_init i USING (cid)
+        FROM {last} f JOIN c_init i USING (cid)
         ORDER BY centroid_id
         """
     )
@@ -913,19 +922,13 @@ def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
 
 def _dkm_eval_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     """Oracle twin of similarity.kmeans_refit_eval: the SAME Lloyd
-    chain as `_dkm_sql` (rebuilt here with identical f-string pieces —
-    the chain text is shared by construction since both call _dkm_sql's
-    builder body), then one eval pass assigning every vector under
+    chain as `_dkm_sql` (both compose `_dkm_ctes` — the builder-reuse
+    rule), then one eval pass assigning every vector under
     BOTH models (argmax dot, tie -> higher cid), quantizing the
     assigned-centroid cosine to integer basis points with the exact
     operator arithmetic (score / (sqrt|qv|² · sqrt|cq|²) · 1e4, one
     rounding), and rolling up per refit cluster."""
-    chain = _dkm_sql(rounds)
-    # reuse the full chain: strip _dkm_sql's final SELECT (everything
-    # after the last CTE's closing line) and re-terminate
-    marker = "\n        SELECT CAST(f.cid AS INTEGER) AS centroid_id"
-    with_clause = chain[: chain.index(marker)]
-    last = f"c{rounds - 1}"
+    with_clause, last = _dkm_ctes(rounds)
 
     def assign(cents: str) -> str:
         return f"""(

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from mapreduce_rs_spark.operators.relational import money, stable_sum
 from pyspark.sql.types import (
@@ -719,6 +719,25 @@ def graph_ingest_update(
     ).parquet(os.path.join(edges_dir, f"epoch={epoch_id}"))
 
 
+def read_admitted_edges(spark: SparkSession, edges_dir: str) -> DataFrame:
+    """The edge table's READER contract: per-epoch directories merged
+    with latest-epoch-wins per q_id (the CDC latest_state discipline).
+    Same-epoch replays already overwrite in place; this additionally
+    makes an upstream RE-DELIVERY of a vec_id in a later file (two
+    epochs both holding its edges — admission is deterministic, so the
+    rows are byte-identical unless the standing store was rebuilt
+    between them, in which case newest is the correct answer) read as
+    ONE logical row set per q_id. O(edges) at read, zero per-batch
+    history scans in the hot loop."""
+    w = Window.partitionBy("q_id")
+    return (
+        spark.read.parquet(edges_dir)
+        .withColumn("max_epoch", F.max("epoch").over(w))
+        .where(F.col("epoch") == F.col("max_epoch"))
+        .select("q_id", "cand", "cs")
+    )
+
+
 def run_streaming_graph_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -730,12 +749,15 @@ def run_streaming_graph_ingest(
     """The graph tier's admission loop in its CONTINUOUS form: vector
     micro-batches beam-search the PERSISTED standing artifacts (built
     once by ``build_graph_store``, refreshed on the rebuild cadence the
-    batch ledger decides) and append their forward edges. Admissions
-    are independent across vectors — they read only standing state —
-    so any micro-batching yields the batch operator's edges
-    byte-for-byte (pinned by the parity test), and per-batch work is
-    O(|batch| · beam · k · hops): the continuous form inherits the
-    batch form's batch-proportional cost by construction."""
+    batch ledger decides) and land their forward edges under per-epoch
+    directories (``edges_dir/epoch=<id>``, OVERWRITE — the replay
+    contract lives on ``graph_ingest_update``; consumers read through
+    ``read_admitted_edges``, which merges epochs latest-wins per q_id).
+    Admissions are independent across vectors — they read only
+    standing state — so any micro-batching yields the batch operator's
+    edges byte-for-byte (pinned by the parity test), and per-batch
+    work is O(|batch| · beam · k · hops): the continuous form inherits
+    the batch form's batch-proportional cost by construction."""
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

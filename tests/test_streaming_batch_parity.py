@@ -652,9 +652,10 @@ def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path)
     run_streaming_graph_ingest(
         spark, inp, store, edges_dir, ckpt, max_files_per_trigger=1
     )
-    # per-epoch layout: reading the root adds the epoch partition
-    # column — the logical edge table is the 3-column projection
-    got = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
+    from mapreduce_rs_spark.streaming.pipeline import read_admitted_edges
+
+    # the reader contract: per-epoch directories merged latest-wins
+    got = read_admitted_edges(spark, edges_dir)
 
     # batch twin: the SAME admission core over the whole new split at
     # once, against the same persisted artifacts
@@ -685,8 +686,7 @@ def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path)
     run_streaming_graph_ingest(
         spark, inp, store, edges_dir, ckpt, max_files_per_trigger=1
     )
-    reread = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
-    assert frame_hash(reread) == frame_hash(batch)
+    assert frame_hash(read_admitted_edges(spark, edges_dir)) == frame_hash(batch)
 
     # simulated replay (sink write landed, offset commit lost): re-run
     # epoch 0's update with the exact file the checkpoint's source log
@@ -703,5 +703,12 @@ def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path)
     graph_ingest_update(
         spark.read.parquet(entries[0]["path"]), store, edges_dir, 0
     )
-    replayed = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
-    assert frame_hash(replayed) == frame_hash(batch)
+    assert frame_hash(read_admitted_edges(spark, edges_dir)) == frame_hash(batch)
+
+    # upstream RE-DELIVERY (same vec_ids in a NEW file -> a new epoch):
+    # the raw table now holds two epochs of those q_ids, but the reader
+    # merges latest-wins, so the logical table is unchanged
+    graph_ingest_update(spark.read.parquet(entries[0]["path"]), store, edges_dir, 99)
+    raw = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
+    assert raw.count() > batch.count()  # duplicates exist in the raw layout
+    assert frame_hash(read_admitted_edges(spark, edges_dir)) == frame_hash(batch)
