@@ -835,31 +835,41 @@ def _gi_sql(
     return ",\n        ".join(parts)
 
 
-def _dkm_ctes(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> tuple[str, str]:
+def _dkm_ctes(
+    rounds: int = similarity.KMEANS_DIST_ROUNDS,
+    init_body: str | None = None,
+    extra_after_v: str = "",
+) -> tuple[str, str]:
     """The Lloyd-round CTE chain shared by the refit-report oracle
-    (`_dkm_sql`) and the quality-eval oracle (`_dkm_eval_sql`) — the
-    _nnd_ctes convention: returns (with_clause, final_centroid_cte).
-    Rounds unrolled as MATERIALIZED CTEs (assignment cross-join
-    re-reads v and the centroid state per round — the clone rule).
-    Every knob f-string-derived from the similarity.py constants: init
-    centroids from kmeans_init_q() (the shipped literals quantized to
-    micro-units), quantization scale DRIFT_SCALE, round count
-    KMEANS_DIST_ROUNDS. Assignment scores are list_dot_product over
-    integer lists cast to double — exact below 2^53 (|term| <= ~5.5e12,
-    64 terms), so the argmax matches Spark's BIGINT fold bit-for-bit."""
+    (`_dkm_sql`), the quality-eval oracle (`_dkm_eval_sql`) and the
+    derived-k semdedup oracle (`_sdk_sql`) — the _nnd_ctes convention:
+    returns (with_clause, final_centroid_cte). Rounds unrolled as
+    MATERIALIZED CTEs (assignment cross-join re-reads v and the
+    centroid state per round — the clone rule). Every knob
+    f-string-derived from the similarity.py constants: init centroids
+    default to kmeans_init_q() (the shipped literals quantized to
+    micro-units) — ``init_body`` overrides the c_init SELECT for the
+    data-seeded derived-k path, with ``extra_after_v`` injecting its
+    helper CTEs between v and c_init; both defaults reproduce the r09
+    string byte-identically (md5-checked in tests). Quantization scale
+    DRIFT_SCALE, round count KMEANS_DIST_ROUNDS. Assignment scores are
+    list_dot_product over integer lists cast to double — exact below
+    2^53 (|term| <= ~5.5e12, 64 terms), so the argmax matches Spark's
+    BIGINT fold bit-for-bit."""
     scale = float(similarity.DRIFT_SCALE)
-    init = similarity.kmeans_init_q()
-    init_rows = "\n            UNION ALL ".join(
-        f"SELECT {i} AS cid, [{', '.join(str(x) for x in c)}]::BIGINT[] AS cq"
-        for i, c in enumerate(init)
-    )
+    if init_body is None:
+        init = similarity.kmeans_init_q()
+        init_body = "\n            UNION ALL ".join(
+            f"SELECT {i} AS cid, [{', '.join(str(x) for x in c)}]::BIGINT[] AS cq"
+            for i, c in enumerate(init)
+        )
     parts = [
         f"""v AS MATERIALIZED (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
             FROM embeddings
-        ), c_init AS MATERIALIZED (
-            {init_rows}
+        ){extra_after_v}, c_init AS MATERIALIZED (
+            {init_body}
         )"""
     ]
     prev = "c_init"
@@ -960,6 +970,65 @@ def _dkm_eval_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
         FROM ar JOIN ai USING (vec_id)
         GROUP BY ar.cid
         ORDER BY centroid_id
+        """
+    )
+
+
+def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.semdedup_derived_k: k derived from
+    count(v) by the ivf_k_for rule, data-seeded init (k h32-smallest
+    vec_ids, renormalized with the round-update arithmetic), the SAME
+    Lloyd chain as `_dkm_sql` (all three compose `_dkm_ctes` — the
+    builder-reuse rule), final-model assignment, and the semdedup pair
+    audit with the tau threshold as an integer cross-multiply
+    (SEMDEDUP_TAU_FRAC — exact on both engines). Every knob
+    f-string-derived from the similarity.py constants."""
+    scale = float(similarity.DRIFT_SCALE)
+    target = similarity.IVF_TARGET_CLUSTER
+    num, den = similarity.SEMDEDUP_TAU_FRAC
+    norm2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
+    kk = f""", kk AS (
+            SELECT greatest(4, least({1 << 17}, (count(*) + {target - 1}) // {target})) AS k
+            FROM v
+        )"""
+    init_body = f"""SELECT CAST(rn - 1 AS INTEGER) AS cid,
+                   list_transform(qv, s -> CAST(round(CAST(s AS DOUBLE)
+                        / sqrt(CAST(ss AS DOUBLE)) * {scale!r}, 0) AS BIGINT)) AS cq
+            FROM (
+                SELECT qv, ss,
+                       row_number() OVER (ORDER BY {h32_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
+                FROM (SELECT vec_id, qv, {norm2} AS ss FROM v) s0
+                WHERE ss > 0
+            ) s WHERE rn <= (SELECT k FROM kk)"""
+    chain, last = _dkm_ctes(rounds, init_body=init_body, extra_after_v=kk)
+    return (
+        chain
+        + f""", af AS MATERIALIZED (
+            SELECT vec_id, qv, cid, {norm2} AS nrm2 FROM (
+                SELECT v.vec_id, v.qv, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
+                                    CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
+                FROM v CROSS JOIN {last} c
+            ) r WHERE rn = 1
+        ), pr AS (
+            SELECT a.vec_id,
+                   CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                        CAST(b.qv AS DOUBLE[])) AS HUGEINT) AS dt,
+                   a.nrm2 AS na, b.nrm2 AS nb
+            FROM af a JOIN af b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        ), dropped AS (
+            SELECT DISTINCT vec_id FROM pr
+            WHERE dt >= 0 AND dt * dt * {den * den} >= na * nb * {num * num}
+        )
+        SELECT a2.cid AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / NULLIF(count(*), 0) AS drop_ratio
+        FROM af a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
+        GROUP BY a2.cid
         """
     )
 
@@ -3096,6 +3165,17 @@ QUERIES: dict[str, QuerySpec] = {
         "integer compare of two exact sums over the same vector set. "
         "Completes the fit -> eval -> swap lifecycle (the ann_recall "
         "pattern for the coarse quantizer)",
+    ),
+    "semdedup_derived_k": QuerySpec(
+        _emb(similarity.semdedup_derived_k),
+        _sdk_sql(),
+        "SemDeDup at the recipe's true shape (r09 verdict #1): k = "
+        "ivf_k_for(N) centroids fit DISTRIBUTEDLY (data-seeded Lloyd "
+        "rounds — the kmeans_refit_distributed engine), then the "
+        "cluster-blocked pair dedup with E[cluster] ~ 32 constant at "
+        "any corpus size — the composition that retires the fixed-k "
+        "quadratic ceiling semdedup measured at sf3.0; tau threshold "
+        "as an integer cross-multiply on exact BIGINT dots",
     ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
@@ -7286,6 +7366,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     # lsh_dedup_eval precedent.)
     "kmeans_refit_distributed": ("centroid_id",),
     "kmeans_refit_eval": ("centroid_id",),
+    "semdedup_derived_k": ("centroid_id",),
     "knn_graph_ingest": ("batch_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
     "kmv_quantile_rollup_merge": ("week", "event_type", "q_bp"),

@@ -33,6 +33,20 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# Error conditions that mean "the store does not exist yet" — the ONLY
+# AnalysisExceptions a first-batch store probe may swallow. PATH_NOT_FOUND
+# is the missing directory; UNABLE_TO_INFER_SCHEMA is the created-but-empty
+# directory (a checkpoint dir landed before any data file). Anything else
+# (e.g. schema inference failing on a corrupted/partially-written store)
+# re-raises so the batch fails and the replay retries (ADVICE r09).
+_MISSING_STORE_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _is_missing_store(e: AnalysisException) -> bool:
+    cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+    return cond in _MISSING_STORE_CONDITIONS
+
+
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -495,12 +509,16 @@ def run_streaming_neardup_ingest(
         try:
             store_fps = sess.read.parquet(fps_dir)
             store_bands = sess.read.parquet(bands_dir)
-        # ONLY the first-batch empty-store case (PATH_NOT_FOUND /
-        # schema-inference AnalysisException); any other read error
+        # ONLY the first-batch empty-store case; any other read error
         # must FAIL the batch so the replay retries — swallowing it
         # would admit the whole batch against an empty corpus view
-        # (duplicate admissions forever; review-finding class r09)
-        except AnalysisException:
+        # (duplicate admissions forever; review-finding class r09).
+        # Matched by ERROR CONDITION, not exception class (ADVICE r09:
+        # AnalysisException also covers schema-inference failure on a
+        # corrupted/partially-written store — the same failure class).
+        except AnalysisException as e:
+            if not _is_missing_store(e):
+                raise
             store_fps = sess.createDataFrame([], "doc_id long, fingerprint string")
             store_bands = sess.createDataFrame(
                 [], "doc_id long, band int, band_key string"
@@ -568,21 +586,43 @@ EMB_SCHEMA = StructType(
 
 def ivf_state_update(batch_df: DataFrame, state_dir: str, epoch_id: int) -> None:
     """One micro-batch of the streaming IVF maintenance loop: compute
-    the batch's (centroid_id, pos, s, nb, nn) partials — the IDENTICAL
-    ``ivf_maintenance_partials`` the batch operator runs — and land
-    them under ``state_dir/epoch=<epoch_id>``.
+    the batch's per-source-file (src_file, centroid_id, pos, s, nb, nn)
+    partials — the IDENTICAL ``ivf_maintenance_partials`` the batch
+    operator runs, with the file-path provenance key threaded through —
+    and land them under ``state_dir/epoch=<epoch_id>``.
 
     OVERWRITE per epoch directory is what makes the loop
     restart-idempotent: Structured Streaming replays a micro-batch
     under the SAME epoch id when the sink wrote but the offset commit
     didn't land, and a replay then overwrites its own partials with
     byte-identical rows instead of double-counting them (exposed
-    module-level so the replay path is directly testable)."""
+    module-level so the replay path is directly testable).
+
+    The ``src_file`` provenance column is the CROSS-epoch dedup key
+    (ADVICE r09, the ``read_admitted_edges`` analog): if upstream
+    re-delivers the SAME file path in a later epoch (a forced
+    reprocess, an overwritten input picked up again), the reader keeps
+    only the newest epoch's partials per file instead of blind-summing
+    both. The file source assigns whole files to micro-batches, so a
+    file's partials are always complete within one epoch. Re-delivery
+    of the same VECTORS under a NEW path is indistinguishable from new
+    data at this aggregate grain — that case is governed by the
+    exactly-once-input contract: the input directory is append-only
+    and a path's content is immutable once written (the standard file
+    -source contract this loop inherits).
+
+    ``src_file`` must be selected on the SOURCE scan (where the
+    ``_metadata`` column resolves — inside foreachBatch the micro-batch
+    is a plain RDD-backed frame without it); the streaming loop does,
+    and a direct batch-read caller (the replay test path) gets it added
+    here from its own file scan."""
     from mapreduce_rs_spark.operators.similarity import ivf_maintenance_partials
 
-    ivf_maintenance_partials(batch_df).write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"epoch={epoch_id}")
-    )
+    if "src_file" not in batch_df.columns:
+        batch_df = batch_df.withColumn("src_file", F.col("_metadata.file_path"))
+    ivf_maintenance_partials(batch_df, extra_keys=("src_file",)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, f"epoch={epoch_id}"))
 
 
 def streaming_ivf_state_report(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -595,8 +635,14 @@ def streaming_ivf_state_report(spark: SparkSession, state_dir: str) -> DataFrame
     size the state table grows with EPOCHS, not with vectors."""
     from mapreduce_rs_spark.operators.similarity import ivf_maintenance_rollup
 
+    w = Window.partitionBy("src_file")
     merged = (
         spark.read.parquet(state_dir)
+        # latest-epoch-wins per source file (the read_admitted_edges
+        # discipline): a file re-delivered in a later epoch reads as
+        # ONE logical contribution, never a double-count (ADVICE r09)
+        .withColumn("max_epoch", F.max("epoch").over(w))
+        .where(F.col("epoch") == F.col("max_epoch"))
         .groupBy("centroid_id", "pos")
         .agg(
             F.sum("s").alias("s"),
@@ -625,7 +671,11 @@ def run_streaming_ivf_maintenance(
     reader = spark.readStream.schema(EMB_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_dir)
+    # provenance selected ON the source scan — _metadata only resolves
+    # there, not on the RDD-backed frame foreachBatch hands over
+    stream = reader.parquet(input_dir).withColumn(
+        "src_file", F.col("_metadata.file_path")
+    )
     (
         stream.writeStream.outputMode("append")
         .foreachBatch(
@@ -714,7 +764,7 @@ def graph_ingest_update(
     v = sess.read.parquet(os.path.join(store_dir, "corpus"))
     reps = sess.read.parquet(os.path.join(store_dir, "reps"))
     ge = sess.read.parquet(os.path.join(store_dir, "edges"))
-    graph_admit_batch(nq, v, reps, ge, tag="sgi").write.mode(
+    graph_admit_batch(nq, v, reps, ge, tag="sgi", planes=planes).write.mode(
         "overwrite"
     ).parquet(os.path.join(edges_dir, f"epoch={epoch_id}"))
 

@@ -868,3 +868,22 @@ def test_extract_features_decodes_real_jpegs(docs):
         r = rows[doc_id]
         assert (r.width, r.height, r.n_channels) == (bw * 8, bh * 8, 1)
         assert r.mean_intensity == sum(tiled) / n_blocks
+
+
+def test_payload_synthesis_rejects_non_ascii_loudly(spark):
+    """The byte-vs-codepoint oracle contract (r09 verdict #3): every
+    attach_* synthesis derives pixels/samples from utf-8 BYTES while
+    the DuckDB oracles replay them with per-character ascii()/length()
+    — identical only for pure-ASCII text. The 'café text' repro (10878
+    vs 11013 divergence when unguarded) must fail LOUDLY at the
+    synthesis site, not silently hash-mismatch downstream."""
+    from mapreduce_rs_spark.operators.multimodal import _oracle_ascii_bytes
+
+    assert _oracle_ascii_bytes("plain ascii 123") == b"plain ascii 123"
+    with pytest.raises(ValueError, match="pure-ASCII"):
+        _oracle_ascii_bytes("café text")
+
+    df = spark.createDataFrame([(1, "café text")], "doc_id long, text string")
+    with pytest.raises(Exception) as exc:
+        attach_png_payload(df).collect()
+    assert "pure-ASCII" in str(exc.value)

@@ -619,6 +619,14 @@ def test_streaming_ivf_maintenance_matches_batch_after_multibatch_drain(
     ivf_state_update(spark.read.parquet(*epoch0_files), state, 0)
     assert frame_hash(streaming_ivf_state_report(spark, state)) == frame_hash(batch)
 
+    # re-delivery idempotency (ADVICE r09): the SAME file path arrives
+    # again in a LATER epoch (forced reprocess / re-picked-up input) —
+    # the reader's latest-epoch-wins-per-src_file merge must read it as
+    # ONE logical contribution; a blind sum would double-count every
+    # n_before/n_new for that file's vectors
+    ivf_state_update(spark.read.parquet(*epoch0_files), state, 99)
+    assert frame_hash(streaming_ivf_state_report(spark, state)) == frame_hash(batch)
+
 
 def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path):
     """The graph tier's continuous admission loop: micro-batched
@@ -712,3 +720,33 @@ def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path)
     raw = spark.read.parquet(edges_dir).select("q_id", "cand", "cs")
     assert raw.count() > batch.count()  # duplicates exist in the raw layout
     assert frame_hash(read_admitted_edges(spark, edges_dir)) == frame_hash(batch)
+
+
+def test_first_batch_store_probe_swallows_only_missing_store(spark, tmp_path):
+    """ADVICE r09: the near-dup loop's first-batch store probe must
+    swallow ONLY the genuine empty-store conditions (PATH_NOT_FOUND,
+    UNABLE_TO_INFER_SCHEMA on a created-but-empty dir) — any other
+    AnalysisException (e.g. analysis failure over a corrupted or
+    partially-written store) re-raises so the batch fails and the
+    replay retries instead of silently admitting against an empty
+    corpus view."""
+    from pyspark.errors import AnalysisException
+
+    from mapreduce_rs_spark.streaming.pipeline import _is_missing_store
+
+    with pytest.raises(AnalysisException) as missing:
+        spark.read.parquet(str(tmp_path / "nonexistent"))
+    assert _is_missing_store(missing.value)
+
+    empty = tmp_path / "created_but_empty"
+    empty.mkdir()
+    with pytest.raises(AnalysisException) as inferless:
+        spark.read.parquet(str(empty))
+    assert _is_missing_store(inferless.value)
+
+    # a different analysis failure over a VALID store must not match
+    good = str(tmp_path / "good")
+    spark.range(3).write.parquet(good)
+    with pytest.raises(AnalysisException) as other:
+        spark.read.parquet(good).select("no_such_column").collect()
+    assert not _is_missing_store(other.value)
