@@ -126,6 +126,14 @@ HEADLINE = (
     # round-9 second extension (BASELINE.md): the refit's quality eval.
     # Prior definitions (… / 32 / 34) remain comparable PREFIXES.
     "kmeans_refit_eval",           # two-model assignment scoring, one pass
+    # round-10 extension (BASELINE.md, r09 verdict #5): the store-backed
+    # admission member — knn_graph_ingest's 10.5 s (sf0.1) is ~dominated
+    # by its embedded standing NN-Descent build, which a production loop
+    # reads from disk; this member prices ADMISSION itself (the thing
+    # the operator exists to make cheap) against a store built ONCE per
+    # bench run OUTSIDE the timer. Prior definitions (… / 34 / 35)
+    # remain comparable PREFIXES.
+    "knn_graph_admit_store",       # beam admission vs persisted artifacts
 )
 
 
@@ -152,6 +160,36 @@ def main() -> None:
 
     spark = get_spark("bench", **{"spark.sql.shuffle.partitions": cpus})
 
+    # knn_graph_admit_store's standing artifacts: built ONCE per bench
+    # run, OUTSIDE every timer (r09 verdict #5) — the production shape,
+    # where the store exists on disk between rebuild cadences and the
+    # admission loop only reads it. The member then measures admission
+    # alone; knn_graph_ingest keeps measuring the self-contained
+    # build+admit+ledger contract.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.sources.catalog import load_table
+    from mapreduce_rs_spark.streaming.pipeline import (
+        admitted_edges_from_store,
+        build_graph_store,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_dir = tempfile.mkdtemp(prefix="bench_graph_store_")
+    build_graph_store(
+        spark, emb.where(F.col("vec_id") % 10 < 8), store_dir
+    )
+
+    def _admit_store_member(sp, sfd):
+        batch = load_table(sp, sfd, "embeddings").where(
+            F.col("vec_id") % 10 >= 8
+        ).select("vec_id", "embedding")
+        return admitted_edges_from_store(batch, store_dir, tag="bench_admit")
+
+    EXTRA = {"knn_graph_admit_store": _admit_store_member}
+
     def run_full_plan(name: str) -> float:
         # noop datasource: full execution (sorts, projections, Python
         # stages) with zero write cost — the honest end-to-end timer.
@@ -163,8 +201,9 @@ def main() -> None:
         # number should measure ITS plan, not its predecessors'
         # allocation history — same rationale as the pool warm-up.
         gc.collect()
+        fn = EXTRA.get(name) or QUERIES[name].fn
         start = time.perf_counter()
-        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - start, 3)
 
     # Warm up the JVM / codegen / parquet footer cache so per-query times

@@ -79,8 +79,14 @@ def _copurchase_edges(li: DataFrame, min_orders: int) -> DataFrame:
     )
 
 
+# Iteration cap shared with the oracle-side unrolled closure
+# (registry._cc_comp_ctes): both sides compute the same capped
+# min-label fixpoint, so neither can out-iterate the other.
+CC_MAX_ITER = 20
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, persist_dir: str | None = None
+    edges: DataFrame, max_iter: int = CC_MAX_ITER, persist_dir: str | None = None
 ) -> DataFrame:
     """Connected components by min-label propagation.
 

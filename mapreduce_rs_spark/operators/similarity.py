@@ -1768,22 +1768,33 @@ def _lloyd_rounds(
     rounds: int,
     persist_dir: str | None,
     tag: str = "dkm",
+    assign: "Callable[[DataFrame, DataFrame], DataFrame] | None" = None,
 ) -> DataFrame:
     """``rounds`` distributed Lloyd iterations from centroid state
     ``cent`` (cid, cq, n_members) over the quantized corpus ``q`` —
     the update engine shared by the literal-seeded refit family
     (``_kmeans_rounds``) and the data-seeded derived-k path
     (``semdedup_derived_k``). Arithmetic and plan shape are documented
-    on ``kmeans_refit_distributed``."""
+    on ``kmeans_refit_distributed``. ``assign`` overrides the
+    assignment stage: given (q, cent) it returns a (qv, cid) frame —
+    the derived-k path passes its bucket-blocked assignment, whose
+    per-vector candidate count stays ~constant as k grows; the default
+    is the refit family's exact broadcast argmax (k x 64 dots per
+    vector — the right shape when k is bounded)."""
     argmax_cid = _dkm_argmax_cid()
     vec_of = F.transform(
         F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
     )
     for r in range(rounds):
-        rolled = _rolled_state(cent)
+        if assign is not None:
+            assigned = assign(q, cent)
+        else:
+            rolled = _rolled_state(cent)
+            assigned = q.crossJoin(F.broadcast(rolled)).select(
+                "qv", argmax_cid.alias("cid")
+            )
         upd = (
-            q.crossJoin(F.broadcast(rolled))
-            .select("qv", argmax_cid.alias("cid"))
+            assigned
             .select("cid", F.posexplode("qv").alias("pos", "qx"))
             .groupBy("cid", "pos")
             .agg(
@@ -1939,6 +1950,87 @@ _QV_NORM2 = (
 )
 
 
+SDK_BUCKET_TARGET = 4  # E[centroids per LSH bucket] the plane count aims at
+SDK_PLANE_MAX = 16     # bucket-space ceiling (2^16 buckets)
+
+
+def sdk_planes_for(k: int, target: int = SDK_BUCKET_TARGET) -> int:
+    """Plane count for bucket-blocked assignment against k centroids:
+    the smallest p with 2^p · target >= k, clamped to [1, SDK_PLANE_MAX]
+    — E[centroids per bucket] stays <= ``target`` as k grows, which is
+    what keeps per-vector assignment work ~CONSTANT instead of O(k).
+    The log-N knob the fixed-plane LSH tiers document, made explicit."""
+    q = -(-k // target)
+    return max(1, min(SDK_PLANE_MAX, (q - 1).bit_length() if q > 1 else 1))
+
+
+def _sdk_blocked_assign(
+    q: DataFrame,
+    cent: DataFrame,
+    planes: list[list[float]],
+) -> DataFrame:
+    """Bucket-blocked nearest-centroid assignment — the derived-k
+    family's scale fix for the N·k brute-force argmax (measured 7.9x
+    wall on 3x data at sf3.0 BECAUSE k grows with N, so brute-force
+    assignment is N²/target):
+
+    * centroids replicate into their Hamming<=1 probe buckets
+      (k·(p+1) rows — the SMALL side carries the multiprobe explode,
+      so the corpus joins on its single own-bucket key);
+    * each vector argmaxes the exact BIGINT dot over ONLY the
+      centroids its bucket meets (~target·(p+1) candidates, constant
+      in N by ``sdk_planes_for``); ties -> higher cid via the struct
+      max (the family convention); a (vector, centroid) pair can meet
+      through at most one mask (probe buckets of one centroid are
+      distinct), so no dedup is needed;
+    * vectors whose bucket meets NO centroid fall back to the exact
+      broadcast argmax over the full rolled state — rare by
+      construction (E[centroids/bucket] ~ target) and exact, so the
+      operator never drops a vector.
+
+    Assignment is thus DEFINED as Hamming<=1-blocked argmax with exact
+    fallback — deterministic and oracle-mirrorable (both engines build
+    the same candidate sets), the approximate-k-means trade every
+    production coarse quantizer makes (FAISS trains on GPU brute force
+    but ASSIGNS through its own IVF probes at serving scale).
+    Returns (vec_id, qv, cid); ``q`` must carry (vec_id, qv, bucket).
+    The winner struct carries qv through the argmax (struct compares
+    score then cid; cid is unique per candidate set, so the array
+    field never decides — the kmeans_refit_eval convention), keeping
+    the group key narrow."""
+    masks = [0] + [1 << i for i in range(len(planes))]
+    cb = cent.select(
+        "cid",
+        "cq",
+        _bucket_expr(f"CAST(cq AS {_DBL})", planes).alias("cb"),
+    ).select(
+        "cid",
+        "cq",
+        F.explode(F.array(*[F.expr(f"cb ^ {m}") for m in masks])).alias("bucket"),
+    )
+    score = F.expr(
+        "aggregate(zip_with(qv, cq, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+    )
+    winners = (
+        q.join(F.broadcast(cb), "bucket")
+        .select(
+            "vec_id",
+            F.struct(
+                score.alias("s"), F.col("cid").alias("c"), F.col("qv").alias("q")
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("w"))
+        .select("vec_id", F.expr("w.q").alias("qv"), F.expr("w.c").alias("cid"))
+    )
+    fallback = (
+        q.join(winners.select("vec_id"), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(_rolled_state(cent)))
+        .select("vec_id", "qv", _dkm_argmax_cid().alias("cid"))
+    )
+    return winners.unionByName(fallback)
+
+
 def semdedup_derived_k(
     df: DataFrame,
     tau_frac: tuple[int, int] = SEMDEDUP_TAU_FRAC,
@@ -1962,31 +2054,57 @@ def semdedup_derived_k(
 
     * k = ivf_k_for(count(corpus)) — ceil(N/target) clamped to the
       centroid-broadcast ceiling (2^17);
+    * p = sdk_planes_for(k) LSH planes — the plane count SCALES WITH k
+      (E[centroids/bucket] <= 4), so bucket-blocked assignment stays
+      ~constant work per vector as the corpus grows. The first version
+      of this query used the exact N·k broadcast argmax and measured
+      7.9x wall on 3x data at sf3.0 — quadratic-in-N assignment, the
+      same disease the derived k cures in the pair join;
     * seeds = the k h32-smallest vec_ids (the KMV discipline — a
       uniform deterministic sample, TakeOrdered so the frame is k rows
       by construction), each renormalized to integer micro-unit UNIT
       vectors with the round-update arithmetic (zero-norm vectors
       filtered before seeding);
-    * ``rounds`` full-corpus Lloyd iterations via ``_lloyd_rounds`` —
-      per-round shuffle state is k x dim BIGINTs regardless of N.
+    * ``rounds`` full-corpus Lloyd iterations via ``_lloyd_rounds``
+      with the bucket-blocked assignment (``_sdk_blocked_assign``:
+      Hamming<=1 candidate argmax + exact fallback for bucket-orphan
+      vectors) — per-round shuffle state is k x dim BIGINTs.
 
     The dedup itself is the ``semdedup`` shape on exact integers: the
-    final model assigns every vector (broadcast rolled state, exact
-    BIGINT argmax), the pair join blocks on derived centroid_id, and
-    the drop test ``cos >= tau`` is the integer cross-multiply
-    ``dot >= 0 AND den²·dot² >= num²·|a|²·|b|²`` (tau = num/den —
-    SEMDEDUP_TAU_FRAC), so the threshold can never flip between
-    engines. Per-cluster audit columns match ``semdedup``.
+    final model assigns every vector (same blocked assignment), the
+    pair join blocks on derived centroid_id, and the drop test
+    ``cos >= tau`` is the integer cross-multiply ``dot >= 0 AND
+    den²·dot² >= num²·|a|²·|b|²`` (tau = num/den — SEMDEDUP_TAU_FRAC),
+    so the threshold can never flip between engines. Per-cluster audit
+    columns match ``semdedup``.
 
-    Scale shape: assignment is the N·k dot-product pass every coarse
-    quantizer pays (the FAISS/SemDeDup shape — never materialized as
-    pairs, one narrow argmax per vector over the broadcast state); the
-    pair join is an equi-join on cid with E[cluster] ~ target members;
-    the assignment frame is materialized once for the self-join; the
-    final aggregate shuffles (cid, flag) pairs only."""
+    Scale shape: every stage is now ~linear in N — quantize+bucket
+    (one narrow pass), per-round assignment (~target·(p+1) candidate
+    dots per vector via the bucket equi-join against the broadcast
+    k·(p+1)-row replicated centroid frame), the (cid,pos) update
+    (k x dim integers), the cid-blocked pair join (E[cluster] ~
+    target), and the (cid, flag) audit aggregate."""
     n = df.count()
     k = ivf_k_for(n, target)
-    q = _dkm_quantize(df, persist_dir, "sdk_corpus")
+    planes = hyperplanes(sdk_planes_for(k))
+    # quantized corpus WITH its own-bucket key: one narrow pass, one
+    # checkpoint read by the seed select, every round and the final
+    # assignment
+    q = materialize(
+        ensure_parallelism(df, "vec_id").select(
+            "vec_id",
+            F.expr(
+                f"transform(CAST(embedding AS {_DBL}), "
+                f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+            ).alias("qv"),
+        ).select(
+            "vec_id",
+            "qv",
+            _bucket_expr(f"CAST(qv AS {_DBL})", planes).alias("bucket"),
+        ),
+        persist_dir,
+        "sdk_corpus",
+    )
     ss = F.expr(_QV_NORM2)
     # seed state: ONE projection over q -> TakeOrdered(k) -> k-row
     # window for cid + renormalize (bounded by construction: k <= 2^17)
@@ -2013,16 +2131,17 @@ def semdedup_derived_k(
         persist_dir,
         "sdk_seed",
     )
-    cent = _lloyd_rounds(q, cent0, rounds, persist_dir, tag="sdk")
-    # final-model assignment of the FULL corpus, carrying the exact
-    # squared norm the pair threshold needs; materialized once — the
-    # self-join must not recompute the k-way argmax
+    cent = _lloyd_rounds(
+        q, cent0, rounds, persist_dir, tag="sdk",
+        assign=lambda qq, cc: _sdk_blocked_assign(qq, cc, planes),
+    )
+    # final-model assignment of the FULL corpus (the same blocked
+    # assignment the rounds use), carrying the exact squared norm the
+    # pair threshold needs; materialized once — the self-join must not
+    # recompute the candidate argmax
     assigned = materialize(
-        q.crossJoin(F.broadcast(_rolled_state(cent))).select(
-            "vec_id",
-            "qv",
-            _dkm_argmax_cid().alias("cid"),
-            ss.alias("nrm2"),
+        _sdk_blocked_assign(q, cent, planes).select(
+            "vec_id", "qv", "cid", ss.alias("nrm2")
         ),
         persist_dir,
         "sdk_assign",
@@ -2935,4 +3054,84 @@ def semantic_decontaminate(
     )
     # TakeOrderedAndProject: per-partition top_k heaps, driver merge —
     # the report stays O(top_k) no matter how much the bar flags.
+    return flagged.orderBy(F.col("max_cos").desc(), "vec_id").limit(top_k)
+
+
+# The fixed-eval variant's eval-set bound. A production decontamination
+# run's eval side IS a fixed small artifact (the benchmark's own test
+# split — hundreds to thousands of documents, independent of corpus
+# size); 64 makes the cap BITE at every gated SF (the %10 split yields
+# ~100 eval vectors at sf0.01 already).
+DECON_EVAL_CAP = 64
+
+
+def semantic_decontaminate_fixed(
+    df: DataFrame,
+    tau: float = DECON_TAU,
+    top_k: int = DECON_TOP_K,
+    eval_cap: int = DECON_EVAL_CAP,
+    planes: list[list[float]] | None = None,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """``semantic_decontaminate`` under the operator's own production
+    contract (r09 verdict #4): the eval side is a FIXED bounded
+    artifact, not a corpus fraction. The %10-split variant defines its
+    eval set as 20% of the corpus, so the probe side grows with N and
+    the sf3.0 probe measured 8.0x wall on 3x data — an artifact of the
+    fixture definition, not the plan. Here the eval set is the
+    ``eval_cap`` h32-smallest eval-split vectors (the KMV discipline —
+    deterministic, uniform, TakeOrdered so the frame is eval_cap rows
+    BY CONSTRUCTION), exactly how a real run ships its benchmark test
+    split: a fixed artifact whose size never tracks the corpus.
+
+    Scale shape: with |eval| fixed, the multiprobe explode is
+    O(eval_cap · probes) rows — always broadcastable (hinted: the
+    ``_beam_frontier`` capped-query asymmetry) — and the bucket
+    equi-join + per-train aggregate are LINEAR in the corpus at any N;
+    the sf3.0 probe measures that linearity instead of arguing it.
+    Everything else (one materialized corpus frame shared by both
+    sides, each (eval, train) pair scored at most once, O(top_k)
+    TakeOrdered report) is the base operator's shape.
+    """
+    planes = planes or hyperplanes()
+    v = _nnd_corpus(df, planes, persist_dir)
+    is_eval = F.col("vec_id") % 10 >= 8
+    # ONE projection over the checkpointed corpus -> TakeOrdered(cap):
+    # the single-projection rule — stacked selects above the limit
+    # break the TakeOrderedAndProject match
+    ev_capped = (
+        v.where(is_eval)
+        .select(
+            F.col("vec_id").alias("e_id"),
+            F.col("embd").alias("e_emb"),
+            F.col("c_norm").alias("e_norm"),
+            F.col("bucket").alias("e_bucket"),
+            h32(F.col("vec_id").cast("string")).alias("eh"),
+        )
+        .orderBy("eh", "e_id")
+        .limit(eval_cap)
+    )
+    probe_arr = F.array(
+        *[F.expr(f"e_bucket ^ {m}") for m in _probe_masks(planes)]
+    )
+    ev = F.broadcast(
+        ev_capped.select(
+            "e_id", "e_emb", "e_norm", F.explode(probe_arr).alias("bucket")
+        )
+    )
+    train = v.where(~is_eval)
+    scored = (
+        train.join(ev, "bucket")
+        .select(
+            "vec_id",
+            _cos_pair(
+                F.col("e_emb"), F.col("embd"), F.col("e_norm"), F.col("c_norm")
+            ).alias("cs"),
+        )
+        .where(F.col("cs") >= tau)
+    )
+    flagged = scored.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        F.max("cs").alias("max_cos"),
+    )
     return flagged.orderBy(F.col("max_cos").desc(), "vec_id").limit(top_k)

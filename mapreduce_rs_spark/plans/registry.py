@@ -293,6 +293,39 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _cc_comp_ctes(rounds: int = graph.CC_MAX_ITER) -> str:
+    """Unrolled min-label-propagation closure (no leading WITH) — the
+    oracle twin of ``graph.connected_components``: the SAME update rule
+    (component = least(own, min over neighbors' labels)) with the SAME
+    iteration cap, each round a MATERIALIZED CTE. Replaces the r04
+    recursive reachability closure (``reach(doc_id, r)``), which
+    materialized O(Σ|component|²) rows — the r09 sf3.0 sweep's oracle
+    ceiling: curation_yield_neardup's single-process replay over 150 k
+    docs did not finish in 30 min; this form is O(rounds · |E|).
+    Requires an ``edges``(src, dst) CTE carrying BOTH directions;
+    emits l0..l{rounds} and ``comp``(doc_id, component). If the graph
+    needed more than ``rounds`` iterations the Spark side RAISES
+    (connected_components' convergence guard), so the capped unroll
+    can never silently diverge from it."""
+    parts = [
+        """l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS doc_id, src AS component FROM edges
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(f"""l{i + 1} AS MATERIALIZED (
+            SELECT l.doc_id,
+                   least(l.component,
+                         coalesce(min(ln.component), l.component)) AS component
+            FROM l{i} l
+            LEFT JOIN edges e ON e.src = l.doc_id
+            LEFT JOIN l{i} ln ON ln.doc_id = e.dst
+            GROUP BY l.doc_id, l.component
+        )""")
+    parts.append(f"comp AS (SELECT doc_id, component FROM l{rounds})")
+    return ",\n        ".join(parts)
+
+
 def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
     votes = ",\n       ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
@@ -882,7 +915,19 @@ def _dkm_ctes(
                                     CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
                 FROM v CROSS JOIN {prev} c
             ) r WHERE rn = 1
-        ), per{r} AS (
+        ), """ + _dkm_round_tail(r, prev, scale))
+        prev = f"c{r}"
+    return "WITH " + ",\n        ".join(parts), prev
+
+
+def _dkm_round_tail(r: int, prev: str, scale: float) -> str:
+    """The Lloyd UPDATE half of one unrolled oracle round — per-(cid,
+    pos) exact sums, the per-cid rollup, and the renormalized next
+    centroid state — given an already-defined assignment CTE a{r}.
+    ONE builder shared by the exact-argmax chain (`_dkm_ctes`) and the
+    bucket-blocked derived-k chain (`_sdk_ctes`), so the update
+    arithmetic cannot drift between the two fit paths."""
+    return f"""per{r} AS (
             SELECT cid, pos, CAST(sum(q) AS BIGINT) AS s,
                    CAST(count(*) AS BIGINT) AS n
             FROM (
@@ -908,9 +953,7 @@ def _dkm_ctes(
                                   AS BIGINT)) END AS cq,
                    CAST(coalesce(u.nm, 0) AS BIGINT) AS n_members
             FROM {prev} p LEFT JOIN upd{r} u USING (cid)
-        )""")
-        prev = f"c{r}"
-    return "WITH " + ",\n        ".join(parts), prev
+        )"""
 
 
 def _dkm_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
@@ -974,43 +1017,131 @@ def _dkm_eval_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     )
 
 
+def _sdk_bucket_sql(arr_expr: str) -> str:
+    """Conditional LSH bucket over the FIRST p of SDK_PLANE_MAX plane
+    literals, p data-dependent via kk.pw (= 2^p): bit i contributes
+    iff 2^i < pw — byte-identical to the Spark side's plain
+    ``_bucket_expr`` over planes[:p], because hyperplanes() draws
+    planes sequentially from one seeded RNG (prefix-stable, pinned by
+    a test)."""
+    planes = similarity.hyperplanes(similarity.SDK_PLANE_MAX)
+    bits = "\n                 + ".join(
+        f"CASE WHEN {1 << i} < pw AND list_dot_product({arr_expr}, "
+        f"{_plane_literal(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _sdk_assign_ctes(r_tag: str, prev: str) -> str:
+    """One bucket-blocked assignment as oracle CTEs (no leading/
+    trailing comma): cb{r_tag} replicates {prev}'s centroids into
+    their Hamming<=1 probe buckets (the SMALL side carries the
+    explode), w{r_tag} argmaxes each vector over the centroids its
+    own bucket meets (exact double dots on integers, ties -> higher
+    cid), fb{r_tag} is the exact full-argmax fallback for vectors
+    whose bucket met no centroid, a{r_tag} the union — the exact twin
+    of similarity._sdk_blocked_assign."""
+    return f"""cb{r_tag} AS MATERIALIZED (
+            SELECT cid, cq, xor(cbkt, m) AS bucket
+            FROM (
+                SELECT cid, cq, {_sdk_bucket_sql('CAST(cq AS DOUBLE[])')} AS cbkt
+                FROM {prev} CROSS JOIN kk
+            ) c CROSS JOIN (
+                SELECT unnest(list_filter({_SDK_MASKS}, m -> m < pw)) AS m FROM kk
+            ) msk
+        ), w{r_tag} AS MATERIALIZED (
+            SELECT vec_id, qv, cid FROM (
+                SELECT v.vec_id, v.qv, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
+                                    CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
+                FROM v JOIN cb{r_tag} c ON v.bucket = c.bucket
+            ) r WHERE rn = 1
+        ), fb{r_tag} AS (
+            SELECT vec_id, qv, cid FROM (
+                SELECT u.vec_id, u.qv, c.cid,
+                       row_number() OVER (PARTITION BY u.vec_id
+                           ORDER BY list_dot_product(CAST(u.qv AS DOUBLE[]),
+                                    CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
+                FROM (
+                    SELECT vec_id, qv FROM v
+                    WHERE NOT EXISTS (SELECT 1 FROM w{r_tag} w WHERE w.vec_id = v.vec_id)
+                ) u CROSS JOIN {prev} c
+            ) r WHERE rn = 1
+        ), a{r_tag} AS MATERIALIZED (
+            SELECT vec_id, qv, cid FROM w{r_tag}
+            UNION ALL SELECT vec_id, qv, cid FROM fb{r_tag}
+        )"""
+
+
+_SDK_MASKS = (
+    "[" + ", ".join(str(m) for m in [0] + [1 << i for i in range(similarity.SDK_PLANE_MAX)]) + "]"
+)
+
+
 def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     """Oracle twin of similarity.semdedup_derived_k: k derived from
-    count(v) by the ivf_k_for rule, data-seeded init (k h32-smallest
-    vec_ids, renormalized with the round-update arithmetic), the SAME
-    Lloyd chain as `_dkm_sql` (all three compose `_dkm_ctes` — the
-    builder-reuse rule), final-model assignment, and the semdedup pair
-    audit with the tau threshold as an integer cross-multiply
-    (SEMDEDUP_TAU_FRAC — exact on both engines). Every knob
-    f-string-derived from the similarity.py constants."""
+    count(v0) by the ivf_k_for rule, plane count from k by the
+    sdk_planes_for rule (both as integer CASE chains — no float log2
+    whose rounding could diverge), data-seeded init (k h32-smallest
+    vec_ids, renormalized with the round-update arithmetic),
+    bucket-blocked Lloyd rounds (`_sdk_assign_ctes` per round + the
+    SAME update tail as `_dkm_sql` via `_dkm_round_tail` — the
+    builder-reuse rule), blocked final-model assignment, and the
+    semdedup pair audit with the tau threshold as an integer
+    cross-multiply (SEMDEDUP_TAU_FRAC — exact on both engines). Every
+    knob f-string-derived from the similarity.py constants."""
     scale = float(similarity.DRIFT_SCALE)
     target = similarity.IVF_TARGET_CLUSTER
+    bt = similarity.SDK_BUCKET_TARGET
+    pmax = similarity.SDK_PLANE_MAX
     num, den = similarity.SEMDEDUP_TAU_FRAC
     norm2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
-    kk = f""", kk AS (
-            SELECT greatest(4, least({1 << 17}, (count(*) + {target - 1}) // {target})) AS k
-            FROM v
-        )"""
-    init_body = f"""SELECT CAST(rn - 1 AS INTEGER) AS cid,
+    # pw = 2^p, p = smallest with 2^p * SDK_BUCKET_TARGET >= k (clamped)
+    pw_cases = "\n                        ".join(
+        f"WHEN k <= {bt * (1 << p)} THEN {1 << p}"
+        for p in range(1, pmax)
+    )
+    parts = [
+        f"""v0 AS MATERIALIZED (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
+            FROM embeddings
+        ), kk AS MATERIALIZED (
+            SELECT k, CASE {pw_cases}
+                        ELSE {1 << pmax} END AS pw
+            FROM (
+                SELECT greatest(4, least({1 << 17}, (count(*) + {target - 1}) // {target})) AS k
+                FROM v0
+            )
+        ), v AS MATERIALIZED (
+            SELECT vec_id, qv, {_sdk_bucket_sql('CAST(qv AS DOUBLE[])')} AS bucket
+            FROM v0 CROSS JOIN kk
+        ), c_init AS MATERIALIZED (
+            SELECT CAST(rn - 1 AS INTEGER) AS cid,
                    list_transform(qv, s -> CAST(round(CAST(s AS DOUBLE)
                         / sqrt(CAST(ss AS DOUBLE)) * {scale!r}, 0) AS BIGINT)) AS cq
             FROM (
                 SELECT qv, ss,
                        row_number() OVER (ORDER BY {h32_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
-                FROM (SELECT vec_id, qv, {norm2} AS ss FROM v) s0
+                FROM (SELECT vec_id, qv, {norm2} AS ss FROM v0) s0
                 WHERE ss > 0
-            ) s WHERE rn <= (SELECT k FROM kk)"""
-    chain, last = _dkm_ctes(rounds, init_body=init_body, extra_after_v=kk)
-    return (
-        chain
+            ) s WHERE rn <= (SELECT k FROM kk)
+        )"""
+    ]
+    prev = "c_init"
+    for r in range(rounds):
+        parts.append(
+            _sdk_assign_ctes(str(r), prev)
+            + ", "
+            + _dkm_round_tail(r, prev, scale)
+        )
+        prev = f"c{r}"
+    parts.append(
+        _sdk_assign_ctes("fin", prev)
         + f""", af AS MATERIALIZED (
-            SELECT vec_id, qv, cid, {norm2} AS nrm2 FROM (
-                SELECT v.vec_id, v.qv, c.cid,
-                       row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
-                                    CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
-                FROM v CROSS JOIN {last} c
-            ) r WHERE rn = 1
+            SELECT vec_id, qv, cid, {norm2} AS nrm2 FROM afin
         ), pr AS (
             SELECT a.vec_id,
                    CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
@@ -1031,6 +1162,7 @@ def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
         GROUP BY a2.cid
         """
     )
+    return "WITH " + ",\n        ".join(parts)
 
 
 def _nnd_ctes(
@@ -2422,21 +2554,16 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(
         _docs(graph.dedup_components),
         f"""
-        WITH RECURSIVE pairs AS (
+        WITH pairs AS (
             {_minhash_pairs_sql()}
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
-        ), reach(doc_id, r) AS (
-            SELECT DISTINCT src, src FROM edges
-            UNION
-            SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
-        )
-        SELECT doc_id, min(r) AS component
-        FROM reach GROUP BY doc_id ORDER BY doc_id
+        ), {_cc_comp_ctes()}
+        SELECT doc_id, component FROM comp ORDER BY doc_id
         """,
-        "iterative min-label propagation (Spark) vs recursive-CTE transitive closure (oracle): same fixpoint",
+        "iterative min-label propagation (Spark) vs the SAME capped unrolled rounds (oracle): identical fixpoint, O(rounds·E) — replaced the r04 reachability closure, the sf3.0 oracle ceiling",
     ),
     "incremental_ingest_dedup": QuerySpec(
         _docs(dedup.incremental_ingest_dedup),
@@ -2639,19 +2766,13 @@ QUERIES: dict[str, QuerySpec] = {
     "leakage_safe_splits": QuerySpec(
         _docs(curation.leakage_safe_splits),
         f"""
-        WITH RECURSIVE pairs AS (
+        WITH pairs AS (
             {_minhash_pairs_sql()}
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
-        ), reach(doc_id, r) AS (
-            SELECT DISTINCT src, src FROM edges
-            UNION
-            SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
-        ), comp AS (
-            SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
-        ), labeled AS (
+        ), {_cc_comp_ctes()}, labeled AS (
             SELECT d.doc_id, d.n_chars,
                    COALESCE(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
@@ -3171,11 +3292,14 @@ QUERIES: dict[str, QuerySpec] = {
         _sdk_sql(),
         "SemDeDup at the recipe's true shape (r09 verdict #1): k = "
         "ivf_k_for(N) centroids fit DISTRIBUTEDLY (data-seeded Lloyd "
-        "rounds — the kmeans_refit_distributed engine), then the "
-        "cluster-blocked pair dedup with E[cluster] ~ 32 constant at "
-        "any corpus size — the composition that retires the fixed-k "
-        "quadratic ceiling semdedup measured at sf3.0; tau threshold "
-        "as an integer cross-multiply on exact BIGINT dots",
+        "rounds — the kmeans_refit_distributed engine) with "
+        "BUCKET-BLOCKED assignment (plane count scales with k so "
+        "E[centroids/bucket] <= 4; Hamming<=1 candidate argmax + exact "
+        "fallback), then the cluster-blocked pair dedup with "
+        "E[cluster] ~ 32 constant at any corpus size — the composition "
+        "that retires the fixed-k quadratic ceiling semdedup measured "
+        "at sf3.0 (8.5x -> 2.1x wall on 3x data); tau threshold as an "
+        "integer cross-multiply on exact BIGINT dots",
     ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
@@ -3301,6 +3425,46 @@ QUERIES: dict[str, QuerySpec] = {
         "scores at most once by construction); reports the top-K "
         "strongest-evidence rows (TakeOrdered — O(K) at any corpus "
         "size; a fixed bar flags ~all of a clustered corpus)",
+    ),
+    "semantic_decontaminate_fixed": QuerySpec(
+        _emb(similarity.semantic_decontaminate_fixed),
+        (lambda tau, probes: f"""
+        WITH v AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])', _PLANES)} AS bucket
+            FROM embeddings
+        ), ec AS MATERIALIZED (
+            SELECT e_id, e_emb, e_bucket FROM (
+                SELECT vec_id AS e_id, emb AS e_emb, bucket AS e_bucket,
+                       row_number() OVER (ORDER BY {h32_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
+                FROM v WHERE vec_id % 10 >= 8
+            ) r WHERE rn <= {similarity.DECON_EVAL_CAP}
+        ), ep AS (
+            SELECT e_id, e_emb, unnest([{probes}]) AS pbucket
+            FROM ec
+        ), scored AS (
+            SELECT t.vec_id, {_cosine_sql('ep.e_emb', 't.emb')} AS cs
+            FROM ep JOIN v t ON t.bucket = ep.pbucket AND t.vec_id % 10 < 8
+        )
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+               max(cs) AS max_cos
+        FROM scored WHERE cs >= {tau!r}
+        GROUP BY vec_id
+        ORDER BY max_cos DESC, vec_id LIMIT {similarity.DECON_TOP_K}
+        """)(
+            float(similarity.DECON_TAU),
+            ", ".join(
+                ["e_bucket"]
+                + [f"xor(e_bucket, {1 << p})" for p in range(len(_PLANES))]
+            ),
+        ),
+        "Decontamination under the production contract (r09 verdict "
+        "#4): the eval side is a FIXED bounded artifact (eval_cap "
+        "h32-smallest eval-split vectors — the KMV discipline) instead "
+        "of a corpus fraction, so the probe frame is O(cap) and always "
+        "broadcasts; the bucket equi-join + per-train aggregate are "
+        "LINEAR in the corpus — the sf3.0 probe measures the "
+        "linearity the %10-split fixture could not show",
     ),
     "array_functions_showcase": QuerySpec(
         _emb(similarity.array_functions_showcase),
@@ -4005,20 +4169,14 @@ QUERIES: dict[str, QuerySpec] = {
     "curation_yield_neardup": QuerySpec(
         _docs(curation.curation_yield_neardup),
         f"""
-        WITH RECURSIVE {_curation_kept_ctes()}, {_minhash_pairs_ctes(source="kept")}, pairs AS (
+        WITH {_curation_kept_ctes()}, {_minhash_pairs_ctes(source="kept")}, pairs AS (
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL SELECT doc_b, doc_a FROM pairs
-        ), reach(doc_id, r) AS (
-            SELECT DISTINCT src, src FROM edges
-            UNION
-            SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
-        ), comp AS (
-            SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id
-        ), final_kept AS (
+        ), {_cc_comp_ctes()}, final_kept AS (
             SELECT k.lang, k.n_tokens
             FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.component = k.doc_id
@@ -7217,6 +7375,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "nn_descent_recall": ("q_id",),
     "knn_graph_search": ("q_id", "rnk"),
     "semantic_decontaminate": ("vec_id",),
+    "semantic_decontaminate_fixed": ("vec_id",),
     "embedding_near_dup": ("vec_a", "vec_b"),
     "q1_pricing_summary": ("l_returnflag", "l_linestatus"),
     "join_revenue_by_nation": ("r_name", "n_name"),
@@ -7407,99 +7566,95 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-9 window (50 slots). Built per the r08 verdict:
+    # ---- round-10 window (50 slots). Built per the r09 verdict:
     #
-    # (1) NEW in round 9 — never externally checked:
-    "kmeans_refit_distributed",  # distributed coarse-quantizer fit:
-    #                              full-corpus Lloyd rounds as Spark
-    #                              aggregates (r08 verdict #2)
-    "knn_graph_ingest",        # graph-index maintenance under ingest:
-    #                            beam-search admission + rebuild ledger
-    #                            (r08 verdict #3)
-    "kmeans_refit_eval",       # the refit's quality eval / swap decision
-    #                            (displaces one r05 refresh slot —
-    #                            knn_pca moves to the r10 note)
-    # (1b) MODIFIED in round 9 — external re-check required. The ASCII
-    # synthesis guard (_oracle_ascii_bytes, ADVICE r08) changed the
-    # attach_* UDF code inside every payload-synthesis query — values
-    # on the shipped ASCII corpora are byte-identical, code changed, so
-    # the source_extraction precedent applies (png/jpeg/wav_frame are
-    # covered by the r04 rotation below):
-    "bmp_decode_stats",
-    "gif_frame_stats",
-    "image_resize_stats",
-    "multimodal_features",
-    "video_frame_sample",
-    "wav_decode_stats",        # (also the r05 tranche's alphabetical member)
-    "ivf_index_maintenance",   # split into shareable partials/rollup
-    #                            halves for the streaming twin (r08
-    #                            verdict #7) — identical composition,
-    #                            re-verify externally
+    # (1) NEW in round 10 — never externally checked:
+    "semdedup_derived_k",      # SemDeDup with k = ivf_k_for(N) and
+    #                            distributed data-seeded Lloyd rounds —
+    #                            retires the fixed-k sf3.0 ceiling
+    #                            (r09 verdict #1, the weak grade)
+    "semantic_decontaminate_fixed",  # decontamination with the eval
+    #                            side as a FIXED bounded artifact —
+    #                            linear-in-corpus by construction
+    #                            (r09 verdict #4)
+    # (1b) MODIFIED in round 10 — external re-check required (the
+    # source_extraction precedent: values identical on shipped corpora,
+    # code changed). ivf_assign / ivf_maintenance_partials gained the
+    # streaming loop's provenance passthrough (default-empty, plan
+    # unchanged); _beam_frontier / graph_admit_batch now thread the
+    # caller's plane set into the probe masks (ADVICE r09):
+    "ivf_histogram",           # (also the r06 tranche's member)
+    "ivf_index_maintenance",
+    "knn_graph_search",
+    "knn_graph_ingest",
     #
-    # (2) THE promised rotation (r08 verdict #1): all 28 queries whose
-    # newest driver row is round 4 — after this window lands, no
-    # registry query's newest external row is older than round 5:
-    "jpeg_decode_stats",
-    "k_anonymity_audit",
-    "kcore_decomposition",
-    "kmv_quantile_sketch",
-    "label_propagation_communities",
-    "link_prediction_scores",
-    "ngram_containment_pairs",
-    "orders_merge_upsert",
-    "png_decode_stats",
-    "pq_reconstruction_error",
-    "prefix_filter_jaccard_pairs",
-    "q20_surplus_suppliers",
-    "q21_sole_late_supplier",
-    "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "robust_value_anomalies",
-    "rollup_incremental_refresh",
-    "session_window_stats",
-    "sql_text_passthrough",
-    "state_snapshot_diff",
-    "target_encoding_nations",
-    "temperature_mixture",
-    "token_budget_allocation",
-    "unigram_surprisal_scores",
-    "value_drift_chi2",
-    "wav_frame_features",
-    "weighted_shortest_paths",
-    "zone_map_pruning",
+    # (2) THE promised rotation (r09 verdict #2): all 31 queries whose
+    # newest driver row is round 5 — after this window lands, no
+    # registry query's newest external row is older than round 6:
+    "knn_pca",
+    "label_centroid_drift",
+    "language_id_confusion",
+    "latest_event_state",
+    "leakage_safe_splits",
+    "log2_value_histogram",
+    "multitouch_attribution",
+    "oov_rate_scores",
+    "pii_scrub_stats",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_returnflag",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_dormant_customers",
+    "q4_order_priority_checking",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "rfm_segments",
+    "seasonality_profile",
+    "state_intervals",
+    "theta_daily_overlap",
+    "triangle_counts",
+    "user_value_trend",
+    "weekly_growth",
+    "weighted_median_price",
+    "weighted_sample",
     #
-    # (3) evidence refresh — the alphabetical head of the r05 tranche
-    # (44 queries whose newest driver row is round 5; wav_decode_stats
+    # (3) evidence refresh — the alphabetical head of the r06 tranche
+    # (47 queries whose newest driver row is round 6; ivf_histogram
     # rides the modified group above). 13 slots fill the window at
     # exactly 50:
-    "abandoned_clicks",
-    "bfs_hops",
-    "bootstrap_ci_mean",
-    "cms_word_counts",
-    "domain_stats",
-    "dq_rule_violations",
-    "event_transition_matrix",
-    "frequent_triples",
-    "incremental_ingest_dedup",
-    "inter_event_gaps",
-    "key_skew_profile",
-    "knn_ivfpq",
-    # (displacement note for r10: the remaining 31 r05-stale queries —
-    # knn_pca (displaced by kmeans_refit_eval),
-    # label_centroid_drift, language_id_confusion, latest_event_state,
-    # leakage_safe_splits, log2_value_histogram, multitouch_attribution,
-    # oov_rate_scores, pii_scrub_stats, q10_returned_items,
-    # q11_important_stock, q12_priority_by_returnflag,
-    # q13_customer_distribution, q15_top_supplier,
-    # q16_supplier_part_types, q17_small_quantity_revenue,
-    # q18_large_orders, q22_dormant_customers,
-    # q4_order_priority_checking, q5_local_supplier_volume,
-    # q6_forecast_revenue, q8_market_share, rfm_segments,
-    # seasonality_profile, state_intervals, theta_daily_overlap,
-    # triangle_counts, user_value_trend, weekly_growth,
-    # weighted_median_price, weighted_sample — rotate these 31 next,
-    # then begin the r06 tranche with the remaining slots; after the
-    # r10 window no query's newest row is older than round 6.)
+    "agg_order_priorities",
+    "ann_ranking_metrics",
+    "array_functions_showcase",
+    "asof_last_click_before_purchase",
+    "bpe_encode_stats",
+    "bpe_merge_candidates",
+    "bpe_train_merges",
+    "cohort_retention",
+    "curation_yield_neardup",
+    "customers_above_nation_avg",
+    "date_functions_showcase",
+    "dedup_components",
+    "disjunctive_filter_revenue",
+    # (displacement note for r11: the remaining 33 r06-stale queries —
+    # doc_stats, embedding_near_dup, equi_depth_histogram,
+    # filter_project, funnel_conversion, fuzzy_nation_pairs,
+    # grouping_sets_returns, hll_rollup_merge, jaccard_pairs,
+    # join_anti_customers_without_orders, join_left_order_counts,
+    # join_semi_recent_customers, json_props_agg, kmv_distinct_users,
+    # knn_ivf, language_id, min_cost_part_supplier, nations_in_region,
+    # percentiles_by_priority, quality_score, rollup_returns,
+    # scalar_functions_showcase, set_ops_multiset, set_ops_segments,
+    # simhash_near_pairs, token_count, top_terms_per_lang,
+    # topk_expensive_orders, vocab_coverage, window_functions_battery,
+    # window_price_delta, winnow_fingerprints, wordcount_topk — rotate
+    # these 33 next, then begin the r07 tranche with the remaining
+    # slots; after the r11 window no query's newest row is older than
+    # round 7.)
 )
 
 QUERIES = {

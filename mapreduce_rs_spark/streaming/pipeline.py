@@ -743,6 +743,22 @@ def graph_ingest_update(
     directory — no partial-append row loss, no error-swallowing
     first-batch probe, and no per-batch scan of the full edge history
     (per-batch work stays O(|batch| · beam · k · hops))."""
+    admitted_edges_from_store(batch_df, store_dir, tag="sgi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(edges_dir, f"epoch={epoch_id}"))
+
+
+def admitted_edges_from_store(
+    batch_df: DataFrame, store_dir: str, tag: str = "sgi"
+) -> DataFrame:
+    """Beam-admit a vector batch against the PERSISTED standing
+    artifacts (``build_graph_store``'s corpus/reps/edges) and return
+    the found (q_id, cand, cs) edges — the store-backed admission step
+    itself, shared by the streaming loop (``graph_ingest_update``
+    writes it per epoch) and the bench's admission member (which must
+    price admission SEPARATELY from the standing rebuild it avoids —
+    r09 verdict #5). Per-batch work is O(|batch| · beam · k · hops):
+    batch-proportional, never corpus-proportional."""
     from mapreduce_rs_spark.operators.similarity import (
         _bucket_expr,
         _l2_raw,
@@ -764,9 +780,7 @@ def graph_ingest_update(
     v = sess.read.parquet(os.path.join(store_dir, "corpus"))
     reps = sess.read.parquet(os.path.join(store_dir, "reps"))
     ge = sess.read.parquet(os.path.join(store_dir, "edges"))
-    graph_admit_batch(nq, v, reps, ge, tag="sgi", planes=planes).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(edges_dir, f"epoch={epoch_id}"))
+    return graph_admit_batch(nq, v, reps, ge, tag=tag, planes=planes)
 
 
 def read_admitted_edges(spark: SparkSession, edges_dir: str) -> DataFrame:

@@ -61,6 +61,10 @@ EMB_QUERIES = (
     # max_cos ties at the top-K boundary; (max_cos DESC, vec_id) must
     # cut identically in both engines
     "semantic_decontaminate",
+    # fixed-eval variant: the random N (150 -> 30 eval vectors) sits
+    # UNDER the 64 cap, pinning the cap-as-upper-bound branch; the
+    # same tie hazards apply at the top-K boundary
+    "semantic_decontaminate_fixed",
     # distributed refit: random coordinates hit half-micro-unit round
     # boundaries in the quantization AND the renormalized centroid
     # re-quantization; assignment argmax ties (duplicate vectors) must
@@ -70,6 +74,12 @@ EMB_QUERIES = (
     # two-model argmax (init literals vs refit state) must land the
     # same winners through both engines
     "kmeans_refit_eval",
+    # derived-k semdedup: duplicate vectors make integer-dot argmax
+    # ties in the data-seeded rounds AND exact tau-boundary pairs in
+    # the cross-multiplied drop test (a duplicate pair hits cos == 1,
+    # a tiny-norm pair stresses the zero-norm seed filter); k derives
+    # from the random N (150 -> 5 clusters, a never-shipped k)
+    "semdedup_derived_k",
     # ingest maintenance: duplicate vectors straddle the %10 split, so
     # cosine TIES appear in the admission beam, the worst-edge bar
     # (cs > worst is an exact-equality boundary for a duplicate of a

@@ -577,3 +577,61 @@ def test_weighted_shortest_paths_cheap_detour_beats_direct(spark):
     # route to 4 must use the strong chain, not the weak direct edge
     if seed == 1:
         assert got[4] == 9 < 51
+
+
+def test_sdk_plane_derivation_and_prefix_stability():
+    """The derived-k semdedup's two static contracts (r10):
+
+    * sdk_planes_for(k) is the smallest p with 2^p·4 >= k, clamped —
+      the oracle's CASE chain derives from the same constants, so the
+      Python rule is pinned here value-by-value;
+    * hyperplanes() draws planes SEQUENTIALLY from one seeded RNG, so
+      hyperplanes(16)[:p] == hyperplanes(p) — the property that makes
+      the oracle's conditional 16-plane bucket byte-identical to
+      Spark's plain planes[:p] sum."""
+    from mapreduce_rs_spark.operators.similarity import (
+        SDK_PLANE_MAX,
+        hyperplanes,
+        sdk_planes_for,
+    )
+
+    assert sdk_planes_for(1) == 1
+    assert sdk_planes_for(8) == 1      # 2^1 * 4 = 8 >= 8
+    assert sdk_planes_for(9) == 2      # 8 < 9 <= 16
+    assert sdk_planes_for(16) == 2
+    assert sdk_planes_for(625) == 8    # 512 < 625 <= 1024
+    assert sdk_planes_for(1875) == 9
+    assert sdk_planes_for(1 << 17) == 15
+    for p in (1, 2, 6, 9, SDK_PLANE_MAX):
+        assert hyperplanes(SDK_PLANE_MAX)[:p] == hyperplanes(p)
+
+
+def test_sdk_blocked_assign_fallback_branch(spark):
+    """A vector whose probe bucket meets NO centroid must be assigned
+    by the exact full-argmax fallback, never dropped: a 3-vector corpus
+    with one vector orthogonal-ish to the single centroid's bucket
+    exercises the fb leg; every vector appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_rs_spark.operators.similarity import (
+        _bucket_expr,
+        _sdk_blocked_assign,
+        hyperplanes,
+    )
+
+    planes = hyperplanes(2)
+    # corpus: qv integers; buckets computed the operator's way
+    rows = [
+        (1, [1000000] + [0] * 63),
+        (2, [-1000000] + [0] * 63),
+        (3, [0] * 32 + [1000000] + [0] * 31),
+    ]
+    q = spark.createDataFrame(rows, "vec_id long, qv array<bigint>").select(
+        "vec_id", "qv", _bucket_expr("CAST(qv AS array<double>)", planes).alias("bucket")
+    )
+    cent = spark.createDataFrame(
+        [(0, [1000000] + [0] * 63)], "cid int, cq array<bigint>"
+    ).select("cid", "cq", F.lit(0).cast("long").alias("n_members"))
+    got = _sdk_blocked_assign(q, cent, planes).orderBy("vec_id").collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+    assert all(r.cid == 0 for r in got)  # single centroid: everyone lands on it

@@ -165,6 +165,10 @@ _SCALE_GUARDS = {
     # join to demote to a shuffle at scale (the q5/q13 convention);
     # the top-K report is TakeOrderedAndProject (asserted), not a sort
     "semantic_decontaminate": (3, 0),
+    # fixed-eval variant: the eval side is a HARD-capped KMV sample
+    # (broadcast-hinted — the capped-query asymmetry), so the per-train
+    # agg is the only exchange at ANY scale; measured (1, 0)
+    "semantic_decontaminate_fixed": (1, 0),
     "sessionize": (1, 0),                 # ONE exchange serves lag + cumsum + agg
     # native session_window: partial agg -> ONE exchange on user_id ->
     # local sort -> MergingSessions -> final agg; no window functions
@@ -187,6 +191,15 @@ _SCALE_GUARDS = {
     # models riding along (literal init + broadcast rolled refit), one
     # per-refit-cid aggregate — a single exchange moving k rows
     "kmeans_refit_eval": (1, 0),
+    # derived-k semdedup: seed + Lloyd rounds live in materialize()
+    # builds; the final plan is the bucket-blocked assignment (winner
+    # groupBy(vec_id) + fallback anti-join, 2) + the cid-blocked pair
+    # join over the assignment checkpoint (broadcasts at test scale —
+    # cap leaves AQE room to demote to a cid shuffle at scale: both
+    # sides E[cluster]-bounded) + the dropped-ids distinct/left-join
+    # (vec_id SMJ, 2) + the per-cid audit agg (1); measured (5, 0) at
+    # sf0.001
+    "semdedup_derived_k": (7, 0),
     "curation_yield_neardup": (4, 0),
     # round-3 TPC-H battery (measured at sf0.01; the 3-exchange entries
     # are the two SMJ sides of the lineitem⋈orders edge + the final agg —
