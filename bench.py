@@ -134,6 +134,11 @@ HEADLINE = (
     # bench run OUTSIDE the timer. Prior definitions (… / 34 / 35)
     # remain comparable PREFIXES.
     "knn_graph_admit_store",       # beam admission vs persisted artifacts
+    # round-10 second extension (BASELINE.md): the round's two new
+    # operator families. Prior definitions (… / 35 / 36) remain
+    # comparable PREFIXES; compare totals only within one definition.
+    "semdedup_derived_k",          # data-seeded blocked Lloyd + pair audit
+    "semantic_decontaminate_fixed",  # fixed-eval bucket decontamination
 )
 
 
