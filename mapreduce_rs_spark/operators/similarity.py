@@ -2189,6 +2189,93 @@ def semdedup_derived_k(
     )
 
 
+def knn_ivf_refit(
+    df: DataFrame,
+    k: int = 10,
+    rounds: int = KMEANS_DIST_ROUNDS,
+    init: list[list[int]] | None = None,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """IVF search SERVING THE REFIT MODEL — the swap, executed: after
+    ``kmeans_refit_distributed`` produces a candidate model and
+    ``kmeans_refit_eval`` decides it wins, a serving system re-points
+    its probes at the refit centroids. This query is that state:
+    ``knn_ivf``'s exact shape (nprobe=1 inverted-list probe, exact
+    cosine re-rank, per-query top-k) with BOTH the corpus assignment
+    and the query probe argmaxing against the refit's rolled integer
+    state instead of the shipped literals — completing the model
+    lifecycle the family documents: fit (kmeans_refit_distributed) ->
+    eval (kmeans_refit_eval) -> swap -> serve (this).
+
+    Assignment is the family's exact BIGINT argmax (quantized vector
+    dot the broadcast k-row rolled state, ties -> higher cid) so
+    corpus and query sides can never disagree with the fit's own
+    assignment; ranking cosine stays on the raw double embeddings
+    (every knn_* tier's convention). Lloyd rounds re-run inside the
+    query by the family's self-contained-query convention
+    (kmeans_refit_eval's precedent) — a production system reads the
+    swapped centroid table from disk instead.
+
+    Scale shape: the rounds are the refit's own (k x dim integer
+    shuffle state); corpus assignment + enrich is one narrow pass
+    (k·64 dots per vector against the broadcast state); the query
+    side is the hard-capped KMV sample; the probe is an equi-join on
+    centroid_id; the top-k window partitions by q_id."""
+    init = init or kmeans_init_q()
+    q, cent = _kmeans_rounds(df, rounds, init, persist_dir)
+    rolled = _rolled_state(cent)
+    qv_expr = F.expr(
+        f"transform(embd, x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+    )
+    # corpus side: double embd + norm + refit assignment, each computed
+    # once per row (the _ivf_assigned_scored discipline); qv derived
+    # inline so the argmax sees the fit's own quantization
+    assigned = (
+        ensure_parallelism(df, "vec_id")
+        .select("vec_id", F.col("embedding").cast(_DBL).alias("embd"))
+        .select("vec_id", "embd", _l2_raw(F.col("embd")).alias("c_norm"),
+                qv_expr.alias("qv"))
+        .crossJoin(F.broadcast(rolled))
+        .select("vec_id", "embd", "c_norm", _dkm_argmax_cid().alias("centroid_id"))
+    )
+    queries = (
+        _query_set(df)
+        .crossJoin(F.broadcast(rolled))
+        .select(
+            "q_id",
+            F.col("q_emb").cast(_DBL).alias("q_embd"),
+            F.expr(
+                f"transform(CAST(q_emb AS {_DBL}), "
+                f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+            ).alias("qv"),
+            "carr",
+        )
+        .select(
+            "q_id",
+            "q_embd",
+            _l2_raw(F.col("q_embd")).alias("q_norm"),
+            _dkm_argmax_cid().alias("q_centroid"),
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("q_centroid") == F.col("centroid_id"))
+        & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        _cos_pair(
+            F.col("q_embd"), F.col("embd"), F.col("q_norm"), F.col("c_norm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
 OUTLIER_TOP_K = 50
 
 

@@ -1017,6 +1017,43 @@ def _dkm_eval_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     )
 
 
+def _ivf_refit_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.knn_ivf_refit: the refit chain
+    (`_dkm_ctes`, shared with the fit/eval oracles — the builder-reuse
+    rule), corpus + KMV-query assignment under the FINAL refit state
+    (the family's exact integer argmax, ties -> higher cid), then
+    knn_ivf's probe/re-rank shape verbatim."""
+    chain, last = _dkm_ctes(rounds)
+    return (
+        chain
+        + f""", ve AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        ), at AS MATERIALIZED (
+            SELECT r.vec_id, r.cid, ve.emb FROM (
+                SELECT vec_id, cid FROM (
+                    SELECT v.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
+                                        CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
+                    FROM v CROSS JOIN {last} c
+                ) x WHERE rn = 1
+            ) r JOIN ve ON ve.vec_id = r.vec_id
+        ), {_qids_cte(src="ve")}, q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, cid AS q_centroid
+            FROM at WHERE {_QFILTER}
+        ), scored AS (
+            SELECT q_id, t.vec_id, {_cosine_sql('q_emb', 't.emb')} AS cos_sim
+            FROM q JOIN at t ON q_centroid = t.cid AND q_id <> t.vec_id
+        ), ranked AS (
+            SELECT q_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk
+        """
+    )
+
+
 def _sdk_bucket_sql(arr_expr: str) -> str:
     """Conditional LSH bucket over the FIRST p of SDK_PLANE_MAX plane
     literals, p data-dependent via kk.pw (= 2^p): bit i contributes
@@ -3300,6 +3337,16 @@ QUERIES: dict[str, QuerySpec] = {
         "that retires the fixed-k quadratic ceiling semdedup measured "
         "at sf3.0 (8.5x -> 2.1x wall on 3x data); tau threshold as an "
         "integer cross-multiply on exact BIGINT dots",
+    ),
+    "knn_ivf_refit": QuerySpec(
+        _emb(lambda df: similarity.knn_ivf_refit(df, 10)),
+        _ivf_refit_sql(),
+        "IVF search serving the REFIT model — the swap executed: "
+        "knn_ivf's probe/re-rank shape with corpus assignment and "
+        "query probe both argmaxing the kmeans_refit_distributed "
+        "rolled state (exact BIGINT dots, ties -> higher cid); "
+        "completes fit -> eval -> swap -> serve for the coarse "
+        "quantizer lifecycle",
     ),
     "knn_ivf_multiprobe": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_multiprobe(df, 10, 2)),
@@ -7526,6 +7573,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "kmeans_refit_distributed": ("centroid_id",),
     "kmeans_refit_eval": ("centroid_id",),
     "semdedup_derived_k": ("centroid_id",),
+    "knn_ivf_refit": ("q_id", "rnk"),
     "knn_graph_ingest": ("batch_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
     "kmv_quantile_rollup_merge": ("week", "event_type", "q_bp"),
@@ -7577,6 +7625,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     #                            side as a FIXED bounded artifact —
     #                            linear-in-corpus by construction
     #                            (r09 verdict #4)
+    "knn_ivf_refit",           # the model swap EXECUTED in the serving
+    #                            path: knn_ivf probing the refit state
+    #                            (displaces one r06 fill slot —
+    #                            disjunctive_filter_revenue moves to
+    #                            the r11 note)
     # (1b) MODIFIED in round 10 — external re-check required (the
     # source_extraction precedent: values identical on shipped corpora,
     # code changed). ivf_assign / ivf_maintenance_partials gained the
@@ -7639,8 +7692,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "customers_above_nation_avg",
     "date_functions_showcase",
     "dedup_components",
-    "disjunctive_filter_revenue",
-    # (displacement note for r11: the remaining 33 r06-stale queries —
+    # (displacement note for r11: the remaining 34 r06-stale queries —
+    # disjunctive_filter_revenue (displaced by knn_ivf_refit),
     # doc_stats, embedding_near_dup, equi_depth_histogram,
     # filter_project, funnel_conversion, fuzzy_nation_pairs,
     # grouping_sets_returns, hll_rollup_merge, jaccard_pairs,
@@ -7652,7 +7705,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # simhash_near_pairs, token_count, top_terms_per_lang,
     # topk_expensive_orders, vocab_coverage, window_functions_battery,
     # window_price_delta, winnow_fingerprints, wordcount_topk — rotate
-    # these 33 next, then begin the r07 tranche with the remaining
+    # these 34 next, then begin the r07 tranche with the remaining
     # slots; after the r11 window no query's newest row is older than
     # round 7.)
 )

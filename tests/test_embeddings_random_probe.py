@@ -33,6 +33,10 @@ EMB_QUERIES = (
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_multiprobe",
+    # the swap served: duplicate vectors make integer-dot argmax ties
+    # in BOTH the corpus and query assignment under the refit state,
+    # and cosine ties in the re-rank boundary
+    "knn_ivf_refit",
     "knn_ivfpq",
     "knn_pq",
     "knn_pca",

@@ -178,6 +178,12 @@ _SCALE_GUARDS = {
     "jaccard_pairs": (3, 0),              # df agg + pair agg + sizes joins
     "tfidf_top_terms": (2, 0),            # dfs agg + rank window (counts checkpointed)
     "knn_ivf": (3, 0),
+    # the swap served: Lloyd rounds live in materialize() builds; the
+    # final plan is one narrow corpus pass (broadcast rolled state
+    # argmax + enrich), the capped-query broadcast probe join, and the
+    # per-query top-k window — measured (2, 0); cap leaves headroom
+    # for AQE moving the window's partial
+    "knn_ivf_refit": (3, 0),
     # single-pass maintenance: (centroid,pos) partial-agg, per-centroid
     # rollup, final join of the two k-row frames — one corpus scan
     # (the 16x64-dot assignment subtree is never cloned)
