@@ -40,6 +40,7 @@ history that keeps rounds comparable.
 
 from __future__ import annotations
 
+import atexit
 import gc
 import json
 import os
@@ -139,6 +140,11 @@ HEADLINE = (
     # comparable PREFIXES; compare totals only within one definition.
     "semdedup_derived_k",          # data-seeded blocked Lloyd + pair audit
     "semantic_decontaminate_fixed",  # fixed-eval bucket decontamination
+    # round-11 extension (BASELINE.md, r10 verdict #1): the retired
+    # weak grade's production shape. Prior definitions (… / 36 / 38)
+    # remain comparable PREFIXES; compare totals only within one
+    # definition.
+    "embedding_near_dup_derived",  # derived-plane bucket join + top-cap window
 )
 
 
@@ -171,6 +177,7 @@ def main() -> None:
     # admission loop only reads it. The member then measures admission
     # alone; knn_graph_ingest keeps measuring the self-contained
     # build+admit+ledger contract.
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -182,7 +189,11 @@ def main() -> None:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # NN-Descent-sized artifacts: atexit-removed so repeated large-SF
+    # runs don't leak temp directories (r10 ADVICE #3) — registered
+    # BEFORE the build so a mid-build crash still cleans up.
     store_dir = tempfile.mkdtemp(prefix="bench_graph_store_")
+    atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
     build_graph_store(
         spark, emb.where(F.col("vec_id") % 10 < 8), store_dir
     )

@@ -113,6 +113,18 @@ def connected_components(
 
     Returns (doc_id, component) for every node that appears in an edge.
     """
+    if max_iter > CC_MAX_ITER:
+        # The DuckDB oracle unrolls exactly CC_MAX_ITER min-label
+        # rounds (registry._cc_comp_ctes): a larger Spark cap could
+        # converge where the capped unroll under-merges — a silent
+        # engine desync (r10 ADVICE #4). Smaller caps are safe (this
+        # side RAISES on non-convergence; extra oracle rounds past the
+        # fixpoint are no-ops). Need more rounds? Raise the shared
+        # constant — both sides derive from it.
+        raise ValueError(
+            f"max_iter={max_iter} exceeds CC_MAX_ITER={CC_MAX_ITER}; "
+            "raise the shared constant instead of overriding per-call"
+        )
     converged = False
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))

@@ -615,11 +615,23 @@ def ivf_state_update(batch_df: DataFrame, state_dir: str, epoch_id: int) -> None
     ``_metadata`` column resolves — inside foreachBatch the micro-batch
     is a plain RDD-backed frame without it); the streaming loop does,
     and a direct batch-read caller (the replay test path) gets it added
-    here from its own file scan."""
+    here from its own file scan. A direct caller whose frame is NOT
+    file-backed (createDataFrame) has no resolvable ``_metadata``: it
+    gets an EPOCH-QUALIFIED sentinel instead of an AnalysisException
+    (r10 ADVICE #2) — unique per epoch, so the reader's latest-wins
+    never collapses two distinct direct-batch epochs, while same-epoch
+    replay overwrite still holds."""
     from mapreduce_rs_spark.operators.similarity import ivf_maintenance_partials
 
     if "src_file" not in batch_df.columns:
-        batch_df = batch_df.withColumn("src_file", F.col("_metadata.file_path"))
+        try:
+            batch_df = batch_df.withColumn(
+                "src_file", F.col("_metadata.file_path")
+            )
+        except AnalysisException:
+            batch_df = batch_df.withColumn(
+                "src_file", F.lit(f"<direct-batch-epoch-{epoch_id}>")
+            )
     ivf_maintenance_partials(batch_df, extra_keys=("src_file",)).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, f"epoch={epoch_id}"))
@@ -635,9 +647,27 @@ def streaming_ivf_state_report(spark: SparkSession, state_dir: str) -> DataFrame
     size the state table grows with EPOCHS, not with vectors."""
     from mapreduce_rs_spark.operators.similarity import ivf_maintenance_rollup
 
+    # mergeSchema: a state directory written by the pre-provenance code
+    # has epochs WITHOUT src_file; merged reads give those rows NULL.
+    # Backfill an EPOCH-QUALIFIED sentinel (r10 ADVICE #2): unique per
+    # legacy epoch, so latest-wins keeps every legacy epoch's partials
+    # — exactly the pre-provenance blind-sum semantics for old rows,
+    # real per-file dedup for new ones. No silent upgrade break.
+    state = spark.read.option("mergeSchema", "true").parquet(state_dir)
+    if "src_file" not in state.columns:
+        state = state.withColumn("src_file", F.lit(None).cast("string"))
+    state = state.withColumn(
+        "src_file",
+        F.coalesce(
+            "src_file",
+            F.concat(
+                F.lit("<legacy-epoch-"), F.col("epoch").cast("string"), F.lit(">")
+            ),
+        ),
+    )
     w = Window.partitionBy("src_file")
     merged = (
-        spark.read.parquet(state_dir)
+        state
         # latest-epoch-wins per source file (the read_admitted_edges
         # discipline): a file re-delivered in a later epoch reads as
         # ONE logical contribution, never a double-count (ADVICE r09)

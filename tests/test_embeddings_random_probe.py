@@ -46,6 +46,12 @@ EMB_QUERIES = (
     "pq_reconstruction_error",
     "array_functions_showcase",
     "embedding_near_dup",
+    # derived-plane variant: the random N (150) drives the plane-count
+    # CASE chain through a branch the fixed corpus never hits (p=3),
+    # duplicate vectors make round(cos,9) ties at the per-vec_a cap
+    # boundary (vec_b tie-break must cut identically), and tiny-norm
+    # vectors exercise the integer cross-multiply near dt ~ 0
+    "embedding_near_dup_derived",
     "semdedup",
     "ann_recall",
     "ann_ranking_metrics",
@@ -156,3 +162,59 @@ def test_emb_query_matches_oracle_on_random_vectors(spark, random_emb_dir, name)
     spdf = queries()[name](spark, random_emb_dir).toPandas()
     oracle_pdf = run_oracle(QUERIES[name].oracle, random_emb_dir)
     assert_frames_match(spdf, oracle_pdf, f"{name}[random-emb]")
+
+
+# ---------------------------------------------------------------------------
+# Zero-norm semantics (r10 ADVICE #1): base semdedup's float _cos_pair
+# yields NULL for a zero vector and KEEPS the pair; the integer
+# cross-multiply variants must agree via the explicit na/nb > 0 guard
+# (without it, 0 >= 0 marks every same-cluster/same-bucket zero-vector
+# pair a duplicate). The shipped corpus has no zero vector, so this
+# fixture pins the contract — on BOTH engines.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zero_norm_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("zero_norm_catalog")
+    src = os.path.abspath("/root/testdata/sf0.001")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        os.symlink(os.path.join(src, f"{t}.parquet"), d / f"{t}.parquet")
+    rng = np.random.RandomState(77)
+    vecs = rng.normal(0.0, 1.0, size=(40, DIM)).astype(np.float32)
+    vecs[5] = np.zeros(DIM, dtype=np.float32)   # exact zero vector
+    vecs[6] = np.zeros(DIM, dtype=np.float32)   # second zero: a (0, 0) pair
+    vecs[20] = vecs[10]                          # exact duplicate: a real drop
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(1, 41, dtype=np.int64), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(40, dtype=np.int32), pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["semdedup_derived_k", "embedding_near_dup_derived"]
+)
+def test_zero_norm_vectors_are_kept_not_dropped(spark, zero_norm_dir, name):
+    spdf = queries()[name](spark, zero_norm_dir).toPandas()
+    oracle_pdf = run_oracle(QUERIES[name].oracle, zero_norm_dir)
+    assert_frames_match(spdf, oracle_pdf, f"{name}[zero-norm]")
+    if name == "semdedup_derived_k":
+        # the two zero vectors + the duplicate: exactly ONE drop total
+        # (the higher-id duplicate copy); a missing guard would also
+        # drop a zero vector wherever a smaller-id zero/any vector
+        # shares its cluster
+        assert int(spdf["n_dropped"].sum()) == 1
+    else:
+        # no pair row may involve a zero-norm vector (cosine undefined)
+        assert not spdf["vec_a"].isin([5, 6]).any()
+        assert not spdf["vec_b"].isin([5, 6]).any()

@@ -28,6 +28,18 @@ def test_components_raise_when_iteration_budget_too_small(spark):
         connected_components(edges, max_iter=2)
 
 
+def test_components_reject_cap_above_oracle_unroll(spark):
+    # r10 ADVICE #4: the DuckDB oracle unrolls exactly CC_MAX_ITER
+    # min-label rounds; a caller-raised Spark cap could converge where
+    # the capped unroll under-merges — the operator must refuse the
+    # desync up front (raise the shared constant instead).
+    from mapreduce_rs_spark.operators.graph import CC_MAX_ITER
+
+    edges = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError, match="CC_MAX_ITER"):
+        connected_components(edges, max_iter=CC_MAX_ITER + 1)
+
+
 def test_simhash_near_pairs_rejects_unsound_distance(spark, sf_dir):
     # max_hamming >= n_bands breaks the pigeonhole guarantee: a pair at
     # that distance can avoid sharing any band — must raise, not

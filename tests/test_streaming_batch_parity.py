@@ -628,6 +628,70 @@ def test_streaming_ivf_maintenance_matches_batch_after_multibatch_drain(
     assert frame_hash(streaming_ivf_state_report(spark, state)) == frame_hash(batch)
 
 
+def test_ivf_state_update_accepts_non_file_backed_batch(spark, sf_dir, tmp_path):
+    """r10 ADVICE #2a: a direct caller whose micro-batch is NOT
+    file-backed (createDataFrame — no resolvable ``_metadata``) must get
+    an epoch-qualified sentinel src_file, not an AnalysisException; two
+    such epochs must BOTH survive the reader's latest-wins merge (the
+    sentinels are epoch-unique) and roll up to the batch aggregate."""
+    from mapreduce_rs_spark.operators.similarity import ivf_index_maintenance
+    from mapreduce_rs_spark.streaming.pipeline import (
+        ivf_state_update,
+        streaming_ivf_state_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half_a = spark.createDataFrame(
+        emb.where(F.col("vec_id") % 2 == 0).toPandas(), schema=emb.schema
+    )
+    half_b = spark.createDataFrame(
+        emb.where(F.col("vec_id") % 2 == 1).toPandas(), schema=emb.schema
+    )
+    state = str(tmp_path / "state")
+    ivf_state_update(half_a, state, 0)
+    ivf_state_update(half_b, state, 1)
+    got = streaming_ivf_state_report(spark, state)
+    batch = ivf_index_maintenance(load_table(spark, sf_dir, "embeddings"))
+    assert frame_hash(got) == frame_hash(batch)
+
+
+def test_ivf_state_report_reads_legacy_pre_provenance_state(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE #2b: a state directory written by the pre-provenance
+    code (epochs WITHOUT src_file) must still read — each legacy epoch
+    backfills an epoch-unique sentinel, so latest-wins keeps every
+    legacy epoch's partials (the old blind-sum semantics) while a NEW
+    provenance-carrying epoch merges alongside. No silent upgrade
+    incompatibility for persisted state."""
+    import os as _os
+
+    from mapreduce_rs_spark.operators.similarity import (
+        ivf_index_maintenance,
+        ivf_maintenance_partials,
+    )
+    from mapreduce_rs_spark.streaming.pipeline import (
+        ivf_state_update,
+        streaming_ivf_state_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    state = str(tmp_path / "state")
+    # two LEGACY epochs: the exact pre-provenance writer shape (no
+    # src_file column, no extra keys)
+    for epoch, rem in ((0, 0), (1, 1)):
+        ivf_maintenance_partials(
+            emb.where(F.col("vec_id") % 3 == rem)
+        ).write.mode("overwrite").parquet(_os.path.join(state, f"epoch={epoch}"))
+    # one NEW epoch through the current writer (file-backed: provenance)
+    new_in = str(tmp_path / "new_in")
+    emb.where(F.col("vec_id") % 3 == 2).write.parquet(new_in)
+    ivf_state_update(spark.read.parquet(new_in), state, 2)
+    got = streaming_ivf_state_report(spark, state)
+    batch = ivf_index_maintenance(load_table(spark, sf_dir, "embeddings"))
+    assert frame_hash(got) == frame_hash(batch)
+
+
 def test_streaming_graph_ingest_matches_batch_admission(spark, sf_dir, tmp_path):
     """The graph tier's continuous admission loop: micro-batched
     vectors beam-searched against the PERSISTED standing artifacts must
