@@ -2198,10 +2198,13 @@ def semdedup_derived_k(
 # embedding_near_dup_derived's knobs. Tau as an EXACT fraction (3/10 =
 # the synthetic-corpus calibration the fixed-plane query used) so the
 # pair threshold is an integer cross-multiply; bucket target = the
-# E[vectors per LSH bucket] the derived plane count aims at; cap = the
-# per-vector partner budget a production near-dup sink keeps.
+# E[vectors per LSH bucket] the derived plane count aims at; rep cap =
+# the per-bucket posting cap that bounds WORST-CASE candidate volume
+# (skewed buckets — see the docstring); pair cap = the per-vector
+# partner budget a production near-dup sink keeps.
 NEARDUP_TAU_FRAC = (3, 10)
 NEARDUP_BUCKET_TARGET = 32
+NEARDUP_REP_CAP = 32
 NEARDUP_PAIR_CAP = 4
 
 
@@ -2210,24 +2213,43 @@ def embedding_near_dup_derived(
     tau_frac: tuple[int, int] = NEARDUP_TAU_FRAC,
     cap: int = NEARDUP_PAIR_CAP,
     target: int = NEARDUP_BUCKET_TARGET,
+    rep_cap: int = NEARDUP_REP_CAP,
     persist_dir: str | None = None,
 ) -> DataFrame:
     """``embedding_near_dup`` made production-shaped — the r10 verdict's
-    one weak grade retired. Two fixes, both the tree's own conventions:
+    one weak grade retired. Three fixes, all the tree's own conventions:
 
     * **Derived plane count.** The fixed query blocks on 2^6 buckets, so
       E[bucket] = N/64 grows linearly and within-bucket pairs
       quadratically — 51 M result rows at sf3.0. Here the plane count
       comes from the corpus: p = ``sdk_planes_for(N, target)`` (smallest
       p with 2^p·target >= N), so E[vectors per bucket] stays <=
-      ``target`` at any N and candidate pairs are ~N·target/2 — linear.
-      The docstring promise of the original operator ("expected size
-      shrinks as planes are added") finally true of the shipped query.
-    * **Capped pair contract.** Each vector keeps at most ``cap``
-      higher-id partners, ranked (cos DESC, vec_b) — the per-document
-      partner budget a production near-dup pass sinks instead of an
-      unbounded pair list. Output is <= cap·N rows at any scale (the
-      sf3.0 51 M-row collect ceiling disappears with the operator fix).
+      ``target`` at any N. The docstring promise of the original
+      operator ("expected size shrinks as planes are added") finally
+      true of the shipped query.
+    * **Per-bucket rep cap.** Derived planes bound the EXPECTED bucket,
+      not the worst one: hyperplane LSH can never split a tight
+      similarity cluster (its members land on the same side of every
+      plane w.h.p. — that co-bucketing IS the recall guarantee), so on
+      clustered data the dense bucket grows with the cluster and its
+      within-bucket pairs quadratically. Measured on this corpus:
+      max bucket 3068 at sf3.0 vs E[bucket] 29 — candidate pairs grew
+      10.8x on 3x data under all-pairs-within-bucket. The posting-cap
+      convention (the prefix-filter tiers, NN-Descent's bucket reps)
+      bounds it: each vector compares against at most ``rep_cap``
+      per-bucket representatives (the h32-smallest — deterministic
+      uniform KMV sampling), so candidate volume is
+      Σ_b pop_b·min(pop_b, rep_cap) <= N·rep_cap, LINEAR at any skew.
+      Sparse buckets (pop <= rep_cap) stay exhaustive; only dense
+      buckets subsample — exactly where near-dup partners abound, so a
+      true near-duplicate still surfaces w.h.p.
+    * **Capped partner contract.** Each vector keeps at most ``cap``
+      partners ranked (cos DESC, partner id) — the per-document partner
+      budget a production near-dup pass sinks instead of an unbounded
+      pair list. Output is <= cap·N rows at any scale (the sf3.0
+      51 M-row collect ceiling disappears with the operator fix). The
+      contract is a DIRECTED partner list: (vec_a, vec_b) = (vector,
+      rep partner); a pair of mutual reps appears in both directions.
 
     Arithmetic is the derived-k family's exact-integer discipline:
     vectors quantize to integer micro-units once, the threshold
@@ -2241,9 +2263,10 @@ def embedding_near_dup_derived(
     the tie-break (the float-rank convention).
 
     Scale shape: one narrow quantize+bucket pass materialized once
-    (the self-join must not recompute it), a bucket equi-join whose
-    per-bucket population is ~constant in N, and one per-vec_a top-cap
-    window — every stage ~linear in N."""
+    (both join sides read the checkpoint, compute nothing twice), a
+    per-bucket rep window (WindowGroupLimit trims map-side), the
+    bucket equi-join at <= rep_cap candidates per vector, and one
+    per-vec_a top-cap window — every stage linear in N."""
     n = df.count()
     planes = hyperplanes(sdk_planes_for(n, target))
     bucketed = materialize(
@@ -2264,8 +2287,16 @@ def embedding_near_dup_derived(
         persist_dir,
         "ndd_buckets",
     )
+    wr = Window.partitionBy("bucket").orderBy(
+        h32(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    reps = (
+        bucketed.withColumn("rep_rn", F.row_number().over(wr))
+        .where(F.col("rep_rn") <= rep_cap)
+        .select("vec_id", "qv", "bucket", "nrm2")
+    )
     num, den = tau_frac
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    a, b = bucketed.alias("a"), reps.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
     )
@@ -2273,7 +2304,7 @@ def embedding_near_dup_derived(
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),

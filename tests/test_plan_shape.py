@@ -206,11 +206,11 @@ _SCALE_GUARDS = {
     # (vec_id SMJ, 2) + the per-cid audit agg (1); measured (5, 0) at
     # sf0.001
     "semdedup_derived_k": (7, 0),
-    # derived-plane near-dup: bucket self-join (broadcasts at gate SF —
-    # 2 SMJ sides at scale) + the per-vec_a top-cap window (1, with the
-    # partial WindowGroupLimit below the exchange); measured (1, 0) at
-    # sf0.001
-    "embedding_near_dup_derived": (3, 0),
+    # derived-plane near-dup: per-bucket rep window (1) + the vector x
+    # rep bucket join (broadcasts at gate SF — up to 2 SMJ sides at
+    # scale) + the per-vec_a top-cap window (1, with the partial
+    # WindowGroupLimit below the exchange); measured (2, 0) at sf0.001
+    "embedding_near_dup_derived": (4, 0),
     "curation_yield_neardup": (4, 0),
     # round-3 TPC-H battery (measured at sf0.01; the 3-exchange entries
     # are the two SMJ sides of the lineitem⋈orders edge + the final agg —
