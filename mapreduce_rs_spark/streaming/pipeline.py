@@ -868,3 +868,439 @@ def run_streaming_graph_ingest(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination gate, continuous form (r10 verdict #5): a fixed-eval
+# decontamination check is exactly what a streaming ingest pipeline runs
+# per micro-batch — every incoming train vector is scored against the
+# STANDING eval artifact before admission.
+# ---------------------------------------------------------------------------
+
+
+def build_decon_store(spark: SparkSession, corpus: DataFrame, store_dir: str) -> None:
+    """Materialize the fixed eval artifact ``semantic_decontaminate_fixed``
+    defines — the DECON_EVAL_CAP h32-smallest eval-split vectors, already
+    enriched (e_id, e_emb, e_norm, e_bucket) — to parquet. In production
+    this is the shipped benchmark test split: computed once, never
+    tracking the corpus; the streaming gate between refreshes reads this
+    artifact only. Building it through the operator's own projection
+    (same KMV cap, same enrichment) is what makes the streaming gate's
+    per-vector scores byte-identical to the batch operator's."""
+    from mapreduce_rs_spark.functions.hashing import h32
+    from mapreduce_rs_spark.operators.similarity import (
+        DECON_EVAL_CAP,
+        _nnd_corpus,
+        hyperplanes,
+    )
+
+    planes = hyperplanes()
+    v = _nnd_corpus(corpus, planes, None)
+    (
+        v.where(F.col("vec_id") % 10 >= 8)
+        .select(
+            F.col("vec_id").alias("e_id"),
+            F.col("embd").alias("e_emb"),
+            F.col("c_norm").alias("e_norm"),
+            F.col("bucket").alias("e_bucket"),
+            h32(F.col("vec_id").cast("string")).alias("eh"),
+        )
+        .orderBy("eh", "e_id")
+        .limit(DECON_EVAL_CAP)
+        .select("e_id", "e_emb", "e_norm", "e_bucket")
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_dir, "eval"))
+    )
+
+
+def decon_gate_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
+    """Score one train-vector batch against the persisted eval artifact
+    — the per-vector core of ``semantic_decontaminate_fixed``, shared
+    by the streaming loop and its batch twin. Returns every flagged
+    vector's (vec_id, n_eval_hits, max_cos). Scores depend only on the
+    vector and the FIXED artifact, so any micro-batching yields the
+    batch operator's per-vector rows bit-for-bit. Per-batch work is
+    O(|batch| · probes): batch-proportional, never corpus-proportional;
+    the eval side is eval_cap·(planes+1) rows, always broadcast."""
+    from mapreduce_rs_spark.operators.similarity import (
+        DECON_TAU,
+        _bucket_expr,
+        _cos_pair,
+        _l2_raw,
+        _probe_masks,
+        hyperplanes,
+    )
+
+    sess = batch_df.sparkSession
+    planes = hyperplanes()
+    train = batch_df.where(F.col("vec_id") % 10 < 8).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embd"),
+    ).select(
+        "vec_id",
+        "embd",
+        _l2_raw(F.col("embd")).alias("c_norm"),
+        _bucket_expr("embd", planes).alias("bucket"),
+    )
+    ev_capped = sess.read.parquet(os.path.join(store_dir, "eval"))
+    probe_arr = F.array(
+        *[F.expr(f"e_bucket ^ {m}") for m in _probe_masks(planes)]
+    )
+    ev = F.broadcast(
+        ev_capped.select(
+            "e_id", "e_emb", "e_norm", F.explode(probe_arr).alias("bucket")
+        )
+    )
+    return (
+        train.join(ev, "bucket")
+        .select(
+            "vec_id",
+            _cos_pair(
+                F.col("e_emb"), F.col("embd"), F.col("e_norm"), F.col("c_norm")
+            ).alias("cs"),
+        )
+        .where(F.col("cs") >= DECON_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("cs").alias("max_cos"),
+        )
+    )
+
+
+def decon_state_update(
+    batch_df: DataFrame, store_dir: str, state_dir: str, epoch_id: int
+) -> None:
+    """One micro-batch of the streaming decontamination gate: flag the
+    batch's train vectors against the persisted eval artifact and land
+    (vec_id, n_eval_hits, max_cos, src_file) under
+    ``state_dir/epoch=<epoch_id>`` — the ``ivf_state_update``
+    discipline verbatim: OVERWRITE per epoch (same-epoch replay lands
+    byte-identical rows), ``src_file`` provenance as the cross-epoch
+    re-delivery key, epoch-qualified sentinel when the caller's frame
+    is not file-backed. The file source assigns whole files to
+    micro-batches, so a vector's flag row is complete within one epoch
+    (per-vector scores read only the batch row + the fixed artifact)."""
+    if "src_file" not in batch_df.columns:
+        try:
+            batch_df = batch_df.withColumn(
+                "src_file", F.col("_metadata.file_path")
+            )
+        except AnalysisException:
+            batch_df = batch_df.withColumn(
+                "src_file", F.lit(f"<direct-batch-epoch-{epoch_id}>")
+            )
+    flagged = decon_gate_batch(
+        batch_df.select("vec_id", "embedding"), store_dir
+    ).join(
+        batch_df.select("vec_id", "src_file"), "vec_id"
+    )
+    flagged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={epoch_id}")
+    )
+
+
+def streaming_decon_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The decontamination triage report over the accumulated streaming
+    state: merge per-epoch flag rows latest-epoch-wins per src_file
+    (re-delivered files read as ONE logical contribution) and emit the
+    SAME top-k contract as ``semantic_decontaminate_fixed`` —
+    (vec_id, n_eval_hits, max_cos) ordered (max_cos DESC, vec_id),
+    DECON_TOP_K rows. Per-vector rows are batching-independent, so the
+    drained report equals the batch operator bit-for-bit (pinned by the
+    parity test). State grows with FLAGGED vectors, not the corpus."""
+    from mapreduce_rs_spark.operators.similarity import DECON_TOP_K
+
+    w = Window.partitionBy("src_file")
+    merged = (
+        spark.read.parquet(state_dir)
+        .withColumn("max_epoch", F.max("epoch").over(w))
+        .where(F.col("epoch") == F.col("max_epoch"))
+        .select("vec_id", "n_eval_hits", "max_cos")
+    )
+    return merged.orderBy(F.col("max_cos").desc(), "vec_id").limit(DECON_TOP_K)
+
+
+def run_streaming_decon_gate(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The fixed-eval decontamination gate in its CONTINUOUS form:
+    train-vector micro-batches score against the PERSISTED eval
+    artifact (built once by ``build_decon_store``, refreshed only when
+    the benchmark split itself changes) and land per-epoch flag rows;
+    ``streaming_decon_report`` reads the merged state. Per-vector
+    scores read only the vector + the fixed artifact, so any
+    micro-batching yields the batch operator's report byte-for-byte."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withColumn(
+        "src_file", F.col("_metadata.file_path")
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda batch_df, epoch_id: decon_state_update(
+                batch_df, store_dir, state_dir, epoch_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup ingest admission, continuous form (r10 verdict #5): the
+# derived-k model is fit on the standing corpus (the rebuild cadence);
+# between rebuilds, every ingested vector is assigned through the
+# persisted model and admitted only if no standing member of its cluster
+# is within tau — the SemDeDup gate a continuous ingest pipeline runs.
+# Cross-ingest dedup (new vs new) is the next full recluster's job, the
+# same division of labor as the graph tier's ingest/rebuild split.
+# ---------------------------------------------------------------------------
+
+
+def build_semdedup_store(
+    spark: SparkSession, corpus: DataFrame, store_dir: str
+) -> None:
+    """Fit the derived-k model on the STANDING corpus and persist the
+    serving state the admission loop reads: the centroid table
+    (cid, cq) and the standing assignment (vec_id, qv, cid, nrm2).
+    The fit is ``semdedup_derived_k``'s own derivation chain (k =
+    ivf_k_for(N), p = sdk_planes_for(k), data-seeded bucket-blocked
+    Lloyd rounds) — the model the batch query would fit over the same
+    corpus, so admission decisions are the batch gate's bit-for-bit."""
+    from mapreduce_rs_spark.functions.hashing import h32
+    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
+    from mapreduce_rs_spark.operators.similarity import (
+        DRIFT_SCALE,
+        IVF_TARGET_CLUSTER,
+        KMEANS_DIST_ROUNDS,
+        _QV_NORM2,
+        _bucket_expr,
+        _lloyd_rounds,
+        _sdk_blocked_assign,
+        hyperplanes,
+        ivf_k_for,
+        sdk_planes_for,
+    )
+
+    n = corpus.count()
+    k = ivf_k_for(n, IVF_TARGET_CLUSTER)
+    planes = hyperplanes(sdk_planes_for(k))
+    q = ensure_parallelism(corpus, "vec_id").select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS array<double>), "
+            f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).select(
+        "vec_id",
+        "qv",
+        _bucket_expr("CAST(qv AS array<double>)", planes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    ss = F.expr(_QV_NORM2)
+    heads = (
+        q.select(
+            "vec_id", "qv", ss.alias("ss"),
+            h32(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .where(F.col("ss") > 0)
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cq_seed = F.expr(
+        "transform(qv, s -> CAST(round(CAST(s AS DOUBLE) "
+        f"/ sqrt(CAST(ss AS DOUBLE)) * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+    )
+    w_seed = Window.orderBy("h", "vec_id")
+    cent0 = heads.select(
+        (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
+        cq_seed.alias("cq"),
+        F.lit(0).cast("long").alias("n_members"),
+    ).localCheckpoint(eager=True)
+    cent = _lloyd_rounds(
+        q, cent0, KMEANS_DIST_ROUNDS, None, tag="sds",
+        assign=lambda qq, cc: _sdk_blocked_assign(qq, cc, planes),
+    )
+    cent.select("cid", "cq").write.mode("overwrite").parquet(
+        os.path.join(store_dir, "centroids")
+    )
+    _sdk_blocked_assign(q, cent, planes).select(
+        "vec_id", "qv", "cid", ss.alias("nrm2")
+    ).write.mode("overwrite").parquet(os.path.join(store_dir, "standing"))
+
+
+def semdedup_admit_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
+    """Admission-gate one ingested-vector batch against the persisted
+    derived-k model: quantize, bucket with the STORE-DERIVED plane
+    count (p = sdk_planes_for(|centroids|) — no extra metadata, the
+    model IS the plane count), blocked-assign to the stored centroids,
+    and drop any vector with a STANDING same-cluster member at
+    cos >= tau (integer cross-multiply, zero-norm guard — base
+    semdedup's NULL-cosine keep semantics). Returns
+    (vec_id, cid, is_dropped). Decisions read only the vector + the
+    persisted state, so any micro-batching yields the one-shot gate's
+    rows bit-for-bit; per-batch work is O(|batch| · (candidates +
+    E[cluster])): batch-proportional, never corpus-proportional."""
+    from mapreduce_rs_spark.operators.similarity import (
+        DRIFT_SCALE,
+        SEMDEDUP_TAU_FRAC,
+        _QV_NORM2,
+        _bucket_expr,
+        _sdk_blocked_assign,
+        hyperplanes,
+        sdk_planes_for,
+    )
+
+    sess = batch_df.sparkSession
+    cent = sess.read.parquet(os.path.join(store_dir, "centroids"))
+    standing = sess.read.parquet(os.path.join(store_dir, "standing"))
+    k = cent.count()
+    planes = hyperplanes(sdk_planes_for(k))
+    q = batch_df.select(
+        "vec_id",
+        F.expr(
+            "transform(CAST(embedding AS array<double>), "
+            f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+        ).alias("qv"),
+    ).select(
+        "vec_id",
+        "qv",
+        _bucket_expr("CAST(qv AS array<double>)", planes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    ss = F.expr(_QV_NORM2)
+    assigned = _sdk_blocked_assign(q, cent, planes).select(
+        "vec_id", "qv", "cid", ss.alias("nrm2")
+    )
+    num, den = SEMDEDUP_TAU_FRAC
+    dot = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    a, b = assigned.alias("a"), standing.alias("b")
+    dropped = (
+        a.join(b, F.col("a.cid") == F.col("b.cid"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"), dot.alias("dt"),
+            F.col("a.nrm2").alias("na"), F.col("b.nrm2").alias("nb"),
+        )
+        .where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("dt") >= 0)
+            & (
+                F.col("dt").cast("decimal(38,0)") * F.col("dt") * (den * den)
+                >= F.col("na") * F.col("nb") * (num * num)
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce("is_dropped", F.lit(0)).cast("int").alias("is_dropped"),
+    )
+
+
+def semdedup_ingest_update(
+    batch_df: DataFrame, store_dir: str, state_dir: str, epoch_id: int
+) -> None:
+    """One micro-batch of the continuous semantic-dedup admission loop:
+    gate the batch through ``semdedup_admit_batch`` and land
+    (vec_id, cid, is_dropped, src_file) under
+    ``state_dir/epoch=<epoch_id>`` — the ``ivf_state_update``
+    discipline: per-epoch OVERWRITE (same-epoch replays land
+    byte-identical rows, decisions read only persisted state),
+    ``src_file`` provenance for cross-epoch re-delivery, epoch-qualified
+    sentinel for non-file-backed frames."""
+    if "src_file" not in batch_df.columns:
+        try:
+            batch_df = batch_df.withColumn(
+                "src_file", F.col("_metadata.file_path")
+            )
+        except AnalysisException:
+            batch_df = batch_df.withColumn(
+                "src_file", F.lit(f"<direct-batch-epoch-{epoch_id}>")
+            )
+    semdedup_admit_batch(
+        batch_df.select("vec_id", "embedding"), store_dir
+    ).join(batch_df.select("vec_id", "src_file"), "vec_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, f"epoch={epoch_id}"))
+
+
+def streaming_semdedup_ingest_report(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Per-cluster admission audit over the accumulated ingest state:
+    merge per-epoch decision rows latest-epoch-wins per src_file and
+    roll up (centroid_id, n_ingested, n_dropped, n_admitted,
+    drop_ratio) — the ``semdedup`` audit shape at the ingest grain.
+    Decision rows are batching-independent, so the drained report
+    equals the one-shot gate's audit bit-for-bit (the parity test)."""
+    w = Window.partitionBy("src_file")
+    merged = (
+        spark.read.parquet(state_dir)
+        .withColumn("max_epoch", F.max("epoch").over(w))
+        .where(F.col("epoch") == F.col("max_epoch"))
+    )
+    return (
+        merged.groupBy(F.col("cid").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ingested"),
+            F.sum("is_dropped").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "centroid_id",
+            "n_ingested",
+            "n_dropped",
+            (F.col("n_ingested") - F.col("n_dropped")).alias("n_admitted"),
+            F.try_divide(
+                F.col("n_dropped").cast("double"), F.col("n_ingested")
+            ).alias("drop_ratio"),
+        )
+    )
+
+
+def run_streaming_semdedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The semantic-dedup admission gate in its CONTINUOUS form:
+    ingested-vector micro-batches assign through the PERSISTED
+    derived-k model (built on the standing corpus by
+    ``build_semdedup_store``, refreshed on the recluster cadence) and
+    land per-epoch admission decisions; the report reads the merged
+    state. Decisions read only the vector + persisted state, so any
+    micro-batching yields the one-shot gate's audit byte-for-byte."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withColumn(
+        "src_file", F.col("_metadata.file_path")
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda batch_df, epoch_id: semdedup_ingest_update(
+                batch_df, store_dir, state_dir, epoch_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

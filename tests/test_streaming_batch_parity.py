@@ -814,3 +814,153 @@ def test_first_batch_store_probe_swallows_only_missing_store(spark, tmp_path):
     with pytest.raises(AnalysisException) as other:
         spark.read.parquet(good).select("no_such_column").collect()
     assert not _is_missing_store(other.value)
+
+
+def test_streaming_decon_gate_matches_batch_operator(spark, sf_dir, tmp_path):
+    """r10 verdict #5: semantic_decontaminate_fixed's streaming twin.
+    The corpus arrives as forced micro-batches; every train vector
+    scores against the PERSISTED fixed eval artifact per batch; the
+    merged flag state must replay the batch operator's top-k report
+    bit-for-bit (per-vector scores read only the vector + the fixed
+    artifact, so batching cannot move a row). Re-drain, true same-epoch
+    replay, and later-epoch re-delivery must all leave it unmoved."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from mapreduce_rs_spark.operators.similarity import (
+        semantic_decontaminate_fixed,
+    )
+    from mapreduce_rs_spark.streaming.pipeline import (
+        build_decon_store,
+        decon_state_update,
+        run_streaming_decon_gate,
+        streaming_decon_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "store")
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    build_decon_store(spark, emb, store)
+    emb.select("vec_id", "embedding").repartition(4).write.parquet(inp)
+    run_streaming_decon_gate(spark, inp, store, state, ckpt, max_files_per_trigger=1)
+    epochs = _glob.glob(_os.path.join(state, "epoch=*"))
+    assert len(epochs) >= 3, f"expected a multi-batch drain, got {epochs}"
+
+    batch = semantic_decontaminate_fixed(emb)
+    got = streaming_decon_report(spark, state)
+    assert sorted(got.columns) == sorted(batch.columns)
+    assert frame_hash(got) == frame_hash(batch)
+
+    # restart idempotency: re-drain the same checkpoint, nothing moves
+    run_streaming_decon_gate(spark, inp, store, state, ckpt, max_files_per_trigger=1)
+    assert frame_hash(streaming_decon_report(spark, state)) == frame_hash(batch)
+
+    # true same-epoch replay: re-run epoch 0 with the exact file its
+    # checkpoint source log assigned it — byte-identical overwrite
+    src_log = _os.path.join(ckpt, "sources", "0", "0")
+    with open(src_log) as fh:
+        entries = [
+            _json.loads(line) for line in fh if line.strip().startswith("{")
+        ]
+    epoch0_files = [e["path"] for e in entries]
+    assert len(epoch0_files) == 1
+    decon_state_update(spark.read.parquet(*epoch0_files), store, state, 0)
+    assert frame_hash(streaming_decon_report(spark, state)) == frame_hash(batch)
+
+    # re-delivery: the SAME file in a LATER epoch reads as ONE logical
+    # contribution (latest-wins per src_file)
+    decon_state_update(spark.read.parquet(*epoch0_files), store, state, 99)
+    assert frame_hash(streaming_decon_report(spark, state)) == frame_hash(batch)
+
+
+def test_streaming_semdedup_ingest_matches_oneshot_gate(spark, sf_dir, tmp_path):
+    """r10 verdict #5: semdedup_derived_k's ingest twin. The derived-k
+    model is fit once on the STANDING corpus (the recluster cadence)
+    and persisted; ingested vectors arrive as forced micro-batches and
+    are admitted iff no standing member of their assigned cluster is
+    within tau. Decisions read only persisted state, so the drained
+    audit must equal the one-shot gate over the whole ingest split
+    bit-for-bit; re-drain, true replay, and re-delivery leave it
+    unmoved."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from mapreduce_rs_spark.streaming.pipeline import (
+        build_semdedup_store,
+        run_streaming_semdedup_ingest,
+        semdedup_admit_batch,
+        semdedup_ingest_update,
+        streaming_semdedup_ingest_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    standing = emb.where(F.col("vec_id") % 10 < 8)
+    ingest = emb.where(F.col("vec_id") % 10 >= 8)
+    store = str(tmp_path / "store")
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    build_semdedup_store(spark, standing, store)
+    ingest.repartition(3).write.parquet(inp)
+    run_streaming_semdedup_ingest(
+        spark, inp, store, state, ckpt, max_files_per_trigger=1
+    )
+    epochs = _glob.glob(_os.path.join(state, "epoch=*"))
+    assert len(epochs) >= 2, f"expected a multi-batch drain, got {epochs}"
+
+    # the one-shot gate over the whole ingest split, rolled to the same
+    # audit shape the report emits
+    oneshot = semdedup_admit_batch(ingest, store)
+    batch_audit = (
+        oneshot.groupBy(F.col("cid").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ingested"),
+            F.sum("is_dropped").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "centroid_id",
+            "n_ingested",
+            "n_dropped",
+            (F.col("n_ingested") - F.col("n_dropped")).alias("n_admitted"),
+            F.try_divide(
+                F.col("n_dropped").cast("double"), F.col("n_ingested")
+            ).alias("drop_ratio"),
+        )
+    )
+    # the gate must be non-vacuous on the shipped corpus: some vectors
+    # dropped, some admitted
+    tot = oneshot.agg(
+        F.sum("is_dropped").alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert 0 < tot["d"] < tot["n"], f"vacuous gate: {tot}"
+
+    got = streaming_semdedup_ingest_report(spark, state)
+    assert sorted(got.columns) == sorted(batch_audit.columns)
+    assert frame_hash(got) == frame_hash(batch_audit)
+
+    run_streaming_semdedup_ingest(
+        spark, inp, store, state, ckpt, max_files_per_trigger=1
+    )
+    assert frame_hash(streaming_semdedup_ingest_report(spark, state)) == frame_hash(
+        batch_audit
+    )
+
+    src_log = _os.path.join(ckpt, "sources", "0", "0")
+    with open(src_log) as fh:
+        entries = [
+            _json.loads(line) for line in fh if line.strip().startswith("{")
+        ]
+    epoch0_files = [e["path"] for e in entries]
+    assert len(epoch0_files) == 1
+    semdedup_ingest_update(spark.read.parquet(*epoch0_files), store, state, 0)
+    assert frame_hash(streaming_semdedup_ingest_report(spark, state)) == frame_hash(
+        batch_audit
+    )
+    semdedup_ingest_update(spark.read.parquet(*epoch0_files), store, state, 99)
+    assert frame_hash(streaming_semdedup_ingest_report(spark, state)) == frame_hash(
+        batch_audit
+    )
