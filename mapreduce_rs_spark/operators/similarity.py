@@ -2031,6 +2031,129 @@ def _sdk_blocked_assign(
     return winners.unionByName(fallback)
 
 
+def _sdk_quantize(
+    df: DataFrame,
+    planes: list[list[float]],
+    persist_dir: str | None,
+    name: str,
+) -> DataFrame:
+    """Quantized corpus WITH its own-bucket key (vec_id, qv, bucket),
+    materialized: one narrow pass, one checkpoint read by every
+    consumer (seed select, rounds, assignments)."""
+    return materialize(
+        ensure_parallelism(df, "vec_id").select(
+            "vec_id",
+            F.expr(
+                f"transform(CAST(embedding AS {_DBL}), "
+                f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+            ).alias("qv"),
+        ).select(
+            "vec_id",
+            "qv",
+            _bucket_expr(f"CAST(qv AS {_DBL})", planes).alias("bucket"),
+        ),
+        persist_dir,
+        name,
+    )
+
+
+def _sdk_fit(
+    df: DataFrame,
+    rounds: int = KMEANS_DIST_ROUNDS,
+    target: int = IVF_TARGET_CLUSTER,
+    persist_dir: str | None = None,
+    tag: str = "sdk",
+) -> tuple[DataFrame, DataFrame, list[list[float]]]:
+    """The derived-k model fit — k = ivf_k_for(N), p = sdk_planes_for(k),
+    data-seeded init (k h32-smallest vec_ids renormalized to micro-unit
+    vectors; zero-norm filtered), ``rounds`` bucket-blocked Lloyd rounds.
+    Returns (quantized corpus, fitted centroids, planes). Shared by
+    ``semdedup_derived_k`` (fit + pair dedup over one corpus), the
+    registry's ``semdedup_ingest_audit`` and the streaming ingest twin's
+    ``build_semdedup_store`` (fit over the standing split, serve the
+    admission gate) — one definition, so the model can never drift
+    between the batch query and the serving store."""
+    n = df.count()
+    k = ivf_k_for(n, target)
+    planes = hyperplanes(sdk_planes_for(k))
+    q = _sdk_quantize(df, planes, persist_dir, f"{tag}_corpus")
+    ss = F.expr(_QV_NORM2)
+    # seed state: ONE projection over q -> TakeOrdered(k) -> k-row
+    # window for cid + renormalize (bounded by construction: k <= 2^17)
+    heads = (
+        q.select(
+            "vec_id", "qv", ss.alias("ss"),
+            h32(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .where(F.col("ss") > 0)
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cq_seed = F.expr(
+        "transform(qv, s -> CAST(round(CAST(s AS DOUBLE) "
+        f"/ sqrt(CAST(ss AS DOUBLE)) * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+    )
+    w_seed = Window.orderBy("h", "vec_id")
+    cent0 = materialize(
+        heads.select(
+            (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
+            cq_seed.alias("cq"),
+            F.lit(0).cast("long").alias("n_members"),
+        ),
+        persist_dir,
+        f"{tag}_seed",
+    )
+    cent = _lloyd_rounds(
+        q, cent0, rounds, persist_dir, tag=tag,
+        assign=lambda qq, cc: _sdk_blocked_assign(qq, cc, planes),
+    )
+    return q, cent, planes
+
+
+def _sdk_admit(
+    assigned_new: DataFrame,
+    standing: DataFrame,
+    tau_frac: tuple[int, int] = SEMDEDUP_TAU_FRAC,
+) -> DataFrame:
+    """The SemDeDup ADMISSION rule over already-assigned frames: an
+    ingested vector (``assigned_new``: vec_id, qv, cid, nrm2) drops iff
+    ANY standing member (same columns) of its cluster is within tau —
+    integer cross-multiply on exact BIGINT dots with the zero-norm
+    guard (base semdedup's NULL-cosine keep semantics). Returns
+    (vec_id, cid, is_dropped). Shared by the registry's
+    ``semdedup_ingest_audit`` and the streaming twin's
+    ``semdedup_admit_batch`` — the decision rule has one definition."""
+    num, den = tau_frac
+    dot = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    a, b = assigned_new.alias("a"), standing.alias("b")
+    dropped = (
+        a.join(b, F.col("a.cid") == F.col("b.cid"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"), dot.alias("dt"),
+            F.col("a.nrm2").alias("na"), F.col("b.nrm2").alias("nb"),
+        )
+        .where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("dt") >= 0)
+            & (
+                F.col("dt").cast("decimal(38,0)") * F.col("dt") * (den * den)
+                >= F.col("na") * F.col("nb") * (num * num)
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return assigned_new.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce("is_dropped", F.lit(0)).cast("int").alias("is_dropped"),
+    )
+
+
 def semdedup_derived_k(
     df: DataFrame,
     tau_frac: tuple[int, int] = SEMDEDUP_TAU_FRAC,
@@ -2084,57 +2207,8 @@ def semdedup_derived_k(
     k·(p+1)-row replicated centroid frame), the (cid,pos) update
     (k x dim integers), the cid-blocked pair join (E[cluster] ~
     target), and the (cid, flag) audit aggregate."""
-    n = df.count()
-    k = ivf_k_for(n, target)
-    planes = hyperplanes(sdk_planes_for(k))
-    # quantized corpus WITH its own-bucket key: one narrow pass, one
-    # checkpoint read by the seed select, every round and the final
-    # assignment
-    q = materialize(
-        ensure_parallelism(df, "vec_id").select(
-            "vec_id",
-            F.expr(
-                f"transform(CAST(embedding AS {_DBL}), "
-                f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
-            ).alias("qv"),
-        ).select(
-            "vec_id",
-            "qv",
-            _bucket_expr(f"CAST(qv AS {_DBL})", planes).alias("bucket"),
-        ),
-        persist_dir,
-        "sdk_corpus",
-    )
+    q, cent, planes = _sdk_fit(df, rounds, target, persist_dir, tag="sdk")
     ss = F.expr(_QV_NORM2)
-    # seed state: ONE projection over q -> TakeOrdered(k) -> k-row
-    # window for cid + renormalize (bounded by construction: k <= 2^17)
-    heads = (
-        q.select(
-            "vec_id", "qv", ss.alias("ss"),
-            h32(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .where(F.col("ss") > 0)
-        .orderBy("h", "vec_id")
-        .limit(k)
-    )
-    cq_seed = F.expr(
-        "transform(qv, s -> CAST(round(CAST(s AS DOUBLE) "
-        f"/ sqrt(CAST(ss AS DOUBLE)) * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
-    )
-    w_seed = Window.orderBy("h", "vec_id")
-    cent0 = materialize(
-        heads.select(
-            (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
-            cq_seed.alias("cq"),
-            F.lit(0).cast("long").alias("n_members"),
-        ),
-        persist_dir,
-        "sdk_seed",
-    )
-    cent = _lloyd_rounds(
-        q, cent0, rounds, persist_dir, tag="sdk",
-        assign=lambda qq, cc: _sdk_blocked_assign(qq, cc, planes),
-    )
     # final-model assignment of the FULL corpus (the same blocked
     # assignment the rounds use), carrying the exact squared norm the
     # pair threshold needs; materialized once — the self-join must not
@@ -2191,6 +2265,71 @@ def semdedup_derived_k(
             F.try_divide(F.col("n_dropped").cast("double"), F.col("n_vectors")).alias(
                 "drop_ratio"
             ),
+        )
+    )
+
+
+def semdedup_ingest_audit(
+    df: DataFrame,
+    tau_frac: tuple[int, int] = SEMDEDUP_TAU_FRAC,
+    rounds: int = KMEANS_DIST_ROUNDS,
+    target: int = IVF_TARGET_CLUSTER,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """The streaming semdedup ingest twin's batch core as an ORACLED
+    query: fit the derived-k model on the STANDING split
+    (vec_id % 10 < 8 — the ingest convention), assign the standing
+    corpus, then gate the ingest split (vec_id % 10 >= 8) through the
+    admission rule — an ingested vector drops iff ANY standing member
+    of its assigned cluster is within tau (``_sdk_admit``: integer
+    cross-multiply, zero-norm guard). Emits the per-cluster ingest
+    audit (n_ingested / n_dropped / n_admitted / drop_ratio).
+
+    This is exactly what ``run_streaming_semdedup_ingest`` computes
+    per micro-batch against the persisted store (same ``_sdk_fit``,
+    same ``_sdk_admit`` — one definition each), so the continuous
+    loop's decisions are externally hash-verified through this query.
+    Cross-ingest (new vs new) dedup is the next full recluster's job —
+    the graph tier's ingest/rebuild division of labor.
+
+    Scale shape: the fit is ``semdedup_derived_k``'s (~linear in
+    standing N); the ingest side is one narrow quantize+bucket pass,
+    a blocked assignment (~constant candidate dots per vector), and a
+    cid equi-join against the standing assignment with E[cluster] ~
+    ``target`` constant — per-ingest work is batch-proportional."""
+    standing_src = df.where(F.col("vec_id") % 10 < 8)
+    ingest_src = df.where(F.col("vec_id") % 10 >= 8)
+    q, cent, planes = _sdk_fit(
+        standing_src, rounds, target, persist_dir, tag="sdi"
+    )
+    ss = F.expr(_QV_NORM2)
+    standing = _sdk_blocked_assign(q, cent, planes).select(
+        "vec_id", "qv", "cid", ss.alias("nrm2")
+    )
+    qi = _sdk_quantize(ingest_src, planes, persist_dir, "sdi_ingest")
+    # materialized: read by the admission join AND the final audit
+    assigned_new = materialize(
+        _sdk_blocked_assign(qi, cent, planes).select(
+            "vec_id", "qv", "cid", ss.alias("nrm2")
+        ),
+        persist_dir,
+        "sdi_assign",
+    )
+    decisions = _sdk_admit(assigned_new, standing, tau_frac)
+    return (
+        decisions.groupBy(F.col("cid").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ingested"),
+            F.sum("is_dropped").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "centroid_id",
+            "n_ingested",
+            "n_dropped",
+            (F.col("n_ingested") - F.col("n_dropped")).alias("n_admitted"),
+            F.try_divide(
+                F.col("n_dropped").cast("double"), F.col("n_ingested")
+            ).alias("drop_ratio"),
         )
     )
 

@@ -1070,7 +1070,7 @@ def _sdk_bucket_sql(arr_expr: str) -> str:
     return f"CAST({bits} AS BIGINT)"
 
 
-def _sdk_assign_ctes(r_tag: str, prev: str) -> str:
+def _sdk_assign_ctes(r_tag: str, prev: str, src: str = "v") -> str:
     """One bucket-blocked assignment as oracle CTEs (no leading/
     trailing comma): cb{r_tag} replicates {prev}'s centroids into
     their Hamming<=1 probe buckets (the SMALL side carries the
@@ -1078,7 +1078,10 @@ def _sdk_assign_ctes(r_tag: str, prev: str) -> str:
     own bucket meets (exact double dots on integers, ties -> higher
     cid), fb{r_tag} is the exact full-argmax fallback for vectors
     whose bucket met no centroid, a{r_tag} the union — the exact twin
-    of similarity._sdk_blocked_assign."""
+    of similarity._sdk_blocked_assign. ``src`` names the quantized
+    corpus CTE being assigned (default "v", the fit corpus — the
+    default reproduces the r10 string byte-for-byte; the ingest-audit
+    oracle passes its own ingest CTE)."""
     return f"""cb{r_tag} AS MATERIALIZED (
             SELECT cid, cq, xor(cbkt, m) AS bucket
             FROM (
@@ -1089,11 +1092,11 @@ def _sdk_assign_ctes(r_tag: str, prev: str) -> str:
             ) msk
         ), w{r_tag} AS MATERIALIZED (
             SELECT vec_id, qv, cid FROM (
-                SELECT v.vec_id, v.qv, c.cid,
-                       row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY list_dot_product(CAST(v.qv AS DOUBLE[]),
+                SELECT {src}.vec_id, {src}.qv, c.cid,
+                       row_number() OVER (PARTITION BY {src}.vec_id
+                           ORDER BY list_dot_product(CAST({src}.qv AS DOUBLE[]),
                                     CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
-                FROM v JOIN cb{r_tag} c ON v.bucket = c.bucket
+                FROM {src} JOIN cb{r_tag} c ON {src}.bucket = c.bucket
             ) r WHERE rn = 1
         ), fb{r_tag} AS (
             SELECT vec_id, qv, cid FROM (
@@ -1102,8 +1105,8 @@ def _sdk_assign_ctes(r_tag: str, prev: str) -> str:
                            ORDER BY list_dot_product(CAST(u.qv AS DOUBLE[]),
                                     CAST(c.cq AS DOUBLE[])) DESC, c.cid DESC) AS rn
                 FROM (
-                    SELECT vec_id, qv FROM v
-                    WHERE NOT EXISTS (SELECT 1 FROM w{r_tag} w WHERE w.vec_id = v.vec_id)
+                    SELECT vec_id, qv FROM {src}
+                    WHERE NOT EXISTS (SELECT 1 FROM w{r_tag} w WHERE w.vec_id = {src}.vec_id)
                 ) u CROSS JOIN {prev} c
             ) r WHERE rn = 1
         ), a{r_tag} AS MATERIALIZED (
@@ -1117,24 +1120,26 @@ _SDK_MASKS = (
 )
 
 
-def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
-    """Oracle twin of similarity.semdedup_derived_k: k derived from
-    count(v0) by the ivf_k_for rule, plane count from k by the
-    sdk_planes_for rule (both as integer CASE chains — no float log2
-    whose rounding could diverge), data-seeded init (k h32-smallest
-    vec_ids, renormalized with the round-update arithmetic),
-    bucket-blocked Lloyd rounds (`_sdk_assign_ctes` per round + the
-    SAME update tail as `_dkm_sql` via `_dkm_round_tail` — the
-    builder-reuse rule), blocked final-model assignment, and the
-    semdedup pair audit with the tau threshold as an integer
-    cross-multiply (SEMDEDUP_TAU_FRAC — exact on both engines). Every
-    knob f-string-derived from the similarity.py constants."""
+_SDK_NORM2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
+
+
+def _sdk_fit_parts(
+    rounds: int = similarity.KMEANS_DIST_ROUNDS, corpus_where: str = ""
+) -> tuple[list[str], str]:
+    """The derived-k FIT as oracle CTE parts (v0 -> kk -> v -> c_init
+    -> bucket-blocked Lloyd rounds), returning (parts, final_centroid
+    _cte_name). Shared by `_sdk_sql` (fit over the full corpus — the
+    default empty ``corpus_where`` keeps that externally-verified
+    oracle string byte-stable, pinned by test) and `_sdk_ingest_sql`
+    (fit over the standing split). k derives from count(v0) by the
+    ivf_k_for rule, plane count from k by the sdk_planes_for rule
+    (both integer CASE chains — no float log2 whose rounding could
+    diverge); the init is data-seeded (k h32-smallest vec_ids,
+    renormalized with the round-update arithmetic)."""
     scale = float(similarity.DRIFT_SCALE)
     target = similarity.IVF_TARGET_CLUSTER
     bt = similarity.SDK_BUCKET_TARGET
     pmax = similarity.SDK_PLANE_MAX
-    num, den = similarity.SEMDEDUP_TAU_FRAC
-    norm2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
     # pw = 2^p, p = smallest with 2^p * SDK_BUCKET_TARGET >= k (clamped)
     pw_cases = "\n                        ".join(
         f"WHEN k <= {bt * (1 << p)} THEN {1 << p}"
@@ -1144,7 +1149,7 @@ def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
         f"""v0 AS MATERIALIZED (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
-            FROM embeddings
+            FROM embeddings{corpus_where}
         ), kk AS MATERIALIZED (
             SELECT k, CASE {pw_cases}
                         ELSE {1 << pmax} END AS pw
@@ -1162,7 +1167,7 @@ def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
             FROM (
                 SELECT qv, ss,
                        row_number() OVER (ORDER BY {h32_sql('CAST(vec_id AS VARCHAR)')}, vec_id) AS rn
-                FROM (SELECT vec_id, qv, {norm2} AS ss FROM v0) s0
+                FROM (SELECT vec_id, qv, {_SDK_NORM2} AS ss FROM v0) s0
                 WHERE ss > 0
             ) s WHERE rn <= (SELECT k FROM kk)
         )"""
@@ -1175,6 +1180,18 @@ def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
             + _dkm_round_tail(r, prev, scale)
         )
         prev = f"c{r}"
+    return parts, prev
+
+
+def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.semdedup_derived_k: the shared fit
+    chain (`_sdk_fit_parts`), blocked final-model assignment, and the
+    semdedup pair audit with the tau threshold as an integer
+    cross-multiply (SEMDEDUP_TAU_FRAC — exact on both engines). Every
+    knob f-string-derived from the similarity.py constants."""
+    num, den = similarity.SEMDEDUP_TAU_FRAC
+    norm2 = _SDK_NORM2
+    parts, prev = _sdk_fit_parts(rounds)
     parts.append(
         _sdk_assign_ctes("fin", prev)
         + f""", af AS MATERIALIZED (
@@ -1198,6 +1215,62 @@ def _sdk_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
                    / NULLIF(count(*), 0) AS drop_ratio
         FROM af a2 LEFT JOIN dropped d ON a2.vec_id = d.vec_id
         GROUP BY a2.cid
+        """
+    )
+    return "WITH " + ",\n        ".join(parts)
+
+
+def _sdk_ingest_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
+    """Oracle twin of similarity.semdedup_ingest_audit — the streaming
+    ingest twin's batch core, externally hash-verifiable: the shared
+    derived-k fit chain over the STANDING split (vec_id % 10 < 8, the
+    ingest convention), standing assignment, the ingest split
+    quantized/bucketed through the SAME kk-derived plane count and
+    blocked-assigned against the standing model (`_sdk_assign_ctes`
+    with src='vi'), then the admission rule: an ingested vector drops
+    iff ANY standing member of its cluster is within tau (integer
+    cross-multiply, zero-norm guard). Per-cluster ingest audit."""
+    scale = float(similarity.DRIFT_SCALE)
+    num, den = similarity.SEMDEDUP_TAU_FRAC
+    parts, prev = _sdk_fit_parts(
+        rounds, corpus_where=" WHERE vec_id % 10 < 8"
+    )
+    parts.append(
+        _sdk_assign_ctes("fin", prev)
+        + f""", standing AS MATERIALIZED (
+            SELECT vec_id, qv, cid, {_SDK_NORM2} AS nrm2 FROM afin
+        ), vi AS MATERIALIZED (
+            SELECT vec_id, qv, {_sdk_bucket_sql('CAST(qv AS DOUBLE[])')} AS bucket
+            FROM (
+                SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
+                FROM embeddings WHERE vec_id % 10 >= 8
+            ) i0 CROSS JOIN kk
+        )"""
+    )
+    parts.append(
+        _sdk_assign_ctes("ing", prev, src="vi")
+        + f""", ing AS MATERIALIZED (
+            SELECT vec_id, qv, cid, {_SDK_NORM2} AS nrm2 FROM aing
+        ), pri AS (
+            SELECT a.vec_id,
+                   CAST(list_dot_product(CAST(a.qv AS DOUBLE[]),
+                        CAST(b.qv AS DOUBLE[])) AS HUGEINT) AS dt,
+                   a.nrm2 AS na, b.nrm2 AS nb
+            FROM ing a JOIN standing b ON a.cid = b.cid
+        ), dropped AS (
+            SELECT DISTINCT vec_id FROM pri
+            WHERE na > 0 AND nb > 0
+              AND dt >= 0 AND dt * dt * {den * den} >= na * nb * {num * num}
+        )
+        SELECT i.cid AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_ingested,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / NULLIF(count(*), 0) AS drop_ratio
+        FROM ing i LEFT JOIN dropped d ON i.vec_id = d.vec_id
+        GROUP BY i.cid
         """
     )
     return "WITH " + ",\n        ".join(parts)
@@ -3404,6 +3477,18 @@ QUERIES: dict[str, QuerySpec] = {
         "that retires the fixed-k quadratic ceiling semdedup measured "
         "at sf3.0 (8.5x -> 2.1x wall on 3x data); tau threshold as an "
         "integer cross-multiply on exact BIGINT dots",
+    ),
+    "semdedup_ingest_audit": QuerySpec(
+        _emb(similarity.semdedup_ingest_audit),
+        _sdk_ingest_sql(),
+        "the streaming semdedup ingest twin's batch core, externally "
+        "hash-verified: derived-k model fit on the STANDING split "
+        "(vec_id%10<8, the ingest convention — same _sdk_fit the "
+        "serving store builds from), ingest split blocked-assigned "
+        "through it, dropped iff ANY standing same-cluster member is "
+        "within tau (integer cross-multiply, zero-norm guard — same "
+        "_sdk_admit the foreachBatch loop runs); per-cluster ingest "
+        "audit; cross-ingest dedup deferred to the recluster cadence",
     ),
     "knn_ivf_refit": QuerySpec(
         _emb(lambda df: similarity.knn_ivf_refit(df, 10)),
@@ -7656,6 +7741,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "kmeans_refit_distributed": ("centroid_id",),
     "kmeans_refit_eval": ("centroid_id",),
     "semdedup_derived_k": ("centroid_id",),
+    "semdedup_ingest_audit": ("centroid_id",),
     "knn_ivf_refit": ("q_id", "rnk"),
     "knn_graph_ingest": ("batch_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
@@ -7702,10 +7788,17 @@ _CHECK_FIRST: tuple[str, ...] = (
     # (1) NEW in round 11 — never externally checked:
     "embedding_near_dup_derived",  # the r10 weak grade retired:
     #                            derived plane count (E[bucket] <= 32
-    #                            at any N) + capped per-vector partner
-    #                            contract (output <= 4N rows) — the
+    #                            at any N) + per-bucket rep cap
+    #                            (candidates <= 32N at any skew) +
+    #                            capped per-vector partner contract
+    #                            (output <= 4N rows) — the
     #                            production-shaped near-dup pair pass
     #                            (r10 verdict #1)
+    "semdedup_ingest_audit",   # the streaming semdedup ingest twin's
+    #                            batch core oracled: standing-split
+    #                            derived-k fit + ingest admission gate
+    #                            (displaces one r07 fill slot —
+    #                            event_paths moves to the r12 note)
     # (1b) MODIFIED in round 11 — external re-check required: the drop
     # predicate gained the zero-norm guard (na > 0 AND nb > 0, both
     # engines) so the derived-k variant matches base semdedup's
@@ -7767,8 +7860,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "dedup_exact",
     "dsir_importance_weights",
     "duplicate_spans",
-    "event_paths",
-    # (displacement note for r12: the remaining 34 r07-stale queries —
+    # (displacement note for r12: the remaining 35 r07-stale queries —
+    # event_paths (displaced by semdedup_ingest_audit),
     # feature_hashing_stats, gapfill_hourly, having_active_customers,
     # hourly_percentile_bands, join_revenue_by_nation,
     # kmv_quantile_rollup_merge, knn_bruteforce, knn_ivf_multiprobe,
@@ -7780,7 +7873,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # rdd_wordcount, repetition_signals, skipgram_pmi, sliding_window,
     # stats_battery, stratified_sample_summary, unpivot_status_totals,
     # user_activity_stats, value_histogram, wordcount_mapreduce_udf —
-    # rotate these 34 next, then begin the r08 tranche with the
+    # rotate these 35 next, then begin the r08 tranche with the
     # remaining slots; after the r12 window no query's newest row is
     # older than round 8.)
 )

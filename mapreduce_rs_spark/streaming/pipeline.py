@@ -1077,64 +1077,18 @@ def build_semdedup_store(
     ivf_k_for(N), p = sdk_planes_for(k), data-seeded bucket-blocked
     Lloyd rounds) — the model the batch query would fit over the same
     corpus, so admission decisions are the batch gate's bit-for-bit."""
-    from mapreduce_rs_spark.functions.hashing import h32
-    from mapreduce_rs_spark.operators.partitioning import ensure_parallelism
     from mapreduce_rs_spark.operators.similarity import (
-        DRIFT_SCALE,
-        IVF_TARGET_CLUSTER,
-        KMEANS_DIST_ROUNDS,
         _QV_NORM2,
-        _bucket_expr,
-        _lloyd_rounds,
         _sdk_blocked_assign,
-        hyperplanes,
-        ivf_k_for,
-        sdk_planes_for,
+        _sdk_fit,
     )
 
-    n = corpus.count()
-    k = ivf_k_for(n, IVF_TARGET_CLUSTER)
-    planes = hyperplanes(sdk_planes_for(k))
-    q = ensure_parallelism(corpus, "vec_id").select(
-        "vec_id",
-        F.expr(
-            "transform(CAST(embedding AS array<double>), "
-            f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
-        ).alias("qv"),
-    ).select(
-        "vec_id",
-        "qv",
-        _bucket_expr("CAST(qv AS array<double>)", planes).alias("bucket"),
-    ).localCheckpoint(eager=True)
-    ss = F.expr(_QV_NORM2)
-    heads = (
-        q.select(
-            "vec_id", "qv", ss.alias("ss"),
-            h32(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .where(F.col("ss") > 0)
-        .orderBy("h", "vec_id")
-        .limit(k)
-    )
-    cq_seed = F.expr(
-        "transform(qv, s -> CAST(round(CAST(s AS DOUBLE) "
-        f"/ sqrt(CAST(ss AS DOUBLE)) * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
-    )
-    w_seed = Window.orderBy("h", "vec_id")
-    cent0 = heads.select(
-        (F.row_number().over(w_seed) - 1).cast("int").alias("cid"),
-        cq_seed.alias("cq"),
-        F.lit(0).cast("long").alias("n_members"),
-    ).localCheckpoint(eager=True)
-    cent = _lloyd_rounds(
-        q, cent0, KMEANS_DIST_ROUNDS, None, tag="sds",
-        assign=lambda qq, cc: _sdk_blocked_assign(qq, cc, planes),
-    )
+    q, cent, planes = _sdk_fit(corpus, tag="sds")
     cent.select("cid", "cq").write.mode("overwrite").parquet(
         os.path.join(store_dir, "centroids")
     )
     _sdk_blocked_assign(q, cent, planes).select(
-        "vec_id", "qv", "cid", ss.alias("nrm2")
+        "vec_id", "qv", "cid", F.expr(_QV_NORM2).alias("nrm2")
     ).write.mode("overwrite").parquet(os.path.join(store_dir, "standing"))
 
 
@@ -1151,11 +1105,10 @@ def semdedup_admit_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
     rows bit-for-bit; per-batch work is O(|batch| · (candidates +
     E[cluster])): batch-proportional, never corpus-proportional."""
     from mapreduce_rs_spark.operators.similarity import (
-        DRIFT_SCALE,
-        SEMDEDUP_TAU_FRAC,
         _QV_NORM2,
-        _bucket_expr,
+        _sdk_admit,
         _sdk_blocked_assign,
+        _sdk_quantize,
         hyperplanes,
         sdk_planes_for,
     )
@@ -1165,50 +1118,11 @@ def semdedup_admit_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
     standing = sess.read.parquet(os.path.join(store_dir, "standing"))
     k = cent.count()
     planes = hyperplanes(sdk_planes_for(k))
-    q = batch_df.select(
-        "vec_id",
-        F.expr(
-            "transform(CAST(embedding AS array<double>), "
-            f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
-        ).alias("qv"),
-    ).select(
-        "vec_id",
-        "qv",
-        _bucket_expr("CAST(qv AS array<double>)", planes).alias("bucket"),
-    ).localCheckpoint(eager=True)
-    ss = F.expr(_QV_NORM2)
+    q = _sdk_quantize(batch_df, planes, None, "sds_batch")
     assigned = _sdk_blocked_assign(q, cent, planes).select(
-        "vec_id", "qv", "cid", ss.alias("nrm2")
-    )
-    num, den = SEMDEDUP_TAU_FRAC
-    dot = F.expr(
-        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
-    )
-    a, b = assigned.alias("a"), standing.alias("b")
-    dropped = (
-        a.join(b, F.col("a.cid") == F.col("b.cid"))
-        .select(
-            F.col("a.vec_id").alias("vec_id"), dot.alias("dt"),
-            F.col("a.nrm2").alias("na"), F.col("b.nrm2").alias("nb"),
-        )
-        .where(
-            (F.col("na") > 0)
-            & (F.col("nb") > 0)
-            & (F.col("dt") >= 0)
-            & (
-                F.col("dt").cast("decimal(38,0)") * F.col("dt") * (den * den)
-                >= F.col("na") * F.col("nb") * (num * num)
-            )
-        )
-        .select("vec_id")
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
-    return assigned.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        "cid",
-        F.coalesce("is_dropped", F.lit(0)).cast("int").alias("is_dropped"),
-    )
+        "vec_id", "qv", "cid", F.expr(_QV_NORM2).alias("nrm2")
+    ).localCheckpoint(eager=True)
+    return _sdk_admit(assigned, standing)
 
 
 def semdedup_ingest_update(

@@ -90,6 +90,11 @@ EMB_QUERIES = (
     # a tiny-norm pair stresses the zero-norm seed filter); k derives
     # from the random N (150 -> 5 clusters, a never-shipped k)
     "semdedup_derived_k",
+    # ingest-audit: the duplicate pairs straddle the %10 split so the
+    # admission gate sees exact cos == 1 standing hits; the random
+    # standing N (120) drives the fit's k/p CASE chains through
+    # never-shipped branches
+    "semdedup_ingest_audit",
     # ingest maintenance: duplicate vectors straddle the %10 split, so
     # cosine TIES appear in the admission beam, the worst-edge bar
     # (cs > worst is an exact-equality boundary for a duplicate of a

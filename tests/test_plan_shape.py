@@ -206,6 +206,11 @@ _SCALE_GUARDS = {
     # (vec_id SMJ, 2) + the per-cid audit agg (1); measured (5, 0) at
     # sf0.001
     "semdedup_derived_k": (7, 0),
+    # ingest-audit: two blocked assignments outside materialize()
+    # (standing + ingest: winner agg + fallback anti-join each) + the
+    # dropped-ids distinct + the decisions left join + the per-cid
+    # audit agg; measured (8, 0) at sf0.001
+    "semdedup_ingest_audit": (10, 0),
     # derived-plane near-dup: per-bucket rep window (1) + the vector x
     # rep bucket join (broadcasts at gate SF — up to 2 SMJ sides at
     # scale) + the per-vec_a top-cap window (1, with the partial
