@@ -800,7 +800,15 @@ def test_jpeg_constant_blocks_roundtrip_random(w, h, data):
 def test_jpeg_arbitrary_pixels_within_one(w, h, data):
     """General images exercise the AC run-length path (nonzero ACs, ZRL,
     EOB) and the edge-block crop; with all-ones quantization the only
-    loss is coefficient rounding, bounded at +-1 per pixel."""
+    loss is coefficient rounding. The SOUND per-pixel bound is 8, not
+    the +-1 this test originally asserted: each of the 64 coefficients
+    rounds by up to 0.5, the IDCT mixes them with total absolute basis
+    weight up to (a_0 + 7·a_1)² = (sqrt(1/8) + 7·sqrt(2/8))² ~ 14.85
+    per pixel → |error| <= 0.5·14.85/2... conservatively 0.5·14.85 = 7.43,
+    plus 0.5 for the final pixel rounding → <= 8. Random images sit at
+    0-1 (pixel error std ~ 0.29 by orthonormality), but hypothesis
+    found a real 2 (the 2x2 [0,0,2,0] case below), so the tight bound
+    was empirical, not a contract."""
     from mapreduce_rs_spark.operators.multimodal import (
         decode_jpeg_gray,
         encode_jpeg_gray,
@@ -809,7 +817,23 @@ def test_jpeg_arbitrary_pixels_within_one(w, h, data):
     px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
     dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px))
     assert (dw, dh) == (w, h)
-    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 8
+
+
+def test_jpeg_rounding_regression_2x2():
+    """The hypothesis-found counterexample to the old +-1 claim, pinned:
+    a 2x2 edge-cropped block whose coefficient roundings compound to a
+    per-pixel error of exactly 2. The decode must stay deterministic
+    (same bytes in, same bytes out) and within the sound bound."""
+    from mapreduce_rs_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = bytes([0, 0, 2, 0])
+    dw, dh, out = decode_jpeg_gray(encode_jpeg_gray(2, 2, px))
+    assert (dw, dh) == (2, 2)
+    assert out == bytes([2, 0, 2, 0])  # deterministic, error exactly 2
 
 
 def test_jpeg_rejects_garbage_and_truncation():
