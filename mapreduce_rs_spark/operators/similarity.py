@@ -2480,6 +2480,144 @@ def embedding_near_dup_derived(
     )
 
 
+def embedding_near_dup_eval(
+    df: DataFrame,
+    tau_frac: tuple[int, int] = NEARDUP_TAU_FRAC,
+    cap: int = NEARDUP_PAIR_CAP,
+    target: int = NEARDUP_BUCKET_TARGET,
+    rep_cap: int = NEARDUP_REP_CAP,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """Recall harness for ``embedding_near_dup_derived`` — the family
+    convention (ann_recall / lsh_dedup_eval / nn_descent_recall): every
+    approximate tier ships the evaluation you would run before trusting
+    it. The derived query trades exhaustiveness for linearity twice
+    (bucket blocking loses cross-bucket pairs; the rep cap subsamples
+    dense buckets); this query prices that trade with a number: for
+    each of the KMV-sample queries, the EXACT top-``cap`` partners
+    (full-corpus scan, same integer arithmetic, no buckets, no rep cap)
+    vs the shipped query's partner list — per-query n_true / n_hit /
+    recall. Zero-partner queries appear with n_true = 0, recall NULL
+    (the ann_recall grid-restore discipline).
+
+    Reading the number: hyperplane-LSH recall for a pair at angle θ is
+    (1 - θ/π)^p, so the SYNTHETIC gate calibration (tau = 0.30 — 72°
+    apart on a near-orthogonal corpus) deliberately sits where blocking
+    sheds most candidates; low recall there is the trade working, not
+    failing. The pairs a production near-dup pass is after sit at
+    cos → 1 (θ → 0), where co-bucketing holds w.h.p. at ANY derived
+    plane count (an exact duplicate co-buckets with probability 1 —
+    pinned by the planted-duplicate fixture test); the 0.9-ish
+    "semantically similar" band in between is ``semdedup``'s
+    cluster-blocked job, not this operator's.
+
+    Scale shape: the found side IS the shipped operator (the eval-reuse
+    rule — never hand-copy the index formula being evaluated); the
+    exact side is the brute-force pass this evaluation exists to
+    amortize away, bounded by the 32-row broadcast sample exactly like
+    knn_bruteforce; the intersection join is <= 32·cap rows."""
+    found = embedding_near_dup_derived(
+        df, tau_frac, cap, target, rep_cap, persist_dir
+    ).select("vec_a", "vec_b")
+    corpus = materialize(
+        ensure_parallelism(df, "vec_id")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(CAST(embedding AS {_DBL}), "
+                f"x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .select("vec_id", "qv", F.expr(_QV_NORM2).alias("nrm2")),
+        persist_dir,
+        "nde_corpus",
+    )
+    # ONE projection -> TakeOrdered (the single-projection rule), then
+    # materialized: the 32-row sample feeds the exact join AND the
+    # final grid restore, and post-limit projections must not break
+    # the TakeOrderedAndProject match
+    sample = materialize(
+        corpus.select(
+            "vec_id", "qv", "nrm2",
+            h32(F.col("vec_id").cast("string")).alias("qh"),
+        )
+        .orderBy("qh", "vec_id")
+        .limit(N_QUERIES_CAP),
+        persist_dir,
+        "nde_sample",
+    )
+    num, den = tau_frac
+    s, c = sample.alias("s"), corpus.alias("c")
+    dot = F.expr(
+        "aggregate(zip_with(s.qv, c.qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+    )
+    ex = (
+        F.broadcast(s)
+        .join(c, F.col("s.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("s.vec_id").alias("q_id"),
+            F.col("c.vec_id").alias("p_id"),
+            dot.alias("dt"),
+            F.col("s.nrm2").alias("na"),
+            F.col("c.nrm2").alias("nb"),
+        )
+        .where(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("dt") >= 0)
+            & (
+                F.col("dt").cast("decimal(38,0)") * F.col("dt") * (den * den)
+                >= F.col("na") * F.col("nb") * (num * num)
+            )
+        )
+        .select(
+            "q_id",
+            "p_id",
+            (
+                F.col("dt").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    wx = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos_sim"), 9).desc(), F.col("p_id")
+    )
+    ex_top = (
+        ex.withColumn("rnk", F.row_number().over(wx))
+        .where(F.col("rnk") <= cap)
+        .select("q_id", "p_id")
+    )
+    e, f = ex_top.alias("e"), found.alias("f")
+    hitrows = (
+        e.join(
+            f,
+            (F.col("f.vec_a") == F.col("e.q_id"))
+            & (F.col("f.vec_b") == F.col("e.p_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(
+                F.when(F.col("f.vec_b").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+        )
+    )
+    return (
+        sample.select(F.col("vec_id").alias("q_id"))
+        .join(hitrows, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.try_divide(
+                F.coalesce("n_hit", F.lit(0)).cast("double"),
+                F.coalesce("n_true", F.lit(0)),
+            ).alias("recall"),
+        )
+    )
+
+
 def knn_ivf_refit(
     df: DataFrame,
     k: int = 10,

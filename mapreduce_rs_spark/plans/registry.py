@@ -1276,22 +1276,17 @@ def _sdk_ingest_sql(rounds: int = similarity.KMEANS_DIST_ROUNDS) -> str:
     return "WITH " + ",\n        ".join(parts)
 
 
-def _ndd_sql() -> str:
-    """Oracle twin of similarity.embedding_near_dup_derived: plane
-    count derived from count(v0) by the sdk_planes_for rule (integer
-    CASE chain — no float log2), the SAME conditional bucket over the
-    prefix-stable plane literals (`_sdk_bucket_sql` reads pw from kk),
-    h32-capped per-bucket reps (the posting-cap convention — candidate
-    volume <= N·rep_cap at any skew), the bucket-blocked vector x rep
-    join, integer cross-multiplied tau with the zero-norm guard, one
-    exact double division for cos_sim, and the per-vec_a top-cap
-    window ranked (round(cos,9) DESC, vec_b). Every knob
-    f-string-derived from the similarity.py constants."""
+def _ndd_ctes() -> str:
+    """The derived-plane near-dup chain as oracle CTEs (no leading
+    WITH): v0 (quantize) -> kk (plane-count CASE chain) -> v (bucket +
+    norm) -> reps (h32-capped per-bucket posting list) -> hits
+    (thresholded scored pairs). Shared by `_ndd_sql` (the query) and
+    `_ndd_eval_sql` (its recall harness) — the eval-reuse rule: an
+    evaluator never hand-copies the index formula it evaluates."""
     scale = float(similarity.DRIFT_SCALE)
     bt = similarity.NEARDUP_BUCKET_TARGET
     pmax = similarity.SDK_PLANE_MAX
     num, den = similarity.NEARDUP_TAU_FRAC
-    cap = similarity.NEARDUP_PAIR_CAP
     rep_cap = similarity.NEARDUP_REP_CAP
     norm2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
     # pw = 2^p, p = smallest with 2^p * target >= n (clamped to
@@ -1299,8 +1294,7 @@ def _ndd_sql() -> str:
     pw_cases = "\n                        ".join(
         f"WHEN n <= {bt * (1 << p)} THEN {1 << p}" for p in range(1, pmax)
     )
-    return f"""
-        WITH v0 AS MATERIALIZED (
+    return f"""v0 AS MATERIALIZED (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
             FROM embeddings
@@ -1331,7 +1325,23 @@ def _ndd_sql() -> str:
             ) p
             WHERE na > 0 AND nb > 0
               AND dt >= 0 AND dt * dt * {den * den} >= na * nb * {num * num}
-        )
+        )"""
+
+
+def _ndd_sql() -> str:
+    """Oracle twin of similarity.embedding_near_dup_derived: plane
+    count derived from count(v0) by the sdk_planes_for rule (integer
+    CASE chain — no float log2), the SAME conditional bucket over the
+    prefix-stable plane literals (`_sdk_bucket_sql` reads pw from kk),
+    h32-capped per-bucket reps (the posting-cap convention — candidate
+    volume <= N·rep_cap at any skew), the bucket-blocked vector x rep
+    join, integer cross-multiplied tau with the zero-norm guard, one
+    exact double division for cos_sim, and the per-vec_a top-cap
+    window ranked (round(cos,9) DESC, vec_b). Every knob
+    f-string-derived from the similarity.py constants."""
+    cap = similarity.NEARDUP_PAIR_CAP
+    return f"""
+        WITH {_ndd_ctes()}
         SELECT vec_a, vec_b, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
             SELECT vec_a, vec_b, cos_sim,
                    row_number() OVER (PARTITION BY vec_a
@@ -1339,6 +1349,68 @@ def _ndd_sql() -> str:
             FROM hits) r
         WHERE rnk <= {cap}
         ORDER BY vec_a, rnk
+        """
+
+
+def _ndd_eval_sql() -> str:
+    """Oracle twin of similarity.embedding_near_dup_eval — the capped
+    contract's recall harness: `found` re-derives the SHIPPED query's
+    partner lists from the SAME `_ndd_ctes` chain (eval-reuse rule),
+    the exact side scores the KMV query sample against the FULL corpus
+    with the same integer arithmetic (no buckets, no rep cap) and
+    keeps the exact top-cap partners per query, and each query's hit
+    count is |found ∩ exact|. The sample is `_qids_cte` over v0 — the
+    knn family's sample definition, so it cannot drift."""
+    num, den = similarity.NEARDUP_TAU_FRAC
+    cap = similarity.NEARDUP_PAIR_CAP
+    return f"""
+        WITH {_ndd_ctes()}, found AS MATERIALIZED (
+            SELECT vec_a, vec_b FROM (
+                SELECT vec_a, vec_b,
+                       row_number() OVER (PARTITION BY vec_a
+                           ORDER BY round(cos_sim, 9) DESC, vec_b) AS rnk
+                FROM hits) r
+            WHERE rnk <= {cap}
+        ), {_qids_cte(src="v0")}, sq AS MATERIALIZED (
+            -- the 32-row sample side, materialized BEFORE the <> join:
+            -- without it DuckDB plans the inequality join as a full
+            -- N x N nested loop and filters after (measured: sf1.0
+            -- replay DNF >9 min; 32 x N after = seconds)
+            SELECT vec_id, qv, nrm2 FROM v
+            WHERE vec_id IN (SELECT q_id FROM qids)
+        ), ex AS (
+            SELECT q_id, p_id, cos_sim FROM (
+                SELECT s.vec_id AS q_id, c.vec_id AS p_id,
+                       CAST(list_dot_product(CAST(s.qv AS DOUBLE[]),
+                            CAST(c.qv AS DOUBLE[])) AS HUGEINT) AS dt,
+                       s.nrm2 AS na, c.nrm2 AS nb,
+                       CAST(CAST(list_dot_product(CAST(s.qv AS DOUBLE[]),
+                            CAST(c.qv AS DOUBLE[])) AS HUGEINT) AS DOUBLE)
+                           / sqrt(CAST(s.nrm2 * c.nrm2 AS DOUBLE)) AS cos_sim
+                FROM sq s JOIN v c ON s.vec_id <> c.vec_id
+            ) p
+            WHERE na > 0 AND nb > 0
+              AND dt >= 0 AND dt * dt * {den * den} >= na * nb * {num * num}
+        ), ex_top AS (
+            SELECT q_id, p_id FROM (
+                SELECT q_id, p_id,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY round(cos_sim, 9) DESC, p_id) AS rnk
+                FROM ex) r WHERE rnk <= {cap}
+        ), hitrows AS (
+            SELECT e.q_id, count(*) AS n_true,
+                   sum(CASE WHEN f.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+            FROM ex_top e LEFT JOIN found f
+              ON f.vec_a = e.q_id AND f.vec_b = e.p_id
+            GROUP BY e.q_id
+        )
+        SELECT q.q_id,
+               CAST(coalesce(h.n_true, 0) AS BIGINT) AS n_true,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                   / NULLIF(coalesce(h.n_true, 0), 0) AS recall
+        FROM qids q LEFT JOIN hitrows h ON h.q_id = q.q_id
+        ORDER BY q.q_id
         """
 
 
@@ -3477,6 +3549,17 @@ QUERIES: dict[str, QuerySpec] = {
         "that retires the fixed-k quadratic ceiling semdedup measured "
         "at sf3.0 (8.5x -> 2.1x wall on 3x data); tau threshold as an "
         "integer cross-multiply on exact BIGINT dots",
+    ),
+    "embedding_near_dup_eval": QuerySpec(
+        _emb(similarity.embedding_near_dup_eval),
+        _ndd_eval_sql(),
+        "the capped near-dup contract's recall harness (the ann_recall "
+        "convention — every approximate tier ships its eval): for each "
+        "KMV-sample query, exact top-cap partners (full-corpus scan, "
+        "same integer arithmetic, no buckets/rep cap) vs the shipped "
+        "query's partner list; per-query n_true/n_hit/recall with the "
+        "zero-partner grid restore; found side re-derived from the "
+        "SAME _ndd_ctes chain (eval-reuse rule)",
     ),
     "semdedup_ingest_audit": QuerySpec(
         _emb(similarity.semdedup_ingest_audit),
@@ -7742,6 +7825,7 @@ _PRESENT_SORT: dict[str, tuple[str, ...]] = {
     "kmeans_refit_eval": ("centroid_id",),
     "semdedup_derived_k": ("centroid_id",),
     "semdedup_ingest_audit": ("centroid_id",),
+    "embedding_near_dup_eval": ("q_id",),
     "knn_ivf_refit": ("q_id", "rnk"),
     "knn_graph_ingest": ("batch_id",),
     "kmv_quantile_sketch": ("event_type", "q_bp"),
@@ -7799,6 +7883,11 @@ _CHECK_FIRST: tuple[str, ...] = (
     #                            derived-k fit + ingest admission gate
     #                            (displaces one r07 fill slot —
     #                            event_paths moves to the r12 note)
+    "embedding_near_dup_eval",  # the capped near-dup contract's recall
+    #                            harness — exact top-cap partners vs
+    #                            the shipped query's lists over the KMV
+    #                            sample (displaces duplicate_spans to
+    #                            the r12 note)
     # (1b) MODIFIED in round 11 — external re-check required: the drop
     # predicate gained the zero-norm guard (na > 0 AND nb > 0, both
     # engines) so the derived-k variant matches base semdedup's
@@ -7859,8 +7948,8 @@ _CHECK_FIRST: tuple[str, ...] = (
     "curation_yield_signals",
     "dedup_exact",
     "dsir_importance_weights",
-    "duplicate_spans",
-    # (displacement note for r12: the remaining 35 r07-stale queries —
+    # (displacement note for r12: the remaining 36 r07-stale queries —
+    # duplicate_spans (displaced by embedding_near_dup_eval),
     # event_paths (displaced by semdedup_ingest_audit),
     # feature_hashing_stats, gapfill_hourly, having_active_customers,
     # hourly_percentile_bands, join_revenue_by_nation,
@@ -7873,7 +7962,7 @@ _CHECK_FIRST: tuple[str, ...] = (
     # rdd_wordcount, repetition_signals, skipgram_pmi, sliding_window,
     # stats_battery, stratified_sample_summary, unpivot_status_totals,
     # user_activity_stats, value_histogram, wordcount_mapreduce_udf —
-    # rotate these 35 next, then begin the r08 tranche with the
+    # rotate these 36 next, then begin the r08 tranche with the
     # remaining slots; after the r12 window no query's newest row is
     # older than round 8.)
 )

@@ -52,6 +52,9 @@ EMB_QUERIES = (
     # boundary (vec_b tie-break must cut identically), and tiny-norm
     # vectors exercise the integer cross-multiply near dt ~ 0
     "embedding_near_dup_derived",
+    # its recall harness: the planted duplicates give exact-top ties
+    # AND guaranteed co-bucket hits; random N drives the plane chain
+    "embedding_near_dup_eval",
     "semdedup",
     "ann_recall",
     "ann_ranking_metrics",
@@ -223,3 +226,10 @@ def test_zero_norm_vectors_are_kept_not_dropped(spark, zero_norm_dir, name):
         # no pair row may involve a zero-norm vector (cosine undefined)
         assert not spdf["vec_a"].isin([5, 6]).any()
         assert not spdf["vec_b"].isin([5, 6]).any()
+        # the cos -> 1 guarantee: an exact duplicate co-buckets with
+        # probability 1 at ANY plane count, and with pop <= rep_cap
+        # every vector is a rep, so the planted pair (11, 21)
+        # (vecs[10] == vecs[20], 1-based ids) must appear in BOTH
+        # directions of the directed partner contract
+        pairs = set(zip(spdf["vec_a"], spdf["vec_b"]))
+        assert (11, 21) in pairs and (21, 11) in pairs

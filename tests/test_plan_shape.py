@@ -211,6 +211,11 @@ _SCALE_GUARDS = {
     # dropped-ids distinct + the decisions left join + the per-cid
     # audit agg; measured (8, 0) at sf0.001
     "semdedup_ingest_audit": (10, 0),
+    # its recall harness: the shipped query's exchanges + the exact
+    # side's per-q_id window + hit agg + grid-restore join (the exact
+    # pair scan itself is the bounded 32-row broadcast nested loop —
+    # the knn_bruteforce shape); measured (7, 0) at sf0.001
+    "embedding_near_dup_eval": (9, 0),
     # derived-plane near-dup: per-bucket rep window (1) + the vector x
     # rep bucket join (broadcasts at gate SF — up to 2 SMJ sides at
     # scale) + the per-vec_a top-cap window (1, with the partial
