@@ -1123,6 +1123,43 @@ _SDK_MASKS = (
 _SDK_NORM2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
 
 
+def _sdk_kk_select() -> str:
+    """The derived-k model-knob derivation as one SELECT over a CTE
+    named v0: k = ivf_k_for(count(*)) (clamped ceil) and pw = 2^p with
+    p = sdk_planes_for(k) — both as integer CASE chains, no float
+    log2. Exposed separately so the boundary-sweep test can evaluate
+    the SAME string DuckDB runs against the Python rules value-by-
+    value across every clamp edge (tests/test_graph.py)."""
+    target = similarity.IVF_TARGET_CLUSTER
+    bt = similarity.SDK_BUCKET_TARGET
+    pmax = similarity.SDK_PLANE_MAX
+    pw_cases = "\n                        ".join(
+        f"WHEN k <= {bt * (1 << p)} THEN {1 << p}"
+        for p in range(1, pmax)
+    )
+    return f"""SELECT k, CASE {pw_cases}
+                        ELSE {1 << pmax} END AS pw
+            FROM (
+                SELECT greatest(4, least({1 << 17}, (count(*) + {target - 1}) // {target})) AS k
+                FROM v0
+            )"""
+
+
+def _ndd_kk_select() -> str:
+    """The derived-plane near-dup knob: pw = 2^p with p =
+    sdk_planes_for(count(*), NEARDUP_BUCKET_TARGET) — the plane-count
+    CASE chain applied to N directly. Exposed for the boundary-sweep
+    test like `_sdk_kk_select`."""
+    bt = similarity.NEARDUP_BUCKET_TARGET
+    pmax = similarity.SDK_PLANE_MAX
+    pw_cases = "\n                        ".join(
+        f"WHEN n <= {bt * (1 << p)} THEN {1 << p}" for p in range(1, pmax)
+    )
+    return f"""SELECT CASE {pw_cases}
+                        ELSE {1 << pmax} END AS pw
+            FROM (SELECT count(*) AS n FROM v0)"""
+
+
 def _sdk_fit_parts(
     rounds: int = similarity.KMEANS_DIST_ROUNDS, corpus_where: str = ""
 ) -> tuple[list[str], str]:
@@ -1137,26 +1174,13 @@ def _sdk_fit_parts(
     diverge); the init is data-seeded (k h32-smallest vec_ids,
     renormalized with the round-update arithmetic)."""
     scale = float(similarity.DRIFT_SCALE)
-    target = similarity.IVF_TARGET_CLUSTER
-    bt = similarity.SDK_BUCKET_TARGET
-    pmax = similarity.SDK_PLANE_MAX
-    # pw = 2^p, p = smallest with 2^p * SDK_BUCKET_TARGET >= k (clamped)
-    pw_cases = "\n                        ".join(
-        f"WHEN k <= {bt * (1 << p)} THEN {1 << p}"
-        for p in range(1, pmax)
-    )
     parts = [
         f"""v0 AS MATERIALIZED (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
             FROM embeddings{corpus_where}
         ), kk AS MATERIALIZED (
-            SELECT k, CASE {pw_cases}
-                        ELSE {1 << pmax} END AS pw
-            FROM (
-                SELECT greatest(4, least({1 << 17}, (count(*) + {target - 1}) // {target})) AS k
-                FROM v0
-            )
+            {_sdk_kk_select()}
         ), v AS MATERIALIZED (
             SELECT vec_id, qv, {_sdk_bucket_sql('CAST(qv AS DOUBLE[])')} AS bucket
             FROM v0 CROSS JOIN kk
@@ -1284,24 +1308,15 @@ def _ndd_ctes() -> str:
     `_ndd_eval_sql` (its recall harness) — the eval-reuse rule: an
     evaluator never hand-copies the index formula it evaluates."""
     scale = float(similarity.DRIFT_SCALE)
-    bt = similarity.NEARDUP_BUCKET_TARGET
-    pmax = similarity.SDK_PLANE_MAX
     num, den = similarity.NEARDUP_TAU_FRAC
     rep_cap = similarity.NEARDUP_REP_CAP
     norm2 = "list_sum(list_transform(qv, x -> CAST(x AS HUGEINT) * x))"
-    # pw = 2^p, p = smallest with 2^p * target >= n (clamped to
-    # [1, SDK_PLANE_MAX]) — the sdk_planes_for rule applied to N
-    pw_cases = "\n                        ".join(
-        f"WHEN n <= {bt * (1 << p)} THEN {1 << p}" for p in range(1, pmax)
-    )
     return f"""v0 AS MATERIALIZED (
             SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(round(x * {scale!r}, 0) AS BIGINT)) AS qv
             FROM embeddings
         ), kk AS MATERIALIZED (
-            SELECT CASE {pw_cases}
-                        ELSE {1 << pmax} END AS pw
-            FROM (SELECT count(*) AS n FROM v0)
+            {_ndd_kk_select()}
         ), v AS MATERIALIZED (
             SELECT vec_id, qv,
                    {_sdk_bucket_sql('CAST(qv AS DOUBLE[])')} AS bucket,

@@ -647,3 +647,50 @@ def test_sdk_blocked_assign_fallback_branch(spark):
     got = _sdk_blocked_assign(q, cent, planes).orderBy("vec_id").collect()
     assert [r.vec_id for r in got] == [1, 2, 3]
     assert all(r.cid == 0 for r in got)  # single centroid: everyone lands on it
+
+
+def test_oracle_knob_chains_match_python_rules_at_every_boundary():
+    """r11: the static-oracle trick's one divergence surface is the
+    FORMULA shape of the knob CASE chains (the constants are f-string
+    shared). Evaluate the EXACT SQL the oracles embed
+    (registry._sdk_kk_select / _ndd_kk_select) in DuckDB over corpora
+    of boundary sizes — every clamp edge and stair step — and pin it
+    to the Python rules (ivf_k_for / sdk_planes_for) value-by-value.
+    A future edit to either side's clamp or ceil that misses its twin
+    fails here, not at an sf nobody gated."""
+    import duckdb
+
+    from mapreduce_rs_spark.operators.similarity import (
+        IVF_TARGET_CLUSTER,
+        NEARDUP_BUCKET_TARGET,
+        ivf_k_for,
+        sdk_planes_for,
+    )
+    from mapreduce_rs_spark.plans.registry import (
+        _ndd_kk_select,
+        _sdk_kk_select,
+    )
+
+    # clamp edges + stair boundaries for both chains, +-1 around each
+    edges = {1, 2, 3, 4, 5}
+    for base in (IVF_TARGET_CLUSTER, NEARDUP_BUCKET_TARGET):
+        for p in range(0, 17):
+            for d in (-1, 0, 1):
+                n = base * (1 << p) + d
+                if n >= 1:
+                    edges.add(n)
+    # the ivf_k_for lo/hi clamps: k=4 floor (n <= 128) and k=2^17
+    # ceiling (n >= 32 * 2^17)
+    edges |= {127, 128, 129, 32 * (1 << 17) - 1, 32 * (1 << 17), 32 * (1 << 17) + 33}
+    con = duckdb.connect()
+    for n in sorted(edges):
+        con.execute(f"CREATE OR REPLACE VIEW v0 AS SELECT * FROM range({n})")
+        k_sql, pw_sql = con.execute(_sdk_kk_select()).fetchone()
+        k_py = ivf_k_for(n, IVF_TARGET_CLUSTER)
+        assert k_sql == k_py, (n, k_sql, k_py)
+        assert pw_sql == 1 << sdk_planes_for(k_py), (n, pw_sql)
+        (npw_sql,) = con.execute(_ndd_kk_select()).fetchone()
+        assert npw_sql == 1 << sdk_planes_for(n, NEARDUP_BUCKET_TARGET), (
+            n,
+            npw_sql,
+        )
