@@ -640,6 +640,44 @@ def embedding_near_dup(
     )
 
 
+# The legacy fixed-plane query's REGISTRY contract cap (r11 verdict #1):
+# the fixed 6-plane bucket model keeps an ~N²/64 PAIR stream, which is
+# fine as an intermediate but unbounded as an OUTPUT contract — at
+# sf3.0 the uncapped form emitted 51 M rows and killed the verification
+# harness's driver-side collect (the registry's last scale-killer
+# output shape; its production successor is embedding_near_dup_derived).
+# The demoted contract keeps the operator — same buckets, same join,
+# same exact cosine chain — but bounds the OUTPUT to the top-cap pairs
+# by (cos_sim DESC, vec_a, vec_b): a deterministic total order both
+# engines share, compiled by Spark to TakeOrderedAndProject (per-
+# partition top-k + driver merge of cap rows — never a global sort,
+# never an unbounded collect).
+NEARDUP_LEGACY_CAP = 1000
+
+
+def embedding_near_dup_capped(
+    df: DataFrame,
+    threshold: float = 0.97,
+    cap: int = NEARDUP_LEGACY_CAP,
+    planes: list[list[float]] | None = None,
+    persist_dir: str | None = None,
+) -> DataFrame:
+    """``embedding_near_dup`` demoted to a bounded contract: the
+    fixed-plane pair stream capped to the global top-``cap`` pairs by
+    (cos_sim DESC, vec_a, vec_b). Output is <= ``cap`` rows at ANY
+    scale, so the whole-registry verification sweep can collect it at
+    every SF; the full-stream form stays available for callers that
+    consume the pairs distributively (a dedup sink writes them, never
+    collects them). The production-shaped near-dup pass — derived
+    plane count, per-bucket rep cap, per-vector partner cap — is
+    ``embedding_near_dup_derived``; this entry exists for the fixed-
+    plane model's continuity evidence."""
+    pairs = embedding_near_dup(df, threshold, planes, persist_dir)
+    return pairs.orderBy(
+        F.col("cos_sim").desc(), "vec_a", "vec_b"
+    ).limit(cap)
+
+
 SEMDEDUP_TAU = 0.40
 
 

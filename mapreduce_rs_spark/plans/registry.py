@@ -3777,19 +3777,31 @@ QUERIES: dict[str, QuerySpec] = {
         """,
     ),
     "embedding_near_dup": QuerySpec(
-        _emb(lambda df: similarity.embedding_near_dup(df, 0.30)),
+        _emb(lambda df: similarity.embedding_near_dup_capped(df, 0.30)),
         f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                    {_bucket_sql('CAST(embedding AS DOUBLE[])', _PLANES)} AS bucket
             FROM embeddings
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {_cosine_sql('a.emb', 'b.emb')} AS cos_sim
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {_cosine_sql('a.emb', 'b.emb')} >= 0.30
-        ORDER BY vec_a, vec_b
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cosine_sql('a.emb', 'b.emb')} AS cos_sim
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.emb', 'b.emb')} >= 0.30
+        ) pairs
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT {similarity.NEARDUP_LEGACY_CAP}
         """,
+        "legacy fixed-plane near-dup DEMOTED to a bounded contract "
+        "(r11 verdict #1): same buckets, same equi-join, same exact "
+        "cosine chain, but the output is the top-cap pairs by "
+        "(cos_sim DESC, vec_a, vec_b) — <= 1000 rows at ANY scale "
+        "(TakeOrderedAndProject / DuckDB top-N), retiring the "
+        "registry's last unbounded ~N^2/64 output shape (51 M rows "
+        "at sf3.0). At sf<=0.01 the cap never binds, so the green "
+        "r11 values carry over unchanged; the production-shaped pass "
+        "is embedding_near_dup_derived",
     ),
     "embedding_near_dup_derived": QuerySpec(
         _emb(similarity.embedding_near_dup_derived),
@@ -7882,104 +7894,89 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-11 window (50 slots). Built per the r10 verdict:
+    # ---- round-12 window (50 slots). Built per the r11 verdict:
     #
-    # (1) NEW in round 11 — never externally checked:
-    "embedding_near_dup_derived",  # the r10 weak grade retired:
-    #                            derived plane count (E[bucket] <= 32
-    #                            at any N) + per-bucket rep cap
-    #                            (candidates <= 32N at any skew) +
-    #                            capped per-vector partner contract
-    #                            (output <= 4N rows) — the
-    #                            production-shaped near-dup pair pass
-    #                            (r10 verdict #1)
-    "semdedup_ingest_audit",   # the streaming semdedup ingest twin's
-    #                            batch core oracled: standing-split
-    #                            derived-k fit + ingest admission gate
-    #                            (displaces one r07 fill slot —
-    #                            event_paths moves to the r12 note)
-    "embedding_near_dup_eval",  # the capped near-dup contract's recall
-    #                            harness — exact top-cap partners vs
-    #                            the shipped query's lists over the KMV
-    #                            sample (displaces duplicate_spans to
-    #                            the r12 note)
-    # (1b) MODIFIED in round 11 — external re-check required: the drop
-    # predicate gained the zero-norm guard (na > 0 AND nb > 0, both
-    # engines) so the derived-k variant matches base semdedup's
-    # NULL-cosine keep semantics (r10 ADVICE #1); values identical on
-    # the shipped corpora, code changed:
-    "semdedup_derived_k",
-    #
-    # (2) THE promised rotation (r10 verdict #2): all 34 queries whose
-    # newest driver row is round 6 — after this window lands, no
-    # registry query's newest external row is older than round 7:
-    "disjunctive_filter_revenue",
-    "doc_stats",
+    # (1) MODIFIED in round 12 — external re-check required: the
+    # legacy fixed-plane near-dup's registry contract was DEMOTED to
+    # the bounded top-cap form (cos_sim DESC, vec_a, vec_b LIMIT
+    # 1000 — r11 verdict #1, retiring the registry's last unbounded
+    # ~N^2/64 output shape). At the driver's sf0.01 the cap never
+    # binds, so values must land identical to the green r11 row:
     "embedding_near_dup",
-    "equi_depth_histogram",
-    "filter_project",
-    "funnel_conversion",
-    "fuzzy_nation_pairs",
-    "grouping_sets_returns",
-    "hll_rollup_merge",
-    "jaccard_pairs",
-    "join_anti_customers_without_orders",
-    "join_left_order_counts",
-    "join_semi_recent_customers",
-    "json_props_agg",
-    "kmv_distinct_users",
-    "knn_ivf",
-    "language_id",
-    "min_cost_part_supplier",
-    "nations_in_region",
-    "percentiles_by_priority",
-    "quality_score",
-    "rollup_returns",
-    "scalar_functions_showcase",
-    "set_ops_multiset",
-    "set_ops_segments",
-    "simhash_near_pairs",
-    "token_count",
-    "top_terms_per_lang",
-    "topk_expensive_orders",
-    "vocab_coverage",
-    "window_functions_battery",
-    "window_price_delta",
-    "winnow_fingerprints",
-    "wordcount_topk",
     #
-    # (3) evidence refresh — the alphabetical head of the r07 tranche
-    # (48 queries whose newest driver row is round 7). 14 slots fill
-    # the window at exactly 50:
-    "bigram_pmi",
-    "bigram_surprisal_scores",
-    "bigrams",
-    "boilerplate_ngrams",
-    "cdc_chunk_dedup",
-    "chunk_documents",
-    "copurchase_pairs",
-    "cube_status_priority",
-    "curation_yield",
-    "curation_yield_signals",
-    "dedup_exact",
-    "dsir_importance_weights",
-    # (displacement note for r12: the remaining 36 r07-stale queries —
-    # duplicate_spans (displaced by embedding_near_dup_eval),
-    # event_paths (displaced by semdedup_ingest_audit),
-    # feature_hashing_stats, gapfill_hourly, having_active_customers,
-    # hourly_percentile_bands, join_revenue_by_nation,
-    # kmv_quantile_rollup_merge, knn_bruteforce, knn_ivf_multiprobe,
-    # knn_lsh, knn_pq, lsh_buckets, lsh_dedup_eval, minhash_lsh_pairs,
-    # minhash_signatures, mixture_sample, mixture_weights,
-    # multi_resolution_rollup, null_handling_showcase,
-    # out_of_order_stats, pack_sequences, pivot_status_by_priority,
-    # priority_line_counts, promo_revenue_ratio, range_window_revenue,
-    # rdd_wordcount, repetition_signals, skipgram_pmi, sliding_window,
-    # stats_battery, stratified_sample_summary, unpivot_status_totals,
-    # user_activity_stats, value_histogram, wordcount_mapreduce_udf —
-    # rotate these 36 next, then begin the r08 tranche with the
-    # remaining slots; after the r12 window no query's newest row is
-    # older than round 8.)
+    # (2) THE promised rotation (r11 verdict #2): all 36 queries
+    # whose newest driver row is round 7 — the displacement note's
+    # exact list. After this window lands, no registry query's
+    # newest external row is older than round 8:
+    "duplicate_spans",
+    "event_paths",
+    "feature_hashing_stats",
+    "gapfill_hourly",
+    "having_active_customers",
+    "hourly_percentile_bands",
+    "join_revenue_by_nation",
+    "kmv_quantile_rollup_merge",
+    "knn_bruteforce",
+    "knn_ivf_multiprobe",
+    "knn_lsh",
+    "knn_pq",
+    "lsh_buckets",
+    "lsh_dedup_eval",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "mixture_sample",
+    "mixture_weights",
+    "multi_resolution_rollup",
+    "null_handling_showcase",
+    "out_of_order_stats",
+    "pack_sequences",
+    "pivot_status_by_priority",
+    "priority_line_counts",
+    "promo_revenue_ratio",
+    "range_window_revenue",
+    "rdd_wordcount",
+    "repetition_signals",
+    "skipgram_pmi",
+    "sliding_window",
+    "stats_battery",
+    "stratified_sample_summary",
+    "unpivot_status_totals",
+    "user_activity_stats",
+    "value_histogram",
+    "wordcount_mapreduce_udf",
+    #
+    # (3) evidence refresh — the alphabetical head of the r08
+    # tranche (45 queries whose newest driver row is round 8).
+    # 13 slots fill the window at exactly 50:
+    "ab_test_conversion",
+    "ann_rank_fusion",
+    "ann_recall",
+    "asof_customer_maturity",
+    "benford_digit_audit",
+    "bloom_prefilter_stats",
+    "bm25_scores",
+    "burst_hours",
+    "compaction_plan",
+    "corpus_profile",
+    "decontaminate",
+    "dp_noisy_counts",
+    "embedding_outliers",
+    # (displacement note for r13: the remaining 32 r08-stale
+    # queries —
+    # entity_match_customers, erasure_plan, ewma_value, hll_distinct_users,
+    # incremental_ingest_neardup, join_size_estimate,
+    # lsh_scurve_calibration, nn_descent_knn_graph, nn_descent_recall,
+    # ohlc_bars, pagerank_trade_flows, pq_code_histogram,
+    # q1_pricing_summary, q3_shipping_priority, range_join_price_bands,
+    # referential_audit, semantic_decontaminate, semdedup, sessionize,
+    # simhash_signatures, skyline_parts, source_extraction, term_drift,
+    # tfidf_top_terms, time_weighted_value, tumbling_window,
+    # value_anomalies, window_running_revenue,
+    # window_top_orders_per_customer, wordcount, wordcount_salted,
+    # zorder_locality —
+    # rotate these 32 next, then begin the r09 tranche with the
+    # remaining slots; after the r13 window no query's newest row
+    # is older than round 9.)
 )
 
 QUERIES = {

@@ -216,6 +216,12 @@ _SCALE_GUARDS = {
     # pair scan itself is the bounded 32-row broadcast nested loop —
     # the knn_bruteforce shape); measured (7, 0) at sf0.001
     "embedding_near_dup_eval": (9, 0),
+    # legacy fixed-plane near-dup, demoted contract (r11 verdict #1):
+    # bucket self-join over ONE checkpointed frame (broadcasts at gate
+    # SF; cap leaves AQE room for both SMJ sides at scale) + the
+    # top-cap TakeOrderedAndProject (asserted below — never a global
+    # sort, never an unbounded output); measured (0, 0) at sf0.001
+    "embedding_near_dup": (2, 0),
     # derived-plane near-dup: per-bucket rep window (1) + the vector x
     # rep bucket join (broadcasts at gate SF — up to 2 SMJ sides at
     # scale) + the per-vec_a top-cap window (1, with the partial
@@ -720,6 +726,20 @@ def test_kmv_query_sample_is_take_ordered(spark, sf_dir, name):
 
     plan = _plan(QUERIES[name].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_legacy_near_dup_demoted_contract_is_take_ordered(spark, sf_dir):
+    """r11 verdict #1: the legacy fixed-plane near-dup's registry
+    contract is the top-cap pair list — the plan must bound the output
+    with TakeOrderedAndProject (per-partition cap-row heaps, driver
+    merge of <= cap rows at ANY corpus size), never a global range
+    sort over the ~N^2/64 pair stream (the shape that emitted 51 M
+    rows at sf3.0 and killed the verification collect)."""
+    from mapreduce_rs_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["embedding_near_dup"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=1000" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
 
 
