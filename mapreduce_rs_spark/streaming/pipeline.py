@@ -968,6 +968,26 @@ def decon_gate_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
     )
 
 
+def _one_row_per_vec(batch_df: DataFrame) -> DataFrame:
+    """One decision row per vec_id per micro-batch (r11 ADVICE #2): if
+    upstream delivers the SAME vec_id in more than one file within a
+    single micro-batch, the per-vector gates would otherwise score the
+    vector once PER COPY — ``decon_gate_batch``'s per-vec_id aggregate
+    double-counts its hits, and the src_file join-back duplicates the
+    decision row — so the drained report diverges from the batch
+    operator, which sees each vec_id once. Keep the deterministic
+    first copy: min (src_file, embedding) per vec_id (arrays order
+    lexicographically, so even a same-file duplicate with differing
+    payloads picks one copy reproducibly). Cross-EPOCH re-delivery is
+    the reader's latest-wins-per-src_file job, not this one."""
+    w = Window.partitionBy("vec_id").orderBy("src_file", "embedding")
+    return (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def decon_state_update(
     batch_df: DataFrame, store_dir: str, state_dir: str, epoch_id: int
 ) -> None:
@@ -990,6 +1010,7 @@ def decon_state_update(
             batch_df = batch_df.withColumn(
                 "src_file", F.lit(f"<direct-batch-epoch-{epoch_id}>")
             )
+    batch_df = _one_row_per_vec(batch_df)
     flagged = decon_gate_batch(
         batch_df.select("vec_id", "embedding"), store_dir
     ).join(
@@ -1095,28 +1116,40 @@ def build_semdedup_store(
 def semdedup_admit_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
     """Admission-gate one ingested-vector batch against the persisted
     derived-k model: quantize, bucket with the STORE-DERIVED plane
-    count (p = sdk_planes_for(|centroids|) — no extra metadata, the
-    model IS the plane count), blocked-assign to the stored centroids,
-    and drop any vector with a STANDING same-cluster member at
-    cos >= tau (integer cross-multiply, zero-norm guard — base
-    semdedup's NULL-cosine keep semantics). Returns
-    (vec_id, cid, is_dropped). Decisions read only the vector + the
-    persisted state, so any micro-batching yields the one-shot gate's
-    rows bit-for-bit; per-batch work is O(|batch| · (candidates +
-    E[cluster])): batch-proportional, never corpus-proportional."""
+    count, blocked-assign to the stored centroids, and drop any vector
+    with a STANDING same-cluster member at cos >= tau (integer
+    cross-multiply, zero-norm guard — base semdedup's NULL-cosine keep
+    semantics). Returns (vec_id, cid, is_dropped). Decisions read only
+    the vector + the persisted state, so any micro-batching yields the
+    one-shot gate's rows bit-for-bit; per-batch work is O(|batch| ·
+    (candidates + E[cluster])): batch-proportional, never
+    corpus-proportional.
+
+    The plane count re-derives through the FIT's own chain —
+    p = sdk_planes_for(ivf_k_for(|standing|)) — with |standing| read
+    from the persisted assignment table, which ``_sdk_fit`` built over
+    exactly the corpus whose count sized k (one row per standing
+    vector, zero-norm rows included). Deriving from the CENTROID row
+    count instead (the pre-r12 form) silently diverges on degenerate
+    corpora: the fit's data-seeded init filters zero-norm seeds, so a
+    corpus with fewer nonzero-norm vectors than k yields fewer than k
+    centroid rows, and the reconstructed bucket space would no longer
+    match the model's (r11 ADVICE #1; pinned by the degenerate-corpus
+    parity test)."""
     from mapreduce_rs_spark.operators.similarity import (
         _QV_NORM2,
         _sdk_admit,
         _sdk_blocked_assign,
         _sdk_quantize,
         hyperplanes,
+        ivf_k_for,
         sdk_planes_for,
     )
 
     sess = batch_df.sparkSession
     cent = sess.read.parquet(os.path.join(store_dir, "centroids"))
     standing = sess.read.parquet(os.path.join(store_dir, "standing"))
-    k = cent.count()
+    k = ivf_k_for(standing.count())
     planes = hyperplanes(sdk_planes_for(k))
     q = _sdk_quantize(batch_df, planes, None, "sds_batch")
     assigned = _sdk_blocked_assign(q, cent, planes).select(
@@ -1145,6 +1178,7 @@ def semdedup_ingest_update(
             batch_df = batch_df.withColumn(
                 "src_file", F.lit(f"<direct-batch-epoch-{epoch_id}>")
             )
+    batch_df = _one_row_per_vec(batch_df)
     semdedup_admit_batch(
         batch_df.select("vec_id", "embedding"), store_dir
     ).join(batch_df.select("vec_id", "src_file"), "vec_id").write.mode(

@@ -964,3 +964,144 @@ def test_streaming_semdedup_ingest_matches_oneshot_gate(spark, sf_dir, tmp_path)
     assert frame_hash(streaming_semdedup_ingest_report(spark, state)) == frame_hash(
         batch_audit
     )
+
+
+def _audit_rollup(decisions):
+    """Roll (vec_id, cid, is_dropped) decisions to the per-cluster
+    ingest-audit shape the semdedup reports emit."""
+    return (
+        decisions.groupBy(F.col("cid").cast("int").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ingested"),
+            F.sum("is_dropped").cast("long").alias("n_dropped"),
+        )
+        .select(
+            "centroid_id",
+            "n_ingested",
+            "n_dropped",
+            (F.col("n_ingested") - F.col("n_dropped")).alias("n_admitted"),
+            F.try_divide(
+                F.col("n_dropped").cast("double"), F.col("n_ingested")
+            ).alias("drop_ratio"),
+        )
+    )
+
+
+def test_semdedup_admit_batch_degenerate_corpus_matches_oneshot(spark, tmp_path):
+    """r11 ADVICE #1: the admission gate must re-derive the plane count
+    through the FIT's own chain (sdk_planes_for(ivf_k_for(|standing|))),
+    never from the centroid ROW count — the fit's data-seeded init
+    filters zero-norm seeds, so a standing corpus with fewer
+    nonzero-norm vectors than k persists fewer than k centroid rows,
+    and a row-count-derived bucket space silently diverges from the
+    model's. This corpus makes those two derivations DIFFER (624
+    standing -> k=20 -> p=3; only 16 nonzero-norm seeds -> 16 centroid
+    rows -> p=2 under the old reconstruction) and pins bit-for-bit
+    parity with the oracled one-shot audit."""
+    import numpy as np
+
+    from mapreduce_rs_spark.operators.similarity import (
+        EMBED_DIM,
+        ivf_k_for,
+        semdedup_ingest_audit,
+    )
+    from mapreduce_rs_spark.streaming.pipeline import (
+        EMB_SCHEMA,
+        build_semdedup_store,
+        semdedup_admit_batch,
+    )
+
+    rng = np.random.RandomState(712)
+    standing_ids = [i for i in range(780) if i % 10 < 8]
+    ingest_ids = [i for i in range(780) if i % 10 >= 8]
+    nonzero_std = standing_ids[:16]
+    rows = []
+    std_vecs = {}
+    for vid in standing_ids:
+        if vid in nonzero_std:
+            v = [round(float(x), 4) for x in rng.normal(size=EMBED_DIM)]
+        else:
+            v = [0.0] * EMBED_DIM
+        std_vecs[vid] = v
+        rows.append((vid, v))
+    for j, vid in enumerate(ingest_ids):
+        if j < 8:
+            v = list(std_vecs[nonzero_std[j]])  # exact standing copy -> drop
+        elif j < 12:
+            v = [0.0] * EMBED_DIM  # zero-norm -> guard keeps it
+        else:
+            v = [round(float(x), 4) for x in rng.normal(size=EMBED_DIM)]
+        rows.append((vid, v))
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    standing = emb.where(F.col("vec_id") % 10 < 8)
+    ingest = emb.where(F.col("vec_id") % 10 >= 8)
+
+    store = str(tmp_path / "store")
+    build_semdedup_store(spark, standing, store)
+    import os as _os
+
+    cent_rows = spark.read.parquet(_os.path.join(store, "centroids")).count()
+    k = ivf_k_for(len(standing_ids))
+    assert cent_rows < k, (
+        f"degenerate premise broken: {cent_rows} centroid rows vs k={k}"
+    )
+
+    decisions = semdedup_admit_batch(ingest, store)
+    tot = decisions.agg(
+        F.sum("is_dropped").alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert 0 < tot["d"] < tot["n"], f"vacuous gate: {tot}"
+
+    audit = semdedup_ingest_audit(emb)
+    assert frame_hash(_audit_rollup(decisions)) == frame_hash(audit)
+
+
+def test_ingest_updates_dedup_vec_id_delivered_twice_in_one_epoch(
+    spark, sf_dir, tmp_path
+):
+    """r11 ADVICE #2: a vec_id delivered in TWO files within a single
+    micro-batch must yield ONE decision row (deterministic min-src_file
+    copy), not one per copy — otherwise the decon gate's per-vec_id
+    aggregate double-counts its eval hits and the semdedup audit
+    double-counts the vector, diverging from the batch operators that
+    see each vec_id once. Both twins are driven with a direct batch
+    that carries the same vectors under two src_file values."""
+    from mapreduce_rs_spark.operators.similarity import (
+        semantic_decontaminate_fixed,
+    )
+    from mapreduce_rs_spark.streaming.pipeline import (
+        build_decon_store,
+        build_semdedup_store,
+        decon_state_update,
+        semdedup_admit_batch,
+        semdedup_ingest_update,
+        streaming_decon_report,
+        streaming_semdedup_ingest_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # --- semdedup ingest twin ---
+    standing = emb.where(F.col("vec_id") % 10 < 8)
+    ingest = emb.where(F.col("vec_id") % 10 >= 8)
+    sd_store = str(tmp_path / "sd_store")
+    sd_state = str(tmp_path / "sd_state")
+    build_semdedup_store(spark, standing, sd_store)
+    dup_batch = ingest.withColumn("src_file", F.lit("f1")).union(
+        ingest.withColumn("src_file", F.lit("f2"))
+    )
+    semdedup_ingest_update(dup_batch, sd_store, sd_state, 0)
+    oneshot = _audit_rollup(semdedup_admit_batch(ingest, sd_store))
+    got = streaming_semdedup_ingest_report(spark, sd_state)
+    assert frame_hash(got) == frame_hash(oneshot)
+
+    # --- decon gate twin ---
+    dc_store = str(tmp_path / "dc_store")
+    dc_state = str(tmp_path / "dc_state")
+    build_decon_store(spark, emb, dc_store)
+    dup_all = emb.withColumn("src_file", F.lit("f1")).union(
+        emb.withColumn("src_file", F.lit("f2"))
+    )
+    decon_state_update(dup_all, dc_store, dc_state, 0)
+    batch = semantic_decontaminate_fixed(load_table(spark, sf_dir, "embeddings"))
+    assert frame_hash(streaming_decon_report(spark, dc_state)) == frame_hash(batch)
