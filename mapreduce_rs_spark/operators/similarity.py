@@ -2691,13 +2691,22 @@ def knn_ivf_refit(
     init = init or kmeans_init_q()
     q, cent = _kmeans_rounds(df, rounds, init, persist_dir)
     rolled = _rolled_state(cent)
+    return _refit_serve_topk(_refit_assign(df, rolled), df, rolled, k)
+
+
+def _refit_assign(df: DataFrame, rolled: DataFrame) -> DataFrame:
+    """Corpus-side refit assignment: (vec_id, embd, c_norm,
+    centroid_id) — double embd + norm + the family's exact BIGINT
+    argmax against the broadcast rolled state, each computed once per
+    row (the _ivf_assigned_scored discipline); qv derived inline so
+    the argmax sees the fit's own quantization. ONE definition shared
+    by ``knn_ivf_refit`` (self-contained query) and the streaming
+    serve twin's per-batch step (streaming/pipeline.py), so the
+    continuous loop's assignments can never drift from the query's."""
     qv_expr = F.expr(
         f"transform(embd, x -> CAST(round(x * {float(DRIFT_SCALE)!r}, 0) AS BIGINT))"
     )
-    # corpus side: double embd + norm + refit assignment, each computed
-    # once per row (the _ivf_assigned_scored discipline); qv derived
-    # inline so the argmax sees the fit's own quantization
-    assigned = (
+    return (
         ensure_parallelism(df, "vec_id")
         .select("vec_id", F.col("embedding").cast(_DBL).alias("embd"))
         .select("vec_id", "embd", _l2_raw(F.col("embd")).alias("c_norm"),
@@ -2705,8 +2714,20 @@ def knn_ivf_refit(
         .crossJoin(F.broadcast(rolled))
         .select("vec_id", "embd", "c_norm", _dkm_argmax_cid().alias("centroid_id"))
     )
+
+
+def _refit_serve_topk(
+    assigned: DataFrame, query_src: DataFrame, rolled: DataFrame, k: int
+) -> DataFrame:
+    """The serve stage over an already-assigned corpus frame
+    (vec_id, embd, c_norm, centroid_id): KMV-capped query sample from
+    ``query_src``, query-side argmax against the SAME rolled state,
+    nprobe=1 inverted-list probe (centroid equi-join), exact cosine
+    re-rank, per-query top-k. Shared by ``knn_ivf_refit`` and the
+    streaming twin's drained-state report — the serve contract has one
+    definition."""
     queries = (
-        _query_set(df)
+        _query_set(query_src)
         .crossJoin(F.broadcast(rolled))
         .select(
             "q_id",

@@ -1252,3 +1252,183 @@ def run_streaming_semdedup_ingest(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Refit-model serving, continuous form (r11 verdict #3): the model
+# lifecycle the similarity tier documents — fit (kmeans_refit_distributed)
+# -> eval (kmeans_refit_eval) -> SWAP -> serve (knn_ivf_refit) — gets its
+# streaming half. The swap is build_refit_store persisting the winning
+# centroid state; from then on, corpus micro-batches are assigned under
+# the PERSISTED refit model (the hot-swapped serving table a production
+# index maintains), and the drained serve report answers the capped query
+# set against the accumulated assignment — knn_ivf_refit's contract
+# bit-for-bit. Rebuilding the model is the next refit cadence's job, the
+# same fit/serve division of labor as the semdedup and graph-tier stores.
+# ---------------------------------------------------------------------------
+
+
+def build_refit_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    store_dir: str,
+    rounds: int | None = None,
+    init: list[list[int]] | None = None,
+) -> None:
+    """Execute the SWAP: run the distributed refit
+    (``_kmeans_rounds`` — the exact engine ``knn_ivf_refit`` runs
+    inside its self-contained query) on the standing corpus and
+    persist the winning centroid state (cid, cq) as the serving
+    model. ``knn_ivf_refit`` re-fits per query by the family's
+    self-contained-query convention; a serving pipeline performs the
+    fit ONCE here and every admission/serve step reads the store."""
+    from mapreduce_rs_spark.operators.similarity import (
+        KMEANS_DIST_ROUNDS,
+        _kmeans_rounds,
+        kmeans_init_q,
+    )
+
+    rounds = KMEANS_DIST_ROUNDS if rounds is None else rounds
+    init = init or kmeans_init_q()
+    _q, cent = _kmeans_rounds(corpus, rounds, init, None)
+    cent.select("cid", "cq").write.mode("overwrite").parquet(
+        os.path.join(store_dir, "centroids")
+    )
+
+
+def _refit_rolled(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The persisted refit model re-rolled into the one-row broadcast
+    state every assignment consumer shares (``_rolled_state`` —
+    array_sort makes the roll independent of parquet row order)."""
+    from mapreduce_rs_spark.operators.similarity import _rolled_state
+
+    return _rolled_state(
+        spark.read.parquet(os.path.join(store_dir, "centroids"))
+    )
+
+
+def refit_assign_batch(batch_df: DataFrame, store_dir: str) -> DataFrame:
+    """Assign one corpus micro-batch under the persisted refit model:
+    (vec_id, centroid_id) via the family's exact BIGINT argmax against
+    the broadcast rolled state (``_refit_assign`` — the identical
+    expression ``knn_ivf_refit`` runs, so the serving table can never
+    disagree with the query's own assignment). Per-batch work is
+    O(|batch| · k) integer dots: batch-proportional, never
+    corpus-proportional."""
+    from mapreduce_rs_spark.operators.similarity import _refit_assign
+
+    rolled = _refit_rolled(batch_df.sparkSession, store_dir)
+    return _refit_assign(batch_df.select("vec_id", "embedding"), rolled).select(
+        "vec_id", "centroid_id"
+    )
+
+
+def refit_state_update(
+    batch_df: DataFrame, store_dir: str, state_dir: str, epoch_id: int
+) -> None:
+    """One micro-batch of the continuous refit-serving loop: assign the
+    batch under the persisted model and land
+    (vec_id, embedding, centroid_id, src_file) under
+    ``state_dir/epoch=<epoch_id>`` — the ``ivf_state_update``
+    discipline: per-epoch OVERWRITE (same-epoch replays land
+    byte-identical rows, assignments read only persisted state),
+    ``src_file`` provenance for cross-epoch re-delivery,
+    epoch-qualified sentinel for non-file-backed frames, one
+    deterministic row per vec_id per batch (r11 ADVICE #2). The state
+    row carries the embedding because it IS the serving table — the
+    re-rank reads raw vectors, so the assignment store is the
+    (vector, list) inverted index a production IVF server maintains."""
+    if "src_file" not in batch_df.columns:
+        try:
+            batch_df = batch_df.withColumn(
+                "src_file", F.col("_metadata.file_path")
+            )
+        except AnalysisException:
+            batch_df = batch_df.withColumn(
+                "src_file", F.lit(f"<direct-batch-epoch-{epoch_id}>")
+            )
+    batch_df = _one_row_per_vec(batch_df)
+    refit_assign_batch(batch_df, store_dir).join(
+        batch_df.select("vec_id", "embedding", "src_file"), "vec_id"
+    ).select("vec_id", "embedding", "centroid_id", "src_file").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, f"epoch={epoch_id}"))
+
+
+def streaming_refit_serve_report(
+    spark: SparkSession, state_dir: str, store_dir: str, k: int = 10
+) -> DataFrame:
+    """The serve report over the accumulated assignment state: merge
+    per-epoch rows latest-epoch-wins per src_file (re-delivered files
+    read as ONE logical contribution) and answer the KMV-capped query
+    set through ``_refit_serve_topk`` — nprobe=1 probe against the
+    stored model, exact cosine re-rank, per-query top-k:
+    ``knn_ivf_refit``'s (q_id, vec_id, cos_sim, rnk) contract. Each
+    vector's assignment reads only the vector + the persisted model,
+    so once the corpus is drained the report equals the batch query
+    bit-for-bit (the parity test). State grows with the corpus — it is
+    the serving index itself, not per-stream bookkeeping."""
+    from mapreduce_rs_spark.operators.similarity import (
+        _DBL,
+        _l2_raw,
+        _refit_serve_topk,
+    )
+
+    w = Window.partitionBy("src_file")
+    merged = (
+        spark.read.parquet(state_dir)
+        .withColumn("max_epoch", F.max("epoch").over(w))
+        .where(F.col("epoch") == F.col("max_epoch"))
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    assigned = merged.select(
+        "vec_id",
+        F.col("embedding").cast(_DBL).alias("embd"),
+        "centroid_id",
+    ).select(
+        "vec_id",
+        "embd",
+        _l2_raw(F.col("embd")).alias("c_norm"),
+        "centroid_id",
+    )
+    return _refit_serve_topk(
+        assigned,
+        merged.select("vec_id", "embedding"),
+        _refit_rolled(spark, store_dir),
+        k,
+    )
+
+
+def run_streaming_refit_serve(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """The refit-serving swap in its CONTINUOUS form: corpus
+    micro-batches are assigned under the PERSISTED refit model (built
+    once by ``build_refit_store`` — the swap; refreshed on the refit
+    cadence) into the per-epoch serving state;
+    ``streaming_refit_serve_report`` answers queries over the drained
+    index. Assignment reads only the vector + the persisted model, so
+    any micro-batching yields the batch query's report byte-for-byte."""
+    reader = spark.readStream.schema(EMB_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir).withColumn(
+        "src_file", F.col("_metadata.file_path")
+    )
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda batch_df, epoch_id: refit_state_update(
+                batch_df, store_dir, state_dir, epoch_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
