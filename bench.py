@@ -145,6 +145,15 @@ HEADLINE = (
     # remain comparable PREFIXES; compare totals only within one
     # definition.
     "embedding_near_dup_derived",  # derived-plane bucket join + top-cap window
+    # round-12 extension (BASELINE.md, r11 verdict #4): semdedup ingest
+    # admission priced OUTSIDE its fit, the knn_graph_admit_store way —
+    # semdedup_ingest_audit's sf3.0 probe (2.02x on 3x data) is
+    # fit-dominated (the standing-split derived-k fit runs inside the
+    # measured query); this member admits the ingest split against a
+    # derived-k store built ONCE per bench run outside the timer, so
+    # the number measures admission itself (~batch-proportional). Prior
+    # definitions (… / 38 / 39) remain comparable PREFIXES.
+    "semdedup_admit_store",        # derived-k admission vs persisted model
 )
 
 
@@ -204,7 +213,41 @@ def main() -> None:
         ).select("vec_id", "embedding")
         return admitted_edges_from_store(batch, store_dir, tag="bench_admit")
 
-    EXTRA = {"knn_graph_admit_store": _admit_store_member}
+    # semdedup admission's standing derived-k model: same discipline —
+    # built ONCE outside every timer (the recluster cadence), the
+    # member times the ingest-split admission gate + audit rollup only
+    # (r11 verdict #4: semdedup_ingest_audit's number is fit-dominated;
+    # this one measures the thing the operator exists to make cheap).
+    from mapreduce_rs_spark.streaming.pipeline import (
+        build_semdedup_store,
+        semdedup_admit_batch,
+    )
+
+    sd_store_dir = tempfile.mkdtemp(prefix="bench_semdedup_store_")
+    atexit.register(shutil.rmtree, sd_store_dir, ignore_errors=True)
+    build_semdedup_store(
+        spark,
+        emb.where(F.col("vec_id") % 10 < 8).select("vec_id", "embedding"),
+        sd_store_dir,
+    )
+
+    def _semdedup_admit_member(sp, sfd):
+        batch = load_table(sp, sfd, "embeddings").where(
+            F.col("vec_id") % 10 >= 8
+        ).select("vec_id", "embedding")
+        decisions = semdedup_admit_batch(batch, sd_store_dir)
+        return (
+            decisions.groupBy(F.col("cid").cast("int").alias("centroid_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_ingested"),
+                F.sum("is_dropped").cast("long").alias("n_dropped"),
+            )
+        )
+
+    EXTRA = {
+        "knn_graph_admit_store": _admit_store_member,
+        "semdedup_admit_store": _semdedup_admit_member,
+    }
 
     def run_full_plan(name: str) -> float:
         # noop datasource: full execution (sorts, projections, Python
