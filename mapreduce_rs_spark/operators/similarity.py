@@ -2933,10 +2933,38 @@ def _probe_masks(planes: list[list[float]]) -> list[int]:
     return [0] + [1 << p for p in range(len(planes))]
 
 
-def _nnd_topk(pairs: DataFrame, v: DataFrame, k: int) -> DataFrame:
+def _n_par(df: DataFrame) -> int:
+    """The pinned-N partition count for CPU-heavy narrow stages — the
+    entity_match_customers convention (ADVICE r07): build-time core
+    count alone under-partitions when executors are added after
+    planning, and AQE is deliberately bypassed by the pin."""
+    sess = df.sparkSession
+    return max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+
+
+def _nnd_topk(
+    pairs: DataFrame, v: DataFrame, k: int, dedup: bool = False
+) -> DataFrame:
     """Score DISTINCT (src, dst) candidate pairs with exact cosine and
     keep each src's top-k by (cos DESC, dst). The window is bounded by
-    construction: <= (2k)^2 + k candidates per src ever reach it."""
+    construction: <= (2k)^2 + k candidates per src ever reach it.
+
+    Parallelism pin (r12, the entity_match AQE blind spot): candidate
+    pairs are narrow BYTES (two longs) but each costs a 64-dim exact
+    cosine — AQE coalesced the pair exchange to 1-2 partitions at
+    sf0.1 (measured: the per-round scoring jobs ran 2-4 tasks on 32
+    cores; the three round jobs held ~2.4 s of the member's 8.3 s
+    wall). A pinned-N repartition on ``src`` is exempt from AQE
+    coalescing, satisfies the dedup aggregate's (src, dst) clustering
+    AND the top-k window's (src) clustering, so the whole
+    dedup -> score -> window chain runs on N partitions with ONE
+    exchange where distinct-then-window paid two."""
+    pairs = pairs.repartition(_n_par(pairs), F.col("src"))
+    if dedup:
+        pairs = pairs.dropDuplicates(["src", "dst"])
     scored = (
         pairs.join(
             v.select(
@@ -3060,9 +3088,12 @@ def nn_descent_knn_graph(
             .where(F.col("src") != F.col("dst"))
             .select("src", "dst")
         )
-        pairs = cand.unionByName(edges.select("src", "dst")).distinct()
+        # dedup happens INSIDE _nnd_topk after its pinned repartition
+        # (dropDuplicates == distinct on the 2-col frame), so the chain
+        # needs one exchange, not distinct's + the window's
+        pairs = cand.unionByName(edges.select("src", "dst"))
         edges = materialize(
-            _nnd_topk(pairs, v, k), persist_dir, f"nnd_edges_{r}"
+            _nnd_topk(pairs, v, k, dedup=True), persist_dir, f"nnd_edges_{r}"
         )
     return edges.select(
         F.col("src").alias("vec_id"),
@@ -3265,7 +3296,14 @@ def _beam_frontier(
     if hint_broadcast_queries:
         qside = F.broadcast(qside)
 
-    def scored_top(pairs: DataFrame, cap: int) -> DataFrame:
+    def scored_top(pairs: DataFrame, cap: int, dedup: bool = False) -> DataFrame:
+        # pinned-N repartition on q_id: the _nnd_topk rescue (narrow
+        # pair bytes, CPU-heavy exact cosine — AQE coalesces the
+        # exchange); one exchange then serves dedup, scoring and the
+        # top-beam window
+        pairs = pairs.repartition(_n_par(pairs), F.col("q_id"))
+        if dedup:
+            pairs = pairs.dropDuplicates(["q_id", "cand"])
         s = (
             pairs.join(qside, "q_id")
             .join(cv, "cand")
@@ -3273,9 +3311,8 @@ def _beam_frontier(
                 "q_id",
                 "cand",
                 _cos_pair(
-                    F.col("q_embd"), F.col("c_embd"),
-                    F.col("q_norm"), F.col("cv_norm"),
-                ).alias("cs"),
+                F.col("q_embd"), F.col("c_embd"), F.col("q_norm"), F.col("cv_norm")
+            ).alias("cs"),
             )
         )
         w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "cand")
@@ -3300,9 +3337,9 @@ def _beam_frontier(
             .join(ge, frontier.cand == ge.gsrc)
             .select("q_id", F.col("gdst").alias("cand"))
         )
-        pairs = nxt.unionByName(frontier.select("q_id", "cand")).distinct()
+        pairs = nxt.unionByName(frontier.select("q_id", "cand"))
         frontier = materialize(
-            scored_top(pairs, beam), persist_dir, f"{tag}_f{h + 1}"
+            scored_top(pairs, beam, dedup=True), persist_dir, f"{tag}_f{h + 1}"
         )
     return frontier
 
@@ -3472,8 +3509,7 @@ def knn_graph_ingest(
             "q_id",
             "cand",
             _cos_pair(
-                F.col("q_embd"), F.col("c_embd"),
-                F.col("q_norm"), F.col("cv_norm"),
+                F.col("q_embd"), F.col("c_embd"), F.col("q_norm"), F.col("cv_norm")
             ).alias("cs"),
         )
         .withColumn("rn", F.row_number().over(xw))
