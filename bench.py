@@ -334,8 +334,16 @@ def main() -> None:
     # flag the run: pass2/pass3 ~ 1.0 proves the gap was first-touch
     # (quiet run, minima stand); pass2/pass3 >> 1 means the run was
     # contention-limited and the extra pass tightened the minima.
+    # r13 (r12 verdict #2): the trigger is now SYMMETRIC — the r12
+    # driver run's pass totals ASCENDED (pass_gap 0.81: contention grew
+    # mid-run) and the old one-sided trigger never fired, so best-of-2
+    # minima stood un-tightened. An ascending gap is never first-touch
+    # (first-touch only inflates pass 1), so it fires the third pass
+    # unconditionally.
     pass_gap = round(sum(passes[0].values()) / sum(passes[1].values()), 2)
-    third = pass_gap > 1.15 and (index is None or index <= 1.1)
+    third = pass_gap < 0.87 or (
+        pass_gap > 1.15 and (index is None or index <= 1.1)
+    )
     if third:
         warm_python_pool()
         passes.append({name: run_full_plan(name) for name in HEADLINE})
@@ -349,6 +357,13 @@ def main() -> None:
         name: min(p[name] for p in passes) for name in HEADLINE
     }
     total = round(sum(timings.values()), 3)
+    pass_totals = [round(sum(p.values()), 3) for p in passes]
+    # First-class contention verdict (r12 verdict #2): true when the
+    # LAST pass ran >=15% slower than the best pass — ambient load was
+    # still growing when the run ended, so even the tightened minima
+    # may be inflated and the run should not anchor a cross-round
+    # comparison. A descending first-touch profile never trips this.
+    contention_limited = pass_totals[-1] > 1.15 * min(pass_totals)
     print(
         json.dumps(
             {
@@ -359,6 +374,17 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "calibration": {
                     "definition": "per-query best-of-2 across two full passes",
+                    # Methodology stamp (ADVICE r12 #3) so cross-round
+                    # tooling can't silently mix methodologies: "r08" =
+                    # pool warm-up, best-of-2 + third-pass calibration;
+                    # "r12" = + import-warmed pool; "r13" = + symmetric
+                    # third-pass trigger + contention_limited flag.
+                    "methodology": "r13",
+                    # True = the last pass ran >=15% slower than the
+                    # best pass (ambient load still growing at the end
+                    # of the run); treat `value` as an upper bound, not
+                    # a cross-round comparable (r12 verdict #2).
+                    "contention_limited": contention_limited,
                     "wordcount_probe_pre": wc_pre,
                     "wordcount_probe_post": wc_post,
                     "wordcount_ref_sec": ref,
@@ -377,9 +403,7 @@ def main() -> None:
                     "pass_gap": pass_gap,
                     "pass_gap_23": pass_gap_23,
                     "third_pass_ran": third,
-                    "pass_totals": [
-                        round(sum(p.values()), 3) for p in passes
-                    ],
+                    "pass_totals": pass_totals,
                 },
             }
         )

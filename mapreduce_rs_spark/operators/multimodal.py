@@ -1480,18 +1480,33 @@ def multimodal_features(df: DataFrame) -> DataFrame:
             out: dict[str, list] = {"doc_id": [], "payload": [], "meta": []}
             for doc_id, text in zip(batch["doc_id"], batch["text"]):
                 data = _oracle_ascii_bytes(text)
-                if int(doc_id) % 2 == 0:
+                # Sign-preserving parity, matching the pre-fusion
+                # Spark-side filters (doc_id % 2 == 0 / == 1 with
+                # Spark's remainder semantics, ADVICE r12): even
+                # doc_ids (any sign) -> PNG, positive odd -> BMP,
+                # negative odd (remainder -1) -> neither branch.
+                # Dataset doc_ids are nonnegative; this only guards
+                # out-of-contract inputs.
+                d = int(doc_id)
+                if d % 2 == 0:
                     payload, w, h = _png_payload_row(data)
                     ct, ch = "image/png", 1
-                else:
+                elif d > 0:
                     payload, w, h = _bmp_payload_row(data)
                     ct, ch = "image/bmp", 3
+                else:
+                    continue
                 out["doc_id"].append(doc_id)
                 out["payload"].append(payload)
                 out["meta"].append(
                     {"content_type": ct, "width": w, "height": h, "n_channels": ch}
                 )
-            yield pd.DataFrame(out)
+            if out["doc_id"]:
+                # an all-dropped batch (possible only out-of-contract,
+                # all-negative-odd) must not reach _features_run as a
+                # zero-row frame — pd.DataFrame(list([])) loses the
+                # meta columns and the unfused chain never saw one.
+                yield pd.DataFrame(out)
 
     feats = ensure_parallelism(df.select("doc_id", "text")).mapInPandas(
         _fuse_runs(parity_attach, _features_run), schema=FEATURE_SCHEMA

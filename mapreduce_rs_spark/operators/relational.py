@@ -1870,10 +1870,13 @@ def entity_match_customers(
     # driver's core view — and since AQE is deliberately bypassed here,
     # nothing would correct a too-small N at runtime (ADVICE r07).
     sess = clean.sparkSession
-    n_par = max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    try:
+        _shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        # e.g. "auto" on platforms with auto-optimized shuffle
+        # (ADVICE r12, same hardening as similarity._n_par)
+        _shuffle_n = 0
+    n_par = max(sess.sparkContext.defaultParallelism, _shuffle_n)
     block_keys = block_keys.repartition(n_par, F.col("dirty_id"), F.col("n_block"))
     # vote: one row per (dirty record, clean record, shared blocking
     # gram); the payload is ids-only so the big shuffle stays narrow

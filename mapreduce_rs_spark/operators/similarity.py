@@ -2939,10 +2939,13 @@ def _n_par(df: DataFrame) -> int:
     count alone under-partitions when executors are added after
     planning, and AQE is deliberately bypassed by the pin."""
     sess = df.sparkSession
-    return max(
-        sess.sparkContext.defaultParallelism,
-        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    try:
+        shuffle_n = int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        # e.g. "auto" on platforms with auto-optimized shuffle
+        # (ADVICE r12): fall back to the cluster's parallelism alone.
+        shuffle_n = 0
+    return max(sess.sparkContext.defaultParallelism, shuffle_n)
 
 
 def _nnd_topk(

@@ -7894,89 +7894,86 @@ QUERIES = {
 # organized by topic; this reorder is presentation-only (same specs).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST: tuple[str, ...] = (
-    # ---- round-12 window (50 slots). Built per the r11 verdict:
+    # ---- round-13 window (50 slots). Built per the r12 verdict
+    # (#8: "rotate per the displacement note"). Nothing was
+    # semantically modified in round 13 (optimization round — every
+    # declared result is unchanged), so the window is pure rotation:
     #
-    # (1) MODIFIED in round 12 — external re-check required: the
-    # legacy fixed-plane near-dup's registry contract was DEMOTED to
-    # the bounded top-cap form (cos_sim DESC, vec_a, vec_b LIMIT
-    # 1000 — r11 verdict #1, retiring the registry's last unbounded
-    # ~N^2/64 output shape). At the driver's sf0.01 the cap never
-    # binds, so values must land identical to the green r11 row:
-    "embedding_near_dup",
+    # (1) THE promised rotation (the r12 displacement note's exact
+    # list): all 32 queries whose newest driver row is round 8.
+    # After this window lands, no registry query's newest external
+    # row is older than round 9:
+    "entity_match_customers",
+    "erasure_plan",
+    "ewma_value",
+    "hll_distinct_users",
+    "incremental_ingest_neardup",
+    "join_size_estimate",
+    "lsh_scurve_calibration",
+    "nn_descent_knn_graph",
+    "nn_descent_recall",
+    "ohlc_bars",
+    "pagerank_trade_flows",
+    "pq_code_histogram",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "range_join_price_bands",
+    "referential_audit",
+    "semantic_decontaminate",
+    "semdedup",
+    "sessionize",
+    "simhash_signatures",
+    "skyline_parts",
+    "source_extraction",
+    "term_drift",
+    "tfidf_top_terms",
+    "time_weighted_value",
+    "tumbling_window",
+    "value_anomalies",
+    "window_running_revenue",
+    "window_top_orders_per_customer",
+    "wordcount",
+    "wordcount_salted",
+    "zorder_locality",
     #
-    # (2) THE promised rotation (r11 verdict #2): all 36 queries
-    # whose newest driver row is round 7 — the displacement note's
-    # exact list. After this window lands, no registry query's
-    # newest external row is older than round 8:
-    "duplicate_spans",
-    "event_paths",
-    "feature_hashing_stats",
-    "gapfill_hourly",
-    "having_active_customers",
-    "hourly_percentile_bands",
-    "join_revenue_by_nation",
-    "kmv_quantile_rollup_merge",
-    "knn_bruteforce",
-    "knn_ivf_multiprobe",
-    "knn_lsh",
-    "knn_pq",
-    "lsh_buckets",
-    "lsh_dedup_eval",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "mixture_sample",
-    "mixture_weights",
-    "multi_resolution_rollup",
-    "null_handling_showcase",
-    "out_of_order_stats",
-    "pack_sequences",
-    "pivot_status_by_priority",
-    "priority_line_counts",
-    "promo_revenue_ratio",
-    "range_window_revenue",
-    "rdd_wordcount",
-    "repetition_signals",
-    "skipgram_pmi",
-    "sliding_window",
-    "stats_battery",
-    "stratified_sample_summary",
-    "unpivot_status_totals",
-    "user_activity_stats",
-    "value_histogram",
-    "wordcount_mapreduce_udf",
-    #
-    # (3) evidence refresh — the alphabetical head of the r08
-    # tranche (45 queries whose newest driver row is round 8).
-    # 13 slots fill the window at exactly 50:
-    "ab_test_conversion",
-    "ann_rank_fusion",
-    "ann_recall",
-    "asof_customer_maturity",
-    "benford_digit_audit",
-    "bloom_prefilter_stats",
-    "bm25_scores",
-    "burst_hours",
-    "compaction_plan",
-    "corpus_profile",
-    "decontaminate",
-    "dp_noisy_counts",
-    "embedding_outliers",
-    # (displacement note for r13: the remaining 32 r08-stale
+    # (2) evidence refresh — the alphabetical head of the r09
+    # tranche (48 queries whose newest driver row is round 9).
+    # 18 slots fill the window at exactly 50:
+    "abandoned_clicks",
+    "bfs_hops",
+    "bmp_decode_stats",
+    "bootstrap_ci_mean",
+    "cms_word_counts",
+    "domain_stats",
+    "dq_rule_violations",
+    "event_transition_matrix",
+    "frequent_triples",
+    "gif_frame_stats",
+    "image_resize_stats",
+    "incremental_ingest_dedup",
+    "inter_event_gaps",
+    "jpeg_decode_stats",
+    "k_anonymity_audit",
+    "kcore_decomposition",
+    "key_skew_profile",
+    "kmeans_refit_distributed",
+    # (displacement note for r14: the remaining 30 r09-stale
     # queries —
-    # entity_match_customers, erasure_plan, ewma_value, hll_distinct_users,
-    # incremental_ingest_neardup, join_size_estimate,
-    # lsh_scurve_calibration, nn_descent_knn_graph, nn_descent_recall,
-    # ohlc_bars, pagerank_trade_flows, pq_code_histogram,
-    # q1_pricing_summary, q3_shipping_priority, range_join_price_bands,
-    # referential_audit, semantic_decontaminate, semdedup, sessionize,
-    # simhash_signatures, skyline_parts, source_extraction, term_drift,
-    # tfidf_top_terms, time_weighted_value, tumbling_window,
-    # value_anomalies, window_running_revenue,
-    # window_top_orders_per_customer, wordcount, wordcount_salted,
-    # zorder_locality —
-    # rotate these 32 next, then begin the r09 tranche with the
-    # remaining slots; after the r13 window no query's newest row
-    # is older than round 9.)
+    # kmeans_refit_eval, kmv_quantile_sketch, knn_ivfpq,
+    # label_propagation_communities, link_prediction_scores,
+    # multimodal_features, ngram_containment_pairs,
+    # orders_merge_upsert, png_decode_stats, pq_reconstruction_error,
+    # prefix_filter_jaccard_pairs, q20_surplus_suppliers,
+    # q21_sole_late_supplier, q7_volume_shipping, q9_profit_by_nation,
+    # robust_value_anomalies, rollup_incremental_refresh,
+    # session_window_stats, sql_text_passthrough, state_snapshot_diff,
+    # target_encoding_nations, temperature_mixture,
+    # token_budget_allocation, unigram_surprisal_scores,
+    # value_drift_chi2, video_frame_sample, wav_decode_stats,
+    # wav_frame_features, weighted_shortest_paths, zone_map_pruning —
+    # rotate these 30 next, then begin the r10 tranche with the
+    # remaining slots; after the r14 window no query's newest row
+    # is older than round 10.)
 )
 
 QUERIES = {

@@ -18,3 +18,108 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# Tier split (r12 verdict #1). The default invocation excludes `slow`
+# (pytest.ini addopts); `-m ""` runs everything. All marking happens
+# HERE so the tier membership is reviewable in one place.
+#
+# Fast tier keeps: every oracle-parity / plan-guard param in the
+# driver's 50-query check window or the bench member set, one
+# representative param per randomized-probe family, and every
+# functional test not listed below. Slow tier = exhaustive sweeps of
+# the same machinery plus heavyweight one-off infra behavior tests.
+# ---------------------------------------------------------------------------
+
+# Whole functions whose every instance is exhaustive-tier (their
+# behavior keeps faster siblings in the default tier — noted inline).
+_SLOW_FUNCS = {
+    # property sweep over every filter size; default tier still builds
+    # and probes blooms via bloom_prefilter_stats parity + unit tests
+    "test_no_false_negatives_at_any_size",
+    # AQE runtime-behavior one-offs; plan-shape guards stay fast
+    "test_aqe_splits_the_hot_key",
+    "test_big_sort_spills_and_completes",
+    "test_speculation_single_host_behavior",
+    # randomized repeats beyond the seeded single-run siblings
+    "test_bpe_batched_identical_on_random_corpora",
+    "test_png_roundtrip_random",
+    "test_bmp_roundtrip_random",
+    "test_components_match_union_find_on_random_graphs",
+    # heaviest fusion pair (3-node resize chain); the other 9 fusion
+    # parity tests + image_resize oracle parity stay fast
+    "test_image_resize_stats_fusion",
+    # sf0.1 byte-identity sweep; the sf0.001 twins stay fast
+    "test_durable_path_byte_identical_at_sf01",
+}
+
+# Per-param slow marking for the big parametrizations: params NOT in
+# the fast set are exhaustive-tier.
+_RANDOM_PROBE_REPRESENTATIVES = {
+    "test_relational_query_matches_oracle_on_random_star": {
+        "join_revenue_by_nation",
+        "weighted_shortest_paths",
+    },
+    "test_doc_query_matches_oracle_on_random_corpus": {
+        "rdd_wordcount",
+        "curation_yield_neardup",
+    },
+    "test_event_query_matches_oracle_on_random_events": {
+        "sessionize",
+        "session_window_stats",
+    },
+    "test_emb_query_matches_oracle_on_random_vectors": {
+        "knn_bruteforce",
+        "semdedup_derived_k",
+        "knn_graph_ingest",
+    },
+}
+
+# Streaming twins: keep the 6-param core hash-parity sweep and ONE
+# late-data twin fast; the other late-data variants and the heavy
+# one-off drain/loop scenarios are exhaustive-tier.
+_SLOW_STREAMING = {
+    "test_streaming_late_data_hash_matches_nonlate_batch_twin": {
+        "keep": {"tumbling_late"}
+    },
+}
+_SLOW_STREAMING_FUNCS = {
+    "test_streaming_graph_ingest_matches_batch_admission",
+    "test_streaming_refit_serve_matches_batch_knn",
+    "test_streaming_semdedup_ingest_matches_oneshot_gate",
+    "test_semdedup_admit_batch_degenerate_corpus_matches_oneshot",
+    "test_streaming_ivf_maintenance_matches_batch_after_multibatch_drain",
+    "test_streaming_neardup_ingest_loop",
+    "test_ingest_updates_dedup_vec_id_delivered_twice_in_one_epoch",
+}
+
+
+def _fast_query_names() -> set[str]:
+    from mapreduce_rs_spark.plans.registry import _CHECK_FIRST
+
+    import bench
+
+    return set(_CHECK_FIRST) | set(bench.HEADLINE)
+
+
+def pytest_collection_modifyitems(config, items):
+    fast_queries = _fast_query_names()
+    slow = pytest.mark.slow
+    for item in items:
+        func = item.originalname or item.name
+        param = None
+        if "[" in item.name:
+            param = item.name.split("[", 1)[1].rstrip("]")
+
+        if func in _SLOW_FUNCS or func in _SLOW_STREAMING_FUNCS:
+            item.add_marker(slow)
+        elif func in ("test_query_matches_oracle", "test_scale_guard"):
+            if param is not None and param not in fast_queries:
+                item.add_marker(slow)
+        elif func in _RANDOM_PROBE_REPRESENTATIVES:
+            if param not in _RANDOM_PROBE_REPRESENTATIVES[func]:
+                item.add_marker(slow)
+        elif func in _SLOW_STREAMING:
+            if param not in _SLOW_STREAMING[func]["keep"]:
+                item.add_marker(slow)

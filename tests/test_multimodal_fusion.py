@@ -183,3 +183,47 @@ def test_multimodal_features_fusion(spark, sf_dir):
         )
     )
     _assert_same(fused, unfused, ["modality"])
+
+
+def test_multimodal_features_parity_matches_spark_remainder_semantics(spark):
+    """Out-of-contract negative doc_ids must route exactly as the
+    pre-fusion Spark-side filters did (ADVICE r12): Spark's remainder is
+    sign-preserving, so `doc_id % 2 == 0` admits even ids of ANY sign to
+    the PNG branch while a negative odd id (remainder -1) matches
+    NEITHER branch and is dropped. The fused stage's Python dispatch
+    must reproduce that, not Python's floored modulo (which would send
+    negative odds to BMP)."""
+    df = spark.createDataFrame(
+        [(d, f"doc {d} body text") for d in (-3, -2, -1, 0, 1, 2)],
+        "doc_id long, text string",
+    )
+    fused = mm.multimodal_features(df)
+    even = mm.attach_png_payload(df.where(F.col("doc_id") % 2 == 0))
+    odd = mm.attach_bmp_payload(df.where(F.col("doc_id") % 2 == 1))
+    feats = mm.extract_features(even.unionByName(odd))
+    units = F.col("width").cast("long") * F.col("height") * F.col("n_channels")
+    sum_int = F.round(F.col("mean_intensity") * units).cast("long")
+    unfused = (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("total_pixels"),
+            F.sum(sum_int).alias("sum_intensity"),
+            F.sum(units).alias("total_units"),
+            F.max("width").alias("max_width"),
+        )
+        .select(
+            "modality",
+            "n_docs",
+            "total_pixels",
+            "sum_intensity",
+            (F.col("sum_intensity").cast("double") / F.col("total_units")).alias(
+                "avg_intensity"
+            ),
+            "max_width",
+        )
+    )
+    _assert_same(fused, unfused, ["modality"])
+    counts = {r["modality"]: r["n_docs"] for r in fused.collect()}
+    # -3 and -1 (negative odd) match neither branch; -2, 0, 2 -> PNG; 1 -> BMP
+    assert counts == {"image/png": 3, "image/bmp": 1}
