@@ -68,8 +68,13 @@ def test_resize_stage_shapes(docs):
         resize_images,
     )
 
-    out = resize_images(attach_png_payload(docs), out_w=8, out_h=6).collect()
-    assert len(out) == 50
+    # r13: 16 docs, not the fixture's 50 — the shape contract is
+    # per-row, and the pure-Python PNG encode+decode costs ~0.6 s/doc
+    # (this test alone was 33 s of the default tier at 50).
+    out = resize_images(
+        attach_png_payload(docs.limit(16)), out_w=8, out_h=6
+    ).collect()
+    assert len(out) == 16
     assert all(len(r["payload"]) == 8 * 6 * 1 for r in out)  # grayscale
     assert all(r["width"] == 8 and r["height"] == 6 for r in out)
 

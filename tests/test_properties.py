@@ -29,7 +29,11 @@ def python_word_count(lines: list[str]) -> dict[str, int]:
     return dict(counts)
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+# r13: 15 -> 5 examples (each example is a full Spark job; the default
+# tier pays ~1.1 s per example, and the three-engine random-corpus
+# parity probe below covers the same tokenizer surface on 200 more
+# random docs in ONE batch).
 @given(lines=corpora)
 def test_word_count_matches_python_reference(spark, lines):
     df = spark.createDataFrame([(t,) for t in lines], ["text"])
