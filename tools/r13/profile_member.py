@@ -77,6 +77,8 @@ def main() -> None:
                 "sched_ms": s.get("schedulerDelay", None),
                 "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
                 "shuffle_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "gc_ms": s.get("jvmGcTime"),
+                "deser_ms": s.get("executorDeserializeTime"),
             }
         )
     job_wall = sum(
